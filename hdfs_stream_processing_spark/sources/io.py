@@ -1,0 +1,93 @@
+"""Batch scans and sinks (SURVEY §2.1 S1-S3).
+
+The reference reads 255 sensor CSVs one at a time in a driver-side Python
+loop (utils/spark_transforming.py:71-88 — one Spark job per file, schema
+inferred per file, column identity by listing order) and lists HDFS
+directories through the py4j gateway (:34-58).  At scale both are
+anti-patterns: here a whole directory tree is one declared-schema scan and
+file identity comes from ``input_file_name()`` — no driver loops, no
+py4j, no inference passes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hdfs_stream_processing_spark.schemas import DRIVER_TABLES, schema_for
+
+TABLE_NAMES = list(DRIVER_TABLES)
+
+
+def load_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Parquet scan of one driver table (SURVEY S2).
+
+    Parquet is self-describing, so no schema argument: Catalyst still gets
+    column pruning + predicate pushdown from the footer metadata.
+    """
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every driver table as a temp view for spark.sql queries."""
+    for t, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(t)
+
+
+def scan_csv_dir(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    sep: str = ",",
+    header: bool = True,
+    with_source_file: bool = False,
+) -> DataFrame:
+    """CSV scan with a declared schema (SURVEY S1).
+
+    Replaces the reference's per-file inferSchema read
+    (utils/spark_transforming.py:82; data_generator/dataframe_to_kafka.py:78).
+    ``path`` may be a file, directory, or glob — one scan for any number of
+    files.  ``with_source_file`` adds the originating file path as a column,
+    replacing the reference's encode-room-in-directory-name convention.
+    """
+    if isinstance(schema, str):
+        schema = T._parse_datatype_string(schema)  # DDL string
+    reader = spark.read.schema(schema).option("header", str(header).lower()).option("sep", sep)
+    df = reader.csv(path)
+    if with_source_file:
+        df = df.withColumn("source_file", F.input_file_name())
+    return df
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Parquet batch sink (SURVEY S3; utils/spark_transforming.py:162).
+
+    The reference globally sorts the whole dataset before writing (:143) —
+    a full range-partition shuffle that buys nothing once the data is
+    columnar.  At 100 TB the layout should come from ``partitionBy`` (e.g.
+    date) so partition pruning engages on read; rows within files can be
+    ordered cheaply with sortWithinPartitions by the caller if needed.
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def schema_checked(df: DataFrame, table: str) -> DataFrame:
+    """Assert a scan matches the registry (names + types, order-insensitive)."""
+    expected = {f.name: f.dataType for f in schema_for(table).fields}
+    actual = {f.name: f.dataType for f in df.schema.fields}
+    if expected != actual:
+        raise ValueError(f"schema drift for {table}: expected {expected}, got {actual}")
+    return df
