@@ -23,8 +23,11 @@ def money_sum(col: Column | str, scale: int = 2) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     factor = float(10**scale)
-    cents = F.round(c * F.lit(factor), 0).cast("long")
-    return (F.sum(cents) / F.lit(factor)).cast("double")
+    # decimal(38,0) accumulator: a LongType sum would wrap silently past
+    # 2^63 cents (~9e16, reachable at 100 TB); decimal sums raise/NULL
+    # instead of corrupting, and stay exact.
+    cents = F.round(c * F.lit(factor), 0).cast("decimal(38,0)")
+    return (F.sum(cents).cast("double") / F.lit(factor)).cast("double")
 
 
 def money_avg(col: Column | str, scale: int = 2, out_round: int = 6) -> Column:
@@ -36,5 +39,7 @@ def money_avg(col: Column | str, scale: int = 2, out_round: int = 6) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     factor = float(10**scale)
-    cents = F.round(c * F.lit(factor), 0).cast("long")
-    return F.round(F.sum(cents) / (F.count(cents) * F.lit(factor)), out_round).cast("double")
+    cents = F.round(c * F.lit(factor), 0).cast("decimal(38,0)")
+    return F.round(
+        F.sum(cents).cast("double") / (F.count(cents) * F.lit(factor)), out_round
+    ).cast("double")

@@ -1,0 +1,30 @@
+"""Composable DataFrame → DataFrame operators (SURVEY §2.2-2.7, §2.10).
+
+Every operator is a plain function over DataFrames so the same code path
+serves batch and Structured Streaming plans, and Catalyst sees one
+declarative plan to optimize (pushdown, pruning, join selection) — no
+hand-scheduling, no RDDs.
+"""
+
+from hdfs_stream_processing_spark.operators.relational import (  # noqa: F401
+    add_lit,
+    case_when,
+    drop_nulls,
+    limit_n,
+    multi_join,
+    project_exclude,
+    sort_by,
+    top_k,
+    union_by_name,
+)
+from hdfs_stream_processing_spark.operators.aggregates import (  # noqa: F401
+    approx_distinct,
+    count_distinct,
+    count_rows,
+    group_agg,
+    rollup_agg,
+)
+from hdfs_stream_processing_spark.operators.windows import (  # noqa: F401
+    window_rank,
+    window_running,
+)

@@ -1,0 +1,549 @@
+"""Named query surface: every operator from SURVEY §2 as an oracle-checked query.
+
+Each query is a ``(spark, sf_dir) -> DataFrame`` callable built from the
+package's operators, paired (in ORACLES) with ANSI SQL that DuckDB runs on
+the same parquet tables.  The driver hash-compares values, so every query
+here is engineered to be **bit-exact across engines**:
+
+- double aggregates go through exact integer cents
+  (``round(x*100)`` → decimal sum → one final division of exact operands);
+- rankings/limits always carry a unique-key tiebreak (total order);
+- hashing uses md5 (identical in Spark and DuckDB);
+- timestamps stay µs-precision with a UTC session timezone.
+
+Column aliases match between the Spark plan and the oracle SQL 1:1 — the
+driver sorts columns by name before hashing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hdfs_stream_processing_spark.functions.timefn import epoch_to_ts, ts_to_string
+from hdfs_stream_processing_spark.functions.wire import parse_wire, to_wire
+from hdfs_stream_processing_spark.operators import (
+    add_lit,
+    case_when,
+    count_distinct,
+    count_rows,
+    drop_nulls,
+    group_agg,
+    multi_join,
+    project_exclude,
+    rollup_agg,
+    sort_by,
+    top_k,
+    union_by_name,
+    window_rank,
+    window_running,
+)
+from hdfs_stream_processing_spark.operators.aggregates import approx_distinct
+from hdfs_stream_processing_spark.sources.io import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query (and optionally its DuckDB oracle SQL)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def prep(spark: SparkSession, sf_dir: str, *tables: str) -> list[DataFrame]:
+    """Pin session semantics (driver sessions are not ours) and load tables.
+
+    UTC keeps timestamp rendering engine-neutral; nanosAsLong lets the
+    ns-precision events parquet load (converted to µs in load_table).
+    Both are runtime-settable SQL confs.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return [load_table(spark, sf_dir, t) for t in tables]
+
+
+# --- exact-arithmetic helpers (Spark side + the equivalent SQL text) -----
+
+
+def cents_sum(col: Column, alias: str) -> Column:
+    """Order-independent SUM(double) via exact integer cents → double."""
+    cents = F.round(col * F.lit(100.0), 0).cast("decimal(38,0)")
+    return (F.sum(cents).cast("double") / F.lit(100.0)).alias(alias)
+
+
+def sql_cents_sum(expr: str, alias: str) -> str:
+    return (
+        f"CAST(SUM(CAST(round(({expr}) * 100.0, 0) AS DECIMAL(38,0))) AS DOUBLE)"
+        f" / 100.0 AS {alias}"
+    )
+
+
+def cents_avg(col: Column, alias: str) -> Column:
+    cents = F.round(col * F.lit(100.0), 0).cast("decimal(38,0)")
+    return (F.sum(cents).cast("double") / (F.count(F.lit(1)) * F.lit(100.0))).alias(alias)
+
+
+def sql_cents_avg(expr: str, alias: str) -> str:
+    return (
+        f"CAST(SUM(CAST(round(({expr}) * 100.0, 0) AS DECIMAL(38,0))) AS DOUBLE)"
+        f" / (COUNT(*) * 100.0) AS {alias}"
+    )
+
+
+# ========================================================================
+# §2.1 scans
+# ========================================================================
+
+
+@query("scan_parquet", "SELECT event_id, ts, user_id, event_type, value, props FROM events")
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet scan (SURVEY S2; data_generator/dataframe_to_kafka.py:80)."""
+    (events,) = prep(spark, sf_dir, "events")
+    return events.select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+# ========================================================================
+# §2.2 projection / filter / row ops
+# ========================================================================
+
+
+@query("project_exclude", "SELECT event_id, ts, user_id, event_type, value FROM events")
+def q_project_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exclusion projection (dataframe_to_kafka.py:88-90): drop ``props``;
+    Catalyst prunes it out of the scan (ReadSchema omits it)."""
+    (events,) = prep(spark, sf_dir, "events")
+    return project_exclude(events, ["props"])
+
+
+@query("add_lit", "SELECT n_nationkey, n_name, n_regionkey, 'keti' AS room FROM nation")
+def q_add_lit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal tag column (utils/spark_transforming.py:114's room label)."""
+    (nation,) = prep(spark, sf_dir, "nation")
+    return add_lit(nation, "room", "keti")
+
+
+@query(
+    "drop_nulls",
+    """SELECT event_id, ts, user_id, event_type, value, props FROM events
+       WHERE event_id IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+         AND event_type IS NOT NULL AND value IS NOT NULL AND props IS NOT NULL""",
+)
+def q_drop_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Any-null row drop (utils/spark_transforming.py:145)."""
+    (events,) = prep(spark, sf_dir, "events")
+    return drop_nulls(events)
+
+
+@query(
+    "case_when",
+    """SELECT event_id, user_id, value,
+              CASE WHEN value > 75.0 THEN 'high'
+                   WHEN value > 25.0 THEN 'mid'
+                   ELSE 'low' END AS tier
+       FROM events""",
+)
+def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE classification — the reference's ``if_movement`` derivation
+    (convert-to-elasticsearch.py:120-134) re-expressed on events.value."""
+    (events,) = prep(spark, sf_dir, "events")
+    classified = case_when(
+        events,
+        "tier",
+        [(F.col("value") > 75.0, "high"), (F.col("value") > 25.0, "mid")],
+        "low",
+    )
+    return classified.select("event_id", "user_id", "value", "tier")
+
+
+@query(
+    "limit_n",
+    """SELECT event_id, ts, user_id, event_type, value FROM
+       (SELECT * FROM events ORDER BY event_id LIMIT 100)""",
+)
+def q_limit_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row limit (dataframe_to_kafka.py:94-95), made deterministic with a
+    unique-key sort first (a bare LIMIT is arbitrary on any distributed
+    engine)."""
+    (events,) = prep(spark, sf_dir, "events")
+    return top_k(events, [F.col("event_id").asc()], 100).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+# ========================================================================
+# §2.3 joins — the reference's core semantic
+# ========================================================================
+
+
+@query(
+    "multi_join",
+    f"""SELECT r_name, n_name,
+               COUNT(*) AS n_items,
+               SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
+               {sql_cents_sum('l_extendedprice * (1.0 - l_discount)', 'revenue')},
+               {sql_cents_avg('l_quantity', 'avg_qty')}
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey  = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name""",
+)
+def q_multi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: 4 chained equi-joins (the reference's 5-stream temporal
+    alignment, utils/spark_transforming.py:97-113, re-expressed as
+    lineitem⋈orders⋈customer⋈nation⋈region) + grouped aggregation.
+
+    customer/nation/region are broadcast by Catalyst (under the 10 MB
+    threshold at any SF for nation/region; AQE handles customer at scale),
+    so the only shuffles are lineitem⋈orders and the final aggregation.
+    """
+    lineitem, orders, customer, nation, region = prep(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "region"
+    )
+    joined = multi_join(
+        [lineitem, orders, customer, nation, region],
+        [
+            ("l_orderkey", "o_orderkey"),
+            ("o_custkey", "c_custkey"),
+            ("c_nationkey", "n_nationkey"),
+            ("n_regionkey", "r_regionkey"),
+        ],
+    )
+    return group_agg(
+        joined,
+        ["r_name", "n_name"],
+        [
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("n_urgent"),
+            cents_sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "revenue"),
+            cents_avg(F.col("l_quantity"), "avg_qty"),
+        ],
+    )
+
+
+# ========================================================================
+# §2.4 set ops
+# ========================================================================
+
+
+@query(
+    "union_rooms",
+    """SELECT event_id, ts, user_id, event_type, value, 'room_even' AS room
+       FROM events WHERE user_id % 2 = 0
+       UNION ALL
+       SELECT event_id, ts, user_id, event_type, value, 'room_odd' AS room
+       FROM events WHERE user_id % 2 = 1""",
+)
+def q_union_rooms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-name-aligned UNION ALL of per-'room' tables
+    (utils/spark_transforming.py:123-131)."""
+    (events,) = prep(spark, sf_dir, "events")
+    base = events.select("event_id", "ts", "user_id", "event_type", "value")
+    even = add_lit(base.where(F.col("user_id") % 2 == 0), "room", "room_even")
+    odd = add_lit(base.where(F.col("user_id") % 2 == 1), "room", "room_odd")
+    return union_by_name([even, odd])
+
+
+# ========================================================================
+# §2.5 sort / top-k
+# ========================================================================
+
+
+@query("sort_by_ts", "SELECT event_id, ts, user_id, event_type, value FROM events ORDER BY ts, event_id")
+def q_sort_by_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort (utils/spark_transforming.py:143) — range-partition
+    shuffle; see relational.sort_by for the 100 TB alternative."""
+    (events,) = prep(spark, sf_dir, "events")
+    return sort_by(events.select("event_id", "ts", "user_id", "event_type", "value"), ["ts", "event_id"])
+
+
+@query(
+    "top_k",
+    """SELECT event_id, user_id, value FROM events
+       ORDER BY value DESC, event_id LIMIT 100""",
+)
+def q_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT → TakeOrderedAndProject (per-partition k-heap, no
+    global sort shuffle).  Unique-key tiebreak makes ties deterministic."""
+    (events,) = prep(spark, sf_dir, "events")
+    return top_k(
+        events.select("event_id", "user_id", "value"),
+        [F.col("value").desc(), F.col("event_id").asc()],
+        100,
+    )
+
+
+# ========================================================================
+# §2.8 scalar functions: wire codec, time, json
+# ========================================================================
+
+_WIRE_COLS = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+
+
+@query(
+    "parse_wire",
+    "SELECT event_id, ts, user_id, event_type, value FROM events",
+)
+def q_parse_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wire round-trip: typed row → concat_ws string → from_csv back
+    (encode: dataframe_to_kafka.py:74; decode:
+    convert-to-elasticsearch.py:107-114).  Lossless: doubles use Java's
+    shortest round-trip repr, timestamps an explicit µs format.  The
+    identity oracle proves the codec loses nothing.
+    """
+    from pyspark.sql import types as T
+
+    (events,) = prep(spark, sf_dir, "events")
+    wire = events.select(
+        to_wire(
+            [
+                F.col("event_id"),
+                ts_to_string("ts", TS_FMT_SPARK),
+                F.col("user_id"),
+                F.col("event_type"),
+                F.col("value"),
+            ]
+        ).alias("value")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    parsed = wire.select(
+        F.from_csv(
+            F.col("value"),
+            _WIRE_COLS,
+            {"timestampFormat": TS_FMT_SPARK},
+        ).alias("_w")
+    ).select("_w.*")
+    assert parsed.schema == schema
+    return parsed
+
+
+@query(
+    "to_wire",
+    f"""SELECT CAST(event_id AS VARCHAR) AS key,
+               CAST(event_id AS VARCHAR) || ',' || CAST(user_id AS VARCHAR) || ',' ||
+               event_type || ',' || printf('%.6f', value) || ',' ||
+               strftime(ts, '{TS_FMT_DUCK}') AS value
+        FROM events""",
+)
+def q_to_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wire encode to (key, value) strings — the Kafka producer shape
+    (dataframe_to_kafka.py:74,91,106-108), fully distributed instead of a
+    driver collect() loop.  Doubles use printf('%.6f') so the byte output
+    is engine-pinned."""
+    (events,) = prep(spark, sf_dir, "events")
+    return events.select(
+        F.col("event_id").cast("string").alias("key"),
+        to_wire(
+            [
+                F.col("event_id"),
+                F.col("user_id"),
+                F.col("event_type"),
+                F.format_string("%.6f", F.col("value")),
+                ts_to_string("ts", TS_FMT_SPARK),
+            ]
+        ).alias("value"),
+    )
+
+
+@query(
+    "epoch_to_ts",
+    f"""SELECT o_orderkey,
+               CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+               CAST(to_timestamp(epoch(o_orderdate)) AS TIMESTAMP) AS ts2,
+               strftime(CAST(to_timestamp(epoch(o_orderdate)) AS TIMESTAMP),
+                        '%Y-%m-%d %H:%M:%S') AS ts_str
+        FROM orders""",
+)
+def q_epoch_to_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch seconds ↔ timestamp ↔ display string (F4/F5;
+    utils/spark_transforming.py:148-149)."""
+    (orders,) = prep(spark, sf_dir, "orders")
+    epoch = F.unix_timestamp(F.col("o_orderdate")).alias("epoch_s")
+    return orders.select(
+        "o_orderkey",
+        epoch,
+        epoch_to_ts(F.unix_timestamp(F.col("o_orderdate"))).alias("ts2"),
+        ts_to_string(epoch_to_ts(F.unix_timestamp(F.col("o_orderdate"))), "yyyy-MM-dd HH:mm:ss").alias(
+            "ts_str"
+        ),
+    )
+
+
+@query(
+    "json_extract",
+    "SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events",
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction over events.props (north-star addition;
+    the reference has no JSON functions)."""
+    (events,) = prep(spark, sf_dir, "events")
+    return events.select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+
+
+# ========================================================================
+# §2.6 aggregations
+# ========================================================================
+
+
+@query("count_rows", "SELECT COUNT(*) AS n FROM lineitem")
+def q_count_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar row count (dataframe_to_kafka.py:101)."""
+    (lineitem,) = prep(spark, sf_dir, "lineitem")
+    return count_rows(lineitem)
+
+
+@query(
+    "group_agg",
+    f"""SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n,
+               {sql_cents_sum('l_quantity', 'sum_qty')},
+               {sql_cents_sum('l_extendedprice', 'sum_price')},
+               {sql_cents_sum('l_extendedprice * (1.0 - l_discount)', 'sum_disc_price')},
+               {sql_cents_avg('l_quantity', 'avg_qty')},
+               {sql_cents_avg('l_discount', 'avg_disc')},
+               MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus""",
+)
+def q_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped grouped aggregation — the Kibana-dashboard semantic
+    (README.md:9) natively.  Partial aggregation makes shuffle volume
+    O(groups); exact-cents arithmetic makes results partitioning-independent.
+    """
+    (lineitem,) = prep(spark, sf_dir, "lineitem")
+    return group_agg(
+        lineitem,
+        ["l_returnflag", "l_linestatus"],
+        [
+            F.count(F.lit(1)).alias("n"),
+            cents_sum(F.col("l_quantity"), "sum_qty"),
+            cents_sum(F.col("l_extendedprice"), "sum_price"),
+            cents_sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "sum_disc_price"),
+            cents_avg(F.col("l_quantity"), "avg_qty"),
+            cents_avg(F.col("l_discount"), "avg_disc"),
+            F.min("l_shipdate").alias("min_ship"),
+            F.max("l_shipdate").alias("max_ship"),
+        ],
+    )
+
+
+@query(
+    "count_distinct",
+    """SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+              COUNT(DISTINCT l_suppkey) AS n_supps FROM lineitem""",
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts (two-phase aggregate)."""
+    (lineitem,) = prep(spark, sf_dir, "lineitem")
+    return lineitem.agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count_distinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@query("approx_distinct")  # approximate → rows-only check, by design
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct count — the 100 TB default (fixed-size
+    sketch, no distinct-shuffle).  Approximate, so no SQL oracle."""
+    (lineitem,) = prep(spark, sf_dir, "lineitem")
+    return approx_distinct(lineitem, "l_partkey", rsd=0.05)
+
+
+@query(
+    "rollup_agg",
+    f"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               {sql_cents_sum('l_quantity', 'sum_qty')}
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+)
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals — one Expand + hash aggregate pass."""
+    (lineitem,) = prep(spark, sf_dir, "lineitem")
+    return rollup_agg(
+        lineitem,
+        ["l_returnflag", "l_linestatus"],
+        [F.count(F.lit(1)).alias("n"), cents_sum(F.col("l_quantity"), "sum_qty")],
+    )
+
+
+# ========================================================================
+# §2.7 window functions
+# ========================================================================
+
+
+@query(
+    "window_rank",
+    """SELECT event_id, user_id, ts, value,
+              ROW_NUMBER() OVER w AS row_number,
+              RANK() OVER w AS rank,
+              DENSE_RANK() OVER w AS dense_rank
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking per user over event time (SURVEY §2.7).  One shuffle on
+    user_id, sort within partitions; unique tiebreak → deterministic."""
+    (events,) = prep(spark, sf_dir, "events")
+    return window_rank(
+        events.select("event_id", "user_id", "ts", "value"),
+        ["user_id"],
+        [F.col("ts").asc(), F.col("event_id").asc()],
+    )
+
+
+@query(
+    "window_running",
+    """SELECT event_id, user_id, ts, value,
+              CAST(SUM(CAST(round(value * 100.0, 0) AS DECIMAL(38,0)))
+                   OVER running AS DOUBLE) / 100.0 AS running_sum,
+              COUNT(*) OVER running AS running_count,
+              LAG(value, 1) OVER w AS prev_value,
+              LEAD(value, 1) OVER w AS next_value
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+              running AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum + lag/lead per user (SURVEY §2.7).  The running sum
+    accumulates exact integer cents so every prefix is bit-reproducible."""
+    from pyspark.sql import Window
+
+    (events,) = prep(spark, sf_dir, "events")
+    df = events.select("event_id", "user_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cents = F.round(F.col("value") * F.lit(100.0), 0).cast("decimal(38,0)")
+    return (
+        df.withColumn("running_sum", F.sum(cents).over(running).cast("double") / F.lit(100.0))
+        .withColumn("running_count", F.count(F.lit(1)).over(running))
+        .withColumn("prev_value", F.lag("value", 1).over(w))
+        .withColumn("next_value", F.lead("value", 1).over(w))
+    )

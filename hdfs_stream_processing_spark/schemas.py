@@ -134,8 +134,11 @@ def sensor_narrow_schema(metric: str) -> T.StructType:
 
 
 #: Unified wide sensors table — output of the alignment join + union
-#: (utils/spark_transforming.py:97-114,128,143-149) and the parsed schema of
-#: both streaming consumers (convert-to-elasticsearch.py:107-114).
+#: (utils/spark_transforming.py:97-114,128,143-149).  The streaming consumers
+#: parse the same columns but with narrower types (FloatType metrics,
+#: IntegerType ts, StringType event_ts_min, convert-to-elasticsearch.py:107-114);
+#: we deliberately upgrade to double/long/timestamp engine-wide — one schema,
+#: no Int-overflow trap, real timestamps until the sink boundary.
 SENSORS_WIDE = T.StructType(
     [T.StructField("ts_min_bignt", T.LongType())]
     + [T.StructField(m, T.DoubleType()) for m in SENSOR_METRICS]
@@ -158,5 +161,6 @@ def schema_for(table: str) -> T.StructType:
 
 
 def ddl_for(table: str) -> str:
-    """DDL string form (for from_csv / createDataFrame)."""
-    return schema_for(table).simpleString()[len("struct<") : -1]
+    """Valid DDL string form (``name TYPE, ...``) for from_csv / createDataFrame."""
+    schema = schema_for(table)
+    return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)

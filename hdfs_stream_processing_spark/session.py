@@ -30,8 +30,12 @@ def get_spark(
     actual shuffle sizes rather than hard-coded like the reference's
     ``spark.sql.shuffle.partitions=4``.
     """
-    cpus = str(cpus or os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    shuffle_partitions = str(shuffle_partitions or os.environ.get("HSP_SHUFFLE_PARTITIONS", cpus))
+    if cpus is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    cpus = str(cpus)
+    if shuffle_partitions is None:
+        shuffle_partitions = os.environ.get("HSP_SHUFFLE_PARTITIONS", cpus)
+    shuffle_partitions = str(shuffle_partitions)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -44,6 +48,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("HSP_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Parquet TIMESTAMP(NANOS) (e.g. pandas-written events tables) is
+        # otherwise an AnalysisException; read as long and convert at the
+        # loader boundary (sources/io.py) with exact integer division.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -25,8 +25,24 @@ def load_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
     Parquet is self-describing, so no schema argument: Catalyst still gets
     column pruning + predicate pushdown from the footer metadata.
+
+    TIMESTAMP(NANOS) columns (the events table is pandas-written with ns
+    precision) surface as LongType under
+    ``spark.sql.legacy.parquet.nanosAsLong`` (session.py); they are
+    converted here to TimestampType with exact integer division — ns
+    values exceed 2^53, so float division would corrupt the low digits.
     """
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    expected = DRIVER_TABLES.get(table)
+    if expected is not None:
+        for f in expected.fields:
+            if isinstance(f.dataType, T.TimestampType) and isinstance(
+                df.schema[f.name].dataType, T.LongType
+            ):
+                df = df.withColumn(
+                    f.name, F.timestamp_micros(F.expr(f"{f.name} div 1000"))
+                )
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
