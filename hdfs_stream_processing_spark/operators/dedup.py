@@ -1,0 +1,212 @@
+"""Deduplication operators (SURVEY §2.10 N2/N3): exact, MinHash-LSH,
+SimHash, and n-gram Jaccard.
+
+Scale design — the part that matters at 100 TB:
+
+- **exact**: hash-groupBy on the dedup key.  One shuffle on the key; the
+  representative row is chosen by a deterministic total order (window
+  row_number), never "whichever partition won the race" like a bare
+  ``dropDuplicates``.
+- **MinHash + LSH**: shingle → k min-hashes → band buckets → equi-join on
+  bucket.  The candidate-pair join is an *equi-join on band signature*,
+  i.e. O(colliding pairs), never the O(n²) all-pairs comparison.  Shuffle
+  keys are (band_id, band_hash) — high cardinality, naturally spread.
+- **SimHash**: one 32-bit fingerprint per doc via weighted bit votes;
+  near-dup candidates come from equality on fingerprint prefixes.
+
+All hashing is md5-derived (``h_seed(x) = int(md5(seed:x)[:8], 16)``):
+md5 is identical in every engine, so even the MinHash signatures are
+bit-for-bit oracle-checkable in DuckDB — unusual for a MinHash
+implementation and deliberate here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from hdfs_stream_processing_spark.operators.text import tokens
+
+
+def dedup_exact(df: DataFrame, keys: list[str], order: list[Column]) -> DataFrame:
+    """Keep one deterministic representative row per key group.
+
+    ``order`` must be a total order within groups (e.g. a unique id) so
+    the survivor is engine- and partitioning-independent — unlike
+    ``dropDuplicates``, whose survivor is arbitrary.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    )
+
+
+def md5_hash64(col: Column, seed: int) -> Column:
+    """Deterministic 32-bit hash from md5 — engine-portable (md5 is
+    byte-identical in Spark, DuckDB, and every other engine; Spark's
+    native ``hash``/``xxhash64`` are not portable)."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
+def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 2) -> DataFrame:
+    """(id, shingle) exploded rows — distinct per doc (set semantics)."""
+    with_toks = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    sh = with_toks.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(_toks), {n}) - {n} + 1),"
+                f" i -> array_join(slice(_toks, i, {n}), ' '))"
+            )
+        ).alias("shingle"),
+    )
+    return sh.distinct()
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, shingle_n: int = 2
+) -> DataFrame:
+    """Per-doc MinHash signature: (id, seed, minhash) rows.
+
+    min over shingles of h_seed(shingle) for each of ``num_hashes`` seeds.
+    Implemented as explode × seeds → groupBy(id, seed) min — one shuffle
+    keyed on (id, seed); partial aggregation compresses map-side, so
+    shuffle volume is O(docs × seeds), not O(shingles × seeds).
+    """
+    sh = shingle_rows(df, id_col, text_col, shingle_n)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    expanded = sh.select(id_col, "shingle", seeds)
+    hashed = expanded.select(
+        id_col,
+        "seed",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    return hashed.groupBy(id_col, "seed").agg(F.min("h").alias("minhash"))
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str, num_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the signature become a
+    candidate pair (id_a < id_b).
+
+    Band hash = md5 of the concatenated minhashes in the band; the
+    candidate join is an equi-join on (band, band_hash) — the scale path
+    that avoids all-pairs.  Pair similarity can then be estimated from
+    full-signature agreement or verified exactly (see jaccard_pairs).
+    """
+    banded = sig.withColumn("band", F.floor(F.col("seed") / F.lit(float(band_size))).cast("int"))
+    # sort numerically THEN cast to string: lexicographic order of '10' vs
+    # '9' would diverge from the oracle's numeric list_sort.
+    band_sig = banded.groupBy(id_col, "band").agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list(F.col("minhash"))), lambda x: x.cast("string")
+                ),
+            )
+        ).alias("band_hash")
+    )
+    a = band_sig.select(
+        F.col(id_col).alias("id_a"), F.col("band"), F.col("band_hash")
+    )
+    b = band_sig.select(
+        F.col(id_col).alias("id_b"), F.col("band"), F.col("band_hash")
+    )
+    return (
+        a.join(b, on=["band", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 1,
+    min_jaccard: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity between documents.
+
+    With ``candidates`` (e.g. from LSH) this verifies only colliding
+    pairs — the 100 TB path.  Without, it self-joins on shared shingles,
+    which is O(pairs-sharing-a-shingle): still far from all-pairs, but
+    only safe at moderate scale or after shingle-frequency filtering.
+    Jaccard = |A∩B| / (|A|+|B|-|A∩B|), all exact integers.
+    """
+    sh = shingle_rows(df, id_col, text_col, shingle_n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, on=["id_a", "id_b"], how="left_semi")
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    jacc = (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return jacc.where(F.col("jaccard") >= min_jaccard)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """SimHash fingerprint: per distinct token take an md5-derived
+    ``bits``-bit hash; each bit votes ±1; fingerprint bit = sign of the
+    vote sum.  Narrow explode + one groupBy — O(tokens) work, a single
+    64-bit fingerprint per doc out.
+    """
+    tok = (
+        df.select(F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("token"))
+        .withColumn(
+            "h", F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
+        )
+    )
+    bit = tok.select(
+        id_col,
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+    ).select(
+        id_col,
+        "bit",
+        # shiftright/shiftleft with a *column* shift amount need expr();
+        # the Python API only takes int literals.
+        (F.expr("shiftright(h, bit) & 1") * 2 - 1).alias("vote"),
+    )
+    votes = bit.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )

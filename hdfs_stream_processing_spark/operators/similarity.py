@@ -1,0 +1,147 @@
+"""Similarity search over embedding columns (SURVEY §2.10 N1).
+
+Two physical strategies for the same logical operator:
+
+- **brute-force top-k** (`similarity_topk`): queries × corpus join +
+  cosine + per-query window top-k.  Exact; O(|Q|·|C|) — right when |Q| is
+  small or the corpus fits a broadcast; wrong as the general path at
+  100 TB.
+- **LSH-bucketed** (`lsh_bucket_topk`): random-hyperplane signatures
+  (sign bits of deterministic md5-derived projections) turn the cross
+  join into an equi-join on bucket id, then exact cosine re-ranks within
+  buckets — candidate generation is O(bucket collisions).  Approximate
+  (can miss neighbors crossing bucket boundaries), standard
+  recall/probes trade-off; multi-probe = union over signature prefixes.
+
+Exactness for the oracle: embeddings are quantized to integer milli-units
+(round(x·1000)).  Every dot product / norm is then a sum of
+integer-valued terms < 2^53 — exact and order-independent in any engine —
+so cosine scores are bit-identical between Spark and DuckDB, and rankings
+(with id tiebreaks) are fully deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def quantized(col: Column | str, scale: int = 1000) -> Column:
+    """array<float> → array<bigint> milli-units (exact, portable)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: F.round(x.cast("double") * F.lit(float(scale)), 0).cast("long"))
+
+
+def dot_q(a: Column, b: Column) -> Column:
+    """Integer dot product of two quantized vectors (exact)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
+def cosine_q(a: Column, b: Column) -> Column:
+    """Cosine over quantized vectors: integer dot / sqrt(int)·sqrt(int)
+    — one fixed expression tree of exact operands → bit-identical
+    everywhere."""
+    return dot_q(a, b).cast("double") / (
+        F.sqrt(dot_q(a, a).cast("double")) * F.sqrt(dot_q(b, b).cast("double"))
+    )
+
+
+def similarity_topk(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    queries_filter: Column | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    The query side is broadcast (it is the small side by construction);
+    the corpus is scanned once — no shuffle until the final per-query
+    top-k window, which is partitioned by query id.
+    """
+    q = embeddings.where(queries_filter) if queries_filter is not None else embeddings
+    q = q.select(F.col(id_col).alias("query_id"), quantized(vec_col).alias("qv"))
+    c = embeddings.select(F.col(id_col).alias("neighbor_id"), quantized(vec_col).alias("cv"))
+    pairs = F.broadcast(q).crossJoin(c).where(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine_q(F.col("qv"), F.col("cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def hyperplane_signature(vec_sql: str, num_planes: int, dims: int) -> Column:
+    """Deterministic random-hyperplane LSH signature (bit array).
+
+    Plane weights are pseudo-random ±1 derived from md5(plane:dim) —
+    portable, no RNG state, identical on every engine and run.  Sign of
+    the projection = one signature bit.  ``vec_sql`` is the SQL text of a
+    quantized array<bigint> column.
+    """
+
+    def plane_bit(p: int) -> str:
+        proj = (
+            f"aggregate(zip_with({vec_sql}, sequence(CAST(0 AS BIGINT), CAST({dims - 1} AS BIGINT)),"
+            f" (x, d) -> x * (CAST(conv(substring(md5(concat('{p}', ':', d)), 1, 4), 16, 10) AS BIGINT) % 2 * 2 - 1)),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+        return f"CASE WHEN {proj} > 0 THEN 1 ELSE 0 END"
+
+    return F.expr("array(" + ", ".join(plane_bit(p) for p in range(num_planes)) + ")")
+
+
+def lsh_bucket_topk(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    k: int = 10,
+) -> DataFrame:
+    """Approximate top-k: bucket by hyperplane-sign signature, exact
+    cosine re-rank *within* buckets.
+
+    The join is an equi-join on ``bucket`` — with p planes, an even
+    corpus splits into ~2^p buckets, so candidate pairs shrink by ~2^p
+    vs all-pairs.  Recall is tuned by lowering ``num_planes`` or adding
+    multi-probe; this is the 100 TB path where brute force is not.
+    """
+    dims = _dims(embeddings, vec_col)
+    with_q = embeddings.select(F.col(id_col), quantized(vec_col).alias("qv"))
+    with_sig = with_q.select(
+        id_col,
+        "qv",
+        hyperplane_signature("qv", num_planes, dims).alias("sig"),
+    ).withColumn("bucket", F.concat_ws("", F.col("sig")))
+    a = with_sig.select(
+        F.col(id_col).alias("query_id"), F.col("qv").alias("qa"), "bucket"
+    )
+    b = with_sig.select(
+        F.col(id_col).alias("neighbor_id"), F.col("qv").alias("qb"), "bucket"
+    )
+    pairs = a.join(b, "bucket").where(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id", "neighbor_id", cosine_q(F.col("qa"), F.col("qb")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _dims(embeddings: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from the first row (schema carries no
+    fixed length for array columns)."""
+    row = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(row["d"])

@@ -1,0 +1,156 @@
+"""Text-analysis operators over document tables (SURVEY §2.10 N4/N5).
+
+Native replacements for the capability the reference delegates to
+Elasticsearch: the ``edge_ngram`` + ``lowercase`` + ``asciifolding``
+analyzer (/root/reference/spark_streaming/convert-to-elasticsearch.py:20-40)
+becomes built-in array expressions (split → transform → explode), and the
+search-side stats (lengths, term counts) become columns.
+
+Everything here is pure built-in expressions — whole-stage codegen, no
+Python in the hot path — and deterministic (exact integer arithmetic,
+md5 hashing) so every operator is oracle-checkable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny stopword list used by the heuristics (deterministic, language-flavored).
+STOPWORDS_EN = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def tokens(col: Column | str, sep: str = " ") -> Column:
+    """Whitespace tokenization (the analyzer's tokenizer stage)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(c), sep)
+
+
+def explode_edge_ngrams(
+    df: DataFrame, id_col: str, text_col: str, min_gram: int = 2, max_gram: int = 10
+) -> DataFrame:
+    """(id, token, ngram) rows: tokenize → explode → edge-ngram → explode.
+
+    This is the ES index-time analysis chain as a DataFrame op; at 100 TB
+    it is a narrow map+explode (no shuffle) feeding whatever index/agg
+    consumes it.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    ).where(F.length("token") >= min_gram)
+    return tok.select(
+        id_col,
+        "token",
+        F.explode(
+            F.expr(
+                f"transform(sequence({min_gram}, least({max_gram}, length(token))),"
+                " i -> substring(token, 1, i))"
+            )
+        ).alias("ngram"),
+    )
+
+
+def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document stats: chars, words, distinct words, avg word length,
+    stopword ratio — the quality-signal basics for a training-data
+    pipeline.  All ratios are exact-int divisions (bit-reproducible).
+    """
+    toks = tokens(text_col)
+    n_words = F.size(toks)
+    n_chars = F.length(text_col)
+    n_distinct = F.size(F.array_distinct(toks))
+    sum_tok_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        n_distinct.alias("n_distinct_words"),
+        (sum_tok_len.cast("double") / n_words.cast("double")).alias("avg_word_len"),
+        (n_stop.cast("double") / n_words.cast("double")).alias("stopword_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic quality score in [0, 1]: rewards lexical diversity
+    and a moderate stopword rate, penalizes very short docs.  The exact
+    formula matters less than being cheap (one pass, built-ins only) and
+    reproducible (exact-int ratios combined by one fixed expression tree).
+    """
+    stats = text_stats(df, id_col, text_col)
+    diversity = F.col("n_distinct_words").cast("double") / F.col("n_words").cast("double")
+    length_ok = F.when(F.col("n_words") >= 20, F.lit(1.0)).otherwise(
+        F.col("n_words").cast("double") / F.lit(20.0)
+    )
+    stop_ok = F.lit(1.0) - F.col("stopword_ratio")
+    return stats.select(
+        id_col,
+        "n_words",
+        ((diversity * F.lit(0.5)) + (length_ok * F.lit(0.3)) + (stop_ok * F.lit(0.2))).alias(
+            "quality"
+        ),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic language ID: classify by marker-token hit rates.
+
+    A real pipeline plugs a model in here; the engine-level contract is
+    the *shape* — per-doc marker ratios via built-in array ops (no UDF),
+    a CASE over them, one narrow pass.
+    """
+    toks = tokens(text_col)
+    n_words = F.size(toks)
+
+    def ratio(words: list[str]) -> Column:
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast(
+            "double"
+        ) / n_words.cast("double")
+
+    en = ratio(["the", "a", "of", "and", "is"])
+    fr = ratio(["le", "la", "et", "est", "de"])
+    de = ratio(["der", "die", "das", "und", "ist"])
+    es = ratio(["el", "los", "y", "es", "de"])
+    return df.select(
+        F.col(id_col),
+        F.when((en >= fr) & (en >= de) & (en >= es) & (en > 0), "en")
+        .when((fr >= de) & (fr >= es) & (fr > 0), "fr")
+        .when((de >= es) & (de > 0), "de")
+        .when(es > 0, "es")
+        .otherwise("unknown")
+        .alias("lang_pred"),
+        en.alias("en_ratio"),
+    )
+
+
+def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token counting: whitespace words + a BPE-ish subword estimate
+    (ceil(chars/4), the common ~4-chars-per-token rule) — both exact
+    integer math."""
+    toks = tokens(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_words"),
+        # floor() explicitly: a bare cast truncates in Spark but ROUNDS in
+        # DuckDB — floor pins identical semantics in both engines.
+        F.floor((F.length(text_col) + F.lit(3)) / F.lit(4.0)).cast("long").alias("n_tokens_est"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Document fingerprints: raw md5 plus an order-insensitive
+    'bag fingerprint' (md5 of the sorted distinct token list) that is
+    stable under token reordering — the cheap canonical form for
+    exact-after-normalization dedup."""
+    toks = tokens(text_col)
+    return df.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("md5"),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))).alias("bag_md5"),
+    )

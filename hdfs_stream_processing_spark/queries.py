@@ -547,3 +547,315 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("prev_value", F.lag("value", 1).over(w))
         .withColumn("next_value", F.lead("value", 1).over(w))
     )
+
+
+# ========================================================================
+# §2.10 LLM-data-pipeline operators: text analysis
+# ========================================================================
+
+_STOP_SQL = "('the','a','of','and','to','in','is','it')"
+
+
+@query(
+    "text_stats",
+    f"""SELECT doc_id,
+               length(text) AS n_chars,
+               len(string_split(lower(text), ' ')) AS n_words,
+               len(list_distinct(string_split(lower(text), ' '))) AS n_distinct_words,
+               CAST(list_sum(list_transform(string_split(lower(text), ' '), t -> length(t))) AS DOUBLE)
+                 / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS avg_word_len,
+               CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN {_STOP_SQL})) AS DOUBLE)
+                 / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS stopword_ratio
+        FROM documents""",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stats (N5) — built-in array ops, exact-int ratios."""
+    from hdfs_stream_processing_spark.operators.text import text_stats
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    return text_stats(documents, "doc_id", "text")
+
+
+@query(
+    "quality_score",
+    """WITH s AS (
+         SELECT doc_id,
+                len(string_split(lower(text), ' ')) AS n_words,
+                len(list_distinct(string_split(lower(text), ' '))) AS n_distinct_words,
+                CAST(len(list_filter(string_split(lower(text), ' '),
+                     t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+                  / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS stopword_ratio
+         FROM documents)
+       SELECT doc_id, n_words,
+              ((CAST(n_distinct_words AS DOUBLE) / CAST(n_words AS DOUBLE)) * 0.5)
+              + ((CASE WHEN n_words >= 20 THEN 1.0
+                       ELSE CAST(n_words AS DOUBLE) / 20.0 END) * 0.3)
+              + ((1.0 - stopword_ratio) * 0.2) AS quality
+       FROM s""",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (N5): diversity + length + stopword-rate, one pass."""
+    from hdfs_stream_processing_spark.operators.text import quality_score
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    return quality_score(documents, "doc_id", "text")
+
+
+@query(
+    "lang_id",
+    """WITH r AS (
+         SELECT doc_id,
+           CAST(len(list_filter(string_split(lower(text),' '), t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
+             / CAST(len(string_split(lower(text),' ')) AS DOUBLE) AS en,
+           CAST(len(list_filter(string_split(lower(text),' '), t -> t IN ('le','la','et','est','de'))) AS DOUBLE)
+             / CAST(len(string_split(lower(text),' ')) AS DOUBLE) AS fr,
+           CAST(len(list_filter(string_split(lower(text),' '), t -> t IN ('der','die','das','und','ist'))) AS DOUBLE)
+             / CAST(len(string_split(lower(text),' ')) AS DOUBLE) AS de,
+           CAST(len(list_filter(string_split(lower(text),' '), t -> t IN ('el','los','y','es','de'))) AS DOUBLE)
+             / CAST(len(string_split(lower(text),' ')) AS DOUBLE) AS es
+         FROM documents)
+       SELECT doc_id,
+              CASE WHEN en >= fr AND en >= de AND en >= es AND en > 0 THEN 'en'
+                   WHEN fr >= de AND fr >= es AND fr > 0 THEN 'fr'
+                   WHEN de >= es AND de > 0 THEN 'de'
+                   WHEN es > 0 THEN 'es'
+                   ELSE 'unknown' END AS lang_pred,
+              en AS en_ratio
+       FROM r""",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (N5) — marker-token hit rates, no UDF."""
+    from hdfs_stream_processing_spark.operators.text import lang_id
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    return lang_id(documents, "doc_id", "text")
+
+
+@query(
+    "token_count",
+    """SELECT doc_id,
+              len(string_split(lower(text), ' ')) AS n_words,
+              CAST(floor((length(text) + 3) / 4.0) AS BIGINT) AS n_tokens_est
+       FROM documents""",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (N5): words + BPE-ish chars/4 estimate."""
+    from hdfs_stream_processing_spark.operators.text import token_count
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    return token_count(documents, "doc_id", "text")
+
+
+@query(
+    "doc_fingerprint",
+    """SELECT doc_id, md5(text) AS md5,
+              md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS bag_md5
+       FROM documents""",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (N5): raw md5 + order-insensitive bag md5."""
+    from hdfs_stream_processing_spark.operators.text import fingerprint
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    return fingerprint(documents, "doc_id", "text")
+
+
+@query(
+    "text_ngram",
+    """SELECT doc_id, token,
+              unnest(list_transform(generate_series(2, least(10, length(token))),
+                                    i -> substr(token, 1, i))) AS ngram
+       FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+             FROM documents WHERE doc_id < 50)
+       WHERE length(token) >= 2""",
+)
+def q_text_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge n-grams (N4) — the ES analyzer chain
+    (convert-to-elasticsearch.py:20-40) as native array expressions."""
+    from hdfs_stream_processing_spark.operators.text import explode_edge_ngrams
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    return explode_edge_ngrams(documents.where(F.col("doc_id") < 50), "doc_id", "text")
+
+
+# ========================================================================
+# §2.10 dedup family
+# ========================================================================
+
+
+@query(
+    "dedup_exact",
+    """SELECT doc_id, text, lang, source, n_chars FROM documents
+       QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) = 1""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (N2) with a deterministic survivor per (lang, source)
+    group — hash-groupBy semantics, engine-independent representative."""
+    from hdfs_stream_processing_spark.operators.dedup import dedup_exact
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    return dedup_exact(documents, ["lang", "source"], [F.col("doc_id").asc()])
+
+
+_MINHASH_SQL_BASE = """
+  toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+  sh AS (SELECT DISTINCT doc_id, shingle FROM (
+           SELECT doc_id,
+                  unnest(list_transform(generate_series(1, greatest(len(ts), 2) - 1),
+                                        i -> array_to_string(ts[i:i+1], ' '))) AS shingle
+           FROM toks)),
+  hashed AS (SELECT doc_id, seed,
+                    ('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || shingle), 1, 8))::UBIGINT::BIGINT AS h
+             FROM sh, generate_series(0, 7) g(seed)),
+  sig AS (SELECT doc_id, seed, MIN(h) AS minhash FROM hashed GROUP BY doc_id, seed)
+"""
+
+
+@query(
+    "minhash_sig",
+    f"WITH {_MINHASH_SQL_BASE} SELECT doc_id, seed, minhash FROM sig",
+)
+def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (N3 building block).  md5-derived hash family →
+    bit-identical signatures in any engine (rare for MinHash; deliberate)."""
+    from hdfs_stream_processing_spark.operators.dedup import minhash_signature
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    return minhash_signature(documents, "doc_id", "text", num_hashes=8, shingle_n=2)
+
+
+@query(
+    "dedup_near",
+    f"""WITH {_MINHASH_SQL_BASE},
+       banded AS (SELECT doc_id, CAST(floor(seed / 2.0) AS INT) AS band, minhash FROM sig),
+       band_sig AS (SELECT doc_id, band,
+                           md5(array_to_string(list_sort(list(minhash)), ',')) AS band_hash
+                    FROM banded GROUP BY doc_id, band)
+       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       FROM band_sig a JOIN band_sig b USING (band, band_hash)
+       WHERE a.doc_id < b.doc_id""",
+)
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates (N3): MinHash → LSH bands → equi-join on band
+    hash.  Never all-pairs: the join key is (band, band_hash)."""
+    from hdfs_stream_processing_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    sig = minhash_signature(documents, "doc_id", "text", num_hashes=8, shingle_n=2)
+    return lsh_candidate_pairs(sig, "doc_id", num_hashes=8, band_size=2)
+
+
+@query(
+    "ngram_jaccard",
+    """WITH sh AS (SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS shingle
+            FROM documents WHERE doc_id < 200)),
+       sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+                 FROM sh a JOIN sh b USING (shingle)
+                 WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+       SELECT id_a, id_b,
+              CAST(n_inter AS DOUBLE) / CAST(sza.sz + szb.sz - n_inter AS DOUBLE) AS jaccard
+       FROM inter
+       JOIN sz sza ON sza.doc_id = id_a
+       JOIN sz szb ON szb.doc_id = id_b
+       WHERE CAST(n_inter AS DOUBLE) / CAST(sza.sz + szb.sz - n_inter AS DOUBLE) >= 0.5""",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact unigram Jaccard pairs ≥ 0.5 (N3 verification stage).
+    Join-on-shared-shingle, never a cross join; at scale it runs behind
+    LSH candidates (see jaccard_pairs(candidates=...))."""
+    from hdfs_stream_processing_spark.operators.dedup import jaccard_pairs
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    return jaccard_pairs(
+        documents.where(F.col("doc_id") < 200), "doc_id", "text", shingle_n=1, min_jaccard=0.5
+    )
+
+
+@query(
+    "simhash",
+    """WITH tok AS (SELECT DISTINCT doc_id, token FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)),
+       h AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::UBIGINT::BIGINT AS h FROM tok),
+       bitv AS (SELECT doc_id, i AS bit, SUM(((h >> i) & 1) * 2 - 1) AS v
+                FROM h, generate_series(0, 31) g(i) GROUP BY doc_id, i)
+       SELECT doc_id,
+              CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+       FROM bitv GROUP BY doc_id""",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (N3): md5-derived bit votes over distinct
+    tokens — one narrow pass + two aggregations."""
+    from hdfs_stream_processing_spark.operators.dedup import simhash
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    return simhash(documents, "doc_id", "text", bits=32)
+
+
+# ========================================================================
+# §2.10 similarity search + multimodal
+# ========================================================================
+
+_QUANT_SQL = "list_transform({col}, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0, 0) AS BIGINT))"
+
+
+@query(
+    "similarity_topk",
+    f"""WITH q AS (SELECT vec_id AS query_id, {_QUANT_SQL.format(col='embedding')} AS qv
+                   FROM embeddings WHERE vec_id < 20),
+       c AS (SELECT vec_id AS neighbor_id, {_QUANT_SQL.format(col='embedding')} AS cv
+             FROM embeddings),
+       scored AS (SELECT query_id, neighbor_id,
+                    CAST(list_sum(list_transform(list_zip(qv, cv), p -> p[1] * p[2])) AS DOUBLE)
+                    / (sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE))
+                       * sqrt(CAST(list_sum(list_transform(cv, x -> x * x)) AS DOUBLE))) AS cosine
+                  FROM q, c WHERE query_id <> neighbor_id)
+       SELECT query_id, neighbor_id, cosine, rank FROM (
+         SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+         FROM scored)
+       WHERE rank <= 10""",
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for 20 query vectors (N1).
+    Quantized integer arithmetic → bit-identical scores and rankings in
+    any engine.  Broadcast queries × corpus scan; per-query window top-k."""
+    from hdfs_stream_processing_spark.operators.similarity import similarity_topk
+
+    (embeddings,) = prep(spark, sf_dir, "embeddings")
+    return similarity_topk(
+        embeddings, "vec_id", "embedding", queries_filter=F.col("vec_id") < 20, k=10
+    )
+
+
+@query("similarity_lsh")  # approximate-recall path → rows-only, by design
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (N1 scale path): hyperplane-sign buckets turn the
+    cross join into an equi-join; exact re-rank within buckets.
+    Approximate recall → no SQL oracle (rows-only check)."""
+    from hdfs_stream_processing_spark.operators.similarity import lsh_bucket_topk
+
+    (embeddings,) = prep(spark, sf_dir, "embeddings")
+    return lsh_bucket_topk(embeddings, "vec_id", "embedding", num_planes=6, k=10)
+
+
+@query(
+    "multimodal_meta",
+    """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS payload_md5
+       FROM documents""",
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column → Arrow-batched
+    mapInPandas metadata extraction (the real decode path shape; codecs
+    are stubbed in this container, see operators/multimodal.py)."""
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        attach_payload,
+        payload_meta,
+    )
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    return payload_meta(attach_payload(documents, "doc_id", "text"))
