@@ -1,0 +1,85 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes through the noop sink (full plan execution, no
+driver-side pandas conversion) after a shared session warm-up.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hdfs_stream_processing_spark import get_spark
+from hdfs_stream_processing_spark import queries as Q
+
+#: The queries that represent the engine: reference semantics (join,
+#: agg, window, sort, wire, streaming) + LLM-data ops (dedup, similarity,
+#: text).  Trivial identity scans are left out — they time parquet IO,
+#: not the engine.
+HEADLINE = [
+    "multi_join",
+    "group_agg",
+    "rollup_agg",
+    "count_distinct",
+    "window_rank",
+    "window_running",
+    "sort_by_ts",
+    "top_k",
+    "union_rooms",
+    "parse_wire",
+    "json_extract",
+    "text_stats",
+    "doc_fingerprint",
+    "text_ngram",
+    "dedup_exact",
+    "dedup_near",
+    "simhash",
+    "similarity_topk",
+    "similarity_lsh",
+    "multimodal_meta",
+    "stream_ingest",
+    "stream_window_agg",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    spark = get_spark(app_name="hsp-bench", cpus=cpus)
+    # warm up: JVM, parquet footer caches, codegen
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = Q.QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-query wall-clock (noop sink), sum over queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": int(cpus),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

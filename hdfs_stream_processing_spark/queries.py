@@ -859,3 +859,88 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (documents,) = prep(spark, sf_dir, "documents")
     return payload_meta(attach_payload(documents, "doc_id", "text"))
+
+
+# ========================================================================
+# §2.9 Structured Streaming (file source + availableNow → deterministic)
+# ========================================================================
+
+
+def _stage_events(spark: SparkSession, sf_dir: str, copies: int = 1, n_files: int = 4) -> tuple[str, "T.StructType"]:
+    """Stage the events table as a streaming source directory (µs
+    timestamps, ``n_files`` parquet files per copy).  File source + 
+    availableNow is the deterministic stand-in for the reference's Kafka
+    source — identical downstream plan (SURVEY §5)."""
+    import tempfile
+
+    from pyspark.sql import types as T  # noqa: F401
+
+    (events,) = prep(spark, sf_dir, "events")
+    stage_dir = tempfile.mkdtemp(prefix="hsp_stream_src_")
+    for i in range(copies):
+        events.repartition(n_files).write.mode("append").parquet(stage_dir)
+    return stage_dir, events.schema
+
+
+@query(
+    "stream_ingest",
+    """SELECT event_id, user_id, value,
+              CASE WHEN value > 75.0 THEN 'high'
+                   WHEN value > 25.0 THEN 'mid'
+                   ELSE 'low' END AS tier
+       FROM events""",
+)
+def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's streaming pipeline end-to-end (ST1/ST2): file
+    source → shared classify stage → sink, availableNow.  The memory sink
+    stands in for the Parquet/HDFS sink so the query returns rows; the
+    parquet+checkpoint path is exercised in tests/test_streaming.py."""
+    from hdfs_stream_processing_spark.streaming import (
+        classify_movement,
+        run_to_memory,
+        stream_parquet_source,
+    )
+
+    src_dir, schema = _stage_events(spark, sf_dir)
+    stream = stream_parquet_source(spark, src_dir, schema)
+    out = run_to_memory(classify_movement(stream))
+    return out.select("event_id", "user_id", "value", "tier")
+
+
+@query("stream_dedup", "SELECT event_id, user_id, value FROM events")
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup (ST6): the source directory holds TWO copies of
+    every event split across files; dropDuplicates state dedups across
+    micro-batches (maxFilesPerTrigger forces >1 batch) — output is
+    exactly the distinct event set, proved by the identity oracle."""
+    from hdfs_stream_processing_spark.streaming import run_to_memory, stream_parquet_source
+
+    src_dir, schema = _stage_events(spark, sf_dir, copies=2)
+    stream = stream_parquet_source(spark, src_dir, schema, max_files_per_trigger=3)
+    deduped = stream.select("event_id", "user_id", "value").dropDuplicates(["event_id"])
+    return run_to_memory(deduped, output_mode="append")
+
+
+@query(
+    "stream_window_agg",
+    """SELECT CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP) AS window_start,
+              CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600 + 3600) AS TIMESTAMP) AS window_end,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(round(value * 100.0, 0) AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS sum_value
+       FROM events GROUP BY 1, 2""",
+)
+def q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling windows + watermark (ST5 — new capability):
+    1-hour windows over the event stream, exact-cents sums.  Complete
+    output mode makes the availableNow run deterministic; append-mode
+    late-data semantics are pinned in tests."""
+    from hdfs_stream_processing_spark.streaming import (
+        run_to_memory,
+        stream_parquet_source,
+        stream_window_agg,
+    )
+
+    src_dir, schema = _stage_events(spark, sf_dir)
+    stream = stream_parquet_source(spark, src_dir, schema)
+    agg = stream_window_agg(stream, ts_col="ts", value_col="value", window="1 hour", watermark="10 minutes")
+    return run_to_memory(agg, output_mode="complete")

@@ -101,9 +101,18 @@ def write_parquet(
 
 
 def schema_checked(df: DataFrame, table: str) -> DataFrame:
-    """Assert a scan matches the registry (names + types, order-insensitive)."""
-    expected = {f.name: f.dataType for f in schema_for(table).fields}
-    actual = {f.name: f.dataType for f in df.schema.fields}
+    """Assert a scan matches the registry (names + types, order-insensitive).
+
+    TIMESTAMP and TIMESTAMP_NTZ are treated as equivalent: parquet files
+    written with isAdjustedToUTC=false surface as NTZ, and the engine
+    pins a UTC session so the two render identically.
+    """
+
+    def norm(dt: T.DataType) -> T.DataType:
+        return T.TimestampType() if isinstance(dt, T.TimestampNTZType) else dt
+
+    expected = {f.name: norm(f.dataType) for f in schema_for(table).fields}
+    actual = {f.name: norm(f.dataType) for f in df.schema.fields}
     if expected != actual:
         raise ValueError(f"schema drift for {table}: expected {expected}, got {actual}")
     return df

@@ -1,0 +1,12 @@
+"""Structured Streaming pipelines (SURVEY §2.9) — the north star:
+streaming parse → classify → HDFS/Parquet sink with checkpointing.
+"""
+
+from hdfs_stream_processing_spark.streaming.pipeline import (  # noqa: F401
+    classify_movement,
+    run_to_memory,
+    run_to_parquet,
+    stream_dedup,
+    stream_parquet_source,
+    stream_window_agg,
+)

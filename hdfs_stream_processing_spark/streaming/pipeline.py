@@ -1,0 +1,139 @@
+"""The streaming pipeline, Spark-first (SURVEY §2.9, ST1-ST8).
+
+The reference runs two near-identical Structured Streaming jobs (Kafka →
+split/cast parse → CASE classify → sink), duplicated per sink
+(/root/reference/spark_streaming/convert-to-elasticsearch.py:98-136 vs
+convert-to-minio.py:86-120 — the same transformation written twice).  Here
+the transformation is ONE function over a DataFrame — batch and streaming
+share it verbatim (that is the point of Structured Streaming) — and sinks
+are parameterized:
+
+- ``run_to_parquet``: append mode + checkpointLocation — the north-star
+  "HDFS stream processing" sink (convert-to-minio.py:125-131), exactly-once
+  via checkpoint + file-manifest commit protocol.
+- ``run_to_memory``: deterministic test sink (availableNow drains all
+  pending input then stops — ST1's reproducible-trigger choice).
+
+New capabilities the reference lacks (ST5/ST6): event-time watermarks with
+tumbling-window aggregation, and streaming deduplication keyed on event id
+— both required for correct late-data semantics at scale.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hdfs_stream_processing_spark.operators.relational import case_when
+
+
+def stream_parquet_source(
+    spark: SparkSession, path: str, schema: T.StructType, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-based streaming source (directory of parquet).
+
+    File sources are the deterministic stand-in for Kafka in tests (same
+    downstream plan; the reference's Kafka options map to
+    ``maxFilesPerTrigger`` ≈ ``maxOffsetsPerTrigger`` for backpressure,
+    ST7).  Streaming sources require a declared schema — no inference.
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def classify_movement(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """The reference's parse→classify stage as one shared batch/stream
+    function (replaces the duplicated create_final_dataframe pair,
+    convert-to-elasticsearch.py:98-136 / convert-to-minio.py:86-120):
+    CASE over a numeric column → categorical label."""
+    return case_when(
+        df,
+        "tier",
+        [(F.col(value_col) > 75.0, "high"), (F.col(value_col) > 25.0, "mid")],
+        "low",
+    )
+
+
+def run_to_parquet(
+    df: DataFrame, out_dir: str, checkpoint_dir: str, partition_by: list[str] | None = None
+) -> None:
+    """North-star sink: streaming append to Parquet with checkpoint
+    (convert-to-minio.py:125-131).  availableNow drains everything
+    pending, then stops — deterministic for tests, and the recommended
+    batch-backfill trigger in production.  Exactly-once comes from the
+    checkpoint WAL + the parquet sink's file-manifest commit.
+    """
+    writer = (
+        df.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.start().awaitTermination()
+
+
+def run_to_memory(df: DataFrame, output_mode: str = "append") -> DataFrame:
+    """Drain a streaming DataFrame through a memory sink (availableNow)
+    and return the collected table as a batch DataFrame.  Test-only sink
+    — memory tables live on the driver."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def stream_dedup(df: DataFrame, keys: list[str], watermark: tuple[str, str] | None = None) -> DataFrame:
+    """Streaming deduplication (ST6 — absent in the reference).
+
+    With a watermark the dedup state is bounded: keys older than the
+    watermark are dropped from the state store — mandatory at 100 TB, or
+    state grows without bound."""
+    if watermark is not None:
+        df = df.withWatermark(*watermark)
+        return df.dropDuplicates(keys + [watermark[0]]) if watermark[0] not in keys else df.dropDuplicates(keys)
+    return df.dropDuplicates(keys)
+
+
+def stream_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Event-time tumbling-window aggregate with a watermark (ST5 — the
+    late-data semantics the reference never defined).
+
+    The watermark bounds aggregation state; the exact-cents sum keeps the
+    result bit-reproducible.  In append mode only watermark-closed
+    windows emit; complete mode emits all (deterministic for tests).
+    """
+    cents = F.round(F.col(value_col) * F.lit(100.0), 0).cast("decimal(38,0)")
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents).cast("double") / F.lit(100.0)).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "n",
+            "sum_value",
+        )
+    )

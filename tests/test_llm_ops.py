@@ -1,0 +1,148 @@
+"""Dedup / similarity / text / multimodal operators (SURVEY §2.10)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from hdfs_stream_processing_spark.operators.dedup import (
+    dedup_exact,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signature,
+    simhash,
+)
+from hdfs_stream_processing_spark.operators.multimodal import (
+    attach_payload,
+    decode_image,
+    payload_meta,
+)
+from hdfs_stream_processing_spark.operators.similarity import (
+    lsh_bucket_topk,
+    similarity_topk,
+)
+from hdfs_stream_processing_spark.operators.text import (
+    explode_edge_ngrams,
+    text_stats,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_dedup_exact_survivor_is_deterministic(spark):
+    df = spark.createDataFrame(
+        [(3, "k"), (1, "k"), (2, "k"), (9, "j")], "id bigint, key string"
+    )
+    # survivor must be min(id) regardless of input partitioning
+    for parts in (1, 7):
+        out = dedup_exact(df.repartition(parts), ["key"], [F.col("id").asc()])
+        assert sorted(r["id"] for r in out.collect()) == [1, 9]
+
+
+def test_minhash_identical_docs_identical_signatures(spark):
+    df = _docs(spark, [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps")])
+    sig = minhash_signature(df, "doc_id", "text", num_hashes=8, shingle_n=2)
+    s1 = {r["seed"]: r["minhash"] for r in sig.where("doc_id = 1").collect()}
+    s2 = {r["seed"]: r["minhash"] for r in sig.where("doc_id = 2").collect()}
+    assert s1 == s2 and len(s1) == 8
+
+
+def test_lsh_finds_near_duplicates(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),  # near-dup of 1
+            (3, "completely different words entirely unrelated content here now"),
+        ],
+    )
+    sig = minhash_signature(df, "doc_id", "text", num_hashes=8, shingle_n=2)
+    pairs = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sig, "doc_id").collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_jaccard_identical_is_one(spark):
+    df = _docs(spark, [(1, "a b c d"), (2, "a b c d"), (3, "x y z w")])
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           jaccard_pairs(df, "doc_id", "text", shingle_n=1, min_jaccard=0.0).collect()}
+    assert out[(1, 2)] == 1.0
+    assert (1, 3) not in out  # no shared shingle → no pair at all
+
+
+def test_simhash_close_for_near_dups(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),
+            (3, "totally unrelated vocabulary everywhere something else again"),
+        ],
+    )
+    fp = {r["doc_id"]: r["simhash"] for r in simhash(df, "doc_id", "text").collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(fp[1], fp[2]) < ham(fp[1], fp[3])
+
+
+def test_similarity_topk_exact(spark):
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),   # closest to 0
+            (2, [0.0, 1.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0]),  # antipode of 0
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = similarity_topk(df, queries_filter=F.col("vec_id") == 0, k=3).collect()
+    order = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert order == [1, 2, 3]
+    assert out[0]["cosine"] <= 1.0 and all(r["query_id"] == 0 for r in out)
+
+
+def test_lsh_buckets_group_similar_vectors(spark):
+    # two tight clusters at opposite poles: bucketed ANN must pair
+    # within clusters, never across
+    rows = [(i, [1.0, 0.01 * i, 0.0]) for i in range(5)] + [
+        (10 + i, [-1.0, 0.0, 0.01 * i]) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = lsh_bucket_topk(df, num_planes=4, k=3).collect()
+    assert len(out) > 0
+    for r in out:
+        same_cluster = (r["query_id"] < 5) == (r["neighbor_id"] < 5)
+        assert same_cluster, (r["query_id"], r["neighbor_id"])
+
+
+def test_edge_ngrams_match_es_analyzer(spark):
+    df = _docs(spark, [(1, "Hello hi")])
+    got = {(r["token"], r["ngram"]) for r in explode_edge_ngrams(df, "doc_id", "text").collect()}
+    # lowercase + min_gram 2 .. max_gram 10 prefixes (convert-to-elasticsearch.py:32-39)
+    assert got == {("hello", "he"), ("hello", "hel"), ("hello", "hell"),
+                   ("hello", "hello"), ("hi", "hi")}
+
+
+def test_text_stats_exact(spark):
+    df = _docs(spark, [(1, "the cat sat")])
+    r = text_stats(df, "doc_id", "text").collect()[0]
+    assert r["n_words"] == 3 and r["n_distinct_words"] == 3
+    assert r["avg_word_len"] == (3 + 3 + 3) / 3.0
+    assert r["stopword_ratio"] == 1.0 / 3.0
+
+
+def test_payload_meta_md5_matches_hashlib(spark):
+    df = _docs(spark, [(1, "hello world")])
+    r = payload_meta(attach_payload(df, "doc_id", "text")).collect()[0]
+    assert r["n_bytes"] == len(b"hello world")
+    assert r["payload_md5"] == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_decode_image_stub_fails_loudly(spark):
+    df = attach_payload(_docs(spark, [(1, "x")]), "doc_id", "text")
+    with pytest.raises(Exception) as exc_info:
+        decode_image(df).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )

@@ -1,0 +1,92 @@
+"""Relational / aggregate / window operators (SURVEY §2.2-2.7)."""
+
+from pyspark.sql import functions as F
+
+from hdfs_stream_processing_spark.operators import (
+    add_lit,
+    case_when,
+    drop_nulls,
+    multi_join,
+    project_exclude,
+    top_k,
+    union_by_name,
+    window_rank,
+    window_running,
+)
+from hdfs_stream_processing_spark.sources.io import load_table
+
+from tests.conftest import SF_DIR
+
+
+def test_project_exclude_prunes_scan(spark):
+    events = load_table(spark, SF_DIR, "events")
+    out = project_exclude(events, ["props"])
+    assert out.columns == ["event_id", "ts", "user_id", "event_type", "value"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "props" not in plan  # column pruned out of the parquet scan
+
+
+def test_case_when_branches(spark):
+    df = spark.createDataFrame([(80.0,), (50.0,), (10.0,)], "v double")
+    out = case_when(df, "t", [(F.col("v") > 75, "high"), (F.col("v") > 25, "mid")], "low")
+    assert [r["t"] for r in out.orderBy(F.desc("v")).collect()] == ["high", "mid", "low"]
+
+
+def test_multi_join_broadcasts_small_dims(spark):
+    tables = [load_table(spark, SF_DIR, t) for t in ["lineitem", "orders", "customer", "nation", "region"]]
+    joined = multi_join(
+        tables,
+        [
+            ("l_orderkey", "o_orderkey"),
+            ("o_custkey", "c_custkey"),
+            ("c_nationkey", "n_nationkey"),
+            ("n_regionkey", "r_regionkey"),
+        ],
+    )
+    n = joined.count()
+    assert n == tables[0].count()  # FK joins preserve lineitem cardinality
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # small dims must broadcast
+
+
+def test_union_and_lit(spark):
+    nation = load_table(spark, SF_DIR, "nation")
+    a = add_lit(nation, "room", "a")
+    b = add_lit(nation, "room", "b")
+    # unionByName must align by NAME, not position
+    out = union_by_name([a, b.select(*reversed(b.columns))])
+    assert out.count() == 2 * nation.count()
+    assert out.columns == a.columns
+
+
+def test_drop_nulls(spark):
+    df = spark.createDataFrame([(1, "x"), (2, None)], "id int, s string")
+    assert drop_nulls(df).count() == 1
+    assert drop_nulls(df, subset=["id"]).count() == 2
+
+
+def test_top_k_plans_take_ordered(spark):
+    events = load_table(spark, SF_DIR, "events")
+    out = top_k(events, [F.col("value").desc(), F.col("event_id")], 5)
+    rows = out.collect()
+    assert len(rows) == 5
+    assert rows[0]["value"] >= rows[4]["value"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # k-heap, not a global sort
+
+
+def test_window_rank_and_running(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 20.0), (1, 3, 30.0), (2, 4, 5.0)],
+        "uid int, seq int, v double",
+    )
+    ranked = window_rank(df, ["uid"], [F.col("seq")])
+    got = {(r["uid"], r["seq"]): r["row_number"] for r in ranked.collect()}
+    assert got[(1, 3)] == 3 and got[(2, 4)] == 1
+
+    running = window_running(df, ["uid"], [F.col("seq")], F.col("v"))
+    by_seq = {r["seq"]: r for r in running.collect()}
+    assert by_seq[3]["running_sum"] == 60.0
+    assert by_seq[3]["prev_value"] == 20.0
+    assert by_seq[1]["next_value"] == 20.0
+    assert by_seq[4]["prev_value"] is None

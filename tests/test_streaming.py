@@ -1,0 +1,79 @@
+"""Structured Streaming semantics (SURVEY §2.9): batch-stream parity,
+north-star parquet sink exactly-once, streaming dedup, watermark windows."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hdfs_stream_processing_spark.sources.io import load_table
+from hdfs_stream_processing_spark.streaming import (
+    classify_movement,
+    run_to_memory,
+    run_to_parquet,
+    stream_parquet_source,
+    stream_window_agg,
+)
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def staged_events(spark, tmp_path_factory):
+    """events staged as a 4-file streaming source dir (µs timestamps)."""
+    d = str(tmp_path_factory.mktemp("stream_src"))
+    events = load_table(spark, SF_DIR, "events")
+    events.repartition(4).write.mode("overwrite").parquet(d)
+    return d, events
+
+
+def test_batch_stream_parity(spark, staged_events):
+    """The reference duplicates its transform per consumer and never
+    proves the two agree (SURVEY §5); here ONE function serves both
+    plans and parity is asserted."""
+    src_dir, events = staged_events
+    batch_out = classify_movement(events).select("event_id", "tier")
+    stream = stream_parquet_source(spark, src_dir, events.schema)
+    stream_out = run_to_memory(classify_movement(stream)).select("event_id", "tier")
+    assert sorted(batch_out.collect()) == sorted(stream_out.collect())
+
+
+def test_parquet_sink_exactly_once(spark, staged_events, tmp_path):
+    """North-star sink (S5): availableNow → parquet + checkpoint.
+    Re-running with the same checkpoint must write nothing new."""
+    src_dir, events = staged_events
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = stream_parquet_source(spark, src_dir, events.schema)
+    run_to_parquet(classify_movement(stream), out_dir, ckpt)
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 == events.count()
+
+    # second run, same checkpoint: source exhausted → no duplicates
+    stream2 = stream_parquet_source(spark, src_dir, events.schema)
+    run_to_parquet(classify_movement(stream2), out_dir, ckpt)
+    assert spark.read.parquet(out_dir).count() == n1
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    """ST6: duplicate rows arriving in *different* micro-batches are
+    still deduplicated (state store spans batches)."""
+    events = load_table(spark, SF_DIR, "events").select("event_id", "value").limit(50)
+    d = str(tmp_path / "dupsrc")
+    events.coalesce(1).write.mode("append").parquet(d)
+    events.coalesce(1).write.mode("append").parquet(d)  # second copy → second batch
+
+    stream = stream_parquet_source(spark, d, events.schema, max_files_per_trigger=1)
+    out = run_to_memory(stream.dropDuplicates(["event_id"]))
+    assert out.count() == 50
+
+
+def test_window_agg_totals(spark, staged_events):
+    """ST5: tumbling windows partition the stream exactly — counts must
+    re-add to the input size, sums to the exact-cents total."""
+    src_dir, events = staged_events
+    stream = stream_parquet_source(spark, src_dir, events.schema)
+    agg = stream_window_agg(stream, window="1 hour", watermark="10 minutes")
+    out = run_to_memory(agg, output_mode="complete")
+    total = out.agg(F.sum("n").alias("n")).collect()[0]["n"]
+    assert total == events.count()
