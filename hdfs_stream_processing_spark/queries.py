@@ -944,3 +944,111 @@ def q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream_parquet_source(spark, src_dir, schema)
     agg = stream_window_agg(stream, ts_col="ts", value_col="value", window="1 hour", watermark="10 minutes")
     return run_to_memory(agg, output_mode="complete")
+
+
+# ========================================================================
+# Reference pipeline end-to-end + remaining join/set surface
+# ========================================================================
+
+
+@query(
+    "align_pipeline",
+    """WITH base AS (
+         SELECT event_id AS ts_min_bignt,
+                value * 1.0 AS co2, value * 2.0 AS humidity, value * 3.0 AS light,
+                value * 4.0 AS pir, value * 5.0 AS temperature,
+                CASE WHEN user_id % 2 = 0 THEN 'room_0' ELSE 'room_1' END AS room
+         FROM events)
+       SELECT ts_min_bignt, co2, humidity, light, pir, temperature, room,
+              CAST(to_timestamp(1700000000 + ts_min_bignt) AS TIMESTAMP) AS event_ts_min,
+              CASE WHEN pir > 250.0 THEN 'movement' ELSE 'no_movement' END AS if_movement
+       FROM base""",
+)
+def q_align_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ENTIRE batch transform as one Catalyst plan
+    (utils/spark_transforming.py:60-165): 5-stream align join per room →
+    union → dropna → sort → timestamp derive → movement CASE.  The
+    oracle is the algebraic identity of the alignment (each synthesized
+    stream is keyed by the unique event_id), proving the join/union
+    pipeline loses and fabricates nothing."""
+    from hdfs_stream_processing_spark.pipelines import align_rooms
+
+    (events,) = prep(spark, sf_dir, "events")
+    return align_rooms(events, n_rooms=2, movement_threshold=250.0)
+
+
+@query(
+    "join_outer",
+    """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+       FROM customer LEFT JOIN orders ON o_custkey = c_custkey""",
+)
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join (free from df.join(..., 'left'); absent in the
+    reference but part of the exposed surface, SURVEY §2.3)."""
+    customer, orders = prep(spark, sf_dir, "customer", "orders")
+    return customer.join(
+        orders, on=customer["c_custkey"] == orders["o_custkey"], how="left"
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "join_semi",
+    """SELECT c_custkey, c_name FROM customer
+       WHERE EXISTS (SELECT 1 FROM orders
+                     WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)""",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join — EXISTS semantics, never duplicates the left side
+    (and ships only the join key of the right side at scale)."""
+    customer, orders = prep(spark, sf_dir, "customer", "orders")
+    big = orders.where(F.col("o_totalprice") > 400000.0)
+    return customer.join(
+        big, on=customer["c_custkey"] == big["o_custkey"], how="left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    """SELECT c_custkey, c_name FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey
+                           AND o_orderpriority = '1-URGENT')""",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join — NOT EXISTS: customers with no urgent orders."""
+    customer, orders = prep(spark, sf_dir, "customer", "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    return customer.join(
+        urgent, on=customer["c_custkey"] == urgent["o_custkey"], how="left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "set_ops",
+    """SELECT c_nationkey AS nationkey FROM customer
+       INTERSECT
+       SELECT s_nationkey AS nationkey FROM supplier""",
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct set semantics) — nations having both
+    customers and suppliers."""
+    customer, supplier = prep(spark, sf_dir, "customer", "supplier")
+    return customer.select(F.col("c_nationkey").alias("nationkey")).intersect(
+        supplier.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+@query(
+    "except_op",
+    """SELECT p_brand AS brand FROM part
+       EXCEPT
+       SELECT p_brand AS brand FROM part WHERE p_size >= 50""",
+)
+def q_except_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct set) — brands with no size-50 part."""
+    (part,) = prep(spark, sf_dir, "part")
+    # subtract = set EXCEPT (exceptAll is multiset difference and would
+    # leave per-row copies the SQL EXCEPT removes)
+    return part.select(F.col("p_brand").alias("brand")).subtract(
+        part.where(F.col("p_size") >= 50).select(F.col("p_brand").alias("brand"))
+    )

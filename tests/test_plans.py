@@ -1,0 +1,67 @@
+"""Scale properties of the physical plans (SURVEY §4): the assertions a
+100 TB deployment depends on — broadcasts, pruning, no cartesians,
+bounded shuffle counts."""
+
+from pyspark.sql import functions as F
+
+import hdfs_stream_processing_spark.queries as Q
+from hdfs_stream_processing_spark.plans import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    count_shuffles,
+    plan_summary,
+    pushed_filters,
+    read_schemas,
+)
+
+from tests.conftest import SF_DIR
+
+
+def test_multi_join_broadcasts_all_dims(spark):
+    df = Q.QUERIES["multi_join"](spark, SF_DIR)
+    assert_broadcast_join(df, at_least=4)  # orders/customer/nation/region
+    s = plan_summary(df)
+    assert s["sort_merge_joins"] == 0  # nothing big enough to shuffle-join
+    assert s["shuffles"] == 1  # only the final aggregation exchange
+
+
+def test_project_exclude_prunes_columns(spark):
+    df = Q.QUERIES["project_exclude"](spark, SF_DIR)
+    (schema,) = read_schemas(df)
+    assert "props" not in schema  # pruned out of the parquet scan itself
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = Q.QUERIES["join_semi"](spark, SF_DIR)
+    assert any("o_totalprice" in f for f in pushed_filters(df))
+
+
+def test_similarity_topk_no_cartesian_of_big_sides(spark):
+    df = Q.QUERIES["similarity_topk"](spark, SF_DIR)
+    assert_no_cartesian(df)  # query side broadcast; corpus scanned once
+
+
+def test_lsh_is_equi_join_on_bucket(spark):
+    df = Q.QUERIES["similarity_lsh"](spark, SF_DIR)
+    assert_no_cartesian(df)
+
+
+def test_dedup_near_is_equi_join_on_band(spark):
+    df = Q.QUERIES["dedup_near"](spark, SF_DIR)
+    assert_no_cartesian(df)
+
+
+def test_window_queries_shuffle_once(spark):
+    # one hash-partition exchange on user_id; sorting is within partitions
+    df = Q.QUERIES["window_rank"](spark, SF_DIR)
+    assert count_shuffles(df) == 1
+
+
+def test_group_agg_partial_aggregation(spark):
+    from hdfs_stream_processing_spark.plans import physical_plan
+
+    df = Q.QUERIES["group_agg"](spark, SF_DIR)
+    plan = physical_plan(df)
+    # two HashAggregates around one Exchange = map-side partial agg
+    assert plan.count("HashAggregate") >= 2
+    assert count_shuffles(df) == 1
