@@ -11,9 +11,16 @@ module is the thin driver-facing shim.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# the driver may import this file from any CWD; the package lives next to it
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 from hdfs_stream_processing_spark import queries as Q
 

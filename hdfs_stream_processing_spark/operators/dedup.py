@@ -76,24 +76,28 @@ def minhash_signature(
     shuffle volume is O(docs × seeds), not O(shingles × seeds).
     """
     sh = shingle_rows(df, id_col, text_col, shingle_n)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    expanded = sh.select(id_col, "shingle", seeds)
-    hashed = expanded.select(
+    # One wide row per shingle (k hash columns), ONE groupBy(id) with k
+    # min()s, then unpivot — instead of exploding k× and shuffling
+    # O(shingles·k) rows.  Map-side partial min compresses the shuffle to
+    # O(docs·k) either way, but the narrow variant also k-tuples the
+    # pre-agg row count and the hash input; this one hashes each shingle
+    # k times in place inside whole-stage codegen.
+    hashed = sh.select(
         id_col,
-        "seed",
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-        .alias("h"),
+        *[
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle"))), 1, 8), 16, 10)
+            .cast("long")
+            .alias(f"h{s}")
+            for s in range(num_hashes)
+        ],
     )
-    return hashed.groupBy(id_col, "seed").agg(F.min("h").alias("minhash"))
+    wide = hashed.groupBy(id_col).agg(
+        *[F.min(f"h{s}").alias(f"m{s}") for s in range(num_hashes)]
+    )
+    stack = ", ".join(f"{s}L, m{s}" for s in range(num_hashes))
+    return wide.selectExpr(
+        id_col, f"stack({num_hashes}, {stack}) AS (seed, minhash)"
+    ).select(id_col, "seed", "minhash")
 
 
 def lsh_candidate_pairs(

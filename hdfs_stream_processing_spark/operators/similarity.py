@@ -80,19 +80,33 @@ def similarity_topk(
     )
 
 
-def hyperplane_signature(vec_sql: str, num_planes: int, dims: int) -> Column:
-    """Deterministic random-hyperplane LSH signature (bit array).
+def hyperplane_weights(num_planes: int, dims: int) -> list[list[int]]:
+    """Deterministic pseudo-random ±1 hyperplane weights from
+    md5(plane:dim) — derived once on the driver (no RNG state, no
+    per-row hashing, identical on every engine and run)."""
+    import hashlib
 
-    Plane weights are pseudo-random ±1 derived from md5(plane:dim) —
-    portable, no RNG state, identical on every engine and run.  Sign of
-    the projection = one signature bit.  ``vec_sql`` is the SQL text of a
-    quantized array<bigint> column.
-    """
+    return [
+        [
+            1 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:4], 16) % 2 else -1
+            for d in range(dims)
+        ]
+        for p in range(num_planes)
+    ]
+
+
+def hyperplane_signature(vec_sql: str, num_planes: int, dims: int) -> Column:
+    """Random-hyperplane LSH signature (bit array): sign of the
+    projection onto each ±1 plane.  Weights are embedded as array
+    literals, so the per-row work is ``num_planes`` integer dot products
+    inside whole-stage codegen — no hashing in the hot path.
+    ``vec_sql`` is the SQL text of a quantized array<bigint> column."""
+    weights = hyperplane_weights(num_planes, dims)
 
     def plane_bit(p: int) -> str:
+        w = "array(" + ", ".join(f"{x}L" for x in weights[p]) + ")"
         proj = (
-            f"aggregate(zip_with({vec_sql}, sequence(CAST(0 AS BIGINT), CAST({dims - 1} AS BIGINT)),"
-            f" (x, d) -> x * (CAST(conv(substring(md5(concat('{p}', ':', d)), 1, 4), 16, 10) AS BIGINT) % 2 * 2 - 1)),"
+            f"aggregate(zip_with({vec_sql}, {w}, (x, w) -> x * w),"
             " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
         )
         return f"CASE WHEN {proj} > 0 THEN 1 ELSE 0 END"

@@ -55,10 +55,11 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     stopword ratio — the quality-signal basics for a training-data
     pipeline.  All ratios are exact-int divisions (bit-reproducible).
     """
-    toks = tokens(text_col)
+    # tokenize ONCE into a column; five expressions over `_toks` instead
+    # of five independent split() calls per row
+    with_toks = df.select(F.col(id_col), F.length(text_col).alias("n_chars"), tokens(text_col).alias("_toks"))
+    toks = F.col("_toks")
     n_words = F.size(toks)
-    n_chars = F.length(text_col)
-    n_distinct = F.size(F.array_distinct(toks))
     sum_tok_len = F.aggregate(
         F.transform(toks, lambda t: F.length(t).cast("long")),
         F.lit(0).cast("long"),
@@ -66,11 +67,11 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    return df.select(
+    return with_toks.select(
         F.col(id_col),
-        n_chars.alias("n_chars"),
+        F.col("n_chars"),
         n_words.alias("n_words"),
-        n_distinct.alias("n_distinct_words"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_words"),
         (sum_tok_len.cast("double") / n_words.cast("double")).alias("avg_word_len"),
         (n_stop.cast("double") / n_words.cast("double")).alias("stopword_ratio"),
     )

@@ -1052,3 +1052,93 @@ def q_except_op(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.select(F.col("p_brand").alias("brand")).subtract(
         part.where(F.col("p_size") >= 50).select(F.col("p_brand").alias("brand"))
     )
+
+
+# ========================================================================
+# Remaining source/sink surface (S1/S3) + embedding near-dup
+# ========================================================================
+
+
+@query(
+    "scan_csv",
+    "SELECT event_id, user_id, event_type, value FROM events",
+)
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-schema CSV scan (S1): events staged to CSV files, read
+    back in ONE directory scan (vs the reference's 255 per-file
+    inferSchema jobs, utils/spark_transforming.py:71-88).  The identity
+    oracle proves the CSV round-trip is lossless (doubles via shortest
+    round-trip repr)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from hdfs_stream_processing_spark.sources.io import scan_csv_dir
+
+    (events,) = prep(spark, sf_dir, "events")
+    src = events.select("event_id", "user_id", "event_type", "value")
+    csv_dir = tempfile.mkdtemp(prefix="hsp_csv_src_")
+    src.repartition(4).write.mode("overwrite").option("header", "true").csv(csv_dir)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    return scan_csv_dir(spark, csv_dir, schema)
+
+
+@query(
+    "sink_roundtrip",
+    "SELECT event_id, ts, user_id, event_type, value FROM events",
+)
+def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet batch sink + scan-back (S3;
+    utils/spark_transforming.py:162).  partitionBy(event_type) is the
+    layout choice that replaces the reference's global pre-write sort:
+    partition pruning on read instead of a range shuffle on write."""
+    import tempfile
+
+    from hdfs_stream_processing_spark.sources.io import write_parquet
+
+    (events,) = prep(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="hsp_sink_")
+    write_parquet(
+        events.select("event_id", "ts", "user_id", "event_type", "value"),
+        out,
+        partition_by=["event_type"],
+    )
+    back = spark.read.parquet(out)
+    # partition column comes back typed as read; restore column set/types
+    return back.select("event_id", "ts", "user_id", F.col("event_type").cast("string"), "value")
+
+
+@query(
+    "dedup_embedding",
+    f"""WITH q AS (SELECT vec_id, label, {_QUANT_SQL.format(col='embedding')} AS qv
+                   FROM embeddings),
+       pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                    CAST(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2])) AS DOUBLE)
+                    / (sqrt(CAST(list_sum(list_transform(a.qv, x -> x * x)) AS DOUBLE))
+                       * sqrt(CAST(list_sum(list_transform(b.qv, x -> x * x)) AS DOUBLE))) AS cosine
+                 FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id)
+       SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.3""",
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (N3 embedding variant): candidate pairs
+    restricted to an equi-join key (label — in production an LSH bucket),
+    exact quantized cosine, threshold filter.  Never all-pairs: the join
+    is keyed, the cosine exact, the result oracle-checkable."""
+    from hdfs_stream_processing_spark.operators.similarity import cosine_q, quantized
+
+    (embeddings,) = prep(spark, sf_dir, "embeddings")
+    q = embeddings.select("vec_id", "label", quantized("embedding").alias("qv"))
+    a = q.select(F.col("vec_id").alias("id_a"), F.col("label"), F.col("qv").alias("qa"))
+    b = q.select(F.col("vec_id").alias("id_b"), F.col("label"), F.col("qv").alias("qb"))
+    pairs = a.join(b, "label").where(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select("id_a", "id_b", cosine_q(F.col("qa"), F.col("qb")).alias("cosine"))
+        .where(F.col("cosine") >= 0.3)
+    )

@@ -68,6 +68,8 @@ def run_to_parquet(
     batch-backfill trigger in production.  Exactly-once comes from the
     checkpoint WAL + the parquet sink's file-manifest commit.
     """
+    if not df.isStreaming:  # ST8 liveness guard (convert-to-minio.py:140)
+        raise ValueError("run_to_parquet expects a streaming DataFrame; use sources.io.write_parquet for batch")
     writer = (
         df.writeStream.format("parquet")
         .outputMode("append")
