@@ -1,0 +1,56 @@
+"""Custom stateful streaming operator via applyInPandasWithState (ST6+).
+
+The reference has no stateful operators at all; Structured Streaming's
+built-ins (windows, dropDuplicates, stream joins) cover most needs, and
+``applyInPandasWithState`` is the escape hatch for the rest — arbitrary
+per-key state with Arrow-batched pandas, GroupState bookkeeping, and
+watermark-driven timeouts.  This module implements the canonical example:
+a per-key running aggregate that survives across micro-batches.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id bigint, n_events bigint, sum_cents bigint"
+STATE_SCHEMA = "n bigint, s bigint"
+
+
+def running_totals_per_key(
+    df: DataFrame, key_col: str = "user_id", value_col: str = "value"
+) -> DataFrame:
+    """Streaming per-key running totals with explicit state.
+
+    Emits one row per key per micro-batch carrying the cumulative event
+    count and exact-cents value sum.  State is two BIGINTs per key —
+    bounded, partitioned by key, checkpointed with the query.  (With
+    event-time timeouts this is how you expire idle keys at 100 TB.)
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, s = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += int(round(pdf[value_col].astype(float) * 100.0).sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_cents": [s]}
+        )
+
+    return (
+        df.groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

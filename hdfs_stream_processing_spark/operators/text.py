@@ -155,3 +155,26 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.md5(F.col(text_col)).alias("md5"),
         F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))).alias("bag_md5"),
     )
+
+
+def build_search_index(df: DataFrame, id_col: str, text_col: str,
+                       min_gram: int = 2, max_gram: int = 10) -> DataFrame:
+    """Inverted edge-ngram index: (ngram, id, tf) — the native equivalent
+    of what the reference delegates to Elasticsearch (index-time analysis
+    chain, convert-to-elasticsearch.py:20-40 + the index itself).
+
+    At scale this is the materialization you bucket/partition BY ngram so
+    a prefix search is a partition-pruned point lookup, not a scan.
+    """
+    ngrams = explode_edge_ngrams(df, id_col, text_col, min_gram, max_gram)
+    return ngrams.groupBy("ngram", id_col).agg(F.count(F.lit(1)).alias("tf"))
+
+
+def search_prefix(index: DataFrame, id_col: str, prefix: str) -> DataFrame:
+    """Prefix search against the inverted index: one equi-filter on the
+    ngram key (what ES does with an edge-ngram analyzed field), scored by
+    term frequency."""
+    return (
+        index.where(F.col("ngram") == prefix.lower())
+        .select(F.col(id_col), F.col("tf").alias("n_hits"))
+    )

@@ -124,7 +124,9 @@ def stream_window_agg(
     result bit-reproducible.  In append mode only watermark-closed
     windows emit; complete mode emits all (deterministic for tests).
     """
-    cents = F.round(F.col(value_col) * F.lit(100.0), 0).cast("decimal(38,0)")
+    # long cents: vectorized-codegen fast path (see queries.cents_sum
+    # for the overflow bound; decimal variant in functions.detmath)
+    cents = F.round(F.col(value_col) * F.lit(100.0), 0).cast("long")
     return (
         df.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window).alias("win"))
