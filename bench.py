@@ -55,8 +55,13 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     spark = get_spark(app_name="hsp-bench", cpus=cpus)
-    # warm up: JVM, parquet footer caches, codegen
+    # warm up: JVM, codegen, parquet footers/file index for every table —
+    # so timings measure query execution, not first-touch IO metadata
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from hdfs_stream_processing_spark.sources.io import TABLE_NAMES, load_table
+
+    for t in TABLE_NAMES:
+        load_table(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -1214,3 +1214,57 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream_parquet_source(spark, src_dir, schema, max_files_per_trigger=2)
     totals = running_totals_per_key(stream.select("user_id", "value"))
     return run_to_memory(totals, output_mode="append")
+
+
+# ========================================================================
+# Session windows + skew-handling
+# ========================================================================
+
+
+@query(
+    "session_agg",
+    """WITH x AS (SELECT user_id, ts, value,
+                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          > INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS brk
+         FROM events),
+       s AS (SELECT user_id, ts, value,
+                SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+             FROM x)
+       SELECT user_id,
+              MIN(ts) AS session_start,
+              MAX(ts) + INTERVAL 5 MINUTE AS session_end,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(round(value * 100.0, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+       FROM s GROUP BY user_id, sess""",
+)
+def q_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (ST5, new vs reference): per-user sessions with a
+    5-minute inactivity gap.  The oracle derives sessions relationally
+    (lag-gap → cumulative break count) — proving Spark's native
+    session_window semantics: an event starting exactly at the previous
+    session's end (last + gap) still MERGES — the break is strictly
+    greater than the gap (verified against Spark; boundary is closed)."""
+    from hdfs_stream_processing_spark.streaming.pipeline import session_window_agg
+
+    (events,) = prep(spark, sf_dir, "events")
+    return session_window_agg(events, gap="5 minutes", watermark=None)
+
+
+@query(
+    "salted_agg",
+    """SELECT event_type,
+              CAST(SUM(CAST(round(value * 100.0, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value,
+              COUNT(*) AS n
+       FROM events GROUP BY event_type""",
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation (skew handling, SURVEY §4): a hot
+    key's rows spread over 16 salt buckets before the final merge.  The
+    oracle is the PLAIN group-by — salting must be invisible in the
+    result (exact integer partials re-add associatively)."""
+    from hdfs_stream_processing_spark.operators.skew import salted_group_sum
+
+    (events,) = prep(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * F.lit(100.0), 0).cast("long")
+    return salted_group_sum(events, ["event_type"], cents, "sum_value", salt_buckets=16)

@@ -116,3 +116,26 @@ def schema_checked(df: DataFrame, table: str) -> DataFrame:
     if expected != actual:
         raise ValueError(f"schema drift for {table}: expected {expected}, got {actual}")
     return df
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: pre-shuffled ON DISK by the join/agg key.
+
+    The 100 TB co-location play: two tables bucketed identically on the
+    join key join with ZERO exchanges — the shuffle was paid once at
+    write time and amortized over every subsequent join (the reference
+    re-shuffles its alignment join on every run instead).  ``sort_cols``
+    additionally pre-sorts within buckets, removing the sort from
+    sort-merge joins.
+    """
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)

@@ -141,3 +141,37 @@ def stream_window_agg(
             "sum_value",
         )
     )
+
+
+def session_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    gap: str = "5 minutes",
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Session windows (ST5): events within ``gap`` of each other merge
+    into one session per key; session end = last event + gap.
+
+    Works identically on batch and streaming input (watermark applied
+    only when streaming — it bounds the open-session state).  Exact-cents
+    sums keep sessions bit-reproducible.
+    """
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    cents = F.round(F.col(value_col) * F.lit(100.0), 0).cast("long")
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap).alias("win"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents).cast("double") / F.lit(100.0)).alias("sum_value"),
+        )
+        .select(
+            F.col(key_col),
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n",
+            "sum_value",
+        )
+    )

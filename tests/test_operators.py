@@ -90,3 +90,44 @@ def test_window_rank_and_running(spark):
     assert by_seq[3]["prev_value"] == 20.0
     assert by_seq[1]["next_value"] == 20.0
     assert by_seq[4]["prev_value"] is None
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    """Salting must be result-invisible under any partitioning."""
+    from hdfs_stream_processing_spark.operators.skew import salted_group_sum
+
+    events = load_table(spark, SF_DIR, "events")
+    cents = F.round(F.col("value") * F.lit(100.0), 0).cast("long")
+    plain = events.groupBy("event_type").agg(
+        (F.sum(cents).cast("double") / F.lit(100.0)).alias("sum_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    for buckets in (1, 16):
+        salted = salted_group_sum(
+            events.repartition(7), ["event_type"], cents, "sum_value", salt_buckets=buckets
+        )
+        assert sorted(salted.collect()) == sorted(plain.collect())
+
+
+def test_session_window_batch_semantics(spark):
+    """Session boundary is CLOSED: an event exactly `gap` after the
+    previous one still merges; only a gap strictly greater splits."""
+    import datetime as dt
+
+    from hdfs_stream_processing_spark.streaming.pipeline import session_window_agg
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1.0),
+        (1, base + dt.timedelta(minutes=4), 1.0),   # same session (< 5 min)
+        (1, base + dt.timedelta(minutes=9), 1.0),   # still same (4+5)
+        (1, base + dt.timedelta(minutes=14), 1.0),  # exactly 5 min later → merges
+        (1, base + dt.timedelta(minutes=19, seconds=1), 1.0),  # > 5 min → NEW session
+        (2, base, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, value double")
+    out = session_window_agg(df, gap="5 minutes", watermark=None)
+    sessions = sorted(
+        (r["user_id"], r["n"]) for r in out.collect()
+    )
+    assert sessions == [(1, 1), (1, 4), (2, 1)]

@@ -65,3 +65,34 @@ def test_group_agg_partial_aggregation(spark):
     # two HashAggregates around one Exchange = map-side partial agg
     assert plan.count("HashAggregate") >= 2
     assert count_shuffles(df) == 1
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Co-located bucketed tables join with ZERO exchanges — the shuffle
+    was paid once at write time (the 100 TB amortization play)."""
+    from hdfs_stream_processing_spark.sources.io import load_table, write_bucketed
+
+    # warehouse.dir is a static conf — the default ./spark-warehouse is used
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        li = load_table(spark, SF_DIR, "lineitem")
+        od = load_table(spark, SF_DIR, "orders")
+        write_bucketed(li, "li_b", ["l_orderkey"], num_buckets=8, sort_cols=["l_orderkey"])
+        write_bucketed(od, "od_b", ["o_orderkey"], num_buckets=8, sort_cols=["o_orderkey"])
+        joined = spark.table("li_b").join(
+            spark.table("od_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        assert joined.count() == li.count()
+        assert count_shuffles(joined) == 0, physical_plan_excerpt(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS od_b")
+
+
+def physical_plan_excerpt(df):
+    from hdfs_stream_processing_spark.plans import physical_plan
+
+    return physical_plan(df)[:2000]
