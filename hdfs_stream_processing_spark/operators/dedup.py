@@ -50,8 +50,16 @@ def md5_hash64(col: Column, seed: int) -> Column:
     )
 
 
-def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 2) -> DataFrame:
-    """(id, shingle) exploded rows — distinct per doc (set semantics)."""
+def shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2, distinct: bool = True
+) -> DataFrame:
+    """(id, shingle) exploded rows.
+
+    ``distinct=True`` gives set semantics (required for Jaccard — a
+    shuffle).  Operators that fold shingles through an idempotent
+    aggregate (MinHash's min) pass ``distinct=False`` and skip that
+    shuffle entirely: min over the multiset equals min over the set.
+    """
     with_toks = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
     sh = with_toks.select(
         id_col,
@@ -62,7 +70,7 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 2) -> DataF
             )
         ).alias("shingle"),
     )
-    return sh.distinct()
+    return sh.distinct() if distinct else sh
 
 
 def minhash_signature(
@@ -75,7 +83,7 @@ def minhash_signature(
     keyed on (id, seed); partial aggregation compresses map-side, so
     shuffle volume is O(docs × seeds), not O(shingles × seeds).
     """
-    sh = shingle_rows(df, id_col, text_col, shingle_n)
+    sh = shingle_rows(df, id_col, text_col, shingle_n, distinct=False)
     # One wide row per shingle (k hash columns), ONE groupBy(id) with k
     # min()s, then unpivot — instead of exploding k× and shuffling
     # O(shingles·k) rows.  Map-side partial min compresses the shuffle to

@@ -81,3 +81,37 @@ def decode_image(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payl
             raise NotImplementedError("real decode goes here")
 
     return df.mapInPandas(extract, schema=IMAGE_FEATURES_SCHEMA)
+
+
+FEATURES_SCHEMA = "doc_id bigint, feature array<float>, n_bytes bigint"
+
+
+def extract_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload", dims: int = 8
+) -> DataFrame:
+    """Feature-extraction stage over binary payloads (mapInPandas).
+
+    The deterministic stand-in for an image/audio embedding model: a
+    md5-derived float vector per payload.  Everything a real model stage
+    needs is here and exercised — Arrow binary batches in, fixed-width
+    ``array<float>`` out, declared schema, no driver involvement — only
+    the per-batch body swaps for a real encoder.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col]
+
+            def feat(b: bytes) -> list[float]:
+                d = hashlib.md5(bytes(b)).digest()
+                return [round(d[i] / 255.0, 6) for i in range(dims)]
+
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "feature": payloads.map(feat),
+                    "n_bytes": payloads.map(len).astype("int64"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=FEATURES_SCHEMA)

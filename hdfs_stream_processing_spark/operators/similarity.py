@@ -159,3 +159,48 @@ def _dims(embeddings: DataFrame, vec_col: str) -> int:
     fixed length for array columns)."""
     row = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
     return int(row["d"])
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    nprobe: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into ``n_cells`` cells,
+    search only the query's ``nprobe`` nearest cells, exact re-rank inside.
+
+    Centroid 'training' is a deterministic stub (the first ``n_cells``
+    vectors by id — production swaps in k-means; the *plumbing* is the
+    deliverable): centroids broadcast, assignment is a broadcast join +
+    per-row argmax, candidate generation an equi-join on cell id.
+    Work scales with corpus/n_cells × nprobe instead of all-pairs;
+    recall is the standard nprobe trade-off.
+    """
+    q = embeddings.select(F.col(id_col), quantized(vec_col).alias("qv"))
+    centroids = q.orderBy(F.col(id_col)).limit(n_cells).select(
+        F.col(id_col).alias("cell"), F.col("qv").alias("cv")
+    )
+    scored = q.crossJoin(F.broadcast(centroids)).select(
+        id_col, "qv", "cell", dot_q(F.col("qv"), F.col("cv")).alias("aff")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("aff").desc(), F.col("cell").asc())
+    ranked = scored.withColumn("cr", F.row_number().over(w))
+    corpus = ranked.where(F.col("cr") == 1).select(
+        F.col(id_col).alias("neighbor_id"), F.col("qv").alias("nv"), "cell"
+    )
+    probes = ranked.where(F.col("cr") <= nprobe).select(
+        F.col(id_col).alias("query_id"), F.col("qv").alias("pv"), "cell"
+    )
+    pairs = probes.join(corpus, "cell").where(F.col("query_id") != F.col("neighbor_id"))
+    rescored = pairs.select(
+        "query_id", "neighbor_id", cosine_q(F.col("pv"), F.col("nv")).alias("cosine")
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        rescored.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1268,3 +1268,32 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = prep(spark, sf_dir, "events")
     cents = F.round(F.col("value") * F.lit(100.0), 0).cast("long")
     return salted_group_sum(events, ["event_type"], cents, "sum_value", salt_buckets=16)
+
+
+@query("similarity_ivf")  # approximate-recall path → rows-only, by design
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (N1 alternative scale path to LSH): coarse cells
+    + nprobe search + exact in-cell re-rank."""
+    from hdfs_stream_processing_spark.operators.similarity import ivf_topk
+
+    (embeddings,) = prep(spark, sf_dir, "embeddings")
+    return ivf_topk(embeddings, n_cells=16, nprobe=2, k=10)
+
+
+@query(
+    "multimodal_features",
+    """SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents""",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads (mapInPandas model-stage
+    plumbing).  The oracle checks the relational spine (ids + byte
+    lengths); the md5-derived feature vectors are validated in
+    tests/test_llm_ops.py."""
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        attach_payload,
+        extract_features,
+    )
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    feats = extract_features(attach_payload(documents, "doc_id", "text"))
+    return feats.select("doc_id", "n_bytes")

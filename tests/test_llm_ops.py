@@ -146,3 +146,36 @@ def test_decode_image_stub_fails_loudly(spark):
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
+
+
+def test_ivf_groups_clusters(spark):
+    from hdfs_stream_processing_spark.operators.similarity import ivf_topk
+
+    # ids 0 and 1 are the stub centroids — one per pole, so the coarse
+    # quantizer separates the clusters
+    rows = [(0, [1.0, 0.0, 0.0]), (1, [-1.0, 0.0, 0.0])]
+    rows += [(2 + i, [1.0, 0.01 * i, 0.0]) for i in range(4)]
+    rows += [(10 + i, [-1.0, 0.0, 0.01 * i]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = ivf_topk(df, n_cells=2, nprobe=1, k=3).collect()
+    assert len(out) > 0
+    in_plus = lambda i: i < 10 and i != 1
+    for r in out:  # nprobe=1: neighbors come from the query's own pole
+        assert in_plus(r["query_id"]) == in_plus(r["neighbor_id"])
+
+
+def test_extract_features_deterministic(spark):
+    import hashlib as hl
+
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        attach_payload,
+        extract_features,
+    )
+
+    df = attach_payload(_docs(spark, [(1, "hello")]), "doc_id", "text")
+    r = extract_features(df, dims=4).collect()[0]
+    d = hl.md5(b"hello").digest()
+    expected = [round(d[i] / 255.0, 6) for i in range(4)]
+    # array<float> is float32 on the wire — compare at float32 precision
+    assert r["feature"] == pytest.approx(expected, rel=1e-6)
+    assert r["n_bytes"] == 5
