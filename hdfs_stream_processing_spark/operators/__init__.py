@@ -28,3 +28,32 @@ from hdfs_stream_processing_spark.operators.windows import (  # noqa: F401
     window_rank,
     window_running,
 )
+from hdfs_stream_processing_spark.operators.dedup import (  # noqa: F401
+    dedup_exact,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signature,
+    simhash,
+)
+from hdfs_stream_processing_spark.operators.similarity import (  # noqa: F401
+    ivf_topk,
+    lsh_bucket_topk,
+    similarity_topk,
+    similarity_topk_np,
+)
+from hdfs_stream_processing_spark.operators.text import (  # noqa: F401
+    build_search_index,
+    explode_edge_ngrams,
+    fingerprint,
+    lang_id,
+    quality_score,
+    search_prefix,
+    text_stats,
+    token_count,
+)
+from hdfs_stream_processing_spark.operators.multimodal import (  # noqa: F401
+    attach_payload,
+    extract_features,
+    payload_meta,
+)
+from hdfs_stream_processing_spark.operators.skew import salted_group_sum  # noqa: F401

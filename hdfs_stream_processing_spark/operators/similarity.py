@@ -204,3 +204,66 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def similarity_topk_np(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    queries_filter: Column | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Brute-force top-k, Arrow-vectorized: the query matrix is collected
+    (small side by definition) and broadcast; each corpus partition does
+    ONE BLAS matrix multiply per Arrow batch via mapInPandas, emits its
+    local per-query top-k, and a final window keeps the global top-k.
+
+    This is the 10-100× 'vectorized beats per-row' path for the float
+    hot loop — per-partition numpy GEMM instead of per-element SQL
+    lambdas.  Float arithmetic → not bit-portable across engines, so the
+    exact quantized variant (similarity_topk) stays the oracle-checked
+    one; this is the throughput variant.
+    """
+    import numpy as np
+    from pyspark.sql import Window as W
+
+    q_df = embeddings.where(queries_filter) if queries_filter is not None else embeddings
+    q_rows = q_df.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    spark = embeddings.sparkSession
+    b_ids = spark.sparkContext.broadcast(q_ids)
+    b_mat = spark.sparkContext.broadcast(q_mat)
+
+    def topk_per_batch(batches):
+        import pandas as pd
+
+        qi, qm = b_ids.value, b_mat.value
+        for pdf in batches:
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = qm @ c_mat.T  # one GEMM: |Q| x batch
+            c_ids = pdf[id_col].to_numpy()
+            out_q, out_n, out_s = [], [], []
+            kk = min(k + 1, sims.shape[1])  # +1: self may be in-batch
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            for row, qid in enumerate(qi):
+                for col in part[row]:
+                    if c_ids[col] != qid:
+                        out_q.append(qid)
+                        out_n.append(c_ids[col])
+                        out_s.append(sims[row, col])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_s}
+            )
+
+    local = embeddings.select(id_col, vec_col).mapInPandas(
+        topk_per_batch, schema="query_id bigint, neighbor_id bigint, cosine double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

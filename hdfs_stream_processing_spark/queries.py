@@ -1297,3 +1297,17 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = prep(spark, sf_dir, "documents")
     feats = extract_features(attach_payload(documents, "doc_id", "text"))
     return feats.select("doc_id", "n_bytes")
+
+
+@query("similarity_topk_np")  # float GEMM path → rows-only (not bit-portable)
+def q_similarity_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized brute-force top-k: broadcast query matrix, one numpy
+    GEMM per Arrow batch (the 10-100x pandas-UDF-over-per-row path).
+    Float results → rows-only; ranking agreement with the exact variant
+    is asserted in tests."""
+    from hdfs_stream_processing_spark.operators.similarity import similarity_topk_np
+
+    (embeddings,) = prep(spark, sf_dir, "embeddings")
+    return similarity_topk_np(
+        embeddings, queries_filter=F.col("vec_id") < 20, k=10
+    )

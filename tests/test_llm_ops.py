@@ -179,3 +179,24 @@ def test_extract_features_deterministic(spark):
     # array<float> is float32 on the wire — compare at float32 precision
     assert r["feature"] == pytest.approx(expected, rel=1e-6)
     assert r["n_bytes"] == 5
+
+
+def test_numpy_topk_agrees_with_exact(spark):
+    """The GEMM variant must produce the same neighbor SETS as the
+    exact quantized variant (scores differ in ulps; membership should
+    not, except at quantization-tie boundaries — none in this fixture)."""
+    from hdfs_stream_processing_spark.operators.similarity import (
+        similarity_topk,
+        similarity_topk_np,
+    )
+    from hdfs_stream_processing_spark.sources.io import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    flt = F.col("vec_id") < 5
+    exact = similarity_topk(emb, queries_filter=flt, k=5).collect()
+    fast = similarity_topk_np(emb, queries_filter=flt, k=5).collect()
+    by_q = lambda rows: {
+        q: {r["neighbor_id"] for r in rows if r["query_id"] == q}
+        for q in {r["query_id"] for r in rows}
+    }
+    assert by_q(exact) == by_q(fast)
