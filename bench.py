@@ -46,6 +46,12 @@ HEADLINE = [
     "multimodal_meta",
     "stream_ingest",
     "stream_window_agg",
+    "align_pipeline",
+    "session_agg",
+    "time_rollup",
+    "salted_agg",
+    "text_search",
+    "similarity_topk_np",
 ]
 
 
