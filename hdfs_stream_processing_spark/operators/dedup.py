@@ -83,13 +83,35 @@ def minhash_signature(
     keyed on (id, seed); partial aggregation compresses map-side, so
     shuffle volume is O(docs × seeds), not O(shingles × seeds).
     """
+    # wide aggregation (k hash columns, ONE groupBy(id) of k min()s) then
+    # unpivot — instead of exploding k seeds and shuffling O(shingles·k)
+    # rows; see minhash_signature_wide
+    wide = minhash_signature_wide(df, id_col, text_col, num_hashes, shingle_n)
+    stack = ", ".join(f"{s}L, m{s}" for s in range(num_hashes))
+    return wide.selectExpr(
+        id_col, f"stack({num_hashes}, {stack}) AS (seed, minhash)"
+    ).select(id_col, "seed", "minhash")
+
+
+def minhash_signature_wide(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, shingle_n: int = 2
+) -> DataFrame:
+    """Wide-form MinHash signature: one row per doc, columns m0..m{k-1}.
+    One explode + ONE shuffle (the groupBy(id) partial-min) total.
+
+    The input is repartitioned by id first: a doc row explodes into
+    ~n_tokens shingles each hashed k times, so compute amplification is
+    ~60k× per input row — spreading the small doc table across the
+    cluster BEFORE the explode is almost free and parallelizes the
+    expensive part (single-row-group parquet would otherwise pin the
+    whole hash workload to one task).
+    """
+    # explicit partition COUNT: repartition(col) alone gets AQE-coalesced
+    # back to 1 partition (the doc table is tiny BY BYTES — AQE can't see
+    # the downstream explode amplification); REPARTITION_BY_NUM is exempt
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(n_parts, F.col(id_col))
     sh = shingle_rows(df, id_col, text_col, shingle_n, distinct=False)
-    # One wide row per shingle (k hash columns), ONE groupBy(id) with k
-    # min()s, then unpivot — instead of exploding k× and shuffling
-    # O(shingles·k) rows.  Map-side partial min compresses the shuffle to
-    # O(docs·k) either way, but the narrow variant also k-tuples the
-    # pre-agg row count and the hash input; this one hashes each shingle
-    # k times in place inside whole-stage codegen.
     hashed = sh.select(
         id_col,
         *[
@@ -99,39 +121,60 @@ def minhash_signature(
             for s in range(num_hashes)
         ],
     )
-    wide = hashed.groupBy(id_col).agg(
+    return hashed.groupBy(id_col).agg(
         *[F.min(f"h{s}").alias(f"m{s}") for s in range(num_hashes)]
     )
-    stack = ", ".join(f"{s}L, m{s}" for s in range(num_hashes))
-    return wide.selectExpr(
-        id_col, f"stack({num_hashes}, {stack}) AS (seed, minhash)"
-    ).select(id_col, "seed", "minhash")
+
+
+def band_hashes(sig_wide: DataFrame, id_col: str, num_hashes: int, band_size: int) -> DataFrame:
+    """(id, band, band_hash) from the wide signature — a pure projection
+    + unpivot, NO shuffle: the band members are already columns of the
+    row.  Members are sorted numerically before hashing (oracle parity:
+    lexicographic '10' < '9' would diverge from numeric list_sort)."""
+    n_bands = num_hashes // band_size
+    stacks = []
+    for b in range(n_bands):
+        members = ", ".join(f"m{b * band_size + j}" for j in range(band_size))
+        stacks.append(
+            f"{b}, md5(concat_ws(',', transform(array_sort(array({members})), x -> CAST(x AS STRING))))"
+        )
+    return sig_wide.selectExpr(
+        id_col, f"stack({n_bands}, {', '.join(stacks)}) AS (band, band_hash)"
+    )
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, id_col: str, num_hashes: int = 8, band_size: int = 2
+    sig: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    wide: bool = False,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the signature become a
     candidate pair (id_a < id_b).
 
-    Band hash = md5 of the concatenated minhashes in the band; the
-    candidate join is an equi-join on (band, band_hash) — the scale path
-    that avoids all-pairs.  Pair similarity can then be estimated from
-    full-signature agreement or verified exactly (see jaccard_pairs).
+    Band hash = md5 of the (numerically sorted) minhashes in the band;
+    the candidate join is an equi-join on (band, band_hash) — the scale
+    path that avoids all-pairs.  With ``wide=True`` (signature from
+    minhash_signature_wide) banding is shuffle-free — the whole
+    candidate generation costs one groupBy + one equi-join.
     """
-    banded = sig.withColumn("band", F.floor(F.col("seed") / F.lit(float(band_size))).cast("int"))
-    # sort numerically THEN cast to string: lexicographic order of '10' vs
-    # '9' would diverge from the oracle's numeric list_sort.
-    band_sig = banded.groupBy(id_col, "band").agg(
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.sort_array(F.collect_list(F.col("minhash"))), lambda x: x.cast("string")
-                ),
-            )
-        ).alias("band_hash")
-    )
+    if wide:
+        band_sig = band_hashes(sig, id_col, num_hashes, band_size)
+    else:
+        banded = sig.withColumn(
+            "band", F.floor(F.col("seed") / F.lit(float(band_size))).cast("int")
+        )
+        band_sig = banded.groupBy(id_col, "band").agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(F.collect_list(F.col("minhash"))), lambda x: x.cast("string")
+                    ),
+                )
+            ).alias("band_hash")
+        )
     a = band_sig.select(
         F.col(id_col).alias("id_a"), F.col("band"), F.col("band_hash")
     )

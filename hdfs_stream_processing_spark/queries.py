@@ -745,12 +745,12 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash.  Never all-pairs: the join key is (band, band_hash)."""
     from hdfs_stream_processing_spark.operators.dedup import (
         lsh_candidate_pairs,
-        minhash_signature,
+        minhash_signature_wide,
     )
 
     (documents,) = prep(spark, sf_dir, "documents")
-    sig = minhash_signature(documents, "doc_id", "text", num_hashes=8, shingle_n=2)
-    return lsh_candidate_pairs(sig, "doc_id", num_hashes=8, band_size=2)
+    sig = minhash_signature_wide(documents, "doc_id", "text", num_hashes=8, shingle_n=2)
+    return lsh_candidate_pairs(sig, "doc_id", num_hashes=8, band_size=2, wide=True)
 
 
 @query(
