@@ -1,0 +1,105 @@
+"""Temporal join operators Spark lacks natively: as-of and range joins.
+
+The reference's core semantic is EXACT-timestamp alignment of sensor
+streams (utils/spark_transforming.py:97-113) — which only works because
+the KETI sensors share a clock.  Real sensor/trade/event streams don't;
+the industry answer is the as-of join (latest right row at-or-before the
+left timestamp) and the range join (pairs within a time window).  Spark
+has neither as a built-in; both are implemented here as compositions of
+built-ins that keep the work keyed:
+
+- **as-of** = union both sides → one window pass per key carrying the
+  last-seen right values forward → keep left rows.  One shuffle on the
+  key, O(n log n) per key, no join explosion at all.
+- **range** = equi-join on (key, time bucket) with the left side
+  duplicated into its 3 adjacent buckets → exact interval filter.
+  Candidates are O(pairs within ±1 bucket), never O(n²).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: list[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join: for every left row, the most recent right row of
+    the same key with ``right_ts <= left_ts`` (ties at equal timestamps
+    match, like DuckDB/kdb ASOF).
+
+    Implementation: tag and union both sides, sort each key partition by
+    (ts, side) — right rows sort BEFORE left rows at equal ts so ties are
+    visible — then ``last(value, ignorenulls)`` over an unbounded-
+    preceding frame carries right values forward; finally keep left rows.
+    Exactly one shuffle (the window partitioning); left rows with no
+    prior right row keep NULLs.
+    """
+    lcols = left.columns
+    l = left.withColumn("_side", F.lit(1)).withColumn("_ats", F.col(left_ts))
+    for v in right_vals:
+        l = l.withColumn(f"{prefix}{v}", F.lit(None).cast(right.schema[v].dataType))
+    r = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ats"),
+        F.lit(0).alias("_side"),
+        *[F.col(v).alias(f"{prefix}{v}") for v in right_vals],
+    )
+    for c in lcols:
+        if c not in r.columns:
+            r = r.withColumn(c, F.lit(None).cast(l.schema[c].dataType))
+    u = l.unionByName(r.select(l.columns))
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_ats").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u
+    for v in right_vals:
+        filled = filled.withColumn(
+            f"{prefix}{v}", F.last(F.col(f"{prefix}{v}"), ignorenulls=True).over(w)
+        )
+    return filled.where(F.col("_side") == 1).drop("_side", "_ats")
+
+
+def range_join_buckets(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_gap_seconds: int,
+) -> DataFrame:
+    """All (left, right) pairs of the same key with
+    ``|right_ts - left_ts| <= max_gap_seconds``.
+
+    The left side is exploded into its time bucket ±1 (bucket width =
+    the gap), the join is a pure equi-join on (key, bucket), and the
+    exact interval predicate filters after.  Every qualifying pair
+    appears exactly once (the right row lives in exactly one bucket).
+    Candidate volume is O(pairs within ±1 bucket) — the non-equi range
+    condition never reaches the join, so Catalyst can hash-partition it.
+    Returns left.*, right ts and key columns aliased with ``r_``.
+    """
+    gap_us = max_gap_seconds * 1_000_000
+    l = left.withColumn("_b0", F.floor(F.unix_micros(F.col(left_ts)) / F.lit(gap_us)))
+    l = l.withColumn("_bucket", F.explode(F.array(F.col("_b0") - 1, F.col("_b0"), F.col("_b0") + 1)))
+    r = right.select(
+        F.col(key).alias("_rkey"),
+        F.col(right_ts).alias("_rts"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c not in (key, right_ts)],
+    ).withColumn("_bucket", F.floor(F.unix_micros(F.col("_rts")) / F.lit(gap_us)))
+    joined = l.join(r, on=(l[key] == r["_rkey"]) & (l["_bucket"] == r["_bucket"]))
+    in_range = F.abs(F.unix_micros(F.col("_rts")) - F.unix_micros(F.col(left_ts))) <= F.lit(gap_us)
+    return (
+        joined.where(in_range)
+        .drop("_b0", "_bucket", "_rkey")
+        .withColumnRenamed("_rts", f"r_{right_ts}")
+    )

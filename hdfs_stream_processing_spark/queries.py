@@ -1311,3 +1311,59 @@ def q_similarity_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity_topk_np(
         embeddings, queries_filter=F.col("vec_id") < 20, k=10
     )
+
+
+# ========================================================================
+# Temporal joins (as-of, range) — custom operators Spark lacks natively
+# ========================================================================
+
+
+@query(
+    "asof_join",
+    """SELECT l.event_id, l.user_id, l.ts, l.value,
+              r.ts AS asof_ts, r.value AS asof_value
+       FROM (SELECT * FROM events WHERE event_type = 'click') l
+       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+         ON l.user_id = r.user_id AND l.ts >= r.ts""",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each click, the user's most recent purchase
+    at-or-before it.  The oracle is DuckDB's NATIVE ASOF JOIN — Spark
+    has no such operator; ours is a union + one window pass per key
+    (operators/temporal.py), no join explosion."""
+    from hdfs_stream_processing_spark.operators.temporal import asof_join
+
+    (events,) = prep(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click")
+    purchases = events.where(F.col("event_type") == "purchase")
+    out = asof_join(clicks, purchases, "user_id", "ts", "ts", ["ts", "value"])
+    return out.select("event_id", "user_id", "ts", "value", "asof_ts", "asof_value")
+
+
+@query(
+    "range_join",
+    """SELECT l.event_id, r.event_id AS r_event_id,
+              date_diff('microsecond', l.ts, r.ts) AS dt_us
+       FROM events l JOIN events r
+         ON l.user_id = r.user_id
+        AND l.event_type = 'click' AND r.event_type = 'purchase'
+        AND abs(date_diff('microsecond', l.ts, r.ts)) <= 120000000""",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: (click, purchase) pairs of the same user within
+    ±120 s — executed as an equi-join on (user, time bucket) with the
+    left side exploded into adjacent buckets (operators/temporal.py);
+    the non-equi predicate never reaches the join."""
+    from hdfs_stream_processing_spark.operators.temporal import range_join_buckets
+
+    (events,) = prep(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    out = range_join_buckets(clicks, purchases, "user_id", "ts", "ts", 120)
+    return out.select(
+        "event_id",
+        F.col("r_event_id"),
+        (F.unix_micros(F.col("r_ts")) - F.unix_micros(F.col("ts"))).alias("dt_us"),
+    )

@@ -131,3 +131,44 @@ def test_session_window_batch_semantics(spark):
         (r["user_id"], r["n"]) for r in out.collect()
     )
     assert sessions == [(1, 1), (1, 4), (2, 1)]
+
+
+def test_asof_join_semantics(spark):
+    """Latest right row at-or-BEFORE each left ts; equal ts matches;
+    no prior right row → NULL."""
+    import datetime as dt
+
+    from hdfs_stream_processing_spark.operators.temporal import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+    left = spark.createDataFrame(
+        [(1, t(0), 100), (1, t(10), 101), (1, t(20), 102), (2, t(5), 200)],
+        "user_id bigint, ts timestamp, event_id bigint",
+    )
+    right = spark.createDataFrame(
+        [(1, t(10), 9.0), (1, t(15), 8.0)],  # t(10): equal-ts tie with left 101
+        "user_id bigint, ts timestamp, value double",
+    )
+    out = asof_join(left, right, "user_id", "ts", "ts", ["value"])
+    got = {r["event_id"]: r["asof_value"] for r in out.collect()}
+    assert got == {100: None, 101: 9.0, 102: 8.0, 200: None}
+
+
+def test_range_join_boundary_inclusive(spark):
+    """Pairs exactly at the gap boundary are included; one row past is
+    not; each qualifying pair appears exactly once."""
+    import datetime as dt
+
+    from hdfs_stream_processing_spark.operators.temporal import range_join_buckets
+
+    t = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+    left = spark.createDataFrame(
+        [(1, t(0), 10)], "user_id bigint, ts timestamp, event_id bigint"
+    )
+    right = spark.createDataFrame(
+        [(1, t(60), 20), (1, t(61), 21), (1, t(-60), 22), (2, t(0), 23)],
+        "user_id bigint, ts timestamp, event_id bigint",
+    )
+    out = range_join_buckets(left, right, "user_id", "ts", "ts", 60)
+    got = sorted(r["r_event_id"] for r in out.collect())
+    assert got == [20, 22]  # ±60s inclusive; 61s out; other user out
