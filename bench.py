@@ -52,6 +52,10 @@ HEADLINE = [
     "salted_agg",
     "text_search",
     "similarity_topk_np",
+    "asof_join",
+    "range_join",
+    "pivot_wide",
+    "percentiles",
 ]
 
 

@@ -1367,3 +1367,114 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_event_id"),
         (F.unix_micros(F.col("r_ts")) - F.unix_micros(F.col("ts"))).alias("dt_us"),
     )
+
+
+# ========================================================================
+# Pivot / unpivot, null handling, regex, percentiles
+# ========================================================================
+
+
+@query(
+    "pivot_wide",
+    """SELECT user_id,
+              CAST(SUM(CASE WHEN event_type = 'click'    THEN CAST(round(value*100.0,0) AS BIGINT) ELSE 0 END) AS DOUBLE)/100.0 AS click,
+              CAST(SUM(CASE WHEN event_type = 'view'     THEN CAST(round(value*100.0,0) AS BIGINT) ELSE 0 END) AS DOUBLE)/100.0 AS view,
+              CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(round(value*100.0,0) AS BIGINT) ELSE 0 END) AS DOUBLE)/100.0 AS purchase,
+              CAST(SUM(CASE WHEN event_type = 'signup'   THEN CAST(round(value*100.0,0) AS BIGINT) ELSE 0 END) AS DOUBLE)/100.0 AS signup,
+              CAST(SUM(CASE WHEN event_type = 'error'    THEN CAST(round(value*100.0,0) AS BIGINT) ELSE 0 END) AS DOUBLE)/100.0 AS error
+       FROM events GROUP BY user_id""",
+)
+def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: narrow (user, type, value) → wide per-type columns — the
+    alternative alignment strategy for the reference's sensor streams
+    (SURVEY §1.1).  Explicit value list → single-pass hash aggregate, no
+    extra distinct-values job.  Missing cells are 0 (cents sum of an
+    empty set)."""
+    (events,) = prep(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * F.lit(100.0), 0).cast("long")
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg((F.coalesce(F.sum(cents), F.lit(0)).cast("double") / F.lit(100.0)))
+    )
+
+
+@query(
+    "unpivot_narrow",
+    """SELECT l_orderkey, l_linenumber, measure, value FROM (
+         SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem)""",
+)
+def q_unpivot_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: wide measure columns → (measure, value) rows via
+    stack() — ONE scan of the input (the oracle's UNION ALL shape scans
+    three times; Catalyst's Expand does it in one)."""
+    (lineitem,) = prep(spark, sf_dir, "lineitem")
+    return lineitem.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "stack(3, 'quantity', l_quantity, 'extendedprice', l_extendedprice,"
+        " 'discount', l_discount) AS (measure, value)",
+    )
+
+
+@query(
+    "fill_nulls",
+    """SELECT event_id,
+              COALESCE(CASE WHEN value > 450.0 THEN NULL ELSE value END, -1.0) AS value_filled,
+              CASE WHEN value > 450.0 THEN 'outlier' ELSE 'ok' END AS status
+       FROM events""",
+)
+def q_fill_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null handling: nullify outliers, then na.fill — the
+    clean-and-impute step every ingest pipeline needs (the reference
+    only ever drops, utils/spark_transforming.py:145)."""
+    (events,) = prep(spark, sf_dir, "events")
+    nulled = events.select(
+        "event_id",
+        F.when(F.col("value") > 450.0, F.lit(None)).otherwise(F.col("value")).alias("value_filled"),
+        F.when(F.col("value") > 450.0, "outlier").otherwise("ok").alias("status"),
+    )
+    return nulled.na.fill({"value_filled": -1.0})
+
+
+@query(
+    "regex_extract",
+    """SELECT event_id, regexp_extract(props, '[0-9]+', 0) AS k_digits,
+              CASE WHEN regexp_matches(props, '"k": [0-9]{2}}$') THEN 1 ELSE 0 END AS two_digit
+       FROM events""",
+)
+def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extraction/matching over the raw props string (simple
+    character-class patterns behave identically in Java regex and RE2)."""
+    (events,) = prep(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.regexp_extract("props", "[0-9]+", 0).alias("k_digits"),
+        F.when(F.col("props").rlike('"k": [0-9]{2}}$'), 1).otherwise(0).alias("two_digit"),
+    )
+
+
+@query(
+    "percentiles",
+    """SELECT event_type,
+              quantile_cont(value, 0.5) AS p50,
+              quantile_cont(value, 0.9) AS p90,
+              quantile_cont(value, 0.99) AS p99
+       FROM events GROUP BY event_type""",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (dashboard latency-style
+    metric).  Spark's percentile() and DuckDB's quantile_cont use the
+    same (n-1)p interpolation — verified bit-equal.  At 100 TB swap in
+    approx_percentile (t-digest) — the exact one materializes per-group
+    sorted arrays."""
+    (events,) = prep(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
