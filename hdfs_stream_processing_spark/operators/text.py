@@ -57,7 +57,9 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     # tokenize ONCE into a column; five expressions over `_toks` instead
     # of five independent split() calls per row
-    with_toks = df.select(F.col(id_col), F.length(text_col).alias("n_chars"), tokens(text_col).alias("_toks"))
+    with_toks = df.select(
+        F.col(id_col), F.length(text_col).alias("n_chars"), tokens(text_col).alias("_toks")
+    )
     toks = F.col("_toks")
     n_words = F.size(toks)
     sum_tok_len = F.aggregate(
@@ -67,11 +69,13 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    # counts cast to long: Spark size()/length() return INT where the
+    # SQL oracle's len()/length() return BIGINT — align the widths
     return with_toks.select(
         F.col(id_col),
-        F.col("n_chars"),
-        n_words.alias("n_words"),
-        F.size(F.array_distinct(toks)).alias("n_distinct_words"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_words"),
         (sum_tok_len.cast("double") / n_words.cast("double")).alias("avg_word_len"),
         (n_stop.cast("double") / n_words.cast("double")).alias("stopword_ratio"),
     )
@@ -137,7 +141,7 @@ def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     toks = tokens(text_col)
     return df.select(
         F.col(id_col),
-        F.size(toks).alias("n_words"),
+        F.size(toks).cast("long").alias("n_words"),
         # floor() explicitly: a bare cast truncates in Spark but ROUNDS in
         # DuckDB — floor pins identical semantics in both engines.
         F.floor((F.length(text_col) + F.lit(3)) / F.lit(4.0)).cast("long").alias("n_tokens_est"),

@@ -516,10 +516,15 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking per user over event time (SURVEY §2.7).  One shuffle on
     user_id, sort within partitions; unique tiebreak → deterministic."""
     (events,) = prep(spark, sf_dir, "events")
-    return window_rank(
+    ranked = window_rank(
         events.select("event_id", "user_id", "ts", "value"),
         ["user_id"],
         [F.col("ts").asc(), F.col("event_id").asc()],
+    )
+    # rank functions are INT in Spark, BIGINT in the SQL oracle — align
+    return ranked.select(
+        "event_id", "user_id", "ts", "value",
+        *[F.col(c).cast("long").alias(c) for c in ("row_number", "rank", "dense_rank")],
     )
 
 
