@@ -67,5 +67,10 @@ def encode_df(df: DataFrame, key_col: str | None = None, sep: str = ",") -> Data
 def decode_df(df: DataFrame, schema: T.StructType, value_col: str = "value", sep: str = ",") -> DataFrame:
     """Whole-DataFrame wire decode: parse ``value_col`` and expand to typed
     columns (drops the raw wire column like the reference's ``.drop('value')``,
-    convert-to-elasticsearch.py:115)."""
+    convert-to-elasticsearch.py:115).
+
+    Malformed input never crashes the stream: from_csv is PERMISSIVE, so
+    a corrupt line yields NULL fields — compose with
+    ``operators.relational.drop_nulls`` to quarantine them (the
+    reference's own dropna-before-encode convention)."""
     return df.select(parse_wire(value_col, schema, sep=sep).alias("_w")).select("_w.*")

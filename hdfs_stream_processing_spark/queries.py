@@ -1483,3 +1483,48 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, 0.9)").alias("p90"),
         F.expr("percentile(value, 0.99)").alias("p99"),
     )
+
+
+@query(
+    "stream_wire_ingest",
+    """SELECT event_id, user_id, event_type, value,
+              CASE WHEN value > 75.0 THEN 'high'
+                   WHEN value > 25.0 THEN 'mid'
+                   ELSE 'low' END AS tier
+       FROM events""",
+)
+def q_stream_wire_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's EXACT streaming shape end-to-end: delimited wire
+    strings (the Kafka value format, dataframe_to_kafka.py:74) arrive on
+    a text stream, from_csv decodes them INSIDE the streaming plan
+    (convert-to-elasticsearch.py:107-114's split/cast, as one expression),
+    CASE classifies, availableNow drains.  The identity-plus-CASE oracle
+    proves the full wire → typed → classified streaming path is lossless.
+    """
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from hdfs_stream_processing_spark.functions.wire import decode_df
+    from hdfs_stream_processing_spark.streaming import classify_movement, run_to_memory
+
+    (events,) = prep(spark, sf_dir, "events")
+    wire = events.select(
+        to_wire(
+            [F.col("event_id"), F.col("user_id"), F.col("event_type"), F.col("value")]
+        ).alias("value")
+    )
+    src_dir = tempfile.mkdtemp(prefix="hsp_wire_src_")
+    wire.repartition(4).write.mode("overwrite").text(src_dir)
+
+    stream = spark.readStream.text(src_dir)  # value: string — the Kafka shape
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    typed = decode_df(stream, schema)
+    return run_to_memory(classify_movement(typed))
