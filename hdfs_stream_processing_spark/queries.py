@@ -73,6 +73,13 @@ def prep(spark: SparkSession, sf_dir: str, *tables: str) -> list[DataFrame]:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # perf-only (correctness-neutral) pins for driver-default sessions:
+    # 200 shuffle partitions on a laptop-sized session just adds task
+    # overhead; AQE coalesces whatever is oversized at runtime.
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    if int(spark.conf.get("spark.sql.shuffle.partitions", "200")) > 64:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
     return [load_table(spark, sf_dir, t) for t in tables]
 
 

@@ -75,13 +75,29 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as E
-    from hdfs_stream_processing_spark import get_spark
 
-    spark = get_spark(cpus=16)
+    if vanilla:
+        # driver-style session: none of our confs, hostile timezone —
+        # every query must self-pin its semantics via queries.prep()
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[16]")
+            .config("spark.sql.session.timeZone", "America/New_York")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        from hdfs_stream_processing_spark import get_spark
+
+        spark = get_spark(cpus=16)
     con = duck_connect(sf_dir)
     qs, oracles = E.queries(), E.oracle_sql()
 
