@@ -1544,3 +1544,48 @@ def q_stream_wire_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     typed = decode_df(stream, schema)
     return run_to_memory(classify_movement(typed))
+
+
+@query(
+    "stream_stream_join",
+    """SELECT l.event_id, r.event_id AS r_event_id, l.user_id,
+              date_diff('microsecond', l.ts, r.ts) AS dt_us
+       FROM events l JOIN events r
+         ON l.user_id = r.user_id
+        AND l.event_type = 'click' AND r.event_type = 'purchase'
+        AND abs(date_diff('microsecond', l.ts, r.ts)) <= 120000000""",
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (new vs reference): click and purchase
+    STREAMS joined on user within ±120 s, both sides watermarked state.
+    availableNow over the finite source makes it equal to the batch
+    interval join — the oracle."""
+    from hdfs_stream_processing_spark.streaming import run_to_memory, stream_parquet_source
+    from hdfs_stream_processing_spark.streaming.pipeline import stream_stream_interval_join
+
+    src_dir, schema = _stage_events(spark, sf_dir)
+    clicks = (
+        stream_parquet_source(spark, src_dir, schema)
+        .where(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts")
+    )
+    purchases = (
+        stream_parquet_source(spark, src_dir, schema)
+        .where(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("r_id"), F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts"))
+    )
+    joined = stream_stream_interval_join(
+        clicks.withColumnRenamed("user_id", "user_id"),
+        purchases.withColumnRenamed("r_user", "user_id"),
+        "user_id",
+        left_ts="ts",
+        right_ts="r_ts",
+        max_gap_seconds=120,
+    )
+    out = run_to_memory(joined)
+    return out.select(
+        "event_id",
+        F.col("r_id").alias("r_event_id"),
+        "user_id",
+        (F.unix_micros(F.col("r_ts")) - F.unix_micros(F.col("ts"))).alias("dt_us"),
+    )

@@ -175,3 +175,51 @@ def session_window_agg(
             "sum_value",
         )
     )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_gap_seconds: int = 120,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition —
+    full Structured Streaming state machine: BOTH sides buffered in the
+    state store, watermarks bounding how long (without them the state
+    grows forever; with them rows older than watermark+gap are evicted).
+
+    Equality on ``key`` plus |right_ts − left_ts| ≤ gap.  With
+    availableNow over a finite source the result equals the batch
+    interval join — which is exactly how it is oracle-checked.
+    """
+    gap = f"INTERVAL {max_gap_seconds} SECONDS"
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.expr(f"l.{left_ts} - {gap}"))
+        & (F.col(f"r.{right_ts}") <= F.expr(f"l.{left_ts} + {gap}"))
+    )
+    # drop the right copy of the equi-key: downstream selects would hit
+    # AMBIGUOUS_REFERENCE otherwise
+    return l.join(r, on=cond, how="inner").drop(F.col(f"r.{key}"))
+
+
+def run_foreach_batch(df: DataFrame, batch_fn, checkpoint_dir: str) -> None:
+    """foreachBatch sink: hand each micro-batch to an arbitrary BATCH
+    writer (upserts, multi-sink fan-out, JDBC — anything the streaming
+    sinks don't cover).  ``batch_fn(batch_df, batch_id)`` runs with full
+    batch-API power; exactly-once requires batch_fn to be idempotent on
+    (batch_id) — the checkpoint replays the last uncommitted batch on
+    recovery.
+    """
+    (
+        df.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -115,3 +115,47 @@ def test_kafka_builders_configure_without_broker(spark):
     reader = kafka_stream_source(spark, "localhost:9092", "office_input",
                                  max_offsets_per_trigger=1000)
     assert reader is not None  # configured builder; .load() needs the jar
+
+
+def test_stream_stream_join_equals_batch(spark, staged_events):
+    """Two watermarked streams joined on (key, ±gap) must equal the
+    batch interval join over the same finite data."""
+    from hdfs_stream_processing_spark.operators.temporal import range_join_buckets
+    from hdfs_stream_processing_spark.streaming.pipeline import (
+        stream_stream_interval_join,
+    )
+
+    src_dir, events = staged_events
+    clicks_b = events.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    buys_b = events.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    batch_pairs = {
+        (r["event_id"], r["r_event_id"])
+        for r in range_join_buckets(clicks_b, buys_b, "user_id", "ts", "ts", 120).collect()
+    }
+
+    stream = lambda: stream_parquet_source(spark, src_dir, events.schema)
+    clicks_s = stream().where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    buys_s = (
+        stream().where(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("r_id"), "user_id", F.col("ts").alias("r_ts"))
+    )
+    joined = stream_stream_interval_join(clicks_s, buys_s, "user_id", "ts", "r_ts", 120)
+    out = run_to_memory(joined)
+    stream_pairs = {(r["event_id"], r["r_id"]) for r in out.collect()}
+    assert stream_pairs == batch_pairs and len(batch_pairs) > 0
+
+
+def test_foreach_batch_sink(spark, staged_events, tmp_path):
+    """foreachBatch: every micro-batch reaches the batch writer; total
+    rows written equals the input."""
+    from hdfs_stream_processing_spark.streaming.pipeline import run_foreach_batch
+
+    src_dir, events = staged_events
+    out_dir = str(tmp_path / "fb_out")
+
+    def write_batch(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    stream = stream_parquet_source(spark, src_dir, events.schema, max_files_per_trigger=2)
+    run_foreach_batch(stream, write_batch, str(tmp_path / "fb_ck"))
+    assert spark.read.parquet(out_dir).count() == events.count()
