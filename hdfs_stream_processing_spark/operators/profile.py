@@ -1,0 +1,76 @@
+"""Data profiling + reproducible sampling (training-data pipeline ops).
+
+Profiling answers "what is in this table" in one pass; sampling selects
+reproducible subsets.  Both avoid the classic scale traps:
+
+- the profile is ONE aggregate pass (no per-column jobs, no collect);
+- samples are selected by a deterministic hash predicate, not ``rand()``
+  — the same rows come back on every run, every engine, any partitioning
+  (``TABLESAMPLE``/``rand()`` give neither), and the predicate pushes
+  into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One-pass numeric profile: count/nulls/min/max/exact distinct per
+    column, unpivoted to (column, metric...) rows.  At 100 TB swap
+    count_distinct for approx_count_distinct — exact distinct per column
+    is the one expensive term here."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+        ]
+    wide = df.agg(*aggs)
+    stacks = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__min, {c}__max, {c}__distinct" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stacks}) AS (column, n, n_nulls, min_value, max_value, n_distinct)"
+    )
+
+
+def histogram(df: DataFrame, col: str, bin_width: float) -> DataFrame:
+    """Fixed-width histogram: (bin_start, n).  floor(x / width) keeps the
+    binning exact and engine-portable; one hash aggregate."""
+    bin_id = F.floor(F.col(col) / F.lit(bin_width))
+    return (
+        df.groupBy(bin_id.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select((F.col("bin") * F.lit(bin_width)).alias("bin_start"), "n")
+    )
+
+
+def sample_hash(df: DataFrame, key: str, percent: int, buckets: int = 100) -> Column | DataFrame:
+    """Deterministic ~percent% sample: keep rows whose md5-derived hash
+    bucket of ``key`` falls below the cut.  Reproducible across runs,
+    engines, partitionings; rows are never double-counted or dropped by
+    re-execution (unlike rand()-based sampling under task retries)."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 8), 16, 10).cast("long")
+        % buckets
+    )
+    return df.where(bucket < percent)
+
+
+def sample_stratified(
+    df: DataFrame, strata: list[str], n_per_stratum: int, order: list[Column]
+) -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per group, chosen by a
+    deterministic order (e.g. the hash-of-id for a pseudo-random but
+    reproducible pick).  One window pass; no per-group driver loops."""
+    w = Window.partitionBy(*strata).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )

@@ -1589,3 +1589,84 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.unix_micros(F.col("r_ts")) - F.unix_micros(F.col("ts"))).alias("dt_us"),
     )
+
+
+# ========================================================================
+# Profiling + reproducible sampling
+# ========================================================================
+
+
+@query(
+    "profile_table",
+    """WITH w AS (SELECT
+         COUNT(*) AS a_n, SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS a_nulls,
+         CAST(MIN(value) AS DOUBLE) AS a_min, CAST(MAX(value) AS DOUBLE) AS a_max,
+         COUNT(DISTINCT value) AS a_d,
+         COUNT(*) AS b_n, SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS b_nulls,
+         CAST(MIN(user_id) AS DOUBLE) AS b_min, CAST(MAX(user_id) AS DOUBLE) AS b_max,
+         COUNT(DISTINCT user_id) AS b_d
+       FROM events)
+       SELECT 'value' AS column, a_n AS n, a_nulls AS n_nulls, a_min AS min_value,
+              a_max AS max_value, a_d AS n_distinct FROM w
+       UNION ALL
+       SELECT 'user_id', b_n, b_nulls, b_min, b_max, b_d FROM w""",
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass numeric profile of events (count/nulls/min/max/distinct
+    per column, unpivoted) — the what-is-in-this-table op every pipeline
+    runs first."""
+    from hdfs_stream_processing_spark.operators.profile import profile_numeric
+
+    (events,) = prep(spark, sf_dir, "events")
+    return profile_numeric(events, ["value", "user_id"])
+
+
+@query(
+    "histogram",
+    """SELECT floor(value / 25.0) * 25.0 AS bin_start, COUNT(*) AS n
+       FROM events GROUP BY 1""",
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram — exact, portable binning."""
+    from hdfs_stream_processing_spark.operators.profile import histogram
+
+    (events,) = prep(spark, sf_dir, "events")
+    return histogram(events, "value", 25.0)
+
+
+@query(
+    "sample_hash",
+    """SELECT event_id, user_id, value FROM events
+       WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::UBIGINT::BIGINT % 100 < 10""",
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample by md5 hash bucket of the key —
+    reproducible across engines/runs/partitionings, unlike rand() or
+    TABLESAMPLE (the oracle literally selects the same rows)."""
+    from hdfs_stream_processing_spark.operators.profile import sample_hash
+
+    (events,) = prep(spark, sf_dir, "events")
+    return sample_hash(events.select("event_id", "user_id", "value"), "event_id", 10)
+
+
+@query(
+    "sample_stratified",
+    """SELECT event_id, event_type, value FROM (
+         SELECT event_id, event_type, value,
+                row_number() OVER (PARTITION BY event_type
+                                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+         FROM events) WHERE rn <= 50""",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 50 rows per event_type, picked by deterministic
+    hash-order (pseudo-random but reproducible) — the per-class quota
+    sampler for training-data balancing."""
+    from hdfs_stream_processing_spark.operators.profile import sample_stratified
+
+    (events,) = prep(spark, sf_dir, "events")
+    return sample_stratified(
+        events.select("event_id", "event_type", "value"),
+        ["event_type"],
+        50,
+        [F.md5(F.col("event_id").cast("string")), F.col("event_id")],
+    )
