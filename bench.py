@@ -56,6 +56,9 @@ HEADLINE = [
     "range_join",
     "pivot_wide",
     "percentiles",
+    "stream_wire_ingest",
+    "stream_stream_join",
+    "sample_hash",
 ]
 
 

@@ -246,22 +246,19 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
             "h", F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
         )
     )
-    bit = tok.select(
-        id_col,
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-    ).select(
-        id_col,
-        "bit",
-        # shiftright/shiftleft with a *column* shift amount need expr();
-        # the Python API only takes int literals.
-        (F.expr("shiftright(h, bit) & 1") * 2 - 1).alias("vote"),
+    # bit votes WITHOUT a 32x bit-explode: vote_i = 2*SUM((h>>i)&1) - n,
+    # so one groupBy(doc) with `bits` popcount-style sums replaces
+    # O(tokens*bits) exploded rows; fingerprint assembles from the wide
+    # row in a single projection.
+    counted = tok.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(F.expr(f"shiftright(h, {i}) & 1")).alias(f"b{i}")
+            for i in range(bits)
+        ],
     )
-    votes = bit.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
-    return votes.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
+    fingerprint = " + ".join(
+        f"(CASE WHEN 2 * b{i} > _n THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(bits)
     )
+    return counted.selectExpr(id_col, f"({fingerprint}) AS simhash")
