@@ -1670,3 +1670,95 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         50,
         [F.md5(F.col("event_id").cast("string")), F.col("event_id")],
     )
+
+
+# ========================================================================
+# max_by/min_by, ordered string_agg, cube, time-range window frames
+# ========================================================================
+
+
+@query(
+    "minmax_by",
+    """SELECT user_id,
+              arg_max(event_id, CAST(round(value*100.0,0) AS BIGINT) * 100000 + event_id) AS best_event,
+              arg_min(event_id, CAST(round(value*100.0,0) AS BIGINT) * 100000 + event_id) AS worst_event
+       FROM events GROUP BY user_id""",
+)
+def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-max/arg-min per group (max_by/min_by): the event with the
+    highest/lowest value per user.  The ordering key packs exact cents
+    with the unique event_id (cents*1e5 + id) so ties are impossible —
+    bare max_by on a double with duplicate values is engine-arbitrary."""
+    (events,) = prep(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * F.lit(100.0), 0).cast("long")
+    ordk = cents * F.lit(100000) + F.col("event_id")
+    return events.groupBy("user_id").agg(
+        F.max_by("event_id", ordk).alias("best_event"),
+        F.min_by("event_id", ordk).alias("worst_event"),
+    )
+
+
+@query(
+    "string_agg_sorted",
+    """SELECT user_id % 10 AS cohort,
+              string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
+       FROM events GROUP BY user_id % 10""",
+)
+def q_string_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: sorted-distinct concatenation per
+    group — deterministic despite collect_list's arbitrary order because
+    the sort happens after collection."""
+    (events,) = prep(spark, sf_dir, "events")
+    return events.groupBy((F.col("user_id") % 10).alias("cohort")).agg(
+        F.concat_ws(",", F.array_sort(F.array_distinct(F.collect_list("event_type")))).alias(
+            "types"
+        )
+    )
+
+
+@query(
+    "cube_agg",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+       FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+)
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (every key combination + totals) — one
+    Expand + hash-aggregate pass, like rollup."""
+    (lineitem,) = prep(spark, sf_dir, "lineitem")
+    return lineitem.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "window_time_range",
+    """SELECT event_id, user_id, ts,
+              COUNT(*) OVER w AS n_10min,
+              CAST(SUM(CAST(round(value*100.0,0) AS BIGINT)) OVER w AS DOUBLE) / 100.0 AS sum_10min
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                    RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)""",
+)
+def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: trailing-10-minute count/sum per
+    user — the sliding-metric shape (rate limiting, rolling load).  The
+    frame is anchored on integer epoch-µs in BOTH engines: Spark's
+    rangeBetween needs a numeric ordering key, and a naive
+    ts.cast('long') would truncate to seconds and silently widen the
+    frame."""
+    from pyspark.sql import Window
+
+    (events,) = prep(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-600_000_000, 0)
+    )
+    cents = F.round(F.col("value") * F.lit(100.0), 0).cast("long")
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_10min"),
+        (F.sum(cents).over(w).cast("double") / F.lit(100.0)).alias("sum_10min"),
+    )
