@@ -1762,3 +1762,80 @@ def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_10min"),
         (F.sum(cents).over(w).cast("double") / F.lit(100.0)).alias("sum_10min"),
     )
+
+
+# ========================================================================
+# Iterative: connected components over near-dup pairs → cluster dedup
+# ========================================================================
+
+_PAIRS_SQL = f"""WITH RECURSIVE {_MINHASH_SQL_BASE},
+       banded AS (SELECT doc_id, CAST(floor(seed / 2.0) AS INT) AS band, minhash FROM sig),
+       band_sig AS (SELECT doc_id, band,
+                           md5(array_to_string(list_sort(list(minhash)), ',')) AS band_hash
+                    FROM banded GROUP BY doc_id, band),
+       pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM band_sig a JOIN band_sig b USING (band, band_hash)
+                 WHERE a.doc_id < b.doc_id)"""
+
+
+@query(
+    "dedup_clusters",
+    f"""{_PAIRS_SQL},
+       edges(u, v) AS (SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+       reach(id, r) AS (
+         SELECT u, u FROM edges
+         UNION
+         SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id)
+       SELECT id, MIN(r) AS component FROM reach GROUP BY id""",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH candidate pairs: every
+    near-dup doc labeled with its duplicate cluster (min member id).
+    Iterative min-label propagation with a driver convergence loop
+    (operators/graph.py) — the oracle is a recursive CTE computing the
+    same fixpoint, so even the ITERATIVE algorithm is hash-checked."""
+    from hdfs_stream_processing_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature_wide,
+    )
+    from hdfs_stream_processing_spark.operators.graph import connected_components
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    sig = minhash_signature_wide(documents, "doc_id", "text", num_hashes=8, shingle_n=2)
+    pairs = lsh_candidate_pairs(sig, "doc_id", num_hashes=8, band_size=2, wide=True)
+    return connected_components(pairs)
+
+
+@query(
+    "dedup_keep",
+    f"""{_PAIRS_SQL},
+       edges(u, v) AS (SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+       reach(id, r) AS (
+         SELECT u, u FROM edges
+         UNION
+         SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+       comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+       SELECT d.doc_id, d.lang, d.source FROM documents d
+       LEFT JOIN comp ON d.doc_id = comp.id
+       WHERE comp.id IS NULL OR d.doc_id = comp.component""",
+)
+def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup: pairs → components → one surviving
+    representative (min id) per cluster, non-duplicates untouched.  The
+    complete production dedup pipeline as one checked query."""
+    from hdfs_stream_processing_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature_wide,
+    )
+    from hdfs_stream_processing_spark.operators.graph import (
+        cluster_representatives,
+        connected_components,
+    )
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    sig = minhash_signature_wide(documents, "doc_id", "text", num_hashes=8, shingle_n=2)
+    pairs = lsh_candidate_pairs(sig, "doc_id", num_hashes=8, band_size=2, wide=True)
+    comp = connected_components(pairs)
+    return cluster_representatives(
+        documents.select("doc_id", "lang", "source"), comp, "doc_id"
+    )

@@ -200,3 +200,25 @@ def test_numpy_topk_agrees_with_exact(spark):
         for q in {r["query_id"] for r in rows}
     }
     assert by_q(exact) == by_q(fast)
+
+
+def test_connected_components_and_representatives(spark):
+    from hdfs_stream_processing_spark.operators.graph import (
+        cluster_representatives,
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a bigint, id_b bigint"
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+    docs = spark.createDataFrame(
+        [(i, f"doc{i}") for i in (1, 2, 3, 5, 6, 9)], "doc_id bigint, text string"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in cluster_representatives(docs, connected_components(edges), "doc_id").collect()
+    )
+    assert kept == [1, 5, 9]  # cluster mins survive; untouched 9 passes through
