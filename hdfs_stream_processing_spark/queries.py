@@ -64,6 +64,25 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _conf_override(spark: SparkSession, key: str, value: str):
+    """Temporarily override a runtime SQL conf (restored after).  Used to
+    right-size STATE partitions for stateful streaming queries: state
+    stores cost per-partition overhead, streaming ops cannot
+    AQE-coalesce, and the right count tracks keyed-state volume — small
+    here, thousands at 100 TB."""
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if old is not None:
+            spark.conf.set(key, old)
+
+
 def prep(spark: SparkSession, sf_dir: str, *tables: str) -> list[DataFrame]:
     """Pin session semantics (driver sessions are not ours) and load tables.
 
@@ -1234,7 +1253,8 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir, schema = _stage_events(spark, sf_dir)
     stream = stream_parquet_source(spark, src_dir, schema, max_files_per_trigger=2)
     totals = running_totals_per_key(stream.select("user_id", "value"))
-    return run_to_memory(totals, output_mode="append")
+    with _conf_override(spark, "spark.sql.shuffle.partitions", "8"):
+        return run_to_memory(totals, output_mode="append")
 
 
 # ========================================================================
@@ -1582,7 +1602,10 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="r_ts",
         max_gap_seconds=120,
     )
-    out = run_to_memory(joined)
+    # two-sided state: 8 state partitions halve wall time at this keyed-
+    # state volume (conf read at stream start, restored after)
+    with _conf_override(spark, "spark.sql.shuffle.partitions", "8"):
+        out = run_to_memory(joined)
     return out.select(
         "event_id",
         F.col("r_id").alias("r_event_id"),
