@@ -115,3 +115,61 @@ def extract_features(
             )
 
     return df.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id bigint, frame_idx bigint, frame_md5 string"
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_size: int = 64,
+    stride: int = 64,
+) -> DataFrame:
+    """Frame sampling over binary payloads (the video-pipeline stage):
+    slice each payload into fixed-size byte windows at ``stride`` and
+    emit one row per frame with its digest.
+
+    This stage is fully REAL (byte slicing needs no codec): Arrow binary
+    batches in, per-frame rows out, ~payload/stride amplification
+    declared to the optimizer by the schema.  A real video stage swaps
+    byte windows for container-aware frame extraction; the batching,
+    schema, and fan-out shape are identical.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, digests = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                n_frames = max(0, (len(b) - frame_size) // stride + 1)
+                for k in range(n_frames):
+                    ids.append(int(doc_id))
+                    idxs.append(k)
+                    digests.append(hashlib.md5(b[k * stride : k * stride + frame_size]).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_md5": digests}
+            )
+
+    return df.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
+def resize_image(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload",
+                 max_side: int = 256) -> DataFrame:
+    """Image resize stage — STUB (no codec in this container), same
+    mapInPandas shape as decode_image; with PIL present the body becomes
+    thumbnail((max_side, max_side)) + re-encode."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            import PIL.Image  # noqa: F401
+        except ImportError as exc:  # pragma: no cover
+            raise NotImplementedError(
+                "image resize requires PIL/opencv, not present here; "
+                "sample_frames exercises the same fan-out plumbing"
+            ) from exc
+        for pdf in batches:  # pragma: no cover
+            raise NotImplementedError("real resize goes here")
+
+    return df.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)

@@ -1862,3 +1862,27 @@ def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_representatives(
         documents.select("doc_id", "lang", "source"), comp, "doc_id"
     )
+
+
+@query(
+    "multimodal_frames",
+    """SELECT doc_id, frame_idx,
+              md5(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame_md5
+       FROM (SELECT doc_id, text,
+                    unnest(generate_series(0, CAST(floor((length(text) - 64) / 64.0) AS BIGINT))) AS frame_idx
+             FROM documents WHERE length(text) >= 64)""",
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads (video-stage plumbing): 64-byte
+    windows at stride 64, one digest row per frame via mapInPandas.  The
+    payload is the utf-8 text (pure ASCII), so the oracle reproduces each
+    frame digest with md5 of the corresponding text substring."""
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        attach_payload,
+        sample_frames,
+    )
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    return sample_frames(
+        attach_payload(documents, "doc_id", "text"), frame_size=64, stride=64
+    )

@@ -222,3 +222,21 @@ def test_connected_components_and_representatives(spark):
         for r in cluster_representatives(docs, connected_components(edges), "doc_id").collect()
     )
     assert kept == [1, 5, 9]  # cluster mins survive; untouched 9 passes through
+
+
+def test_sample_frames_and_resize_stub(spark):
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        attach_payload,
+        resize_image,
+        sample_frames,
+    )
+
+    df = attach_payload(_docs(spark, [(1, "a" * 10)]), "doc_id", "text")
+    frames = sample_frames(df, frame_size=4, stride=3).collect()
+    # 10 bytes, size 4, stride 3 -> offsets 0,3,6 (9 would overrun)
+    assert [r["frame_idx"] for r in sorted(frames, key=lambda r: r["frame_idx"])] == [0, 1, 2]
+    assert frames[0]["frame_md5"] == hashlib.md5(b"aaaa").hexdigest()
+
+    with pytest.raises(Exception) as ei:
+        resize_image(df).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)
