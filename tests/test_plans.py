@@ -96,3 +96,34 @@ def physical_plan_excerpt(df):
     from hdfs_stream_processing_spark.plans import physical_plan
 
     return physical_plan(df)[:2000]
+
+
+SHUFFLE_BUDGETS = {
+    # query -> max allowed shuffle exchanges (the scale contract: a
+    # regression that adds a shuffle to any of these breaks the test
+    # before it breaks a 100 TB run)
+    "multi_join": 1,       # dims broadcast; only the final agg exchanges
+    "group_agg": 1,
+    "rollup_agg": 1,
+    "window_rank": 1,
+    "window_running": 1,
+    "top_k": 0,            # TakeOrderedAndProject, no exchange
+    "case_when": 0,        # narrow map-only
+    "parse_wire": 0,
+    "union_rooms": 0,
+    "text_stats": 0,
+    "doc_fingerprint": 0,
+    "sample_hash": 0,      # hash predicate pushes into the scan
+    "dedup_near": 3,       # repartition + min-agg + candidate distinct
+    "asof_join": 1,        # the single window partitioning
+}
+
+
+def test_shuffle_budgets(spark):
+    over = {}
+    for name, budget in SHUFFLE_BUDGETS.items():
+        df = Q.QUERIES[name](spark, SF_DIR)
+        n = count_shuffles(df)
+        if n > budget:
+            over[name] = (n, budget)
+    assert not over, f"shuffle budget exceeded: {over}"
