@@ -135,16 +135,23 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Token counting: whitespace words + a BPE-ish subword estimate
-    (ceil(chars/4), the common ~4-chars-per-token rule) — both exact
-    integer math."""
+    """Token counting: whitespace words, a whole-text chars/4 estimate,
+    and a BPE-ish subword count (each word contributes ceil(len/4)
+    pieces — word boundaries never merge into one token, like real BPE
+    with end-of-word markers).  All exact integer math."""
     toks = tokens(text_col)
+    subwords = F.aggregate(
+        F.transform(toks, lambda t: F.floor((F.length(t) + F.lit(3)) / F.lit(4.0)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     return df.select(
         F.col(id_col),
         F.size(toks).cast("long").alias("n_words"),
         # floor() explicitly: a bare cast truncates in Spark but ROUNDS in
         # DuckDB — floor pins identical semantics in both engines.
         F.floor((F.length(text_col) + F.lit(3)) / F.lit(4.0)).cast("long").alias("n_tokens_est"),
+        subwords.alias("n_subtokens"),
     )
 
 

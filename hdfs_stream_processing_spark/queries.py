@@ -671,11 +671,14 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_count",
     """SELECT doc_id,
               len(string_split(lower(text), ' ')) AS n_words,
-              CAST(floor((length(text) + 3) / 4.0) AS BIGINT) AS n_tokens_est
+              CAST(floor((length(text) + 3) / 4.0) AS BIGINT) AS n_tokens_est,
+              CAST(list_sum(list_transform(string_split(lower(text), ' '),
+                   t -> CAST(floor((length(t) + 3) / 4.0) AS BIGINT))) AS BIGINT) AS n_subtokens
        FROM documents""",
 )
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting (N5): words + BPE-ish chars/4 estimate."""
+    """Token counting (N5): words + chars/4 estimate + BPE-ish per-word
+    subword chunks (ceil(len/4) per word)."""
     from hdfs_stream_processing_spark.operators.text import token_count
 
     (documents,) = prep(spark, sf_dir, "documents")
