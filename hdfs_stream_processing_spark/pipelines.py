@@ -24,7 +24,7 @@ views, no 255 scan jobs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from hdfs_stream_processing_spark.functions.timefn import epoch_to_ts
@@ -32,7 +32,6 @@ from hdfs_stream_processing_spark.operators.relational import (
     add_lit,
     case_when,
     drop_nulls,
-    multi_join,
     sort_by,
     union_by_name,
 )
@@ -62,12 +61,9 @@ def align_room(narrow: list[DataFrame], room: str) -> DataFrame:
     """The core reference semantic: align N co-keyed narrow streams with
     chained inner equi-joins on the timestamp key
     (spark_transforming.py:97-113), then tag the room (:114)."""
-    keys = [("ts_min_bignt", "ts_min_bignt")] * (len(narrow) - 1)
     acc = narrow[0]
     for right in narrow[1:]:
-        metric = [c for c in right.columns if c != "ts_min_bignt"][0]
         acc = acc.join(right, on="ts_min_bignt", how="inner")
-        _ = metric
     return add_lit(acc, "room", room)
 
 

@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hdfs_stream_processing_spark.functions.timefn import epoch_to_ts, ts_to_string
-from hdfs_stream_processing_spark.functions.wire import parse_wire, to_wire
+from hdfs_stream_processing_spark.functions.wire import to_wire
 from hdfs_stream_processing_spark.operators import (
     add_lit,
     case_when,
