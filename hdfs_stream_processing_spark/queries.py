@@ -66,6 +66,18 @@ def query(name: str, oracle: str | None = None):
 
 from contextlib import contextmanager
 
+def _mkdtemp(prefix: str) -> str:
+    """Scratch dirs under the repo (driver policy: never write outside
+    /root/repo; the system /tmp is not ours)."""
+    import tempfile
+    import os
+
+    base = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp")
+    os.makedirs(base, exist_ok=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
+
 
 @contextmanager
 def _conf_override(spark: SparkSession, key: str, value: str):
@@ -915,15 +927,13 @@ def _stage_events(spark: SparkSession, sf_dir: str, copies: int = 1, n_files: in
     source — identical downstream plan (SURVEY §5).  Memoized per
     (sf_dir, copies): repeated calls (bench min-of-2, multiple stream
     queries) reuse the staged directory."""
-    import tempfile
-
     from pyspark.sql import types as T  # noqa: F401
 
     key = (sf_dir, copies, n_files)
     (events,) = prep(spark, sf_dir, "events")
     if key in _STAGE_CACHE:
         return _STAGE_CACHE[key], events.schema
-    stage_dir = tempfile.mkdtemp(prefix="hsp_stream_src_")
+    stage_dir = _mkdtemp("hsp_stream_src_")
     for i in range(copies):
         events.repartition(n_files).write.mode("append").parquet(stage_dir)
     _STAGE_CACHE[key] = stage_dir
@@ -1117,15 +1127,13 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     inferSchema jobs, utils/spark_transforming.py:71-88).  The identity
     oracle proves the CSV round-trip is lossless (doubles via shortest
     round-trip repr)."""
-    import tempfile
-
     from pyspark.sql import types as T
 
     from hdfs_stream_processing_spark.sources.io import scan_csv_dir
 
     (events,) = prep(spark, sf_dir, "events")
     src = events.select("event_id", "user_id", "event_type", "value")
-    csv_dir = tempfile.mkdtemp(prefix="hsp_csv_src_")
+    csv_dir = _mkdtemp("hsp_csv_src_")
     src.repartition(4).write.mode("overwrite").option("header", "true").csv(csv_dir)
     schema = T.StructType(
         [
@@ -1147,12 +1155,10 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     utils/spark_transforming.py:162).  partitionBy(event_type) is the
     layout choice that replaces the reference's global pre-write sort:
     partition pruning on read instead of a range shuffle on write."""
-    import tempfile
-
     from hdfs_stream_processing_spark.sources.io import write_parquet
 
     (events,) = prep(spark, sf_dir, "events")
-    out = tempfile.mkdtemp(prefix="hsp_sink_")
+    out = _mkdtemp("hsp_sink_")
     write_parquet(
         events.select("event_id", "ts", "user_id", "event_type", "value"),
         out,
@@ -1540,8 +1546,6 @@ def q_stream_wire_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     CASE classifies, availableNow drains.  The identity-plus-CASE oracle
     proves the full wire → typed → classified streaming path is lossless.
     """
-    import tempfile
-
     from pyspark.sql import types as T
 
     from hdfs_stream_processing_spark.functions.wire import decode_df
@@ -1553,7 +1557,7 @@ def q_stream_wire_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             [F.col("event_id"), F.col("user_id"), F.col("event_type"), F.col("value")]
         ).alias("value")
     )
-    src_dir = tempfile.mkdtemp(prefix="hsp_wire_src_")
+    src_dir = _mkdtemp("hsp_wire_src_")
     wire.repartition(4).write.mode("overwrite").text(src_dir)
 
     stream = spark.readStream.text(src_dir)  # value: string — the Kafka shape
