@@ -14,10 +14,11 @@ Scale design — the part that matters at 100 TB:
 - **SimHash**: one 32-bit fingerprint per doc via weighted bit votes;
   near-dup candidates come from equality on fingerprint prefixes.
 
-All hashing is md5-derived (``h_seed(x) = int(md5(seed:x)[:8], 16)``):
-md5 is identical in every engine, so even the MinHash signatures are
-bit-for-bit oracle-checkable in DuckDB — unusual for a MinHash
-implementation and deliberate here.
+All hashing is md5-derived (hash s of a shingle = 32-bit hex window
+``s % 4`` of ``md5(f"{s // 4}:{shingle}")`` — four hash functions per
+digest): md5 is identical in every engine, so even the MinHash
+signatures are bit-for-bit oracle-checkable in DuckDB — unusual for a
+MinHash implementation and deliberate here.
 """
 
 from __future__ import annotations
@@ -112,10 +113,20 @@ def minhash_signature_wide(
     n_parts = df.sparkSession.sparkContext.defaultParallelism
     df = df.repartition(n_parts, F.col(id_col))
     sh = shingle_rows(df, id_col, text_col, shingle_n, distinct=False)
+    # one 128-bit md5 yields FOUR 32-bit hash functions (disjoint hex
+    # windows) - ceil(k/4) digests per shingle instead of k
     hashed = sh.select(
         id_col,
         *[
-            F.conv(F.substring(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle"))), 1, 8), 16, 10)
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{s // 4}:"), F.col("shingle"))),
+                    1 + (s % 4) * 8,
+                    8,
+                ),
+                16,
+                10,
+            )
             .cast("long")
             .alias(f"h{s}")
             for s in range(num_hashes)

@@ -756,7 +756,8 @@ _MINHASH_SQL_BASE = """
                                         i -> array_to_string(ts[i:i+1], ' '))) AS shingle
            FROM toks)),
   hashed AS (SELECT doc_id, seed,
-                    ('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || shingle), 1, 8))::UBIGINT::BIGINT AS h
+                    ('0x' || substr(md5(CAST(CAST(floor(seed / 4) AS INT) AS VARCHAR) || ':' || shingle),
+                                    1 + CAST(seed % 4 AS INT) * 8, 8))::UBIGINT::BIGINT AS h
              FROM sh, generate_series(0, 7) g(seed)),
   sig AS (SELECT doc_id, seed, MIN(h) AS minhash FROM hashed GROUP BY doc_id, seed)
 """
