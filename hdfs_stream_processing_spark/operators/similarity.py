@@ -59,16 +59,20 @@ def similarity_topk(
 
     The query side is broadcast (it is the small side by construction);
     the corpus is scanned once — no shuffle until the final per-query
-    top-k window, which is partitioned by query id.
+    top-k window, which is partitioned by query id.  Norms are
+    precomputed per VECTOR, so each pair costs one dot product, not
+    three (same expression tree → identical doubles).
     """
     q = embeddings.where(queries_filter) if queries_filter is not None else embeddings
     q = q.select(F.col(id_col).alias("query_id"), quantized(vec_col).alias("qv"))
+    q = q.withColumn("qn", F.sqrt(dot_q(F.col("qv"), F.col("qv")).cast("double")))
     c = embeddings.select(F.col(id_col).alias("neighbor_id"), quantized(vec_col).alias("cv"))
+    c = c.withColumn("cn", F.sqrt(dot_q(F.col("cv"), F.col("cv")).cast("double")))
     pairs = F.broadcast(q).crossJoin(c).where(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        cosine_q(F.col("qv"), F.col("cv")).alias("cosine"),
+        (dot_q(F.col("qv"), F.col("cv")).cast("double") / (F.col("qn") * F.col("cn"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -134,17 +138,20 @@ def lsh_bucket_topk(
     with_sig = with_q.select(
         id_col,
         "qv",
+        F.sqrt(dot_q(F.col("qv"), F.col("qv")).cast("double")).alias("qn"),
         hyperplane_signature("qv", num_planes, dims).alias("sig"),
     ).withColumn("bucket", F.concat_ws("", F.col("sig")))
     a = with_sig.select(
-        F.col(id_col).alias("query_id"), F.col("qv").alias("qa"), "bucket"
+        F.col(id_col).alias("query_id"), F.col("qv").alias("qa"), F.col("qn").alias("na"), "bucket"
     )
     b = with_sig.select(
-        F.col(id_col).alias("neighbor_id"), F.col("qv").alias("qb"), "bucket"
+        F.col(id_col).alias("neighbor_id"), F.col("qv").alias("qb"), F.col("qn").alias("nb"), "bucket"
     )
     pairs = a.join(b, "bucket").where(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
-        "query_id", "neighbor_id", cosine_q(F.col("qa"), F.col("qb")).alias("cosine")
+        "query_id",
+        "neighbor_id",
+        (dot_q(F.col("qa"), F.col("qb")).cast("double") / (F.col("na") * F.col("nb"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (

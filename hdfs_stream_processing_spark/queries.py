@@ -1188,13 +1188,24 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     is keyed, the cosine exact, the result oracle-checkable."""
     from hdfs_stream_processing_spark.operators.similarity import cosine_q, quantized
 
+    from hdfs_stream_processing_spark.operators.similarity import dot_q
+
     (embeddings,) = prep(spark, sf_dir, "embeddings")
     q = embeddings.select("vec_id", "label", quantized("embedding").alias("qv"))
-    a = q.select(F.col("vec_id").alias("id_a"), F.col("label"), F.col("qv").alias("qa"))
-    b = q.select(F.col("vec_id").alias("id_b"), F.col("label"), F.col("qv").alias("qb"))
+    q = q.withColumn("qn", F.sqrt(dot_q(F.col("qv"), F.col("qv")).cast("double")))
+    a = q.select(
+        F.col("vec_id").alias("id_a"), F.col("label"), F.col("qv").alias("qa"), F.col("qn").alias("na")
+    )
+    b = q.select(
+        F.col("vec_id").alias("id_b"), F.col("label"), F.col("qv").alias("qb"), F.col("qn").alias("nb")
+    )
     pairs = a.join(b, "label").where(F.col("id_a") < F.col("id_b"))
     return (
-        pairs.select("id_a", "id_b", cosine_q(F.col("qa"), F.col("qb")).alias("cosine"))
+        pairs.select(
+            "id_a",
+            "id_b",
+            (dot_q(F.col("qa"), F.col("qb")).cast("double") / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
         .where(F.col("cosine") >= 0.3)
     )
 
