@@ -1905,3 +1905,42 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(
         attach_payload(documents, "doc_id", "text"), frame_size=64, stride=64
     )
+
+
+# ========================================================================
+# Additional source formats: JSON lines, ORC
+# ========================================================================
+
+
+@query("scan_json", "SELECT event_id, user_id, event_type, value FROM events")
+def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines scan with a declared schema (no inference pass): events
+    staged as JSONL, read back in one scan.  Identity oracle proves the
+    JSON round-trip is lossless (doubles via shortest round-trip repr)."""
+    from pyspark.sql import types as T
+
+    (events,) = prep(spark, sf_dir, "events")
+    src = events.select("event_id", "user_id", "event_type", "value")
+    json_dir = _mkdtemp("hsp_json_src_")
+    src.repartition(4).write.mode("overwrite").json(json_dir)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    return spark.read.schema(schema).json(json_dir)
+
+
+@query("scan_orc", "SELECT event_id, ts, user_id, event_type, value FROM events")
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC scan: events staged as ORC (the other columnar format with
+    predicate pushdown + column pruning), read back.  Identity oracle —
+    including µs timestamps."""
+    (events,) = prep(spark, sf_dir, "events")
+    src = events.select("event_id", "ts", "user_id", "event_type", "value")
+    orc_dir = _mkdtemp("hsp_orc_src_")
+    src.repartition(4).write.mode("overwrite").orc(orc_dir)
+    return spark.read.orc(orc_dir)
