@@ -102,27 +102,45 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+#: Characteristic character bigrams per language (tiny profiles — a real
+#: pipeline swaps in learned n-gram frequency tables; the engine contract
+#: is the SHAPE: one narrow pass, built-in array ops, no UDF).
+LANG_BIGRAMS = {
+    "en": ["th", "he", "an", "in", "er"],
+    "fr": ["le", "es", "de", "en", "ou"],
+    "de": ["ch", "ei", "de", "en", "er"],
+    "es": ["os", "de", "la", "el", "en"],
+}
+
+
+def char_bigrams(col: Column | str) -> Column:
+    """All character bigrams of the text (the n-gram basis for the
+    language heuristic)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.expr(
+        f"transform(sequence(1, greatest(length({c._jc.toString() if not isinstance(col, str) else col}), 2) - 1),"
+        f" i -> substring({c._jc.toString() if not isinstance(col, str) else col}, i, 2))"
+    )
+
+
 def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Heuristic language ID: classify by marker-token hit rates.
-
-    A real pipeline plugs a model in here; the engine-level contract is
-    the *shape* — per-doc marker ratios via built-in array ops (no UDF),
-    a CASE over them, one narrow pass.
+    """Character-n-gram language ID: score each language by the fraction
+    of the document's char bigrams that appear in that language's
+    profile; CASE over the scores.  One narrow pass, exact-int ratios.
     """
-    toks = tokens(text_col)
-    n_words = F.size(toks)
+    with_bg = df.select(
+        F.col(id_col), char_bigrams(F.lower(F.col(text_col))).alias("_bg")
+    )
+    n_bg = F.size(F.col("_bg"))
 
-    def ratio(words: list[str]) -> Column:
-        arr = F.array(*[F.lit(w) for w in words])
-        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast(
-            "double"
-        ) / n_words.cast("double")
+    def ratio(lang: str) -> Column:
+        arr = F.array(*[F.lit(b) for b in LANG_BIGRAMS[lang]])
+        return F.size(
+            F.filter(F.col("_bg"), lambda b: F.array_contains(arr, b))
+        ).cast("double") / n_bg.cast("double")
 
-    en = ratio(["the", "a", "of", "and", "is"])
-    fr = ratio(["le", "la", "et", "est", "de"])
-    de = ratio(["der", "die", "das", "und", "ist"])
-    es = ratio(["el", "los", "y", "es", "de"])
-    return df.select(
+    en, fr, de, es = ratio("en"), ratio("fr"), ratio("de"), ratio("es")
+    return with_bg.select(
         F.col(id_col),
         F.when((en >= fr) & (en >= de) & (en >= es) & (en > 0), "en")
         .when((fr >= de) & (fr >= es) & (fr > 0), "fr")

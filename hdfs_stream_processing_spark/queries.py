@@ -651,17 +651,18 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "lang_id",
-    """WITH r AS (
+    """WITH bg AS (
          SELECT doc_id,
-           CAST(len(list_filter(string_split(lower(text),' '), t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
-             / CAST(len(string_split(lower(text),' ')) AS DOUBLE) AS en,
-           CAST(len(list_filter(string_split(lower(text),' '), t -> t IN ('le','la','et','est','de'))) AS DOUBLE)
-             / CAST(len(string_split(lower(text),' ')) AS DOUBLE) AS fr,
-           CAST(len(list_filter(string_split(lower(text),' '), t -> t IN ('der','die','das','und','ist'))) AS DOUBLE)
-             / CAST(len(string_split(lower(text),' ')) AS DOUBLE) AS de,
-           CAST(len(list_filter(string_split(lower(text),' '), t -> t IN ('el','los','y','es','de'))) AS DOUBLE)
-             / CAST(len(string_split(lower(text),' ')) AS DOUBLE) AS es
-         FROM documents)
+                list_transform(generate_series(1, greatest(length(lower(text)), 2) - 1),
+                               i -> substr(lower(text), CAST(i AS INT), 2)) AS b
+         FROM documents),
+       r AS (
+         SELECT doc_id,
+           CAST(len(list_filter(b, x -> x IN ('th','he','an','in','er'))) AS DOUBLE) / CAST(len(b) AS DOUBLE) AS en,
+           CAST(len(list_filter(b, x -> x IN ('le','es','de','en','ou'))) AS DOUBLE) / CAST(len(b) AS DOUBLE) AS fr,
+           CAST(len(list_filter(b, x -> x IN ('ch','ei','de','en','er'))) AS DOUBLE) / CAST(len(b) AS DOUBLE) AS de,
+           CAST(len(list_filter(b, x -> x IN ('os','de','la','el','en'))) AS DOUBLE) / CAST(len(b) AS DOUBLE) AS es
+         FROM bg)
        SELECT doc_id,
               CASE WHEN en >= fr AND en >= de AND en >= es AND en > 0 THEN 'en'
                    WHEN fr >= de AND fr >= es AND fr > 0 THEN 'fr'
@@ -672,7 +673,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
        FROM r""",
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language ID (N5) — marker-token hit rates, no UDF."""
+    """Character-n-gram language ID (N5): profile-bigram hit rates."""
     from hdfs_stream_processing_spark.operators.text import lang_id
 
     (documents,) = prep(spark, sf_dir, "documents")
