@@ -1268,7 +1268,8 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     per-user running totals that survive micro-batch boundaries.  Emits
     one row per key per batch; the final row per key equals the batch
-    aggregate (asserted in tests/test_streaming.py)."""
+    aggregate (asserted in tests/test_streaming.py).  Emission count
+    depends on micro-batch boundaries → rows-only check by design."""
     from hdfs_stream_processing_spark.operators.stateful import running_totals_per_key
     from hdfs_stream_processing_spark.streaming import run_to_memory, stream_parquet_source
 
@@ -1336,7 +1337,8 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("similarity_ivf")  # approximate-recall path → rows-only, by design
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN (N1 alternative scale path to LSH): coarse cells
-    + nprobe search + exact in-cell re-rank."""
+    + nprobe search + exact in-cell re-rank.  Approximate recall →
+    rows-only check by design."""
     from hdfs_stream_processing_spark.operators.similarity import ivf_topk
 
     (embeddings,) = prep(spark, sf_dir, "embeddings")
