@@ -66,15 +66,22 @@ def query(name: str, oracle: str | None = None):
 
 from contextlib import contextmanager
 
-def _mkdtemp(prefix: str) -> str:
+def _mkdtemp(prefix: str, memo_key: str | None = None) -> str:
     """Scratch dirs under the repo (driver policy: never write outside
-    /root/repo; the system /tmp is not ours)."""
+    /root/repo; the system /tmp is not ours).  With ``memo_key`` the dir
+    is memoized per (prefix, key): repeated staging of the same source
+    data reuses one directory instead of accumulating copies."""
     import tempfile
     import os
 
+    if memo_key is not None and (prefix, memo_key) in _STAGE_CACHE:
+        return _STAGE_CACHE[(prefix, memo_key)]
     base = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp")
     os.makedirs(base, exist_ok=True)
-    return tempfile.mkdtemp(prefix=prefix, dir=base)
+    d = tempfile.mkdtemp(prefix=prefix, dir=base)
+    if memo_key is not None:
+        _STAGE_CACHE[(prefix, memo_key)] = d
+    return d
 
 
 
@@ -1135,7 +1142,7 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (events,) = prep(spark, sf_dir, "events")
     src = events.select("event_id", "user_id", "event_type", "value")
-    csv_dir = _mkdtemp("hsp_csv_src_")
+    csv_dir = _mkdtemp("hsp_csv_src_", sf_dir)
     src.repartition(4).write.mode("overwrite").option("header", "true").csv(csv_dir)
     schema = T.StructType(
         [
@@ -1572,7 +1579,7 @@ def q_stream_wire_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             [F.col("event_id"), F.col("user_id"), F.col("event_type"), F.col("value")]
         ).alias("value")
     )
-    src_dir = _mkdtemp("hsp_wire_src_")
+    src_dir = _mkdtemp("hsp_wire_src_", sf_dir)
     wire.repartition(4).write.mode("overwrite").text(src_dir)
 
     stream = spark.readStream.text(src_dir)  # value: string — the Kafka shape
@@ -1924,7 +1931,7 @@ def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (events,) = prep(spark, sf_dir, "events")
     src = events.select("event_id", "user_id", "event_type", "value")
-    json_dir = _mkdtemp("hsp_json_src_")
+    json_dir = _mkdtemp("hsp_json_src_", sf_dir)
     src.repartition(4).write.mode("overwrite").json(json_dir)
     schema = T.StructType(
         [
@@ -1944,6 +1951,6 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     including µs timestamps."""
     (events,) = prep(spark, sf_dir, "events")
     src = events.select("event_id", "ts", "user_id", "event_type", "value")
-    orc_dir = _mkdtemp("hsp_orc_src_")
+    orc_dir = _mkdtemp("hsp_orc_src_", sf_dir)
     src.repartition(4).write.mode("overwrite").orc(orc_dir)
     return spark.read.orc(orc_dir)
