@@ -1954,3 +1954,46 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     orc_dir = _mkdtemp("hsp_orc_src_", sf_dir)
     src.repartition(4).write.mode("overwrite").orc(orc_dir)
     return spark.read.orc(orc_dir)
+
+
+@query(
+    "revenue_share",
+    """WITH per_nation AS (
+         SELECT n_name,
+                SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0, 0) AS BIGINT)) AS cents
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey  = c_custkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         GROUP BY n_name)
+       SELECT n_name,
+              CAST(cents AS DOUBLE) / 100.0 AS revenue,
+              CAST(cents AS DOUBLE) / CAST(SUM(cents) OVER () AS DOUBLE) AS share
+       FROM per_nation""",
+)
+def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total analytics: per-nation revenue and its fraction of
+    the grand total via a window over the whole frame.  The window sums
+    INTEGER cents (associative, order-independent) — a SUM(double)
+    OVER () would be partition-order-dependent and never hash-match."""
+    from pyspark.sql import Window
+
+    lineitem, orders, customer, nation = prep(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation"
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(100.0), 0
+    ).cast("long")
+    per_nation = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    w = Window.partitionBy()
+    return per_nation.select(
+        "n_name",
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
+        (F.col("cents").cast("double") / F.sum("cents").over(w).cast("double")).alias("share"),
+    )
