@@ -1975,7 +1975,12 @@ def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Share-of-total analytics: per-nation revenue and its fraction of
     the grand total via a window over the whole frame.  The window sums
     INTEGER cents (associative, order-independent) — a SUM(double)
-    OVER () would be partition-order-dependent and never hash-match."""
+    OVER () would be partition-order-dependent and never hash-match.
+
+    The unpartitioned window runs over the 25-row AGGREGATE, not the
+    fact table — Spark's single-partition warning is about those 25
+    rows; aggregating before the global window is exactly the scale-safe
+    ordering."""
     from pyspark.sql import Window
 
     lineitem, orders, customer, nation = prep(
