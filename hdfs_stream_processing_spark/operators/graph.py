@@ -27,12 +27,16 @@ def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
-    max_iterations: int = 20,
+    max_iterations: int = 1000,
 ) -> DataFrame:
     """(id, component) for every vertex appearing in ``edges``;
     ``component`` = the minimum vertex id reachable from it.
 
-    Deterministic: min-label propagation has a unique fixpoint.
+    Deterministic: min-label propagation has a unique fixpoint, and the
+    loop runs UNTIL convergence (one iteration per hop of graph
+    diameter; ``max_iterations`` is a runaway safety net, not a result
+    cap — stopping early would silently return wrong labels on
+    high-diameter graphs).
     """
     both = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
@@ -71,6 +75,10 @@ def connected_components(
         labels = updated
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} iterations"
+        )
     return labels
 
 

@@ -240,3 +240,15 @@ def test_sample_frames_and_resize_stub(spark):
     with pytest.raises(Exception) as ei:
         resize_image(df).collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)
+
+
+def test_connected_components_high_diameter(spark):
+    """A 30-node path graph needs ~29 propagation hops — the loop must
+    run to convergence, never stop at an arbitrary iteration cap."""
+    from hdfs_stream_processing_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(29)], "id_a bigint, id_b bigint"
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert set(comp.values()) == {0} and len(comp) == 30
