@@ -243,7 +243,7 @@ def q_limit_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multi_join",
     f"""SELECT r_name, n_name,
                COUNT(*) AS n_items,
-               SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
+               CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
                {sql_cents_sum('l_extendedprice * (1.0 - l_discount)', 'revenue')},
                {sql_cents_avg('l_quantity', 'avg_qty')}
         FROM lineitem
@@ -1651,10 +1651,10 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "profile_table",
     """WITH w AS (SELECT
-         COUNT(*) AS a_n, SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS a_nulls,
+         COUNT(*) AS a_n, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS a_nulls,
          CAST(MIN(value) AS DOUBLE) AS a_min, CAST(MAX(value) AS DOUBLE) AS a_max,
          COUNT(DISTINCT value) AS a_d,
-         COUNT(*) AS b_n, SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS b_nulls,
+         COUNT(*) AS b_n, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS b_nulls,
          CAST(MIN(user_id) AS DOUBLE) AS b_min, CAST(MAX(user_id) AS DOUBLE) AS b_max,
          COUNT(DISTINCT user_id) AS b_d
        FROM events)
