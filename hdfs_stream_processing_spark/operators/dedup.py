@@ -207,19 +207,43 @@ def jaccard_pairs(
     shingle_n: int = 1,
     min_jaccard: float = 0.5,
     candidates: DataFrame | None = None,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity between documents.
 
-    With ``candidates`` (e.g. from LSH) this verifies only colliding
-    pairs — the 100 TB path.  Without, it self-joins on shared shingles,
-    which is O(pairs-sharing-a-shingle): still far from all-pairs, but
-    only safe at moderate scale or after shingle-frequency filtering.
+    With ``candidates`` (e.g. from LSH) the exploded shingle sides are
+    semi-joined against the candidate doc ids BEFORE the shared-shingle
+    join, so only colliding docs enter the expensive pair aggregation —
+    the 100 TB path (the pair-level semi-join after still enforces the
+    exact pair set).  Without, it self-joins on shared shingles, which
+    is O(pairs-sharing-a-shingle): still far from all-pairs, but only
+    safe at moderate scale or with ``max_doc_freq``.
+
+    ``max_doc_freq`` drops shingles appearing in more than that many
+    docs before the join — the standard document-frequency cutoff.  At
+    100 TB a stopword shingle appears in ~every doc, putting ~n docs on
+    ONE join key (a quadratic bucket on a single reducer); ubiquitous
+    shingles also carry no similarity signal.  Sizes are computed over
+    the SAME filtered shingle universe, so Jaccard stays internally
+    consistent: |A'∩B'| / |A'∪B'|.
+
     Jaccard = |A∩B| / (|A|+|B|-|A∩B|), all exact integers.
     """
     sh = shingle_rows(df, id_col, text_col, shingle_n)
+    if max_doc_freq is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    if candidates is not None:
+        a = a.join(candidates.select("id_a").distinct(), "id_a", "left_semi")
+        b = b.join(candidates.select("id_b").distinct(), "id_b", "left_semi")
     inter = (
         a.join(b, "shingle")
         .where(F.col("id_a") < F.col("id_b"))

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -38,7 +39,11 @@ def running_totals_per_key(
         n, s = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            s += int(round(pdf[value_col].astype(float) * 100.0).sum())
+            # HALF_UP (away from zero), matching Spark's F.round — pandas
+            # .round() is half-to-even and disagrees on exact .5 cents.
+            x = pdf[value_col].astype(float).to_numpy() * 100.0
+            cents = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
+            s += int(cents.sum())
         state.update((n, s))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "sum_cents": [s]}

@@ -30,27 +30,45 @@ def asof_join(
     right_ts: str,
     right_vals: list[str],
     prefix: str = "asof_",
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """Left as-of join: for every left row, the most recent right row of
     the same key with ``right_ts <= left_ts`` (ties at equal timestamps
     match, like DuckDB/kdb ASOF).
 
     Implementation: tag and union both sides, sort each key partition by
-    (ts, side) — right rows sort BEFORE left rows at equal ts so ties are
-    visible — then ``last(value, ignorenulls)`` over an unbounded-
-    preceding frame carries right values forward; finally keep left rows.
+    (ts, side, tiebreak) — right rows sort BEFORE left rows at equal ts
+    so ties are visible — then carry the matched right row forward as ONE
+    struct via ``last(struct, ignorenulls)`` over an unbounded-preceding
+    frame, and expand it after filtering back to left rows.  The struct
+    carry guarantees all ``right_vals`` come from the SAME right row —
+    per-column fills would let a NULL in one right column inherit that
+    column from an older row (a blended row no real as-of join emits).
     Exactly one shuffle (the window partitioning); left rows with no
     prior right row keep NULLs.
+
+    ``right_tiebreak`` names a numeric right column that breaks ties
+    between right rows sharing (key, ts): the row with the GREATEST
+    tiebreak value wins, deterministically.  Without it, tied right rows
+    are picked in partition order (engine-arbitrary).
     """
     lcols = left.columns
-    l = left.withColumn("_side", F.lit(1)).withColumn("_ats", F.col(left_ts))
-    for v in right_vals:
-        l = l.withColumn(f"{prefix}{v}", F.lit(None).cast(right.schema[v].dataType))
+    tb = (
+        F.col(right_tiebreak).cast("long") if right_tiebreak else F.lit(0).cast("long")
+    )
     r = right.select(
         F.col(key),
         F.col(right_ts).alias("_ats"),
         F.lit(0).alias("_side"),
-        *[F.col(v).alias(f"{prefix}{v}") for v in right_vals],
+        tb.alias("_tb"),
+        F.struct(*[F.col(v).alias(v) for v in right_vals]).alias("_rrow"),
+    )
+    rrow_type = r.schema["_rrow"].dataType
+    l = (
+        left.withColumn("_side", F.lit(1))
+        .withColumn("_ats", F.col(left_ts))
+        .withColumn("_tb", F.lit(0).cast("long"))
+        .withColumn("_rrow", F.lit(None).cast(rrow_type))
     )
     for c in lcols:
         if c not in r.columns:
@@ -58,15 +76,16 @@ def asof_join(
     u = l.unionByName(r.select(l.columns))
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("_ats").asc(), F.col("_side").asc())
+        .orderBy(F.col("_ats").asc(), F.col("_side").asc(), F.col("_tb").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = u
+    out = (
+        u.withColumn("_carried", F.last(F.col("_rrow"), ignorenulls=True).over(w))
+        .where(F.col("_side") == 1)
+    )
     for v in right_vals:
-        filled = filled.withColumn(
-            f"{prefix}{v}", F.last(F.col(f"{prefix}{v}"), ignorenulls=True).over(w)
-        )
-    return filled.where(F.col("_side") == 1).drop("_side", "_ats")
+        out = out.withColumn(f"{prefix}{v}", F.col("_carried")[v])
+    return out.drop("_side", "_ats", "_tb", "_rrow", "_carried")
 
 
 def range_join_buckets(

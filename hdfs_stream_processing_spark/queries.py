@@ -100,6 +100,8 @@ def _conf_override(spark: SparkSession, key: str, value: str):
     finally:
         if old is not None:
             spark.conf.set(key, old)
+        else:
+            spark.conf.unset(key)
 
 
 def prep(spark: SparkSession, sf_dir: str, *tables: str) -> list[DataFrame]:
@@ -810,9 +812,11 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ngram_jaccard",
-    """WITH sh AS (SELECT DISTINCT doc_id, shingle FROM (
+    """WITH sh0 AS (SELECT DISTINCT doc_id, shingle FROM (
             SELECT doc_id, unnest(string_split(lower(text), ' ')) AS shingle
             FROM documents WHERE doc_id < 200)),
+       keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 100),
+       sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
        sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
                  FROM sh a JOIN sh b USING (shingle)
@@ -826,13 +830,20 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact unigram Jaccard pairs ≥ 0.5 (N3 verification stage).
-    Join-on-shared-shingle, never a cross join; at scale it runs behind
-    LSH candidates (see jaccard_pairs(candidates=...))."""
+    Join-on-shared-shingle, never a cross join, with the document-
+    frequency cutoff active (shingles in >100 docs are dropped before
+    the join — kills stopword join-key skew at scale); at full scale it
+    also runs behind LSH candidates (jaccard_pairs(candidates=...))."""
     from hdfs_stream_processing_spark.operators.dedup import jaccard_pairs
 
     (documents,) = prep(spark, sf_dir, "documents")
     return jaccard_pairs(
-        documents.where(F.col("doc_id") < 200), "doc_id", "text", shingle_n=1, min_jaccard=0.5
+        documents.where(F.col("doc_id") < 200),
+        "doc_id",
+        "text",
+        shingle_n=1,
+        min_jaccard=0.5,
+        max_doc_freq=100,
     )
 
 
@@ -1408,7 +1419,10 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = prep(spark, sf_dir, "events")
     clicks = events.where(F.col("event_type") == "click")
     purchases = events.where(F.col("event_type") == "purchase")
-    out = asof_join(clicks, purchases, "user_id", "ts", "ts", ["ts", "value"])
+    out = asof_join(
+        clicks, purchases, "user_id", "ts", "ts", ["ts", "value"],
+        right_tiebreak="event_id",
+    )
     return out.select("event_id", "user_id", "ts", "value", "asof_ts", "asof_value")
 
 
@@ -1731,19 +1745,32 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "minmax_by",
-    """SELECT user_id,
-              arg_max(event_id, CAST(round(value*100.0,0) AS BIGINT) * 100000 + event_id) AS best_event,
-              arg_min(event_id, CAST(round(value*100.0,0) AS BIGINT) * 100000 + event_id) AS worst_event
-       FROM events GROUP BY user_id""",
+    """WITH c AS (SELECT user_id, event_id,
+                         CAST(round(value*100.0,0) AS BIGINT) AS cents
+                  FROM events),
+         w AS (SELECT user_id, event_id,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY cents DESC, event_id DESC) AS rb,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY cents ASC, event_id ASC) AS rw
+               FROM c)
+       SELECT user_id,
+              MAX(CASE WHEN rb = 1 THEN event_id END) AS best_event,
+              MAX(CASE WHEN rw = 1 THEN event_id END) AS worst_event
+       FROM w GROUP BY user_id""",
 )
 def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """arg-max/arg-min per group (max_by/min_by): the event with the
-    highest/lowest value per user.  The ordering key packs exact cents
-    with the unique event_id (cents*1e5 + id) so ties are impossible —
-    bare max_by on a double with duplicate values is engine-arbitrary."""
+    highest/lowest value per user.  The ordering key is a struct of
+    (exact cents, unique event_id) — lexicographic struct comparison
+    makes ties impossible at ANY scale (no packed-integer multiplier to
+    overflow), where bare max_by on a double with duplicate values is
+    engine-arbitrary.  The oracle deliberately uses a different
+    formulation (row_number windows) so a tie-handling bug on either
+    side cannot self-confirm."""
     (events,) = prep(spark, sf_dir, "events")
     cents = F.round(F.col("value") * F.lit(100.0), 0).cast("long")
-    ordk = cents * F.lit(100000) + F.col("event_id")
+    ordk = F.struct(cents.alias("cents"), F.col("event_id").alias("id"))
     return events.groupBy("user_id").agg(
         F.max_by("event_id", ordk).alias("best_event"),
         F.min_by("event_id", ordk).alias("worst_event"),
