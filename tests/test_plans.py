@@ -116,6 +116,12 @@ SHUFFLE_BUDGETS = {
     "sample_hash": 0,      # hash predicate pushes into the scan
     "dedup_near": 3,       # repartition + min-agg + candidate distinct
     "asof_join": 1,        # the single window partitioning
+    # textual count: the distinct-shingle subtree is referenced 5× (df-cutoff
+    # agg, semi-join, sizes, both join sides) and each reference prints its
+    # exchange; at runtime Spark's ReuseExchange materializes it ONCE and the
+    # rest are map-side recomputes off the reused exchange.  The budget
+    # guards against a REAL added shuffle (which adds >1 to the text count).
+    "ngram_jaccard": 15,
 }
 
 
