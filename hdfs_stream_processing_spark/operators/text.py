@@ -26,17 +26,43 @@ def tokens(col: Column | str, sep: str = " ") -> Column:
     return F.split(F.lower(c), sep)
 
 
+#: asciifolding fold table (1:1 accented-Latin → ASCII, lowercase side
+#: only — applied after lower()).  ß→ss, the one 1:2 fold, is handled by
+#: a replace() before the translate().  Kept deliberately explicit so the
+#: DuckDB oracle can apply the IDENTICAL table (queries.sql_fold).
+FOLD_SRC = "àáâãäåāèéêëēìíîïòóôõöøùúûüýÿñçšžćčđ"
+FOLD_DST = "aaaaaaaeeeeeiiiioooooouuuuyyncszccd"
+
+
+def ascii_fold(col: Column | str) -> Column:
+    """asciifolding: fold accented Latin characters to their ASCII
+    equivalents — the third stage of the reference's ES analyzer
+    (convert-to-elasticsearch.py:32-39: edge_ngram + lowercase +
+    asciifolding).  Pure translate/replace — codegen, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(F.regexp_replace(c, "ß", "ss"), FOLD_SRC, FOLD_DST)
+
+
+def analyzer_tokens(col: Column | str, sep: str = " ") -> Column:
+    """The full ES analyzer normalization: lowercase → asciifolding →
+    whitespace tokenize.  Used by the index/search path so accented text
+    tokenizes exactly as the reference's search index would."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(ascii_fold(F.lower(c)), sep)
+
+
 def explode_edge_ngrams(
     df: DataFrame, id_col: str, text_col: str, min_gram: int = 2, max_gram: int = 10
 ) -> DataFrame:
     """(id, token, ngram) rows: tokenize → explode → edge-ngram → explode.
 
-    This is the ES index-time analysis chain as a DataFrame op; at 100 TB
-    it is a narrow map+explode (no shuffle) feeding whatever index/agg
-    consumes it.
+    This is the ES index-time analysis chain as a DataFrame op (lowercase
+    + asciifolding + edge_ngram, convert-to-elasticsearch.py:20-40); at
+    100 TB it is a narrow map+explode (no shuffle) feeding whatever
+    index/agg consumes it.
     """
     tok = df.select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+        F.col(id_col), F.explode(analyzer_tokens(text_col)).alias("token")
     ).where(F.length("token") >= min_gram)
     return tok.select(
         id_col,
@@ -202,8 +228,11 @@ def build_search_index(df: DataFrame, id_col: str, text_col: str,
 def search_prefix(index: DataFrame, id_col: str, prefix: str) -> DataFrame:
     """Prefix search against the inverted index: one equi-filter on the
     ngram key (what ES does with an edge-ngram analyzed field), scored by
-    term frequency."""
+    term frequency.  The query string goes through the same analyzer
+    normalization as the index (lowercase + asciifolding) — ES applies
+    the analyzer on both sides."""
+    folded = prefix.lower().replace("ß", "ss").translate(str.maketrans(FOLD_SRC, FOLD_DST))
     return (
-        index.where(F.col("ngram") == prefix.lower())
+        index.where(F.col("ngram") == folded)
         .select(F.col(id_col), F.col("tf").alias("n_hits"))
     )

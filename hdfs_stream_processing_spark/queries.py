@@ -41,6 +41,7 @@ from hdfs_stream_processing_spark.operators import (
     window_running,
 )
 from hdfs_stream_processing_spark.operators.aggregates import approx_distinct
+from hdfs_stream_processing_spark.operators.text import FOLD_DST, FOLD_SRC
 from hdfs_stream_processing_spark.sources.io import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -50,6 +51,13 @@ ORACLES: dict[str, str] = {}
 
 TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def sql_fold(expr: str) -> str:
+    """DuckDB-side mirror of operators.text.ascii_fold (asciifolding):
+    the SAME fold table and ß→ss replace, so analyzer-path oracles stay
+    bit-identical on accented text."""
+    return f"translate(replace({expr}, 'ß', 'ss'), '{FOLD_SRC}', '{FOLD_DST}')"
 
 
 def query(name: str, oracle: str | None = None):
@@ -723,10 +731,10 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_ngram",
-    """SELECT doc_id, token,
+    f"""SELECT doc_id, token,
               unnest(list_transform(generate_series(2, least(10, length(token))),
                                     i -> substr(token, 1, i))) AS ngram
-       FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+       FROM (SELECT doc_id, unnest(string_split({sql_fold('lower(text)')}, ' ')) AS token
              FROM documents WHERE doc_id < 50)
        WHERE length(token) >= 2""",
 )
@@ -1236,8 +1244,9 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_search",
-    """SELECT doc_id, COUNT(*) AS n_hits FROM (
-         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)
+    f"""SELECT doc_id, COUNT(*) AS n_hits FROM (
+         SELECT doc_id, unnest(string_split({sql_fold('lower(text)')}, ' ')) AS token
+         FROM documents)
        WHERE substr(token, 1, 3) = 'val'
        GROUP BY doc_id""",
 )

@@ -124,6 +124,37 @@ def test_edge_ngrams_match_es_analyzer(spark):
                    ("hello", "hello"), ("hi", "hi")}
 
 
+def test_ascii_fold_matches_es_analyzer(spark):
+    """asciifolding parity: accented text tokenizes as ES would index it
+    (convert-to-elasticsearch.py:32-39), Spark and DuckDB agree char for
+    char, and the search side folds the query string too."""
+    import duckdb
+
+    from hdfs_stream_processing_spark.operators.text import (
+        build_search_index,
+        search_prefix,
+    )
+    from hdfs_stream_processing_spark.queries import sql_fold
+
+    text = "Café Über naïve Groß señor ÉCLAIR"
+    df = _docs(spark, [(1, text)])
+    toks = {r["token"] for r in explode_edge_ngrams(df, "doc_id", "text").select("token").distinct().collect()}
+    assert toks == {"cafe", "uber", "naive", "gross", "senor", "eclair"}
+
+    # engine parity: DuckDB's sql_fold produces the identical folded string
+    duck = duckdb.connect().execute(
+        f"SELECT {sql_fold('lower(?)')}", [text]
+    ).fetchone()[0]
+    assert duck == "cafe uber naive gross senor eclair"
+
+    # search side: accented query prefix folds before the index lookup
+    idx = build_search_index(df, "doc_id", "text")
+    hits = search_prefix(idx, "doc_id", "caf").collect()
+    assert len(hits) == 1 and hits[0]["n_hits"] == 1
+    hits_accented = search_prefix(idx, "doc_id", "CAFÉ").collect()
+    assert len(hits_accented) == 1
+
+
 def test_text_stats_exact(spark):
     df = _docs(spark, [(1, "the cat sat")])
     r = text_stats(df, "doc_id", "text").collect()[0]
