@@ -124,6 +124,7 @@ def lsh_bucket_topk(
     vec_col: str = "embedding",
     num_planes: int = 8,
     k: int = 10,
+    dims: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: bucket by hyperplane-sign signature, exact
     cosine re-rank *within* buckets.
@@ -132,8 +133,13 @@ def lsh_bucket_topk(
     corpus splits into ~2^p buckets, so candidate pairs shrink by ~2^p
     vs all-pairs.  Recall is tuned by lowering ``num_planes`` or adding
     multi-probe; this is the 100 TB path where brute force is not.
+
+    Pass ``dims`` when known (it usually is — embedding width is a
+    pipeline constant): without it, a driver job runs at plan-build time
+    to probe the first row.
     """
-    dims = _dims(embeddings, vec_col)
+    if dims is None:
+        dims = _dims(embeddings, vec_col)
     with_q = embeddings.select(F.col(id_col), quantized(vec_col).alias("qv"))
     with_sig = with_q.select(
         id_col,
@@ -163,9 +169,116 @@ def lsh_bucket_topk(
 
 def _dims(embeddings: DataFrame, vec_col: str) -> int:
     """Embedding dimensionality from the first row (schema carries no
-    fixed length for array columns)."""
+    fixed length for array columns).  Runs a driver job — callers that
+    know the width pass ``dims=`` explicitly to keep query construction
+    job-free."""
     row = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
     return int(row["d"])
+
+
+# ------------------------------------------------------------------------
+# IVF: deterministic k-means training + literal-centroid assignment
+# ------------------------------------------------------------------------
+
+
+def _arr_lit(vec: list[int]) -> str:
+    return "array(" + ", ".join(f"{int(x)}L" for x in vec) + ")"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
+def assign_cells(
+    df: DataFrame, centroids: list[list[int]], vec_col: str = "qv", out_col: str = "cell"
+) -> DataFrame:
+    """Argmax-cosine cell assignment against centroid LITERALS.
+
+    The centroids are embedded as array literals, so assignment is one
+    whole-stage-codegen expression per row — no join, no broadcast
+    variable, NO shuffle.  Affinity is integer-dot / (sqrt·sqrt) of exact
+    integers → bit-identical in any engine (the ivf_assign oracle);
+    ties go to the lowest cell id via max-struct on (aff, -cell).
+    """
+    qn = F.sqrt(dot_q(F.col(vec_col), F.col(vec_col)).cast("double"))
+    df = df.withColumn("_qn", qn)
+    parts = []
+    for cell, cv in enumerate(centroids):
+        cc = sum(int(v) * int(v) for v in cv)
+        aff = (
+            f"(CAST({_dot_sql(vec_col, _arr_lit(cv))} AS DOUBLE)"
+            f" / (_qn * sqrt(CAST({cc} AS DOUBLE))))"
+        )
+        parts.append(f"named_struct('aff', {aff}, 'nc', {-cell})")
+    pick = f"-array_max(array({', '.join(parts)})).nc"
+    return df.withColumn(out_col, F.expr(pick).cast("int")).drop("_qn")
+
+
+def ivf_init_centroids(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    n_cells: int = 16,
+) -> list[list[int]]:
+    """Seedless deterministic init: the ``n_cells`` quantized vectors with
+    the smallest (md5(id), id) — a reproducible pseudo-random sample that
+    any engine can re-derive (the ivf_assign oracle does, in SQL), immune
+    to the sorted-data degeneracy of first-N-by-id."""
+    q = embeddings.select(F.col(id_col).alias("_id"), quantized(vec_col).alias("qv"))
+    rows = (
+        q.withColumn("_h", F.md5(F.col("_id").cast("string")))
+        .orderBy("_h", "_id")
+        .limit(n_cells)
+        .select("qv")
+        .collect()
+    )
+    return [list(r["qv"]) for r in rows]
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_iters: int = 3,
+) -> list[list[int]]:
+    """Deterministic spherical k-means (Lloyd) for IVF coarse centroids.
+
+    Each iteration: assign every vector to its max-cosine centroid (pure
+    codegen expression — see assign_cells), then recompute each centroid
+    as the element-wise HALF_UP-rounded mean of its members (posexplode +
+    one groupBy per step, partial-agg map-side).  Only the centroid table
+    itself — n_cells × dims ints — is collected per step, the same
+    driver-side update loop Spark MLlib's KMeans uses; the corpus never
+    leaves the executors.  No RNG anywhere: init is md5-ordered, means
+    are exact-integer sums, ties in assignment break to the lowest cell —
+    the same centroids come out on every run and every cluster size.
+    Empty cells keep their previous centroid.
+    """
+    cents = ivf_init_centroids(embeddings, id_col, vec_col, n_cells)
+    q = embeddings.select(F.col(id_col).alias("_id"), quantized(vec_col).alias("qv"))
+    for _ in range(n_iters):
+        assigned = assign_cells(q, cents)
+        means = (
+            assigned.select("cell", F.posexplode("qv").alias("idx", "x"))
+            .groupBy("cell", "idx")
+            .agg(
+                F.round(F.sum("x").cast("double") / F.count(F.lit(1)), 0)
+                .cast("long")
+                .alias("m")
+            )
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "m"))), lambda s: s["m"]
+                ).alias("cv")
+            )
+            .collect()
+        )
+        new = {int(r["cell"]): list(r["cv"]) for r in means}
+        cents = [new.get(i, cents[i]) for i in range(n_cells)]
+    return cents
 
 
 def ivf_topk(
@@ -175,31 +288,45 @@ def ivf_topk(
     n_cells: int = 16,
     nprobe: int = 2,
     k: int = 10,
+    n_iters: int = 3,
+    centroids: list[list[int]] | None = None,
 ) -> DataFrame:
-    """IVF-style ANN: coarse-quantize the corpus into ``n_cells`` cells,
-    search only the query's ``nprobe`` nearest cells, exact re-rank inside.
+    """IVF ANN: k-means coarse cells, search the query's ``nprobe``
+    nearest cells, exact cosine re-rank inside.
 
-    Centroid 'training' is a deterministic stub (the first ``n_cells``
-    vectors by id — production swaps in k-means; the *plumbing* is the
-    deliverable): centroids broadcast, assignment is a broadcast join +
-    per-row argmax, candidate generation an equi-join on cell id.
-    Work scales with corpus/n_cells × nprobe instead of all-pairs;
-    recall is the standard nprobe trade-off.
+    Both cell assignments are literal-centroid codegen expressions (no
+    join, no shuffle); the only exchanges are the (cell) equi-join that
+    pairs probes with corpus members and the final top-k window.  Work
+    scales with corpus/n_cells × nprobe instead of all-pairs.  At real
+    scale size ``n_cells`` ~ sqrt(corpus) so the join keys spread (16 is
+    demo-sized); recall is the standard nprobe trade-off.
     """
+    if centroids is None:
+        centroids = train_ivf_centroids(embeddings, id_col, vec_col, n_cells, n_iters)
     q = embeddings.select(F.col(id_col), quantized(vec_col).alias("qv"))
-    centroids = q.orderBy(F.col(id_col)).limit(n_cells).select(
-        F.col(id_col).alias("cell"), F.col("qv").alias("cv")
-    )
-    scored = q.crossJoin(F.broadcast(centroids)).select(
-        id_col, "qv", "cell", dot_q(F.col("qv"), F.col("cv")).alias("aff")
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("aff").desc(), F.col("cell").asc())
-    ranked = scored.withColumn("cr", F.row_number().over(w))
-    corpus = ranked.where(F.col("cr") == 1).select(
+    corpus = assign_cells(q, centroids).select(
         F.col(id_col).alias("neighbor_id"), F.col("qv").alias("nv"), "cell"
     )
-    probes = ranked.where(F.col("cr") <= nprobe).select(
-        F.col(id_col).alias("query_id"), F.col("qv").alias("pv"), "cell"
+    # nprobe nearest cells per query: sort the same per-cell affinity
+    # structs descending, slice, explode — still a narrow map.
+    qn = F.sqrt(dot_q(F.col("qv"), F.col("qv")).cast("double"))
+    probes = q.withColumn("_qn", qn)
+    parts = []
+    for cell, cv in enumerate(centroids):
+        cc = sum(int(v) * int(v) for v in cv)
+        aff = (
+            f"(CAST({_dot_sql('qv', _arr_lit(cv))} AS DOUBLE)"
+            f" / (_qn * sqrt(CAST({cc} AS DOUBLE))))"
+        )
+        parts.append(f"named_struct('aff', {aff}, 'nc', {-cell})")
+    top_cells = (
+        f"transform(slice(reverse(array_sort(array({', '.join(parts)}))), 1, {nprobe}),"
+        " s -> CAST(-s.nc AS INT))"
+    )
+    probes = probes.select(
+        F.col(id_col).alias("query_id"),
+        F.col("qv").alias("pv"),
+        F.explode(F.expr(top_cells)).alias("cell"),
     )
     pairs = probes.join(corpus, "cell").where(F.col("query_id") != F.col("neighbor_id"))
     rescored = pairs.select(
@@ -219,6 +346,7 @@ def similarity_topk_np(
     vec_col: str = "embedding",
     queries_filter: Column | None = None,
     k: int = 10,
+    max_queries: int = 4096,
 ) -> DataFrame:
     """Brute-force top-k, Arrow-vectorized: the query matrix is collected
     (small side by definition) and broadcast; each corpus partition does
@@ -230,11 +358,21 @@ def similarity_topk_np(
     lambdas.  Float arithmetic → not bit-portable across engines, so the
     exact quantized variant (similarity_topk) stays the oracle-checked
     one; this is the throughput variant.
+
+    The driver collect is guarded: more than ``max_queries`` query rows
+    (e.g. an unfiltered corpus) raises instead of OOMing the driver.
     """
     import numpy as np
     from pyspark.sql import Window as W
 
     q_df = embeddings.where(queries_filter) if queries_filter is not None else embeddings
+    n_q = q_df.limit(max_queries + 1).count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"similarity_topk_np: query side has >{max_queries} rows — it is "
+            "collected to the driver by design; filter it (queries_filter=) "
+            "or raise max_queries explicitly"
+        )
     q_rows = q_df.select(id_col, vec_col).collect()
     q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)

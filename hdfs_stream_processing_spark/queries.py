@@ -919,7 +919,9 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hdfs_stream_processing_spark.operators.similarity import lsh_bucket_topk
 
     (embeddings,) = prep(spark, sf_dir, "embeddings")
-    return lsh_bucket_topk(embeddings, "vec_id", "embedding", num_planes=6, k=10)
+    # dims=64 is the pipeline constant (TESTDATA.md) — passing it keeps
+    # query construction free of driver jobs (no first-row probe)
+    return lsh_bucket_topk(embeddings, "vec_id", "embedding", num_planes=6, k=10, dims=64)
 
 
 @query(
@@ -1363,13 +1365,52 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("similarity_ivf")  # approximate-recall path → rows-only, by design
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN (N1 alternative scale path to LSH): coarse cells
-    + nprobe search + exact in-cell re-rank.  Approximate recall →
-    rows-only check by design."""
+    """IVF-bucketed ANN (N1 alternative scale path to LSH): deterministic
+    k-means coarse cells (md5-ordered init + 3 Lloyd iterations) + nprobe
+    search + exact in-cell re-rank.  Approximate recall → rows-only check
+    by design; the assignment stage is oracled bit-exact (ivf_assign) and
+    recall@10 is asserted vs brute force in tests/test_llm_ops.py."""
     from hdfs_stream_processing_spark.operators.similarity import ivf_topk
 
     (embeddings,) = prep(spark, sf_dir, "embeddings")
-    return ivf_topk(embeddings, n_cells=16, nprobe=2, k=10)
+    return ivf_topk(embeddings, n_cells=16, nprobe=2, k=10, n_iters=3)
+
+
+@query(
+    "ivf_assign",
+    f"""WITH q AS (SELECT vec_id, {_QUANT_SQL.format(col='embedding')} AS qv
+                   FROM embeddings),
+       cents AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+                        qv AS cv
+                 FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       aff AS (SELECT q.vec_id, c.cell,
+                      CAST(list_sum(list_transform(list_zip(q.qv, c.cv), p -> p[1] * p[2])) AS DOUBLE)
+                      / (sqrt(CAST(list_sum(list_transform(q.qv, x -> x * x)) AS DOUBLE))
+                         * sqrt(CAST(list_sum(list_transform(c.cv, x -> x * x)) AS DOUBLE))) AS a
+               FROM q CROSS JOIN cents c)
+       SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM (
+         SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell ASC) AS rn
+         FROM aff)
+       WHERE rn = 1""",
+)
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF assignment stage, oracled bit-exact: every corpus vector's
+    argmax-cosine cell against the md5-ordered init centroids (the same
+    expression that runs inside every Lloyd step and at query time).
+    The oracle re-derives the identical centroids in SQL — md5 ordering
+    and quantized integer arithmetic are engine-portable — and does the
+    argmax with an independent formulation (cross join + window) against
+    Spark's literal-centroid codegen expression."""
+    from hdfs_stream_processing_spark.operators.similarity import (
+        assign_cells,
+        ivf_init_centroids,
+        quantized,
+    )
+
+    (embeddings,) = prep(spark, sf_dir, "embeddings")
+    cents = ivf_init_centroids(embeddings, "vec_id", "embedding", n_cells=16)
+    q = embeddings.select("vec_id", quantized("embedding").alias("qv"))
+    return assign_cells(q, cents).select("vec_id", "cell")
 
 
 @query(

@@ -25,6 +25,7 @@ from hdfs_stream_processing_spark.operators.text import (
     explode_edge_ngrams,
     text_stats,
 )
+from tests.conftest import SF_DIR
 
 
 def _docs(spark, rows):
@@ -182,17 +183,68 @@ def test_decode_image_stub_fails_loudly(spark):
 def test_ivf_groups_clusters(spark):
     from hdfs_stream_processing_spark.operators.similarity import ivf_topk
 
-    # ids 0 and 1 are the stub centroids — one per pole, so the coarse
-    # quantizer separates the clusters
+    # two antipodal clusters: k-means (any init, 3 Lloyd steps) must
+    # place one centroid per pole, so nprobe=1 search stays in-pole
     rows = [(0, [1.0, 0.0, 0.0]), (1, [-1.0, 0.0, 0.0])]
     rows += [(2 + i, [1.0, 0.01 * i, 0.0]) for i in range(4)]
     rows += [(10 + i, [-1.0, 0.0, 0.01 * i]) for i in range(4)]
     df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
-    out = ivf_topk(df, n_cells=2, nprobe=1, k=3).collect()
+    out = ivf_topk(df, n_cells=2, nprobe=1, k=3, n_iters=3).collect()
     assert len(out) > 0
     in_plus = lambda i: i < 10 and i != 1
     for r in out:  # nprobe=1: neighbors come from the query's own pole
         assert in_plus(r["query_id"]) == in_plus(r["neighbor_id"])
+
+
+def test_ivf_kmeans_training_deterministic_and_improves_recall(spark):
+    """k-means IVF (VERDICT r2 item 4): training is RNG-free (same
+    centroids every run), recall@10 clears the brute-force-baseline
+    threshold, and trained centroids beat the md5-init-only quantizer on
+    the same budget."""
+    from hdfs_stream_processing_spark.operators.similarity import (
+        ivf_init_centroids,
+        ivf_topk,
+        similarity_topk,
+        train_ivf_centroids,
+    )
+    from hdfs_stream_processing_spark.sources.io import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    c1 = train_ivf_centroids(emb, n_cells=8, n_iters=2)
+    c2 = train_ivf_centroids(emb, n_cells=8, n_iters=2)
+    assert c1 == c2  # deterministic: md5 init + exact integer means
+
+    truth = {}
+    for r in similarity_topk(emb, k=10).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(rows):
+        got = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = sum(len(t & got.get(q, set())) for q, t in truth.items())
+        return hits / sum(len(t) for t in truth.values())
+
+    trained = recall(ivf_topk(emb, n_cells=8, nprobe=3, k=10, n_iters=3).collect())
+    init_only = recall(
+        ivf_topk(emb, n_cells=8, nprobe=3, k=10,
+                 centroids=ivf_init_centroids(emb, n_cells=8)).collect()
+    )
+    # deterministic values on this fixture: trained≈0.642, init≈0.562
+    assert trained >= 0.6, trained
+    assert trained > init_only, (trained, init_only)
+
+
+def test_numpy_topk_guards_driver_collect(spark):
+    """The GEMM path collects the query side to the driver by contract —
+    an unfiltered call past the bound must raise, not OOM (VERDICT r2
+    item 7)."""
+    from hdfs_stream_processing_spark.operators.similarity import similarity_topk_np
+    from hdfs_stream_processing_spark.sources.io import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    with pytest.raises(ValueError, match="query side"):
+        similarity_topk_np(emb, k=5, max_queries=100)  # 500-row corpus, no filter
 
 
 def test_extract_features_deterministic(spark):

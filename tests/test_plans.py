@@ -116,6 +116,8 @@ SHUFFLE_BUDGETS = {
     "sample_hash": 0,      # hash predicate pushes into the scan
     "dedup_near": 3,       # repartition + min-agg + candidate distinct
     "asof_join": 1,        # the single window partitioning
+    "ivf_assign": 0,       # literal-centroid argmax: pure codegen map
+    "similarity_ivf": 2,   # cell join + final top-k window (r2: was 5 + SMJ)
     # textual count: the distinct-shingle subtree is referenced 5× (df-cutoff
     # agg, semi-join, sizes, both join sides) and each reference prints its
     # exchange; at runtime Spark's ReuseExchange materializes it ONCE and the
