@@ -60,13 +60,25 @@ def classify_movement(df: DataFrame, value_col: str = "value") -> DataFrame:
 
 
 def run_to_parquet(
-    df: DataFrame, out_dir: str, checkpoint_dir: str, partition_by: list[str] | None = None
-) -> None:
+    df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    partition_by: list[str] | None = None,
+    processing_time: str | None = None,
+):
     """North-star sink: streaming append to Parquet with checkpoint
     (convert-to-minio.py:125-131).  availableNow drains everything
     pending, then stops — deterministic for tests, and the recommended
     batch-backfill trigger in production.  Exactly-once comes from the
     checkpoint WAL + the parquet sink's file-manifest commit.
+
+    With ``processing_time`` (e.g. ``"1 second"``) the query runs
+    UNBOUNDED on a processing-time trigger — the reference consumers'
+    default mode (convert-to-elasticsearch.py:164-179) — and the started
+    ``StreamingQuery`` is returned so the caller controls its lifetime
+    (``processAllAvailable()`` + ``stop()`` in tests; run forever in
+    production).  Returns None in availableNow mode (the call blocks
+    until drained).
     """
     if not df.isStreaming:  # ST8 liveness guard (convert-to-minio.py:140)
         raise ValueError("run_to_parquet expects a streaming DataFrame; use sources.io.write_parquet for batch")
@@ -75,11 +87,13 @@ def run_to_parquet(
         .outputMode("append")
         .option("path", out_dir)
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
     )
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.start().awaitTermination()
+    if processing_time is not None:
+        return writer.trigger(processingTime=processing_time).start()
+    writer.trigger(availableNow=True).start().awaitTermination()
+    return None
 
 
 def run_to_memory(df: DataFrame, output_mode: str = "append") -> DataFrame:

@@ -55,6 +55,34 @@ def test_parquet_sink_exactly_once(spark, staged_events, tmp_path):
     assert spark.read.parquet(out_dir).count() == n1
 
 
+def test_processing_time_trigger_long_running(spark, staged_events, tmp_path):
+    """ST1 completeness: the reference consumers run UNBOUNDED with the
+    default processing-time trigger (convert-to-elasticsearch.py:164-179)
+    — every other test here uses availableNow.  Drive a continuously-
+    running query through multiple micro-batches (4 source files, 2 per
+    trigger), stop it, and assert the output equals the batch transform.
+    """
+    src_dir, events = staged_events
+    out_dir = str(tmp_path / "pt_out")
+    ckpt = str(tmp_path / "pt_ckpt")
+
+    stream = stream_parquet_source(spark, src_dir, events.schema, max_files_per_trigger=2)
+    q = run_to_parquet(classify_movement(stream), out_dir, ckpt, processing_time="1 second")
+    try:
+        q.processAllAvailable()  # wait until all pending input is committed
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    batch = classify_movement(events).select("event_id", "tier")
+    got = spark.read.parquet(out_dir).select("event_id", "tier")
+    assert sorted(got.collect()) == sorted(batch.collect())
+
+    # 4 files / maxFilesPerTrigger=2 → at least 2 non-empty micro-batches
+    filled = {p["batchId"] for p in q.recentProgress if p["numInputRows"] > 0}
+    assert len(filled) >= 2, q.recentProgress
+
+
 def test_streaming_dedup_across_batches(spark, tmp_path):
     """ST6: duplicate rows arriving in *different* micro-batches are
     still deduplicated (state store spans batches)."""
