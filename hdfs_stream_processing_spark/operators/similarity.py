@@ -99,6 +99,22 @@ def hyperplane_weights(num_planes: int, dims: int) -> list[list[int]]:
     ]
 
 
+def hyperplane_projections(vec_sql: str, num_planes: int, dims: int) -> Column:
+    """Raw integer projections onto the ±1 hyperplanes (array<bigint>).
+    The signature is their sign; |projection| is the confidence a
+    multi-probe uses to pick which bits to flip."""
+    weights = hyperplane_weights(num_planes, dims)
+
+    def proj(p: int) -> str:
+        w = "array(" + ", ".join(f"{x}L" for x in weights[p]) + ")"
+        return (
+            f"aggregate(zip_with({vec_sql}, {w}, (x, w) -> x * w),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+
+    return F.expr("array(" + ", ".join(proj(p) for p in range(num_planes)) + ")")
+
+
 def hyperplane_signature(vec_sql: str, num_planes: int, dims: int) -> Column:
     """Random-hyperplane LSH signature (bit array): sign of the
     projection onto each ±1 plane.  Weights are embedded as array
@@ -125,14 +141,22 @@ def lsh_bucket_topk(
     num_planes: int = 8,
     k: int = 10,
     dims: int | None = None,
+    nprobe_flips: int = 0,
 ) -> DataFrame:
     """Approximate top-k: bucket by hyperplane-sign signature, exact
     cosine re-rank *within* buckets.
 
     The join is an equi-join on ``bucket`` — with p planes, an even
     corpus splits into ~2^p buckets, so candidate pairs shrink by ~2^p
-    vs all-pairs.  Recall is tuned by lowering ``num_planes`` or adding
-    multi-probe; this is the 100 TB path where brute force is not.
+    vs all-pairs.  This is the 100 TB path where brute force is not.
+
+    Recall tuning: lower ``num_planes``, or set ``nprobe_flips`` = m > 0
+    for MULTI-PROBE — each query additionally probes the m buckets that
+    differ in one of its m least-confident signature bits (smallest
+    |projection|, the standard multi-probe order).  Only the query side
+    fans out (×(m+1)); the corpus stays in its one bucket, so candidate
+    volume grows linearly in m, not exponentially.  Deterministic: flip
+    order ties break on plane index.
 
     Pass ``dims`` when known (it usually is — embedding width is a
     pipeline constant): without it, a driver job runs at plan-build time
@@ -140,16 +164,38 @@ def lsh_bucket_topk(
     """
     if dims is None:
         dims = _dims(embeddings, vec_col)
+    p = num_planes
     with_q = embeddings.select(F.col(id_col), quantized(vec_col).alias("qv"))
     with_sig = with_q.select(
         id_col,
         "qv",
         F.sqrt(dot_q(F.col("qv"), F.col("qv")).cast("double")).alias("qn"),
-        hyperplane_signature("qv", num_planes, dims).alias("sig"),
+        hyperplane_signature("qv", p, dims).alias("sig"),
+        hyperplane_projections("qv", p, dims).alias("proj"),
     ).withColumn("bucket", F.concat_ws("", F.col("sig")))
-    a = with_sig.select(
-        F.col(id_col).alias("query_id"), F.col("qv").alias("qa"), F.col("qn").alias("na"), "bucket"
-    )
+    if nprobe_flips > 0:
+        # least-confident bit positions: sort (|proj|, plane) ascending
+        flips = (
+            f"slice(array_sort(zip_with(proj, sequence(0, {p - 1}),"
+            " (pr, i) -> named_struct('a', abs(pr), 'i', i))), 1,"
+            f" {nprobe_flips})"
+        )
+        flipped = (
+            f"transform({flips}, s -> array_join(zip_with(sig,"
+            f" sequence(0, {p - 1}),"
+            " (b, j) -> CAST(IF(j = s.i, 1 - b, b) AS STRING)), ''))"
+        )
+        probe_buckets = F.expr(f"concat(array(bucket), {flipped})")
+        a = with_sig.select(
+            F.col(id_col).alias("query_id"),
+            F.col("qv").alias("qa"),
+            F.col("qn").alias("na"),
+            F.explode(probe_buckets).alias("bucket"),
+        )
+    else:
+        a = with_sig.select(
+            F.col(id_col).alias("query_id"), F.col("qv").alias("qa"), F.col("qn").alias("na"), "bucket"
+        )
     b = with_sig.select(
         F.col(id_col).alias("neighbor_id"), F.col("qv").alias("qb"), F.col("qn").alias("nb"), "bucket"
     )

@@ -924,6 +924,22 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(embeddings, "vec_id", "embedding", num_planes=6, k=10, dims=64)
 
 
+@query("similarity_lsh_multiprobe")  # approximate-recall path → rows-only
+def q_similarity_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: each query additionally probes the buckets
+    that differ in its least-confident signature bits (smallest
+    |projection|), trading linear extra candidates for recall — the
+    standard answer to single-probe LSH's recall cliff.  Only the query
+    side fans out; the corpus stays one-bucket.  Recall monotonicity is
+    asserted in tests/test_llm_ops.py."""
+    from hdfs_stream_processing_spark.operators.similarity import lsh_bucket_topk
+
+    (embeddings,) = prep(spark, sf_dir, "embeddings")
+    return lsh_bucket_topk(
+        embeddings, "vec_id", "embedding", num_planes=6, k=10, dims=64, nprobe_flips=2
+    )
+
+
 @query(
     "multimodal_meta",
     """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS payload_md5

@@ -235,6 +235,35 @@ def test_ivf_kmeans_training_deterministic_and_improves_recall(spark):
     assert trained > init_only, (trained, init_only)
 
 
+def test_lsh_multiprobe_improves_recall_monotonically(spark):
+    """Multi-probe LSH: probing the least-confident flipped buckets must
+    strictly add candidates, so recall@10 is monotone in nprobe_flips
+    (deterministic fixture — exact values, not a statistical bound)."""
+    from hdfs_stream_processing_spark.operators.similarity import (
+        lsh_bucket_topk,
+        similarity_topk,
+    )
+    from hdfs_stream_processing_spark.sources.io import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    truth = {}
+    for r in similarity_topk(emb, k=10).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(rows):
+        got = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = sum(len(t & got.get(q, set())) for q, t in truth.items())
+        return hits / sum(len(t) for t in truth.values())
+
+    r = [
+        recall(lsh_bucket_topk(emb, num_planes=6, k=10, dims=64, nprobe_flips=m).collect())
+        for m in (0, 2)
+    ]
+    assert r[1] > r[0] * 1.5, r  # flips=2 ≈ 2.9× flips=0 on this fixture
+
+
 def test_numpy_topk_guards_driver_collect(spark):
     """The GEMM path collects the query side to the driver by contract —
     an unfiltered call past the bound must raise, not OOM (VERDICT r2
