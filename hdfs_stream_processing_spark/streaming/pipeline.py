@@ -112,6 +112,29 @@ def run_to_memory(df: DataFrame, output_mode: str = "append") -> DataFrame:
     return df.sparkSession.table(name)
 
 
+#: Off-heap state store provider — the one a 100 TB deployment runs.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def enable_rocksdb_state(spark: SparkSession) -> str | None:
+    """Switch streaming state stores to RocksDB.
+
+    The default HDFS-backed provider keeps all keyed state on the
+    executor HEAP — at 100 TB keyed-state volume (dedup keys, open
+    windows, join buffers) that is an OOM, not a tuning problem.
+    RocksDB keeps state off-heap with disk spill and incremental
+    (changelog) checkpointing.  Runtime-settable SQL conf, read when a
+    query STARTS — set it before ``start()``.  Returns the previous
+    provider (None if default) so callers can restore it.
+    """
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    return old
+
+
 def stream_dedup(df: DataFrame, keys: list[str], watermark: tuple[str, str] | None = None) -> DataFrame:
     """Streaming deduplication (ST6 — absent in the reference).
 

@@ -83,6 +83,48 @@ def test_processing_time_trigger_long_running(spark, staged_events, tmp_path):
     assert len(filled) >= 2, q.recentProgress
 
 
+def test_rocksdb_state_store_matches_default(spark, staged_events):
+    """The off-heap RocksDB state store (the 100 TB provider — heap-backed
+    state OOMs at real keyed-state volume) must produce the identical
+    watermark-window aggregate as the default provider, and the query's
+    progress must prove RocksDB actually held the state."""
+    import uuid
+
+    from hdfs_stream_processing_spark.streaming import enable_rocksdb_state
+
+    src_dir, events = staged_events
+    stream = stream_parquet_source(spark, src_dir, events.schema)
+    agg_default = stream_window_agg(stream)
+    expected = sorted(run_to_memory(agg_default, output_mode="complete").collect())
+
+    old = enable_rocksdb_state(spark)
+    try:
+        stream2 = stream_parquet_source(spark, src_dir, events.schema)
+        agg = stream_window_agg(stream2)
+        name = f"rocks_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(spark.table(name).collect())
+        progress = q.recentProgress
+    finally:
+        key = "spark.sql.streaming.stateStore.providerClass"
+        spark.conf.set(key, old) if old is not None else spark.conf.unset(key)
+
+    assert got == expected
+    rocks_metrics = [
+        p["stateOperators"][0].get("customMetrics", {})
+        for p in progress
+        if p.get("stateOperators")
+    ]
+    assert any("rocksdb" in k.lower() for m in rocks_metrics for k in m), rocks_metrics
+
+
 def test_streaming_dedup_across_batches(spark, tmp_path):
     """ST6: duplicate rows arriving in *different* micro-batches are
     still deduplicated (state store spans batches)."""
