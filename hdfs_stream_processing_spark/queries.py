@@ -1216,6 +1216,27 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "compaction",
+    "SELECT event_id, ts, user_id, event_type, value FROM events",
+)
+def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction round-trip (S3+): fragment events into 32
+    micro-batch-sized files (what a streaming sink leaves behind), rewrite
+    byte-budgeted via compact_parquet_dir, scan back.  The oracle asserts
+    the rewrite is content-lossless; the file-count collapse is asserted
+    in tests/test_schemas_io.py."""
+    from hdfs_stream_processing_spark.sources.io import compact_parquet_dir, write_parquet
+
+    (events,) = prep(spark, sf_dir, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    frag = _mkdtemp("hsp_frag_")
+    write_parquet(events.select(cols).repartition(32), frag)
+    out = _mkdtemp("hsp_compact_")
+    compact_parquet_dir(spark, frag, out, target_file_mb=128)
+    return spark.read.parquet(out).select(cols)
+
+
+@query(
     "dedup_embedding",
     f"""WITH q AS (SELECT vec_id, label, {_QUANT_SQL.format(col='embedding')} AS qv
                    FROM embeddings),

@@ -118,6 +118,49 @@ def schema_checked(df: DataFrame, table: str) -> DataFrame:
     return df
 
 
+def dir_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes under a path via the Hadoop FileSystem API (works for
+    HDFS, S3A, and local alike).  Metadata-only — one namenode call, no
+    data read."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return int(fs.getContentSummary(hpath).getLength())
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    target_file_mb: int = 128,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ~``target_file_mb``-sized files.  Returns the output file count.
+
+    A streaming parquet sink emits files per micro-batch per partition —
+    at 100 TB that is millions of KB-sized files, and every downstream
+    scan pays the per-file open/footer/listing cost (the classic HDFS
+    small-files failure; the namenode pays it too, per block).  The fix
+    is this periodic rewrite: one scan, one ``repartition`` shuffle to
+    the byte-budgeted file count, one write.  With ``partition_by`` the
+    repartition keys on the partition columns so each output partition
+    is written by the tasks that own it (no 200-way small-file fan-out
+    per partition directory).
+
+    Write to a NEW directory and swap atomically (HDFS dir rename) —
+    compacting in place would race concurrent readers.
+    """
+    df = spark.read.parquet(src_dir)
+    n_files = max(1, -(-dir_bytes(spark, src_dir) // (target_file_mb * 1024 * 1024)))
+    if partition_by:
+        df = df.repartition(n_files, *[F.col(c) for c in partition_by])
+    else:
+        df = df.repartition(n_files)
+    write_parquet(df, out_dir, partition_by=partition_by)
+    return len([f for f in spark.read.parquet(out_dir).inputFiles()])
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

@@ -1,6 +1,7 @@
 """Schema registry + IO round-trip (SURVEY §1.3, S1-S3)."""
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from hdfs_stream_processing_spark.schemas import DRIVER_TABLES, ddl_for, schema_for
@@ -22,7 +23,9 @@ def test_registry_covers_all_driver_tables():
     assert set(DRIVER_TABLES) == expected
 
 
-def test_ddl_round_trips():
+def test_ddl_round_trips(spark):
+    # the spark fixture: _parse_datatype_string needs an active session,
+    # without it this test only passed when another file ran first
     for table in DRIVER_TABLES:
         ddl = ddl_for(table)
         parsed = T._parse_datatype_string(ddl)
@@ -59,3 +62,36 @@ def test_csv_and_parquet_round_trip(tmp_path, spark):
     write_parquet(df, pq_dir)
     back_pq = spark.read.parquet(pq_dir)
     assert sorted(back_pq.collect()) == sorted(df.collect())
+
+
+def test_compaction_collapses_small_files(tmp_path, spark):
+    """compact_parquet_dir: a 32-fragment directory (streaming-sink
+    debris) collapses to the byte-budgeted file count with identical
+    content — the periodic rewrite every HDFS streaming deployment runs."""
+    from hdfs_stream_processing_spark.sources.io import compact_parquet_dir
+
+    df = load_table(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    frag = str(tmp_path / "frag")
+    df.repartition(32).write.parquet(frag)
+    assert len(spark.read.parquet(frag).inputFiles()) >= 32
+
+    out = str(tmp_path / "compact")
+    n_out = compact_parquet_dir(spark, frag, out, target_file_mb=128)
+    assert n_out == 1  # tiny table, one 128 MB budget file
+    assert sorted(spark.read.parquet(out).collect()) == sorted(df.collect())
+
+
+def test_compaction_partitioned_layout(tmp_path, spark):
+    from hdfs_stream_processing_spark.sources.io import compact_parquet_dir
+
+    df = load_table(spark, SF_DIR, "events").select("event_id", "event_type", "value")
+    frag = str(tmp_path / "pfrag")
+    df.repartition(16).write.parquet(frag)
+    out = str(tmp_path / "pcompact")
+    compact_parquet_dir(spark, frag, out, target_file_mb=128, partition_by=["event_type"])
+    back = spark.read.parquet(out)
+    assert sorted(back.select("event_id", "event_type", "value").collect()) == sorted(df.collect())
+    # partition pruning engages on the compacted layout
+    assert back.where(F.col("event_type") == "click").count() == df.where(
+        F.col("event_type") == "click"
+    ).count()
