@@ -930,8 +930,9 @@ def q_similarity_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     that differ in its least-confident signature bits (smallest
     |projection|), trading linear extra candidates for recall — the
     standard answer to single-probe LSH's recall cliff.  Only the query
-    side fans out; the corpus stays one-bucket.  Recall monotonicity is
-    asserted in tests/test_llm_ops.py."""
+    side fans out; the corpus stays one-bucket.  Approximate recall →
+    rows-only check by design; recall monotonicity is asserted in
+    tests/test_llm_ops.py."""
     from hdfs_stream_processing_spark.operators.similarity import lsh_bucket_topk
 
     (embeddings,) = prep(spark, sf_dir, "embeddings")
