@@ -59,6 +59,8 @@ HEADLINE = [
     "stream_wire_ingest",
     "stream_stream_join",
     "sample_hash",
+    "ngram_jaccard",   # shared-shingle join behind the df-cutoff (r3)
+    "ivf_assign",      # literal-centroid codegen argmax, zero shuffle (r3)
 ]
 
 

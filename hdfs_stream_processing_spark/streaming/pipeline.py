@@ -128,10 +128,19 @@ def enable_rocksdb_state(spark: SparkSession) -> str | None:
     (changelog) checkpointing.  Runtime-settable SQL conf, read when a
     query STARTS — set it before ``start()``.  Returns the previous
     provider (None if default) so callers can restore it.
+
+    Changelog checkpointing is enabled with it: per-batch checkpoint
+    cost becomes O(state CHANGED this batch) instead of O(total state) —
+    the difference between seconds and minutes of per-batch overhead at
+    real keyed-state volume.
     """
     key = "spark.sql.streaming.stateStore.providerClass"
     old = spark.conf.get(key, None)
     spark.conf.set(key, ROCKSDB_PROVIDER)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true",
+    )
     return old
 
 
