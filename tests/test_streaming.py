@@ -229,3 +229,53 @@ def test_foreach_batch_sink(spark, staged_events, tmp_path):
     stream = stream_parquet_source(spark, src_dir, events.schema, max_files_per_trigger=2)
     run_foreach_batch(stream, write_batch, str(tmp_path / "fb_ck"))
     assert spark.read.parquet(out_dir).count() == events.count()
+
+
+def test_stateful_rounding_half_up_on_exact_half_cents(spark, tmp_path):
+    """ADVICE r2: pandas .round() is half-to-even, F.round is HALF_UP —
+    values landing exactly on .5 cents (0.125, 0.375 are exactly
+    representable) must produce the SAME cents in the stateful operator
+    as in the batch aggregate, both signs."""
+    from pyspark.sql import functions as F
+
+    from hdfs_stream_processing_spark.operators.stateful import running_totals_per_key
+    from hdfs_stream_processing_spark.streaming import run_to_memory, stream_parquet_source
+
+    rows = [(1, 0.125), (1, 0.375), (2, -0.125), (2, -0.375)]
+    df = spark.createDataFrame(rows, "user_id bigint, value double")
+    src = str(tmp_path / "halfsrc")
+    df.write.parquet(src)
+
+    stream = stream_parquet_source(spark, src, df.schema)
+    out = run_to_memory(running_totals_per_key(stream), output_mode="append")
+    got = {r["user_id"]: r["sum_cents"] for r in out.collect()}
+
+    cents = F.round(F.col("value") * F.lit(100.0), 0).cast("long")
+    truth = {
+        r["user_id"]: r["s"]
+        for r in df.groupBy("user_id").agg(F.sum(cents).alias("s")).collect()
+    }
+    # HALF_UP: 12.5→13, 37.5→38 (half-even would give 12+38=50, not 51)
+    assert truth == {1: 51, 2: -51}
+    assert got == truth
+
+
+def test_asof_join_no_blended_rows_on_null_columns(spark):
+    """ADVICE r2: a matched right row holding a NULL in one value column
+    must deliver THAT NULL — not inherit the column from an older right
+    row (the struct carry guarantees all columns come from one row)."""
+    import datetime as dt
+
+    from hdfs_stream_processing_spark.operators.temporal import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+    left = spark.createDataFrame(
+        [(1, t(20), 100)], "user_id bigint, ts timestamp, event_id bigint"
+    )
+    right = spark.createDataFrame(
+        [(1, t(5), 7.0, "old"), (1, t(10), None, "new")],
+        "user_id bigint, ts timestamp, value double, tag string",
+    )
+    out = asof_join(left, right, "user_id", "ts", "ts", ["value", "tag"]).collect()[0]
+    # the t(10) row matches; its value is NULL and must STAY NULL
+    assert out["asof_tag"] == "new" and out["asof_value"] is None
