@@ -239,28 +239,72 @@ def _dot_sql(a: str, b: str) -> str:
 
 
 def assign_cells(
-    df: DataFrame, centroids: list[list[int]], vec_col: str = "qv", out_col: str = "cell"
+    df: DataFrame,
+    centroids: list[list[int]],
+    vec_col: str = "qv",
+    out_col: str = "cell",
+    id_col: str | None = None,
+    max_literal_cells: int = 256,
 ) -> DataFrame:
-    """Argmax-cosine cell assignment against centroid LITERALS.
+    """Argmax-cosine cell assignment.  Two physical strategies, same
+    semantics (max cosine, ties to the lowest cell id):
 
-    The centroids are embedded as array literals, so assignment is one
-    whole-stage-codegen expression per row — no join, no broadcast
-    variable, NO shuffle.  Affinity is integer-dot / (sqrt·sqrt) of exact
-    integers → bit-identical in any engine (the ivf_assign oracle);
-    ties go to the lowest cell id via max-struct on (aff, -cell).
+    - **literal path** (≤ ``max_literal_cells``): centroids embedded as
+      array literals — one whole-stage-codegen expression per row, no
+      join, no broadcast variable, NO shuffle.  Affinity is integer-dot
+      / (sqrt·sqrt) of exact integers → bit-identical in any engine
+      (the ivf_assign oracle).
+    - **broadcast-join path** (larger, needs ``id_col``): at real scale
+      ``n_cells`` ~ sqrt(corpus) is 10^4-10^5 — a literal expression
+      that size breaks codegen limits, so the centroid table (still
+      tiny: cells × dims ints) is broadcast, affinities computed per
+      (row, cell) pair, and the argmax taken by max_by over a groupBy
+      on ``id_col`` — one shuffle keyed on the row id.
     """
+    if len(centroids) <= max_literal_cells or id_col is None:
+        qn = F.sqrt(dot_q(F.col(vec_col), F.col(vec_col)).cast("double"))
+        df = df.withColumn("_qn", qn)
+        parts = []
+        for cell, cv in enumerate(centroids):
+            cc = sum(int(v) * int(v) for v in cv)
+            aff = (
+                f"(CAST({_dot_sql(vec_col, _arr_lit(cv))} AS DOUBLE)"
+                f" / (_qn * sqrt(CAST({cc} AS DOUBLE))))"
+            )
+            parts.append(f"named_struct('aff', {aff}, 'nc', {-cell})")
+        pick = f"-array_max(array({', '.join(parts)})).nc"
+        return df.withColumn(out_col, F.expr(pick).cast("int")).drop("_qn")
+    return _assign_cells_join(df, centroids, vec_col, out_col, id_col)
+
+
+def _assign_cells_join(
+    df: DataFrame, centroids: list[list[int]], vec_col: str, out_col: str, id_col: str
+) -> DataFrame:
+    """Broadcast-join assignment (see assign_cells): identical affinity
+    expression tree and tie rule as the literal path — the two paths are
+    asserted equal in tests/test_llm_ops.py."""
+    spark = df.sparkSession
+    cent = spark.createDataFrame(
+        [(i, [int(x) for x in cv]) for i, cv in enumerate(centroids)],
+        "cell int, cv array<bigint>",
+    ).withColumn("_cn", F.sqrt(dot_q(F.col("cv"), F.col("cv")).cast("double")))
     qn = F.sqrt(dot_q(F.col(vec_col), F.col(vec_col)).cast("double"))
-    df = df.withColumn("_qn", qn)
-    parts = []
-    for cell, cv in enumerate(centroids):
-        cc = sum(int(v) * int(v) for v in cv)
-        aff = (
-            f"(CAST({_dot_sql(vec_col, _arr_lit(cv))} AS DOUBLE)"
-            f" / (_qn * sqrt(CAST({cc} AS DOUBLE))))"
+    pairs = df.withColumn("_qn", qn).crossJoin(F.broadcast(cent))
+    aff = dot_q(F.col(vec_col), F.col("cv")).cast("double") / (F.col("_qn") * F.col("_cn"))
+    other = [c for c in df.columns if c != id_col]
+    return (
+        pairs.withColumn("_aff", aff)
+        .groupBy(id_col)
+        .agg(
+            # all pair rows of one group carry the SAME original row —
+            # first() is deterministic here
+            *[F.first(c).alias(c) for c in other],
+            F.max_by(
+                "cell",
+                F.struct(F.col("_aff").alias("a"), (-F.col("cell")).alias("nc")),
+            ).alias(out_col),
         )
-        parts.append(f"named_struct('aff', {aff}, 'nc', {-cell})")
-    pick = f"-array_max(array({', '.join(parts)})).nc"
-    return df.withColumn(out_col, F.expr(pick).cast("int")).drop("_qn")
+    )
 
 
 def ivf_init_centroids(
@@ -305,7 +349,7 @@ def train_ivf_centroids(
     cents = ivf_init_centroids(embeddings, id_col, vec_col, n_cells)
     q = embeddings.select(F.col(id_col).alias("_id"), quantized(vec_col).alias("qv"))
     for _ in range(n_iters):
-        assigned = assign_cells(q, cents)
+        assigned = assign_cells(q, cents, id_col="_id")
         means = (
             assigned.select("cell", F.posexplode("qv").alias("idx", "x"))
             .groupBy("cell", "idx")
@@ -350,7 +394,7 @@ def ivf_topk(
     if centroids is None:
         centroids = train_ivf_centroids(embeddings, id_col, vec_col, n_cells, n_iters)
     q = embeddings.select(F.col(id_col), quantized(vec_col).alias("qv"))
-    corpus = assign_cells(q, centroids).select(
+    corpus = assign_cells(q, centroids, id_col=id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("qv").alias("nv"), "cell"
     )
     # nprobe nearest cells per query: sort the same per-cell affinity

@@ -235,6 +235,30 @@ def test_ivf_kmeans_training_deterministic_and_improves_recall(spark):
     assert trained > init_only, (trained, init_only)
 
 
+def test_assign_cells_join_path_matches_literal_path(spark):
+    """The broadcast-join assignment (the >256-cell scale path) must
+    agree row-for-row with the literal-codegen path — same affinity
+    expression tree, same lowest-cell tie rule."""
+    from hdfs_stream_processing_spark.operators.similarity import (
+        assign_cells,
+        ivf_init_centroids,
+        quantized,
+    )
+    from hdfs_stream_processing_spark.sources.io import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = ivf_init_centroids(emb, n_cells=8)
+    q = emb.select("vec_id", quantized("embedding").alias("qv"))
+    lit = {r["vec_id"]: r["cell"] for r in assign_cells(q, cents).collect()}
+    join = {
+        r["vec_id"]: r["cell"]
+        for r in assign_cells(
+            q, cents, id_col="vec_id", max_literal_cells=0
+        ).collect()
+    }
+    assert lit == join
+
+
 def test_lsh_multiprobe_improves_recall_monotonically(spark):
     """Multi-probe LSH: probing the least-confident flipped buckets must
     strictly add candidates, so recall@10 is monotone in nprobe_flips
