@@ -31,12 +31,41 @@ def entry(spark: SparkSession) -> DataFrame:
     return Q.QUERIES["multi_join"](spark, "/root/testdata/sf0.001")
 
 
+# The driver's correctness gate checks the FIRST 50 entries in dict
+# order.  Rounds 1-3 registered in source order, so the same 50 queries
+# were checked every round and the 31 registered after `time_rollup`
+# never earned a driver row (they pass the identical check locally via
+# tools/check_correctness.py).  Round 4 rotates: the 31 never-checked
+# queries come first, then the entries whose oracle status changed this
+# round, then the long-green remainder in registration order.
+_VERIFY_FIRST = [
+    # never driver-checked through round 3:
+    "time_rollup", "stream_stateful", "session_agg", "salted_agg",
+    "similarity_ivf", "ivf_assign", "multimodal_features",
+    "similarity_topk_np", "asof_join", "range_join", "pivot_wide",
+    "unpivot_narrow", "fill_nulls", "regex_extract", "percentiles",
+    "stream_wire_ingest", "stream_stream_join", "profile_table",
+    "histogram", "sample_hash", "sample_stratified", "minmax_by",
+    "string_agg_sorted", "cube_agg", "window_time_range",
+    "dedup_clusters", "dedup_keep", "multimodal_frames", "scan_json",
+    "scan_orc", "revenue_share",
+    # oracle status changed in round 4 (new oracles / new queries):
+    "similarity_lsh", "similarity_lsh_multiprobe", "approx_distinct_ok",
+]
+
+
+def _rotated(d: dict) -> dict:
+    out = {k: d[k] for k in _VERIFY_FIRST if k in d}
+    out.update((k, v) for k, v in d.items() if k not in out)
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(Q.QUERIES)
+    return _rotated(Q.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query (omitted for
     approximate / non-SQL-expressible ops → rows-only check)."""
-    return dict(Q.ORACLES)
+    return _rotated(Q.ORACLES)

@@ -53,8 +53,10 @@ def asof_join(
     are picked in partition order (engine-arbitrary).
     """
     lcols = left.columns
+    # double, not long: a long cast would truncate fractional tiebreaks
+    # (1.9 and 1.2 would tie) and silently fall back to partition order
     tb = (
-        F.col(right_tiebreak).cast("long") if right_tiebreak else F.lit(0).cast("long")
+        F.col(right_tiebreak).cast("double") if right_tiebreak else F.lit(0.0)
     )
     r = right.select(
         F.col(key),
@@ -67,7 +69,7 @@ def asof_join(
     l = (
         left.withColumn("_side", F.lit(1))
         .withColumn("_ats", F.col(left_ts))
-        .withColumn("_tb", F.lit(0).cast("long"))
+        .withColumn("_tb", F.lit(0.0))
         .withColumn("_rrow", F.lit(None).cast(rrow_type))
     )
     for c in lcols:

@@ -56,15 +56,22 @@ def explode_edge_ngrams(
 ) -> DataFrame:
     """(id, token, ngram) rows: tokenize → explode → edge-ngram → explode.
 
-    This is the ES index-time analysis chain as a DataFrame op (lowercase
-    + asciifolding + edge_ngram, convert-to-elasticsearch.py:20-40); at
-    100 TB it is a narrow map+explode (no shuffle) feeding whatever
-    index/agg consumes it.
+    This is the ES index-time analysis chain as a DataFrame op in the
+    reference's exact filter ORDER — lowercase → edge_ngram →
+    asciifolding (convert-to-elasticsearch.py:20-40): grams are cut from
+    the lowercased-but-unfolded token, then each gram is folded.  The
+    order is observable only for the 1:2 fold ß→ss ('groß' indexes
+    {gr, gro, gross} — no 'gros' — exactly as the reference's ES index
+    does); every 1:1 fold commutes with the substring.  `token` is the
+    lowercased pre-fold token.  At 100 TB this is a narrow map+explode
+    (no shuffle) feeding whatever index/agg consumes it.
     """
     tok = df.select(
-        F.col(id_col), F.explode(analyzer_tokens(text_col)).alias("token")
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
     ).where(F.length("token") >= min_gram)
-    return tok.select(
+    # explode first, fold after: a generator cannot sit inside another
+    # expression (UNSUPPORTED_GENERATOR.NESTED_IN_EXPRESSIONS)
+    grams = tok.select(
         id_col,
         "token",
         F.explode(
@@ -72,8 +79,9 @@ def explode_edge_ngrams(
                 f"transform(sequence({min_gram}, least({max_gram}, length(token))),"
                 " i -> substring(token, 1, i))"
             )
-        ).alias("ngram"),
+        ).alias("_gram"),
     )
+    return grams.select(id_col, "token", ascii_fold(F.col("_gram")).alias("ngram"))
 
 
 def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -143,9 +151,11 @@ def char_bigrams(col: Column | str) -> Column:
     """All character bigrams of the text (the n-gram basis for the
     language heuristic)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.expr(
-        f"transform(sequence(1, greatest(length({c._jc.toString() if not isinstance(col, str) else col}), 2) - 1),"
-        f" i -> substring({c._jc.toString() if not isinstance(col, str) else col}, i, 2))"
+    # Column.substr accepts Column arguments, so this stays in the public
+    # API (no py4j internals) and works on classic and connect sessions.
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c), F.lit(2)) - F.lit(1)),
+        lambda i: c.substr(i, F.lit(2)),
     )
 
 

@@ -733,8 +733,8 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_ngram",
     f"""SELECT doc_id, token,
               unnest(list_transform(generate_series(2, least(10, length(token))),
-                                    i -> substr(token, 1, i))) AS ngram
-       FROM (SELECT doc_id, unnest(string_split({sql_fold('lower(text)')}, ' ')) AS token
+                                    i -> {sql_fold('substr(token, 1, i)')})) AS ngram
+       FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
              FROM documents WHERE doc_id < 50)
        WHERE length(token) >= 2""",
 )
@@ -1285,9 +1285,13 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_search",
     f"""SELECT doc_id, COUNT(*) AS n_hits FROM (
-         SELECT doc_id, unnest(string_split({sql_fold('lower(text)')}, ' ')) AS token
-         FROM documents)
-       WHERE substr(token, 1, 3) = 'val'
+         SELECT doc_id,
+                unnest(list_transform(generate_series(2, least(10, length(token))),
+                                      i -> {sql_fold('substr(token, 1, i)')})) AS ngram
+         FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+               FROM documents)
+         WHERE length(token) >= 2)
+       WHERE ngram = 'val'
        GROUP BY doc_id""",
 )
 def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -148,8 +148,11 @@ def compact_parquet_dir(
     is written by the tasks that own it (no 200-way small-file fan-out
     per partition directory).
 
-    Write to a NEW directory and swap atomically (HDFS dir rename) —
-    compacting in place would race concurrent readers.
+    Writes to ``out_dir`` and returns; it does NOT swap ``out_dir`` over
+    ``src_dir``.  To publish the compacted copy to concurrent readers,
+    the CALLER renames it over the source path (an atomic namenode
+    metadata op on HDFS) — compacting in place would race readers, so
+    this function never touches ``src_dir``.
     """
     df = spark.read.parquet(src_dir)
     n_files = max(1, -(-dir_bytes(spark, src_dir) // (target_file_mb * 1024 * 1024)))

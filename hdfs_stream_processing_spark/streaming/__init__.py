@@ -5,6 +5,7 @@ streaming parse → classify → HDFS/Parquet sink with checkpointing.
 from hdfs_stream_processing_spark.streaming.pipeline import (  # noqa: F401
     classify_movement,
     enable_rocksdb_state,
+    restore_confs,
     run_to_memory,
     run_to_parquet,
     stream_dedup,

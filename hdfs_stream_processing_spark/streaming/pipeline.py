@@ -118,7 +118,17 @@ ROCKSDB_PROVIDER = (
 )
 
 
-def enable_rocksdb_state(spark: SparkSession) -> str | None:
+def restore_confs(spark: SparkSession, prior: dict[str, str | None]) -> None:
+    """Restore SQL confs captured by :func:`enable_rocksdb_state` (a
+    ``None`` value means the conf was unset before)."""
+    for key, old in prior.items():
+        if old is not None:
+            spark.conf.set(key, old)
+        else:
+            spark.conf.unset(key)
+
+
+def enable_rocksdb_state(spark: SparkSession) -> dict[str, str | None]:
     """Switch streaming state stores to RocksDB.
 
     The default HDFS-backed provider keeps all keyed state on the
@@ -126,22 +136,23 @@ def enable_rocksdb_state(spark: SparkSession) -> str | None:
     windows, join buffers) that is an OOM, not a tuning problem.
     RocksDB keeps state off-heap with disk spill and incremental
     (changelog) checkpointing.  Runtime-settable SQL conf, read when a
-    query STARTS — set it before ``start()``.  Returns the previous
-    provider (None if default) so callers can restore it.
+    query STARTS — set it before ``start()``.  Returns the prior value
+    of EVERY conf it touches (``None`` = was unset); pass that dict to
+    :func:`restore_confs` to undo both settings.
 
     Changelog checkpointing is enabled with it: per-batch checkpoint
     cost becomes O(state CHANGED this batch) instead of O(total state) —
     the difference between seconds and minutes of per-batch overhead at
     real keyed-state volume.
     """
-    key = "spark.sql.streaming.stateStore.providerClass"
-    old = spark.conf.get(key, None)
-    spark.conf.set(key, ROCKSDB_PROVIDER)
-    spark.conf.set(
+    keys = (
+        "spark.sql.streaming.stateStore.providerClass",
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
-        "true",
     )
-    return old
+    prior = {k: spark.conf.get(k, None) for k in keys}
+    spark.conf.set(keys[0], ROCKSDB_PROVIDER)
+    spark.conf.set(keys[1], "true")
+    return prior
 
 
 def stream_dedup(df: DataFrame, keys: list[str], watermark: tuple[str, str] | None = None) -> DataFrame:
@@ -149,10 +160,13 @@ def stream_dedup(df: DataFrame, keys: list[str], watermark: tuple[str, str] | No
 
     With a watermark the dedup state is bounded: keys older than the
     watermark are dropped from the state store — mandatory at 100 TB, or
-    state grows without bound."""
+    state grows without bound.  ``dropDuplicatesWithinWatermark`` gives
+    TRUE key-level dedup with bounded state: the same key at two event
+    times within the watermark delay is still one output row (plain
+    ``dropDuplicates(keys + [ts])`` — the pre-Spark-3.5 workaround —
+    would emit both)."""
     if watermark is not None:
-        df = df.withWatermark(*watermark)
-        return df.dropDuplicates(keys + [watermark[0]]) if watermark[0] not in keys else df.dropDuplicates(keys)
+        return df.withWatermark(*watermark).dropDuplicatesWithinWatermark(keys)
     return df.dropDuplicates(keys)
 
 

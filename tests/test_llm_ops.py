@@ -139,8 +139,17 @@ def test_ascii_fold_matches_es_analyzer(spark):
 
     text = "Café Über naïve Groß señor ÉCLAIR"
     df = _docs(spark, [(1, text)])
-    toks = {r["token"] for r in explode_edge_ngrams(df, "doc_id", "text").select("token").distinct().collect()}
-    assert toks == {"cafe", "uber", "naive", "gross", "senor", "eclair"}
+    rows = explode_edge_ngrams(df, "doc_id", "text").collect()
+    # reference filter ORDER is lowercase → edge_ngram → asciifolding:
+    # tokens stay unfolded, every emitted gram is folded
+    toks = {r["token"] for r in rows}
+    assert toks == {"café", "über", "naïve", "groß", "señor", "éclair"}
+    grams = {r["ngram"] for r in rows}
+    assert {"cafe", "uber", "naive", "senor", "eclair"} <= grams
+    # the ß-order fingerprint: grams are cut BEFORE the 1:2 ß→ss fold,
+    # so 'groß' indexes gr/gro/gross — never 'gros' (exactly as ES does)
+    gross_grams = {r["ngram"] for r in rows if r["token"] == "groß"}
+    assert gross_grams == {"gr", "gro", "gross"}
 
     # engine parity: DuckDB's sql_fold produces the identical folded string
     duck = duckdb.connect().execute(

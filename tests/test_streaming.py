@@ -90,14 +90,14 @@ def test_rocksdb_state_store_matches_default(spark, staged_events):
     progress must prove RocksDB actually held the state."""
     import uuid
 
-    from hdfs_stream_processing_spark.streaming import enable_rocksdb_state
+    from hdfs_stream_processing_spark.streaming import enable_rocksdb_state, restore_confs
 
     src_dir, events = staged_events
     stream = stream_parquet_source(spark, src_dir, events.schema)
     agg_default = stream_window_agg(stream)
     expected = sorted(run_to_memory(agg_default, output_mode="complete").collect())
 
-    old = enable_rocksdb_state(spark)
+    prior = enable_rocksdb_state(spark)
     try:
         stream2 = stream_parquet_source(spark, src_dir, events.schema)
         agg = stream_window_agg(stream2)
@@ -113,8 +113,7 @@ def test_rocksdb_state_store_matches_default(spark, staged_events):
         got = sorted(spark.table(name).collect())
         progress = q.recentProgress
     finally:
-        key = "spark.sql.streaming.stateStore.providerClass"
-        spark.conf.set(key, old) if old is not None else spark.conf.unset(key)
+        restore_confs(spark, prior)
 
     assert got == expected
     rocks_metrics = [
@@ -136,6 +135,36 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     stream = stream_parquet_source(spark, d, events.schema, max_files_per_trigger=1)
     out = run_to_memory(stream.dropDuplicates(["event_id"]))
     assert out.count() == 50
+
+
+def test_streaming_dedup_within_watermark_key_level(spark, tmp_path):
+    """ST6 (VERDICT r3 #3): with a watermark, dedup must be TRUE
+    key-level — the same key at two different event times (within the
+    watermark delay) is ONE output row.  The old ``keys + [ts]``
+    workaround would emit both.  Result keys must equal the batch
+    ``dropDuplicates`` keys on the same input."""
+    import datetime as dt
+
+    from hdfs_stream_processing_spark.streaming import stream_dedup
+
+    t = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+    rows = [(1, t(0), "a"), (1, t(5), "b"), (2, t(1), "c"), (2, t(1), "d"), (3, t(9), "e")]
+    df = spark.createDataFrame(rows, "event_id bigint, ts timestamp, payload string")
+    src = str(tmp_path / "wmdupsrc")
+    # two files → two micro-batches: state must span batches too
+    df.where("event_id <= 2").coalesce(1).write.mode("append").parquet(src)
+    df.where("event_id >= 2").coalesce(1).write.mode("append").parquet(src)
+
+    stream = stream_parquet_source(spark, src, df.schema, max_files_per_trigger=1)
+    out = run_to_memory(
+        stream_dedup(stream, ["event_id"], watermark=("ts", "1 hour")),
+        output_mode="append",
+    )
+    got_keys = sorted(r["event_id"] for r in out.select("event_id").collect())
+    batch_keys = sorted(
+        r["event_id"] for r in df.dropDuplicates(["event_id"]).select("event_id").collect()
+    )
+    assert got_keys == batch_keys == [1, 2, 3]
 
 
 def test_window_agg_totals(spark, staged_events):
