@@ -911,11 +911,71 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("similarity_lsh")  # approximate-recall path → rows-only, by design
+def _lsh_oracle_sql(num_planes: int, dims: int, k: int, nflips: int) -> str:
+    """DuckDB mirror of operators.similarity.lsh_bucket_topk.
+
+    The LSH path is APPROXIMATE vs exact top-k but fully DETERMINISTIC
+    end-to-end — md5-derived ±1 hyperplanes, integer projections,
+    quantized-integer cosine — so the whole signature → bucket →
+    (multi-probe) → re-rank pipeline is SQL-expressible and bit-exact
+    (VERDICT r3 #2; same technique as the ivf_assign oracle).  The
+    weights are re-DERIVED in SQL from the same public md5 recipe
+    (hyperplane_weights), not pasted as literals, so the oracle is an
+    independent formulation.  Projections stay comparison-only (pr > 0,
+    abs ordering), so DuckDB's HUGEINT SUM never reaches the output."""
+    probes = (
+        "probes AS (SELECT vec_id, bucket AS probe FROM sigs)"
+        if nflips == 0
+        else f"""flips AS (
+         SELECT vec_id, p AS fp FROM (
+           SELECT vec_id, p, row_number() OVER (PARTITION BY vec_id ORDER BY abs(pr), p) AS rn
+           FROM proj)
+         WHERE rn <= {nflips}),
+       probes AS (
+         SELECT vec_id, bucket AS probe FROM sigs
+         UNION ALL
+         SELECT f.vec_id,
+                substr(s.bucket, 1, f.fp)
+                || (CASE WHEN substr(s.bucket, f.fp + 1, 1) = '1' THEN '0' ELSE '1' END)
+                || substr(s.bucket, f.fp + 2) AS probe
+         FROM flips f JOIN sigs s USING (vec_id))"""
+    )
+    return f"""
+WITH qvs AS (SELECT vec_id, {_QUANT_SQL.format(col='embedding')} AS qv FROM embeddings),
+     w AS (SELECT p, d,
+             CASE WHEN ('0x'||substr(md5(p::VARCHAR || ':' || d::VARCHAR),1,4))::UBIGINT % 2 = 1
+                  THEN 1 ELSE -1 END AS wt
+           FROM (SELECT unnest(generate_series(0,{num_planes - 1})) AS p),
+                (SELECT unnest(generate_series(0,{dims - 1})) AS d)),
+     proj AS (SELECT vec_id, p, SUM(qv[d + 1] * wt) AS pr
+              FROM qvs, w GROUP BY vec_id, p),
+     sigs AS (SELECT vec_id,
+                     string_agg(CASE WHEN pr > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+              FROM proj GROUP BY vec_id),
+     {probes},
+     scored AS (
+       SELECT a.vec_id AS query_id, s.vec_id AS neighbor_id,
+              CAST(list_sum(list_transform(list_zip(qa.qv, qb.qv), pp -> pp[1] * pp[2])) AS DOUBLE)
+              / (sqrt(CAST(list_sum(list_transform(qa.qv, x -> x * x)) AS DOUBLE))
+                 * sqrt(CAST(list_sum(list_transform(qb.qv, x -> x * x)) AS DOUBLE))) AS cosine
+       FROM probes a
+       JOIN sigs s ON a.probe = s.bucket AND a.vec_id <> s.vec_id
+       JOIN qvs qa ON qa.vec_id = a.vec_id
+       JOIN qvs qb ON qb.vec_id = s.vec_id)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM scored)
+WHERE rank <= {k}"""
+
+
+@query("similarity_lsh", _lsh_oracle_sql(num_planes=6, dims=64, k=10, nflips=0))
 def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (N1 scale path): hyperplane-sign buckets turn the
     cross join into an equi-join; exact re-rank within buckets.
-    Approximate recall → no SQL oracle (rows-only check)."""
+    Approximate RECALL, deterministic VALUES — the md5-hyperplane /
+    integer-projection / quantized-cosine pipeline is bit-exact in SQL,
+    so the full bucket assignment and re-rank are oracle-checked."""
     from hdfs_stream_processing_spark.operators.similarity import lsh_bucket_topk
 
     (embeddings,) = prep(spark, sf_dir, "embeddings")
@@ -924,14 +984,15 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(embeddings, "vec_id", "embedding", num_planes=6, k=10, dims=64)
 
 
-@query("similarity_lsh_multiprobe")  # approximate-recall path → rows-only
+@query("similarity_lsh_multiprobe", _lsh_oracle_sql(num_planes=6, dims=64, k=10, nflips=2))
 def q_similarity_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH ANN: each query additionally probes the buckets
     that differ in its least-confident signature bits (smallest
     |projection|), trading linear extra candidates for recall — the
     standard answer to single-probe LSH's recall cliff.  Only the query
-    side fans out; the corpus stays one-bucket.  Approximate recall →
-    rows-only check by design; recall monotonicity is asserted in
+    side fans out; the corpus stays one-bucket.  Deterministic flip
+    order (|projection|, plane index) makes even the probe fan-out
+    oracle-checkable; recall monotonicity is separately asserted in
     tests/test_llm_ops.py."""
     from hdfs_stream_processing_spark.operators.similarity import lsh_bucket_topk
 
