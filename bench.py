@@ -5,12 +5,23 @@ Prints ONE JSON line:
 
 Each query executes through the noop sink (full plan execution, no
 driver-side pandas conversion) after a shared session warm-up.
+
+Trustworthiness (VERDICT r3 #5): each query runs ``$SPARK_GRAFT_BENCH_RUNS``
+times (default 7).  ``queries`` reports the per-query MEDIAN — the canonical
+number from round 4 on; ``queries_min`` keeps the best run (the semantics
+rounds 1-3 reported), ``spread`` carries min/max, and ``moved_vs_prev``
+auto-flags queries whose best run moved >15% against the most recent
+``BENCH_r*.json`` (min-vs-min, like for like) so a real regression can't
+hide behind sub-second scheduling noise again.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
+import statistics
 import sys
 import time
 
@@ -64,9 +75,27 @@ HEADLINE = [
 ]
 
 
+def _latest_bench() -> tuple[str, dict] | None:
+    """Most recent BENCH_r{N}.json next to this file, if any."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    best_n, best = -1, None
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and int(m.group(1)) > best_n:
+            best_n, best = int(m.group(1)), p
+    if best is None:
+        return None
+    try:
+        with open(best) as f:
+            return os.path.basename(best), json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "7")))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     spark = get_spark(app_name="hsp-bench", cpus=cpus)
@@ -78,32 +107,51 @@ def main() -> None:
     for t in TABLE_NAMES:
         load_table(spark, sf_dir, t).count()
 
-    timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    mins: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         fn = Q.QUERIES[name]
-        # min of 2 runs: steady-state execution, not first-touch JVM/IO
-        # noise (each run re-plans and re-executes the full query)
-        best = float("inf")
-        for _ in range(2):
+        runs: list[float] = []
+        for _ in range(n_runs):
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        medians[name] = round(statistics.median(runs), 3)
+        mins[name] = round(min(runs), 3)
+        spread[name] = {"min": round(min(runs), 3), "max": round(max(runs), 3)}
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline-query wall-clock (noop sink), sum over queries",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cpus": int(cpus),
-            }
-        )
-    )
+    # >15% round-over-round moves, best-vs-best (rounds 1-3 reported min)
+    moved: dict[str, dict[str, float]] = {}
+    prev = _latest_bench()
+    if prev is not None:
+        prev_name, prev_data = prev
+        for name, now in mins.items():
+            old = prev_data.get("queries", {}).get(name)
+            if old and old > 0 and abs(now - old) / old > 0.15:
+                moved[name] = {
+                    "prev": old,
+                    "now": now,
+                    "pct": round(100.0 * (now - old) / old, 1),
+                }
+
+    total = round(sum(medians.values()), 3)
+    out = {
+        "metric": "headline-query wall-clock (noop sink), sum of per-query medians",
+        "value": total,
+        "unit": "sec",
+        "queries": medians,
+        "sf": sf,
+        "cpus": int(cpus),
+        "runs": n_runs,
+        "queries_min": mins,
+        "spread": spread,
+    }
+    if prev is not None:
+        out["moved_vs_prev"] = moved
+        out["prev"] = prev[0]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

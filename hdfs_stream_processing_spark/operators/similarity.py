@@ -371,6 +371,34 @@ def train_ivf_centroids(
     return cents
 
 
+def _probe_cells_join(
+    q: DataFrame, centroids: list[list[int]], id_col: str, nprobe: int
+) -> DataFrame:
+    """Broadcast-join nprobe cell selection (the large-``n_cells``
+    mirror of the literal ``top_cells`` expression in :func:`ivf_topk`,
+    exactly as ``_assign_cells_join`` mirrors ``assign_cells``):
+    affinities per (query, cell) pair against the broadcast centroid
+    table, ``row_number() <= nprobe`` per query ordered (affinity DESC,
+    cell ASC) — the same tie rule as the literal path's struct sort.
+    Emits (query_id, pv, cell); parity with the literal path is
+    asserted in tests/test_llm_ops.py."""
+    spark = q.sparkSession
+    cent = spark.createDataFrame(
+        [(i, [int(x) for x in cv]) for i, cv in enumerate(centroids)],
+        "cell int, cv array<bigint>",
+    ).withColumn("_cn", F.sqrt(dot_q(F.col("cv"), F.col("cv")).cast("double")))
+    qn = F.sqrt(dot_q(F.col("qv"), F.col("qv")).cast("double"))
+    pairs = q.withColumn("_qn", qn).crossJoin(F.broadcast(cent))
+    aff = dot_q(F.col("qv"), F.col("cv")).cast("double") / (F.col("_qn") * F.col("_cn"))
+    w = Window.partitionBy(id_col).orderBy(F.col("_aff").desc(), F.col("cell").asc())
+    return (
+        pairs.withColumn("_aff", aff)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= nprobe)
+        .select(F.col(id_col).alias("query_id"), F.col("qv").alias("pv"), "cell")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -380,44 +408,53 @@ def ivf_topk(
     k: int = 10,
     n_iters: int = 3,
     centroids: list[list[int]] | None = None,
+    max_literal_cells: int = 256,
 ) -> DataFrame:
     """IVF ANN: k-means coarse cells, search the query's ``nprobe``
     nearest cells, exact cosine re-rank inside.
 
-    Both cell assignments are literal-centroid codegen expressions (no
-    join, no shuffle); the only exchanges are the (cell) equi-join that
-    pairs probes with corpus members and the final top-k window.  Work
-    scales with corpus/n_cells × nprobe instead of all-pairs.  At real
-    scale size ``n_cells`` ~ sqrt(corpus) so the join keys spread (16 is
-    demo-sized); recall is the standard nprobe trade-off.
+    Up to ``max_literal_cells`` BOTH cell assignments are
+    literal-centroid codegen expressions (no join, no shuffle); beyond
+    it — real deployments size ``n_cells`` ~ sqrt(corpus), 10^4-10^5 —
+    a literal expression that wide breaks codegen/expression-size
+    limits, so corpus assignment AND query probe selection switch to
+    the broadcast-join paths (``_assign_cells_join`` /
+    ``_probe_cells_join``) with identical semantics.  The remaining
+    exchanges are the (cell) equi-join that pairs probes with corpus
+    members and the final top-k window.  Work scales with
+    corpus/n_cells × nprobe instead of all-pairs; recall is the
+    standard nprobe trade-off.
     """
     if centroids is None:
         centroids = train_ivf_centroids(embeddings, id_col, vec_col, n_cells, n_iters)
     q = embeddings.select(F.col(id_col), quantized(vec_col).alias("qv"))
-    corpus = assign_cells(q, centroids, id_col=id_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("qv").alias("nv"), "cell"
-    )
-    # nprobe nearest cells per query: sort the same per-cell affinity
-    # structs descending, slice, explode — still a narrow map.
-    qn = F.sqrt(dot_q(F.col("qv"), F.col("qv")).cast("double"))
-    probes = q.withColumn("_qn", qn)
-    parts = []
-    for cell, cv in enumerate(centroids):
-        cc = sum(int(v) * int(v) for v in cv)
-        aff = (
-            f"(CAST({_dot_sql('qv', _arr_lit(cv))} AS DOUBLE)"
-            f" / (_qn * sqrt(CAST({cc} AS DOUBLE))))"
+    corpus = assign_cells(
+        q, centroids, id_col=id_col, max_literal_cells=max_literal_cells
+    ).select(F.col(id_col).alias("neighbor_id"), F.col("qv").alias("nv"), "cell")
+    if len(centroids) <= max_literal_cells:
+        # nprobe nearest cells per query: sort the same per-cell affinity
+        # structs descending, slice, explode — still a narrow map.
+        qn = F.sqrt(dot_q(F.col("qv"), F.col("qv")).cast("double"))
+        probes = q.withColumn("_qn", qn)
+        parts = []
+        for cell, cv in enumerate(centroids):
+            cc = sum(int(v) * int(v) for v in cv)
+            aff = (
+                f"(CAST({_dot_sql('qv', _arr_lit(cv))} AS DOUBLE)"
+                f" / (_qn * sqrt(CAST({cc} AS DOUBLE))))"
+            )
+            parts.append(f"named_struct('aff', {aff}, 'nc', {-cell})")
+        top_cells = (
+            f"transform(slice(reverse(array_sort(array({', '.join(parts)}))), 1, {nprobe}),"
+            " s -> CAST(-s.nc AS INT))"
         )
-        parts.append(f"named_struct('aff', {aff}, 'nc', {-cell})")
-    top_cells = (
-        f"transform(slice(reverse(array_sort(array({', '.join(parts)}))), 1, {nprobe}),"
-        " s -> CAST(-s.nc AS INT))"
-    )
-    probes = probes.select(
-        F.col(id_col).alias("query_id"),
-        F.col("qv").alias("pv"),
-        F.explode(F.expr(top_cells)).alias("cell"),
-    )
+        probes = probes.select(
+            F.col(id_col).alias("query_id"),
+            F.col("qv").alias("pv"),
+            F.explode(F.expr(top_cells)).alias("cell"),
+        )
+    else:
+        probes = _probe_cells_join(q, centroids, id_col, nprobe)
     pairs = probes.join(corpus, "cell").where(F.col("query_id") != F.col("neighbor_id"))
     rescored = pairs.select(
         "query_id", "neighbor_id", cosine_q(F.col("pv"), F.col("nv")).alias("cosine")

@@ -537,6 +537,34 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "approx_distinct_ok",
+    """SELECT l_returnflag,
+              CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+              TRUE AS within_bound
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def q_approx_distinct_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL error CONTRACT, hash-checked (VERDICT r3 #6): per group,
+    Spark computes BOTH the sketch estimate and the exact distinct count
+    and emits ``within_bound = |approx - exact| / exact <= 0.05``.  The
+    oracle supplies the exact side plus a literal TRUE — if the sketch
+    ever drifts past its documented rsd bound, Spark emits FALSE and the
+    value hash goes red.  This gives the approximate operator checked
+    evidence without pretending HLL is SQL-reproducible."""
+    (lineitem,) = prep(spark, sf_dir, "lineitem")
+    g = lineitem.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").cast("long").alias("n_exact"),
+        F.approx_count_distinct("l_partkey", rsd=0.05).cast("double").alias("_approx"),
+    )
+    rel_err = F.abs(F.col("_approx") - F.col("n_exact").cast("double")) / F.col(
+        "n_exact"
+    ).cast("double")
+    return g.select(
+        "l_returnflag", "n_exact", (rel_err <= F.lit(0.05)).alias("within_bound")
+    )
+
+
+@query(
     "rollup_agg",
     f"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
                {sql_cents_sum('l_quantity', 'sum_qty')}

@@ -268,6 +268,26 @@ def test_assign_cells_join_path_matches_literal_path(spark):
     assert lit == join
 
 
+def test_ivf_topk_join_probe_path_matches_literal_path(spark):
+    """ADVICE r3: beyond max_literal_cells, ivf_topk's nprobe cell
+    selection switches to the broadcast-join path (_probe_cells_join) —
+    the full result (probes + re-rank) must agree row-for-row with the
+    literal-codegen path: same affinities, same (aff DESC, cell ASC)
+    probe order, same final ranking."""
+    from hdfs_stream_processing_spark.operators.similarity import (
+        ivf_init_centroids,
+        ivf_topk,
+    )
+    from hdfs_stream_processing_spark.sources.io import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = ivf_init_centroids(emb, n_cells=8)
+    lit = ivf_topk(emb, nprobe=2, k=10, centroids=cents).collect()
+    join = ivf_topk(emb, nprobe=2, k=10, centroids=cents, max_literal_cells=0).collect()
+    assert sorted(map(tuple, lit)) == sorted(map(tuple, join))
+    assert len(lit) > 0
+
+
 def test_lsh_multiprobe_improves_recall_monotonically(spark):
     """Multi-probe LSH: probing the least-confident flipped buckets must
     strictly add candidates, so recall@10 is monotone in nprobe_flips
@@ -292,9 +312,46 @@ def test_lsh_multiprobe_improves_recall_monotonically(spark):
 
     r = [
         recall(lsh_bucket_topk(emb, num_planes=6, k=10, dims=64, nprobe_flips=m).collect())
-        for m in (0, 2)
+        for m in (0, 1, 2)
     ]
-    assert r[1] > r[0] * 1.5, r  # flips=2 ≈ 2.9× flips=0 on this fixture
+    # monotone in probes, and materially so at 2 flips (deterministic
+    # fixture values quoted in README §recall)
+    assert r[0] < r[1] < r[2], r
+    assert r[2] > r[0] * 1.5, r  # flips=2 ≈ 2.9× flips=0 on this fixture
+    print(f"LSH recall@10 by nprobe_flips 0/1/2: {[round(x, 3) for x in r]}")
+
+
+def test_ivf_recall_monotone_in_nprobe(spark):
+    """IVF ANN (VERDICT r3 #7): recall@10 vs exact ground truth must
+    rise monotonically with nprobe — more probed cells can only add
+    candidates (deterministic fixture — exact values, not a bound)."""
+    from hdfs_stream_processing_spark.operators.similarity import (
+        ivf_init_centroids,
+        ivf_topk,
+        similarity_topk,
+    )
+    from hdfs_stream_processing_spark.sources.io import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    truth = {}
+    for r in similarity_topk(emb, k=10).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(rows):
+        got = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = sum(len(t & got.get(q, set())) for q, t in truth.items())
+        return hits / sum(len(t) for t in truth.values())
+
+    cents = ivf_init_centroids(emb, n_cells=8)
+    r = [
+        recall(ivf_topk(emb, nprobe=n, k=10, centroids=cents).collect())
+        for n in (1, 2, 4)
+    ]
+    assert r[0] < r[1] < r[2], r
+    assert r[2] >= 0.65, r  # 4 of 8 cells probed: 0.691 on this fixture
+    print(f"IVF recall@10 by nprobe 1/2/4: {[round(x, 3) for x in r]}")
 
 
 def test_numpy_topk_guards_driver_collect(spark):

