@@ -57,3 +57,7 @@ from hdfs_stream_processing_spark.operators.multimodal import (  # noqa: F401
     payload_meta,
 )
 from hdfs_stream_processing_spark.operators.skew import salted_group_sum  # noqa: F401
+from hdfs_stream_processing_spark.operators.layout import (  # noqa: F401
+    z_order_key,
+    zorder_write,
+)

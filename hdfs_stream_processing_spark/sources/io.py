@@ -118,6 +118,27 @@ def schema_checked(df: DataFrame, table: str) -> DataFrame:
     return df
 
 
+def swap_dirs(spark: SparkSession, new_dir: str, live_dir: str) -> None:
+    """Publish ``new_dir`` over ``live_dir`` via Hadoop FS renames — the
+    swap step :func:`compact_parquet_dir` leaves to its caller.  On HDFS
+    a rename is one atomic namenode metadata op, so readers see either
+    the old directory or the new one, never a half-compacted mix; the
+    retired directory is deleted after the swap."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    live = jvm.org.apache.hadoop.fs.Path(live_dir)
+    fs = live.getFileSystem(conf)
+    retired = jvm.org.apache.hadoop.fs.Path(live_dir.rstrip("/") + "._retired")
+    if fs.exists(retired):
+        fs.delete(retired, True)
+    if not fs.rename(live, retired):
+        raise IOError(f"swap_dirs: could not retire {live_dir}")
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(new_dir), live):
+        fs.rename(retired, live)  # roll back
+        raise IOError(f"swap_dirs: could not publish {new_dir}")
+    fs.delete(retired, True)
+
+
 def dir_bytes(spark: SparkSession, path: str) -> int:
     """Total bytes under a path via the Hadoop FileSystem API (works for
     HDFS, S3A, and local alike).  Metadata-only — one namenode call, no

@@ -6,6 +6,8 @@ from hdfs_stream_processing_spark.streaming.pipeline import (  # noqa: F401
     classify_movement,
     enable_rocksdb_state,
     restore_confs,
+    run_foreach_batch,
+    run_foreach_batch_compacting,
     run_to_memory,
     run_to_parquet,
     stream_dedup,

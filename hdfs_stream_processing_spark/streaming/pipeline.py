@@ -268,6 +268,41 @@ def stream_stream_interval_join(
     return l.join(r, on=cond, how="inner").drop(F.col(f"r.{key}"))
 
 
+def run_foreach_batch_compacting(
+    df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    every_n: int = 4,
+    target_file_mb: int = 128,
+) -> None:
+    """Streaming parquet sink with SCHEDULED small-file compaction: each
+    micro-batch appends to ``out_dir``; every ``every_n`` batches the
+    directory is rewritten to ~``target_file_mb`` files and atomically
+    swapped in (``sources.io.compact_parquet_dir`` + ``swap_dirs``).
+
+    This closes the loop the standalone compactor leaves open — a
+    streaming sink never stops producing debris, so compaction must be
+    ON the ingest path, not a cron job someone forgets.  The rewrite
+    runs inside foreachBatch, i.e. between micro-batches, so the sink
+    itself never races its own compaction; external readers see an
+    atomic namenode rename.  Exactly-once caveat (same as any
+    foreachBatch parquet append): a batch replayed after a crash
+    appends again — production sinks layer a transactional table
+    format or batch_id dedup on top.
+    """
+    from hdfs_stream_processing_spark.sources.io import compact_parquet_dir, swap_dirs
+
+    def write_and_maybe_compact(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+        if (batch_id + 1) % every_n == 0:
+            spark = batch_df.sparkSession
+            staging = out_dir.rstrip("/") + f"._compacting_{batch_id}"
+            compact_parquet_dir(spark, out_dir, staging, target_file_mb=target_file_mb)
+            swap_dirs(spark, staging, out_dir)
+
+    run_foreach_batch(df, write_and_maybe_compact, checkpoint_dir)
+
+
 def run_foreach_batch(df: DataFrame, batch_fn, checkpoint_dir: str) -> None:
     """foreachBatch sink: hand each micro-batch to an arbitrary BATCH
     writer (upserts, multi-sink fan-out, JDBC — anything the streaming

@@ -260,6 +260,32 @@ def test_foreach_batch_sink(spark, staged_events, tmp_path):
     assert spark.read.parquet(out_dir).count() == events.count()
 
 
+def test_foreach_batch_compacting_sink(spark, staged_events, tmp_path):
+    """Scheduled compaction ON the ingest path: after the run, the sink
+    directory must hold every input row exactly once AND fewer files
+    than the micro-batch debris an append-only sink leaves behind."""
+    from hdfs_stream_processing_spark.streaming.pipeline import (
+        run_foreach_batch_compacting,
+    )
+
+    src_dir, events = staged_events
+    out_dir = str(tmp_path / "cmp_out")
+
+    stream = stream_parquet_source(spark, src_dir, events.schema, max_files_per_trigger=1)
+    # 4 source files / 1 per trigger -> 4 batches; compact every 2nd
+    run_foreach_batch_compacting(
+        stream, out_dir, str(tmp_path / "cmp_ck"), every_n=2, target_file_mb=128
+    )
+    back = spark.read.parquet(out_dir)
+    assert back.count() == events.count()
+    assert sorted(back.select("event_id").collect()) == sorted(
+        events.select("event_id").collect()
+    )
+    # last compaction ran at batch 3 (the final batch): everything fits
+    # one 128 MB-budget file, so the debris is gone
+    assert len(back.inputFiles()) == 1, back.inputFiles()
+
+
 def test_stateful_rounding_half_up_on_exact_half_cents(spark, tmp_path):
     """ADVICE r2: pandas .round() is half-to-even, F.round is HALF_UP —
     values landing exactly on .5 cents (0.125, 0.375 are exactly
