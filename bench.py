@@ -72,6 +72,13 @@ HEADLINE = [
     "sample_hash",
     "ngram_jaccard",   # shared-shingle join behind the df-cutoff (r3)
     "ivf_assign",      # literal-centroid codegen argmax, zero shuffle (r3)
+    # round 4 additions — one per newly-evidenced engine path:
+    "similarity_lsh_multiprobe",  # query-side probe fan-out (r4 oracle)
+    "zorder_key",                 # Morton bit-interleave, pure codegen
+    "dedup_clusters",             # iterative min-label propagation
+    "cube_agg",                   # Expand-based multi-grouping
+    "minmax_by",                  # struct-ordered max_by/min_by
+    "approx_distinct_ok",         # HLL + exact side by side
 ]
 
 

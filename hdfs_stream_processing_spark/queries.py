@@ -2265,3 +2265,35 @@ def q_stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark=("ts", "10 minutes"),
     ).drop("ts")
     return run_to_memory(deduped, output_mode="append")
+
+
+@query(
+    "approx_quantile_ok",
+    """SELECT event_type,
+              quantile_cont(value, 0.5) AS p50_exact,
+              TRUE AS within_bound
+       FROM events GROUP BY event_type""",
+)
+def q_approx_quantile_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approx-percentile error CONTRACT, hash-checked (the same
+    pattern as approx_distinct_ok): approx_percentile's guarantee is on
+    RANK error (1/accuracy), so Spark brackets its own estimate between
+    the exact interpolated quantiles at rank 0.5 ± 0.05 — far outside
+    the 0.01 rank error accuracy=100 promises — and emits the boolean.
+    The oracle supplies the exact median (bit-equal interpolation,
+    proven by the `percentiles` query) plus literal TRUE; a sketch
+    drifting past its bound flips the hash red."""
+    (events,) = prep(spark, sf_dir, "events")
+    g = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50_exact"),
+        F.expr("percentile(value, 0.45)").alias("_lo"),
+        F.expr("percentile(value, 0.55)").alias("_hi"),
+        F.expr("approx_percentile(value, 0.5, 100)").alias("_ap"),
+    )
+    return g.select(
+        "event_type",
+        "p50_exact",
+        ((F.col("_ap") >= F.col("_lo")) & (F.col("_ap") <= F.col("_hi"))).alias(
+            "within_bound"
+        ),
+    )

@@ -222,3 +222,25 @@ def test_query_construction_is_job_free_with_dims(spark):
     lsh_bucket_topk(emb, num_planes=4, k=5)
     assert len(sc.statusTracker().getJobIdsForGroup("construct_probe")) >= 1
     sc.setJobGroup(None, None)
+
+
+def test_hll_sketch_partial_merge_equals_whole(spark):
+    """The property that makes sketches THE 100 TB distinct-count tool:
+    per-partition partial sketches unioned together estimate exactly
+    what one whole-data sketch does (merge is lossless for DataSketches
+    HLL at the same lgK), so a 1000-executor fleet can aggregate
+    distincts with a constant-size shuffle."""
+    events = load_table(spark, SF_DIR, "events")
+    whole = events.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("n")
+    ).collect()[0]["n"]
+    merged = (
+        events.repartition(8)
+        .groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("n"))
+        .collect()[0]["n"]
+    )
+    exact = events.select("user_id").distinct().count()
+    assert whole == merged
+    assert abs(whole - exact) / exact <= 0.05
