@@ -31,27 +31,41 @@ def asof_join(
     right_vals: list[str],
     prefix: str = "asof_",
     right_tiebreak: str | None = None,
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
-    """Left as-of join: for every left row, the most recent right row of
-    the same key with ``right_ts <= left_ts`` (ties at equal timestamps
-    match, like DuckDB/kdb ASOF).
+    """Left as-of join: for every left row, the nearest right row of the
+    same key — ``backward`` (default): most recent with
+    ``right_ts <= left_ts``; ``forward``: earliest with
+    ``right_ts >= left_ts``.  Ties at equal timestamps match in both
+    directions (like DuckDB/kdb ASOF and pandas ``merge_asof``).
+
+    ``tolerance`` (same semantics as pandas ``merge_asof``) bounds how
+    far away the match may be: a matched right row farther than
+    ``tolerance`` from ``left_ts`` yields NULLs instead.  Units are
+    SECONDS for timestamp columns (both sides cast to epoch seconds) or
+    the column's own units for numerics.
 
     Implementation: tag and union both sides, sort each key partition by
     (ts, side, tiebreak) — right rows sort BEFORE left rows at equal ts
-    so ties are visible — then carry the matched right row forward as ONE
+    so ties are visible; ``forward`` scans the same window with the
+    timestamp DESCENDING — then carry the matched right row as ONE
     struct via ``last(struct, ignorenulls)`` over an unbounded-preceding
     frame, and expand it after filtering back to left rows.  The struct
     carry guarantees all ``right_vals`` come from the SAME right row —
     per-column fills would let a NULL in one right column inherit that
-    column from an older row (a blended row no real as-of join emits).
-    Exactly one shuffle (the window partitioning); left rows with no
-    prior right row keep NULLs.
+    column from an older row (a blended row no real as-of join emits);
+    it also carries the matched timestamp, which is what the tolerance
+    check compares.  Exactly one shuffle (the window partitioning); left
+    rows with no match keep NULLs.
 
     ``right_tiebreak`` names a numeric right column that breaks ties
     between right rows sharing (key, ts): the row with the GREATEST
     tiebreak value wins, deterministically.  Without it, tied right rows
     are picked in partition order (engine-arbitrary).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: direction must be backward|forward, got {direction!r}")
     lcols = left.columns
     # double, not long: a long cast would truncate fractional tiebreaks
     # (1.9 and 1.2 would tie) and silently fall back to partition order
@@ -63,7 +77,10 @@ def asof_join(
         F.col(right_ts).alias("_ats"),
         F.lit(0).alias("_side"),
         tb.alias("_tb"),
-        F.struct(*[F.col(v).alias(v) for v in right_vals]).alias("_rrow"),
+        F.struct(
+            *[F.col(v).alias(v) for v in right_vals],
+            F.col(right_ts).alias("_mts"),
+        ).alias("_rrow"),
     )
     rrow_type = r.schema["_rrow"].dataType
     l = (
@@ -76,15 +93,23 @@ def asof_join(
         if c not in r.columns:
             r = r.withColumn(c, F.lit(None).cast(l.schema[c].dataType))
     u = l.unionByName(r.select(l.columns))
+    ats = F.col("_ats").asc() if direction == "backward" else F.col("_ats").desc()
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("_ats").asc(), F.col("_side").asc(), F.col("_tb").asc())
+        .orderBy(ats, F.col("_side").asc(), F.col("_tb").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = (
         u.withColumn("_carried", F.last(F.col("_rrow"), ignorenulls=True).over(w))
         .where(F.col("_side") == 1)
     )
+    if tolerance is not None:
+        mts = F.col("_carried")["_mts"].cast("double")
+        lts = F.col(left_ts).cast("double")
+        gap = (lts - mts) if direction == "backward" else (mts - lts)
+        out = out.withColumn(
+            "_carried", F.when(gap <= F.lit(float(tolerance)), F.col("_carried"))
+        )
     for v in right_vals:
         out = out.withColumn(f"{prefix}{v}", F.col("_carried")[v])
     return out.drop("_side", "_ats", "_tb", "_rrow", "_carried")

@@ -2297,3 +2297,62 @@ def q_approx_quantile_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_bound"
         ),
     )
+
+
+@query(
+    "asof_forward",
+    """SELECT l.event_id, l.user_id, l.ts, l.value,
+              r.ts AS asof_ts, r.value AS asof_value
+       FROM (SELECT * FROM events WHERE event_type = 'click') l
+       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+         ON l.user_id = r.user_id AND l.ts <= r.ts""",
+)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (pandas merge_asof direction='forward'): for
+    each click, the user's EARLIEST purchase at-or-after it — same
+    union + single window pass, timestamp scanned descending
+    (operators/temporal.py).  Oracle: DuckDB native ASOF with the
+    inequality flipped."""
+    from hdfs_stream_processing_spark.operators.temporal import asof_join
+
+    (events,) = prep(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click")
+    purchases = events.where(F.col("event_type") == "purchase")
+    out = asof_join(
+        clicks, purchases, "user_id", "ts", "ts", ["ts", "value"],
+        right_tiebreak="event_id", direction="forward",
+    )
+    return out.select("event_id", "user_id", "ts", "value", "asof_ts", "asof_value")
+
+
+@query(
+    "asof_tolerance",
+    """WITH j AS (
+         SELECT l.event_id, l.user_id, l.ts, l.value,
+                r.ts AS r_ts, r.value AS r_value
+         FROM (SELECT * FROM events WHERE event_type = 'click') l
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+           ON l.user_id = r.user_id AND l.ts >= r.ts)
+       SELECT event_id, user_id, ts, value,
+              CASE WHEN date_diff('microsecond', r_ts, ts) <= 600000000
+                   THEN r_ts END AS asof_ts,
+              CASE WHEN date_diff('microsecond', r_ts, ts) <= 600000000
+                   THEN r_value END AS asof_value
+       FROM j""",
+)
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a match-distance bound (pandas merge_asof
+    tolerance): a purchase more than 10 minutes before the click is no
+    match — the carried struct includes the matched timestamp, so the
+    bound is one comparison, not a second join.  Oracle: DuckDB ASOF
+    with the stale match nulled by an exact-microsecond CASE."""
+    from hdfs_stream_processing_spark.operators.temporal import asof_join
+
+    (events,) = prep(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click")
+    purchases = events.where(F.col("event_type") == "purchase")
+    out = asof_join(
+        clicks, purchases, "user_id", "ts", "ts", ["ts", "value"],
+        right_tiebreak="event_id", tolerance=600.0,
+    )
+    return out.select("event_id", "user_id", "ts", "value", "asof_ts", "asof_value")

@@ -244,3 +244,49 @@ def test_hll_sketch_partial_merge_equals_whole(spark):
     exact = events.select("user_id").distinct().count()
     assert whole == merged
     assert abs(whole - exact) / exact <= 0.05
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    """merge_asof parity: forward picks the EARLIEST right at-or-after;
+    tolerance nulls a match farther than the bound (whole row, never a
+    blended partial)."""
+    import datetime as dt
+
+    from hdfs_stream_processing_spark.operators.temporal import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+    left = spark.createDataFrame(
+        [(1, t(20), 100), (1, t(50), 101)], "user_id bigint, ts timestamp, event_id bigint"
+    )
+    right = spark.createDataFrame(
+        [(1, t(5), 5.0), (1, t(30), 30.0), (1, t(45), 45.0)],
+        "user_id bigint, ts timestamp, value double",
+    )
+    fwd = {
+        r["event_id"]: r["asof_value"]
+        for r in asof_join(
+            left, right, "user_id", "ts", "ts", ["value"], direction="forward"
+        ).collect()
+    }
+    # t(20) -> earliest at-or-after is t(30); t(50) -> nothing after -> NULL
+    assert fwd == {100: 30.0, 101: None}
+
+    tol = {
+        r["event_id"]: r["asof_value"]
+        for r in asof_join(
+            left, right, "user_id", "ts", "ts", ["value"], tolerance=600.0
+        ).collect()
+    }
+    # backward: t(20) matches t(5), 15 min ago > 10 min tolerance -> NULL;
+    # t(50) matches t(45), 5 min ago -> kept
+    assert tol == {100: None, 101: 45.0}
+
+    # forward + tolerance composes: t(20)->t(30) is exactly 600s -> kept
+    ft = {
+        r["event_id"]: r["asof_value"]
+        for r in asof_join(
+            left, right, "user_id", "ts", "ts", ["value"],
+            direction="forward", tolerance=600.0,
+        ).collect()
+    }
+    assert ft == {100: 30.0, 101: None}
