@@ -13,7 +13,7 @@ md5 hashing) so every operator is oracle-checkable bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Tiny stopword list used by the heuristics (deterministic, language-flavored).
@@ -233,6 +233,80 @@ def build_search_index(df: DataFrame, id_col: str, text_col: str,
     """
     ngrams = explode_edge_ngrams(df, id_col, text_col, min_gram, max_gram)
     return ngrams.groupBy("ngram", id_col).agg(F.count(F.lit(1)).alias("tf"))
+
+
+def bm25_score_expr(n_terms: int) -> str:
+    """SQL text of the BM25-style score over columns ``tf{i}``, ``df{i}``,
+    ``dl``, ``n``, ``sumdl`` (all BIGINT), with k1=1.2, b=0.75 folded to
+    literals.  Two deliberate properties:
+
+    - **log-free idf**: ``(N - df + 0.5) / (df + 0.5)`` — BM25's odds
+      ratio WITHOUT the ln().  ln is the one piece of BM25 whose last
+      ulp is not guaranteed identical across engines (Java Math.log vs
+      libm); +,−,×,/ are IEEE-exact, so this variant is bit-identical
+      everywhere while keeping the same per-term df damping direction.
+    - **one shared string**: Spark and the DuckDB oracle parse THIS
+      text, so the expression tree — and therefore every intermediate
+      rounding — is identical by construction.
+    """
+    parts = []
+    for i in range(n_terms):
+        parts.append(
+            f"((CAST(n AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5)"
+            f" / (CAST(df{i} AS DOUBLE) + 0.5)"
+            f" * (CAST(tf{i} AS DOUBLE) * 2.2)"
+            f" / (CAST(tf{i} AS DOUBLE)"
+            f" + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * CAST(n AS DOUBLE)"
+            f" / CAST(sumdl AS DOUBLE))))"
+        )
+    return " + ".join(parts)
+
+
+def bm25_rank(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    top_n: int = 20,
+) -> DataFrame:
+    """Relevance-ranked document search: BM25-style scoring of every
+    document against ``terms``, top ``top_n`` by (score DESC, id) —
+    the ranking half of what the reference delegates to Elasticsearch
+    (ES scores with BM25; convert-to-elasticsearch.py ships docs to it
+    for exactly this).
+
+    Physical shape at 100 TB: ONE tokenize pass computes dl and every
+    per-term tf (narrow); corpus stats (N, Σdl, per-term df) are one
+    map-side-partial aggregate broadcast back; the top-n is
+    ``orderBy().limit()`` → TakeOrderedAndProject (per-partition k-heap,
+    no global sort, no single-partition window over the corpus).
+    """
+    toks = tokens(text_col)
+
+    def tf_of(term: str) -> Column:
+        # single-arg lambda: a two-arg lambda would be read as the
+        # (element, index) higher-order form and compare tokens to ints
+        return F.size(F.filter(toks, lambda x: x == F.lit(term))).cast("long")
+
+    cols = [F.col(id_col), F.size(toks).cast("long").alias("dl")]
+    for i, t in enumerate(terms):
+        cols.append(tf_of(t).alias(f"tf{i}"))
+    d = df.select(*cols)
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("sumdl"),
+    ]
+    for i in range(len(terms)):
+        aggs.append(F.sum((F.col(f"tf{i}") > 0).cast("long")).cast("long").alias(f"df{i}"))
+    g = d.agg(*aggs)
+    scored = d.crossJoin(F.broadcast(g)).withColumn(
+        "score", F.expr(bm25_score_expr(len(terms)))
+    )
+    top = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(top_n)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        id_col, "score", "rank"
+    )
 
 
 def search_prefix(index: DataFrame, id_col: str, prefix: str) -> DataFrame:

@@ -2356,3 +2356,48 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_tiebreak="event_id", tolerance=600.0,
     )
     return out.select("event_id", "user_id", "ts", "value", "asof_ts", "asof_value")
+
+
+def _bm25_oracle(terms: list[str], top_n: int) -> str:
+    from hdfs_stream_processing_spark.operators.text import bm25_score_expr
+
+    tf_cols = ",\n                ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n                ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH base AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+     d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+                {tf_cols}
+           FROM base),
+     g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl,
+                {df_cols}
+           FROM d),
+     s AS (SELECT doc_id, {bm25_score_expr(len(terms))} AS score FROM d, g)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+  FROM s)
+WHERE rank <= {top_n}"""
+
+
+_BM25_TERMS = ["value", "spark", "vector"]
+
+
+@query("text_rank_bm25", _bm25_oracle(_BM25_TERMS, top_n=20))
+def q_text_rank_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relevance-ranked search (the scoring half of the reference's
+    Elasticsearch delegation — ES ranks with BM25): top-20 documents
+    for a 3-term query.  idf is BM25's odds ratio WITHOUT the ln() —
+    the only sub-expression whose final ulp differs across engines —
+    so the whole score is a +,−,×,/ tree over exact integer stats,
+    parsed from ONE shared SQL string by both engines → bit-identical
+    scores and ranking (operators/text.py::bm25_rank)."""
+    from hdfs_stream_processing_spark.operators.text import bm25_rank
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    return bm25_rank(documents, "doc_id", "text", _BM25_TERMS, top_n=20)

@@ -454,3 +454,26 @@ def test_connected_components_high_diameter(spark):
     )
     comp = {r["id"]: r["component"] for r in connected_components(edges).collect()}
     assert set(comp.values()) == {0} and len(comp) == 30
+
+
+def test_bm25_rank_orders_by_relevance(spark):
+    """BM25-style ranking: a document saturated with the query terms
+    outranks a diluted one; a document with none of the terms scores
+    exactly 0; top-n arrives via TakeOrderedAndProject (per-partition
+    k-heap), not a global sort."""
+    from hdfs_stream_processing_spark.operators.text import bm25_rank
+
+    df = _docs(
+        spark,
+        [
+            (1, "spark value spark value spark"),
+            (2, "spark noise noise noise noise noise noise noise"),
+            (3, "noise only noise only noise"),
+        ],
+    )
+    out = bm25_rank(df, "doc_id", "text", ["spark", "value"], top_n=3)
+    rows = {r["doc_id"]: (r["score"], r["rank"]) for r in out.collect()}
+    assert rows[1][1] == 1 and rows[2][1] == 2 and rows[3][1] == 3
+    assert rows[3][0] == 0.0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # k-heap, not a global sort
