@@ -52,7 +52,7 @@ _VERIFY_FIRST = [
     # oracle status changed in round 4 (new oracles / new queries):
     "similarity_lsh", "similarity_lsh_multiprobe", "approx_distinct_ok",
     "zorder_key", "stream_dedup_wm", "approx_quantile_ok",
-    "asof_forward", "asof_tolerance", "text_rank_bm25",
+    "asof_forward", "asof_tolerance", "text_rank_bm25", "text_phrase",
 ]
 
 

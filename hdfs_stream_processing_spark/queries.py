@@ -2401,3 +2401,36 @@ def q_text_rank_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (documents,) = prep(spark, sf_dir, "documents")
     return bm25_rank(documents, "doc_id", "text", _BM25_TERMS, top_n=20)
+
+
+@query(
+    "text_phrase",
+    """SELECT doc_id, n_phrase FROM (
+         SELECT doc_id,
+                CAST(len(list_filter(generate_series(1, len(toks) - 1),
+                         i -> toks[i] = 'value' AND toks[i + 1] = 'table'))
+                     AS BIGINT) AS n_phrase
+         FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents))
+       WHERE n_phrase > 0""",
+)
+def q_text_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search (ES match_phrase, the positional half of the
+    reference's search delegation): documents where 'value table' occur
+    ADJACENT, with the occurrence count.  One narrow pass — adjacency
+    is a filter over positions, no posexplode self-join, no shuffle
+    before the final filter.  element_at is 1-based like DuckDB's list
+    indexing, so both engines walk identical positions."""
+    from hdfs_stream_processing_spark.operators.text import tokens
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_phrase = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(1)),
+            lambda i: (F.element_at(toks, i) == F.lit("value"))
+            & (F.element_at(toks, i + F.lit(1)) == F.lit("table")),
+        )
+    ).cast("long")
+    return documents.select(
+        "doc_id", n_phrase.alias("n_phrase")
+    ).where(F.col("n_phrase") > 0)

@@ -477,3 +477,28 @@ def test_bm25_rank_orders_by_relevance(spark):
     assert rows[3][0] == 0.0
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # k-heap, not a global sort
+
+
+def test_phrase_adjacency_exact(spark):
+    """match_phrase semantics: only ADJACENT 'value table' counts, every
+    occurrence counts, and near-misses with an intervening token don't."""
+    from hdfs_stream_processing_spark.operators.text import tokens
+
+    df = _docs(
+        spark,
+        [
+            (1, "value table value table"),   # two occurrences
+            (2, "value x table"),             # gap -> no match
+            (3, "table value"),               # wrong order -> no match
+        ],
+    )
+    toks = tokens("text")
+    n = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(1)),
+            lambda i: (F.element_at(toks, i) == F.lit("value"))
+            & (F.element_at(toks, i + F.lit(1)) == F.lit("table")),
+        )
+    ).cast("long")
+    got = {r["doc_id"]: r["n"] for r in df.select("doc_id", n.alias("n")).collect()}
+    assert got == {1: 2, 2: 0, 3: 0}
