@@ -53,6 +53,7 @@ _VERIFY_FIRST = [
     "similarity_lsh", "similarity_lsh_multiprobe", "approx_distinct_ok",
     "zorder_key", "stream_dedup_wm", "approx_quantile_ok",
     "asof_forward", "asof_tolerance", "text_rank_bm25", "text_phrase",
+    "upsert",
 ]
 
 

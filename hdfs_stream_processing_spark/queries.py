@@ -2434,3 +2434,36 @@ def q_text_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return documents.select(
         "doc_id", n_phrase.alias("n_phrase")
     ).where(F.col("n_phrase") > 0)
+
+
+@query(
+    "upsert",
+    """SELECT event_id, user_id,
+              CASE WHEN event_id < 500 THEN value * 2.0 ELSE value END AS value,
+              event_type
+       FROM events""",
+)
+def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style upsert (sources/io.py::upsert_partitioned): write
+    events partitioned by type, apply a deterministic update batch
+    (value doubled for event_id < 500), scan back.  Dynamic partition
+    overwrite rewrites ONLY the touched partitions — the blast-radius
+    contract is separately pinned file-for-file in
+    tests/test_schemas_io.py; this oracle proves the MERGE result
+    itself (updates win, everything else intact)."""
+    from hdfs_stream_processing_spark.sources.io import upsert_partitioned, write_parquet
+
+    (events,) = prep(spark, sf_dir, "events")
+    base = events.select("event_id", "user_id", "value", "event_type")
+    out = _mkdtemp("hsp_upsert_")
+    write_parquet(base, out, partition_by=["event_type"])
+    updates = base.where(F.col("event_id") < 500).withColumn(
+        "value", F.col("value") * F.lit(2.0)
+    )
+    upsert_partitioned(
+        spark, out, updates, ["event_id"], "event_type", "event_id"
+    )
+    back = spark.read.parquet(out)
+    return back.select(
+        "event_id", "user_id", "value", F.col("event_type").cast("string")
+    )

@@ -206,3 +206,53 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
+
+
+def upsert_partitioned(
+    spark: SparkSession,
+    target_dir: str,
+    updates: DataFrame,
+    keys: list[str],
+    partition_col: str,
+    order_col: str,
+) -> None:
+    """MERGE-style upsert into a partitioned parquet directory without a
+    table format: rewrite ONLY the partitions the updates touch.
+
+    The 100 TB point is the blast radius: a day's corrections against a
+    years-deep table must not rewrite the table.  Dynamic partition
+    overwrite scopes the job to the touched partitions — read them back,
+    resolve each key to its winning row, overwrite just those
+    directories.  Updates beat existing rows on the same key; among
+    duplicate update rows the greatest ``order_col`` wins (window over
+    ``keys`` — one shuffle on the merge keys, sized by the TOUCHED
+    partitions, not the table).
+
+    The touched-partition list is a driver collect, bounded by the
+    partition count of the update batch (days, not rows).  With a real
+    lakehouse format (Delta/Iceberg) this whole function is MERGE INTO;
+    the physical shape — shuffle scoped to touched partitions + dynamic
+    overwrite — is the same one their MERGE executes.
+    """
+    from pyspark.sql import Window
+
+    parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    current = spark.read.parquet(target_dir).where(F.col(partition_col).isin(parts))
+    merged = (
+        current.withColumn("_src", F.lit(0))
+        .unionByName(updates.withColumn("_src", F.lit(1)))
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("_src").desc(), F.col(order_col).desc()
+    )
+    winner = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_src", "_rn")
+    )
+    (
+        winner.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(target_dir)
+    )
