@@ -54,6 +54,9 @@ _VERIFY_FIRST = [
     "zorder_key", "stream_dedup_wm", "approx_quantile_ok",
     "asof_forward", "asof_tolerance", "text_rank_bm25", "text_phrase",
     "upsert",
+    # new in round 4 (LLM corpus-curation suite, operators/llmdata.py):
+    "doc_chunk", "pii_redact", "decontaminate", "mix_sources",
+    "shard_assign", "repetition_stats",
 ]
 
 

@@ -1,0 +1,312 @@
+"""LLM training-data curation operators: chunking, PII redaction,
+benchmark decontamination, source mixing, shard assignment, repetition
+filters.
+
+These are the corpus-preparation stages a 100 TB pre-training pipeline
+runs between raw ingest and the tokenizer — the reference pipeline
+(VuBacktracking/hdfs-stream-processing) stops at ES indexing, so this
+module is part of the beyond-reference LLM surface alongside
+``operators/dedup.py`` and ``operators/similarity.py``.
+
+Scale design, shared across the module:
+
+- Everything is deterministic and engine-portable: sampling and ordering
+  decisions go through md5-derived hash buckets (never ``rand()``), so a
+  task retry, a different partitioning, or a different engine produces
+  the SAME sample / order / shard — and DuckDB can oracle each stage
+  bit-exactly.
+- Chunking and redaction are narrow (per-row) — zero shuffles, full
+  whole-stage codegen; they scale linearly with input splits.
+- Decontamination broadcasts the benchmark n-gram set (benchmarks are
+  MBs, the corpus is TBs) so the corpus side never shuffles for the
+  probe; only the per-doc hit count aggregates.
+- Shard assignment is the one intentional shuffle (that's its job: a
+  global training-order re-partition), sorted within shards so the
+  writer emits sequentially-readable training files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from hdfs_stream_processing_spark.operators.text import tokens
+
+__all__ = [
+    "chunk_documents",
+    "redact_pii",
+    "decontaminate",
+    "mix_sources",
+    "shard_assign",
+    "repetition_stats",
+]
+
+
+def _md5_bucket(col: Column, buckets: int) -> Column:
+    """Deterministic bucket in [0, buckets): first 8 hex chars of md5 as
+    an integer (the house portable-hash idiom — same value in DuckDB via
+    ``('0x' || substr(md5(x),1,8))::UBIGINT``)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % F.lit(buckets)
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into overlapping token windows (context-length
+    packing for training / RAG indexing).
+
+    Chunk ``k`` covers tokens ``[k*stride, k*stride + chunk_size)``;
+    with ``stride < chunk_size`` consecutive chunks overlap by
+    ``chunk_size - stride`` tokens.  Chunk starts are every multiple of
+    ``stride`` below ``n_tokens``, so ``chunk_id = start / stride`` is
+    dense and deterministic.
+
+    Scale: narrow ops only (split → sequence → explode → slice) — ZERO
+    shuffles; output rows ≈ input_tokens / stride regardless of
+    partitioning.  The explode multiplies rows ~n/stride ×, so at 100 TB
+    feed this from splits sized by ``maxPartitionBytes`` — no skew issue
+    because per-doc fan-out is bounded by max doc length.
+    """
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    toks = df.select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    ).withColumn("_n", F.size("_toks"))
+    # sequence(0, n-1, stride): all chunk starts < n (n >= 1 always —
+    # split of "" yields [""]).
+    starts = toks.select(
+        id_col,
+        "_toks",
+        F.explode(
+            F.sequence(F.lit(0), F.col("_n") - F.lit(1), F.lit(stride))
+        ).alias("_start"),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("_start") + F.lit(1), F.lit(chunk_size))
+    return starts.select(
+        F.col(id_col),
+        (F.col("_start") / F.lit(stride)).cast("bigint").alias("chunk_id"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+    )
+
+
+# (pattern, replacement) — applied IN ORDER; order matters: emails go
+# first (their local parts can contain digit runs), IPv4 before bare
+# digit runs (dots keep the octets under the {7,} run length anyway, but
+# the explicit order makes the contract obvious).  Patterns restrict to
+# RE2 ∩ java.util.regex syntax so Spark and the DuckDB oracle agree.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    (r"(\d{1,3}\.){3}\d{1,3}", "<IP>"),
+    (r"\d{7,}", "<NUM>"),
+]
+
+
+def redact_pii(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    patterns: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Scrub PII-shaped spans (emails, IPv4 addresses, long digit runs)
+    and count what was removed, per document.
+
+    Returns ``(id, clean_text, n_email, n_ip, n_num)`` — the counts make
+    the redaction auditable (corpus release notes need "how many emails
+    did we remove", not just the clean text).
+
+    Scale: pure ``regexp_count`` + ``regexp_replace`` chain — narrow,
+    zero shuffles, whole-stage codegen; the regexes are RE2-compatible
+    (no backtracking blowups on adversarial documents).
+    """
+    pats = patterns if patterns is not None else PII_PATTERNS
+    out = df.select(F.col(id_col), F.col(text_col).alias("_t"))
+    counts: list[Column] = []
+    clean = F.col("_t")
+    for i, (pat, _) in enumerate(pats):
+        counts.append(F.regexp_count(clean, F.lit(pat)).alias(f"_c{i}"))
+    # counts are computed on the ORIGINAL text (before any replacement
+    # shifts spans); replacements then apply in order.
+    for pat, repl in pats:
+        clean = F.regexp_replace(clean, pat, repl)
+    named = ["n_email", "n_ip", "n_num"]
+    return out.select(
+        id_col,
+        clean.alias("clean_text"),
+        *[
+            c.alias(named[i] if i < len(named) else f"n_pat{i}")
+            for i, c in enumerate(counts)
+        ],
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word ``n``-gram with an eval/benchmark set (the GPT-3/Pile
+    procedure: 8–13-gram collision ⇒ contaminated).
+
+    Returns every doc with ``n_hits`` (count of DISTINCT colliding
+    n-grams) and ``contaminated``; callers drop or quarantine flagged
+    rows.  Collision probability for honest data is ~0 at n=8, so the
+    flag is high-precision.
+
+    Scale: the benchmark n-gram set is broadcast (eval suites are MBs —
+    a few 10^6 distinct n-grams — vs a TB-scale corpus), so the corpus
+    side is probed map-side with NO shuffle; only the per-doc hit count
+    shuffles, and only for docs with ≥1 hit (inner join before the agg,
+    left join after — rows with zero hits never enter the aggregate).
+    """
+    from hdfs_stream_processing_spark.operators.dedup import shingle_rows
+
+    bench_grams = shingle_rows(benchmark, id_col, text_col, n=n, distinct=True).select(
+        F.col("shingle").alias("_bgram")
+    ).distinct()
+    doc_grams = shingle_rows(docs, id_col, text_col, n=n, distinct=True)
+    hits = (
+        doc_grams.join(
+            F.broadcast(bench_grams),
+            doc_grams["shingle"] == bench_grams["_bgram"],
+            "inner",
+        )
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def mix_sources(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    weights: dict[str, float],
+    default_weight: float = 0.0,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Weighted source mixing: keep each row with per-source probability
+    ``weights[source]`` (1.0 = keep all, 0.25 = quarter-sample), chosen
+    by a deterministic md5 bucket of ``key_col``.
+
+    This is the "data mixture" stage (e.g. up-weight wiki, down-sample
+    common-crawl).  Hash sampling — not ``rand()`` or ``sample()`` — so
+    the mixture is reproducible across runs/retries/engines and
+    membership is stable: a doc either is or isn't in the mixture,
+    independent of partitioning.  Weights > 1.0 (true up-sampling /
+    epoch duplication) are rejected here; duplication is an explode on
+    ceil(w) with the same hash deciding the fractional copy.
+
+    Scale: a narrow filter — zero shuffles, combines with the scan's
+    predicate pushdown on ``source`` when weights are 0 for a source.
+    """
+    for s, w in weights.items():
+        if not 0.0 <= w <= 1.0:
+            raise ValueError(f"weight for {s!r} must be in [0,1], got {w}")
+    rate: Column = F.lit(int(default_weight * buckets))
+    for s, w in weights.items():
+        rate = F.when(F.col(source_col) == F.lit(s), F.lit(int(w * buckets))).otherwise(
+            rate
+        )
+    return df.where(_md5_bucket(F.col(key_col), buckets) < rate)
+
+
+def shard_assign(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    seed: str = "s0",
+) -> DataFrame:
+    """Global training-order shuffle + shard assignment: every row gets
+    ``(shard_id, pos)`` — shard by hash, position by a second
+    seed-dependent hash order within the shard.
+
+    Changing ``seed`` reshuffles both membership order and within-shard
+    order deterministically (epoch reshuffles are just seed bumps — no
+    state to carry).  md5 ordering means the "random" order is
+    reproducible and oracle-checkable, unlike ``rand()``.
+
+    Scale: ONE shuffle — the point of the operator (a global re-order
+    cannot be narrow).  shard_id is hash-uniform so shards are balanced;
+    the within-shard ``row_number`` is a per-shard sort, which at 100 TB
+    becomes ``repartition(n_shards, shard_id) .sortWithinPartitions
+    (ord)`` + a partitioned write so each training file is one
+    sequentially-readable shard.  A rank-based global position would
+    need a total order across all shards (range exchange); per-shard
+    positions are what data loaders actually consume.
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    ordh = F.md5(F.concat_ws("|", F.lit(seed), F.col(key_col).cast("string")))
+    out = df.withColumn("_ord", ordh).withColumn(
+        "shard_id",
+        F.conv(F.substring(F.col("_ord"), 1, 8), 16, 10).cast("long")
+        % F.lit(n_shards),
+    )
+    w = Window.partitionBy("shard_id").orderBy(F.col("_ord"), F.col(key_col))
+    return out.withColumn("pos", F.row_number().over(w)).drop("_ord")
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    max_top_frac: float = 0.20,
+    min_distinct_frac: float = 0.30,
+) -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of all
+    word ``n``-grams taken by the single most frequent one
+    (``top_ngram_frac``), the distinct-n-gram ratio
+    (``distinct_frac``), and a ``passes_repetition`` gate combining
+    both (Rae et al. 2021 use exactly these shapes: "fraction of
+    characters in most common n-gram" / "duplicate n-gram fraction").
+
+    Boilerplate and template spam have a dominant repeated n-gram;
+    honest prose does not.
+
+    Scale: explode n-grams → two chained hash aggregates
+    ((doc, gram) counts, then per-doc max/sum) — partial aggregation
+    does most of the work map-side; one shuffle on (doc, gram), one on
+    doc.  No windows, no self-joins.
+    """
+    from hdfs_stream_processing_spark.operators.dedup import shingle_rows
+
+    grams = shingle_rows(df, id_col, text_col, n=n, distinct=False)
+    per_gram = grams.groupBy(id_col, "shingle").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    agg = per_gram.groupBy(id_col).agg(
+        F.max("_c").alias("_top"),
+        F.sum("_c").alias("_total"),
+        F.count(F.lit(1)).alias("_distinct"),
+    )
+    top_frac = F.col("_top") / F.col("_total")
+    distinct_frac = F.col("_distinct") / F.col("_total")
+    return agg.select(
+        id_col,
+        F.col("_total").alias("n_ngrams"),
+        top_frac.alias("top_ngram_frac"),
+        distinct_frac.alias("distinct_frac"),
+        (
+            (top_frac <= F.lit(max_top_frac))
+            & (distinct_frac >= F.lit(min_distinct_frac))
+        ).alias("passes_repetition"),
+    )

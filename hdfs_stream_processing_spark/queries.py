@@ -2467,3 +2467,174 @@ def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "event_id", "user_id", "value", F.col("event_type").cast("string")
     )
+
+
+# ========================================================================
+# §LLM corpus curation (operators/llmdata.py) — chunking, PII redaction,
+# decontamination, mixing, sharding, repetition gates
+# ========================================================================
+
+
+@query(
+    "doc_chunk",
+    """SELECT doc_id,
+              s // 48 AS chunk_id,
+              array_to_string(list_slice(ts, s + 1, s + 64), ' ') AS chunk_text,
+              len(list_slice(ts, s + 1, s + 64)) AS n_tokens
+       FROM (SELECT doc_id, string_split(lower(text), ' ') AS ts,
+                    unnest(generate_series(0, len(string_split(lower(text), ' ')) - 1, 48)) AS s
+             FROM documents)""",
+)
+def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 64-token windows every 48 tokens
+    (16-token overlap) — the packing stage before tokenization.  Narrow
+    plan, zero shuffles."""
+    from hdfs_stream_processing_spark.operators.llmdata import chunk_documents
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    return chunk_documents(documents, "doc_id", "text", chunk_size=64, stride=48)
+
+
+# The corpus is synthetic word-soup with no real PII, so the query
+# plants deterministic PII spans (email / IPv4 / 7-digit ref) derived
+# from doc_id, then proves the scrubber removes them and counts them.
+_PII_SYNTH_SQL = (
+    "text || ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.com"
+    " from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 ref 9' ||"
+    " lpad(CAST(doc_id % 1000000 AS VARCHAR), 6, '0')"
+)
+
+
+@query(
+    "pii_redact",
+    f"""WITH synth AS (SELECT doc_id, {_PII_SYNTH_SQL} AS t FROM documents)
+       SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(t,
+                  '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}', '<EMAIL>', 'g'),
+                  '(\\d{{1,3}}\\.){{3}}\\d{{1,3}}', '<IP>', 'g'),
+                  '\\d{{7,}}', '<NUM>', 'g') AS clean_text,
+              CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}')) AS INT) AS n_email,
+              CAST(len(regexp_extract_all(t, '(\\d{{1,3}}\\.){{3}}\\d{{1,3}}')) AS INT) AS n_ip,
+              CAST(len(regexp_extract_all(t, '\\d{{7,}}')) AS INT) AS n_num
+       FROM synth""",
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing with per-document audit counts.  The synthetic
+    spans are planted identically on both engines; counts are measured
+    on the pre-redaction text, replacements apply in pattern order."""
+    from hdfs_stream_processing_spark.operators.llmdata import redact_pii
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    synth = documents.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 ref 9"),
+            F.lpad((F.col("doc_id") % 1000000).cast("string"), 6, "0"),
+        ).alias("text"),
+    )
+    return redact_pii(synth, "doc_id", "text")
+
+
+@query(
+    "decontaminate",
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+       grams AS (SELECT DISTINCT doc_id,
+                        array_to_string(list_slice(ts, i, i + 7), ' ') AS g
+                 FROM (SELECT doc_id, ts,
+                              unnest(generate_series(1, greatest(len(ts), 8) - 8 + 1)) AS i
+                       FROM toks)),
+       bgrams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+       hits AS (SELECT g.doc_id, count(*) AS n_hits
+                FROM grams g JOIN bgrams b ON g.g = b.g
+                GROUP BY g.doc_id)
+       SELECT d.doc_id,
+              CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+              coalesce(h.n_hits, 0) > 0 AS contaminated
+       FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: 8-gram collision against an eval set
+    (every 50th doc stands in for the benchmark).  The benchmark n-gram
+    set is broadcast; the corpus side never shuffles for the probe."""
+    from hdfs_stream_processing_spark.operators.llmdata import decontaminate
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    benchmark = documents.where(F.col("doc_id") % 50 == 0)
+    return decontaminate(documents, benchmark, "doc_id", "text", n=8)
+
+
+@query(
+    "mix_sources",
+    """SELECT doc_id, source FROM documents
+       WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT::BIGINT % 10000
+             < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+                           WHEN 'src2' THEN 2500 WHEN 'src3' THEN 0
+                           ELSE 1000 END""",
+)
+def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted data mixture: keep src0 whole, half of src1, a quarter
+    of src2, none of src3, 10% of the rest — membership by md5 bucket of
+    doc_id, so the mixture is identical across engines, runs, and
+    partitionings (and under task retries, unlike rand())."""
+    from hdfs_stream_processing_spark.operators.llmdata import mix_sources
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    return mix_sources(
+        documents.select("doc_id", "source"),
+        "doc_id",
+        "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0},
+        default_weight=0.1,
+    )
+
+
+@query(
+    "shard_assign",
+    """SELECT doc_id, source, shard_id,
+              CAST(row_number() OVER (PARTITION BY shard_id
+                   ORDER BY md5('s0|' || CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS pos
+       FROM (SELECT doc_id, source,
+                    ('0x' || substr(md5('s0|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT::BIGINT % 8 AS shard_id
+             FROM documents)""",
+)
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-order global shuffle into 8 shards: shard by seeded md5
+    hash, position by a second hash order within the shard — epoch
+    reshuffles are seed bumps, and the 'random' order is reproducible
+    enough to oracle bit-exactly."""
+    from hdfs_stream_processing_spark.operators.llmdata import shard_assign
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    return shard_assign(documents.select("doc_id", "source"), "doc_id", 8, seed="s0")
+
+
+@query(
+    "repetition_stats",
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+       grams AS (SELECT doc_id, array_to_string(list_slice(ts, i, i + 1), ' ') AS g
+                 FROM (SELECT doc_id, ts,
+                              unnest(generate_series(1, greatest(len(ts), 2) - 1)) AS i
+                       FROM toks)),
+       pg AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+       a AS (SELECT doc_id, max(c) AS top, CAST(sum(c) AS BIGINT) AS total,
+                    count(*) AS dst FROM pg GROUP BY doc_id)
+       SELECT doc_id, total AS n_ngrams,
+              CAST(top AS DOUBLE) / total AS top_ngram_frac,
+              CAST(dst AS DOUBLE) / total AS distinct_frac,
+              (CAST(top AS DOUBLE) / total <= 0.20
+               AND CAST(dst AS DOUBLE) / total >= 0.30) AS passes_repetition
+       FROM a""",
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate: top-bigram fraction + distinct
+    bigram ratio per document, two chained hash aggregates (map-side
+    partials, no windows, no self-join)."""
+    from hdfs_stream_processing_spark.operators.llmdata import repetition_stats
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    return repetition_stats(documents, "doc_id", "text", n=2)

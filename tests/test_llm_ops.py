@@ -502,3 +502,124 @@ def test_phrase_adjacency_exact(spark):
     ).cast("long")
     got = {r["doc_id"]: r["n"] for r in df.select("doc_id", n.alias("n")).collect()}
     assert got == {1: 2, 2: 0, 3: 0}
+
+
+# ------------------------------------------------------------------
+# LLM corpus curation (operators/llmdata.py)
+# ------------------------------------------------------------------
+
+
+def test_chunk_documents_boundaries_and_overlap(spark):
+    from hdfs_stream_processing_spark.operators.llmdata import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(70))
+    df = _docs(spark, [(1, words)])
+    rows = {
+        r["chunk_id"]: r
+        for r in chunk_documents(df, "doc_id", "text", chunk_size=64, stride=48).collect()
+    }
+    # starts at 0 and 48 -> two chunks; second covers tokens 48..69
+    assert set(rows) == {0, 1}
+    assert rows[0]["n_tokens"] == 64
+    assert rows[1]["n_tokens"] == 70 - 48
+    assert rows[0]["chunk_text"].split()[:2] == ["w0", "w1"]
+    assert rows[1]["chunk_text"].split()[0] == "w48"
+    # overlap: chunk 0's last 16 tokens == chunk 1's first 16
+    assert rows[0]["chunk_text"].split()[48:] == rows[1]["chunk_text"].split()[:16]
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", stride=0)
+
+
+def test_chunk_documents_is_narrow(spark):
+    from hdfs_stream_processing_spark.operators.llmdata import chunk_documents
+    from hdfs_stream_processing_spark.plans.inspect import count_shuffles
+
+    df = _docs(spark, [(1, "a b c")])
+    assert count_shuffles(chunk_documents(df, "doc_id", "text")) == 0
+
+
+def test_redact_pii_counts_and_replacements(spark):
+    from hdfs_stream_processing_spark.operators.llmdata import redact_pii
+
+    df = _docs(
+        spark,
+        [(1, "mail a.b-c@x.io and 10.20.30.40 and ref 12345678 ok"),
+         (2, "nothing to scrub 123")],
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df, "doc_id", "text").collect()}
+    assert out[1]["clean_text"] == "mail <EMAIL> and <IP> and ref <NUM> ok"
+    assert (out[1]["n_email"], out[1]["n_ip"], out[1]["n_num"]) == (1, 1, 1)
+    assert out[2]["clean_text"] == "nothing to scrub 123"
+    assert (out[2]["n_email"], out[2]["n_ip"], out[2]["n_num"]) == (0, 0, 0)
+
+
+def test_decontaminate_flags_exact_ngram_overlap(spark):
+    from hdfs_stream_processing_spark.operators.llmdata import decontaminate
+
+    shared = " ".join(f"s{i}" for i in range(8))
+    docs = _docs(
+        spark,
+        [(1, "clean doc with none of it " + " ".join(f"x{i}" for i in range(8))),
+         (2, f"prefix {shared} suffix")],
+    )
+    bench = _docs(spark, [(100, f"other words {shared}")])
+    out = {r["doc_id"]: r for r in decontaminate(docs, bench, "doc_id", "text", n=8).collect()}
+    assert out[2]["contaminated"] and out[2]["n_hits"] >= 1
+    assert not out[1]["contaminated"] and out[1]["n_hits"] == 0
+    # benchmark side is broadcast: corpus probe must not shuffle-join
+    from hdfs_stream_processing_spark.plans.inspect import assert_broadcast_join
+
+    assert_broadcast_join(decontaminate(docs, bench, "doc_id", "text", n=8))
+
+
+def test_mix_sources_membership_and_validation(spark):
+    from hdfs_stream_processing_spark.operators.llmdata import mix_sources
+
+    df = spark.createDataFrame(
+        [(i, f"src{i % 4}") for i in range(400)], "doc_id bigint, source string"
+    )
+    out = mix_sources(df, "doc_id", "source", {"src0": 1.0, "src3": 0.0}, default_weight=0.5)
+    by_src = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by_src["src0"] == 100          # weight 1.0 keeps everything
+    assert "src3" not in by_src           # weight 0.0 keeps nothing
+    assert 0 < by_src["src1"] < 100       # default rate samples strictly
+    # deterministic: same membership on a different partitioning
+    again = mix_sources(df.repartition(7), "doc_id", "source", {"src0": 1.0, "src3": 0.0}, default_weight=0.5)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(r["doc_id"] for r in again.collect())
+    with pytest.raises(ValueError):
+        mix_sources(df, "doc_id", "source", {"src0": 1.5})
+
+
+def test_shard_assign_dense_positions_and_seed_reshuffle(spark):
+    from hdfs_stream_processing_spark.operators.llmdata import shard_assign
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id bigint")
+    out = shard_assign(df, "doc_id", 4, seed="s0").collect()
+    assert len(out) == 200
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard_id"], []).append(r["pos"])
+    assert set(by_shard) == {0, 1, 2, 3}
+    for shard, positions in by_shard.items():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # a different seed must produce a different order
+    other = shard_assign(df, "doc_id", 4, seed="s1").collect()
+    k0 = {(r["doc_id"]): (r["shard_id"], r["pos"]) for r in out}
+    k1 = {(r["doc_id"]): (r["shard_id"], r["pos"]) for r in other}
+    assert k0 != k1
+    # determinism under repartitioning
+    again = shard_assign(df.repartition(13), "doc_id", 4, seed="s0").collect()
+    assert k0 == {(r["doc_id"]): (r["shard_id"], r["pos"]) for r in again}
+
+
+def test_repetition_stats_gates_boilerplate(spark):
+    from hdfs_stream_processing_spark.operators.llmdata import repetition_stats
+
+    spam = " ".join(["buy now"] * 30)                       # one dominant bigram
+    prose = " ".join(f"tok{i}" for i in range(60))          # all bigrams distinct
+    df = _docs(spark, [(1, spam), (2, prose)])
+    out = {r["doc_id"]: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    assert not out[1]["passes_repetition"]
+    assert out[1]["top_ngram_frac"] > 0.4
+    assert out[2]["passes_repetition"]
+    assert out[2]["distinct_frac"] == 1.0
