@@ -164,16 +164,19 @@ def decontaminate(
 
     Scale: the benchmark n-gram set is broadcast (eval suites are MBs —
     a few 10^6 distinct n-grams — vs a TB-scale corpus), so the corpus
-    side is probed map-side with NO shuffle; only the per-doc hit count
-    shuffles, and only for docs with ≥1 hit (inner join before the agg,
-    left join after — rows with zero hits never enter the aggregate).
+    side is probed map-side with NO shuffle.  Corpus n-grams stay
+    multiset (no corpus-wide DISTINCT shuffle); dedup happens inside
+    ``count_distinct`` AFTER the probe, so only COLLIDING grams — a tiny
+    fraction — ever shuffle.  The hit table (≈ contaminated docs) is
+    then broadcast back onto the corpus for the flag join; if an eval
+    suite ever overlaps a large corpus fraction, drop that hint.
     """
     from hdfs_stream_processing_spark.operators.dedup import shingle_rows
 
     bench_grams = shingle_rows(benchmark, id_col, text_col, n=n, distinct=True).select(
         F.col("shingle").alias("_bgram")
     ).distinct()
-    doc_grams = shingle_rows(docs, id_col, text_col, n=n, distinct=True)
+    doc_grams = shingle_rows(docs, id_col, text_col, n=n, distinct=False)
     hits = (
         doc_grams.join(
             F.broadcast(bench_grams),
@@ -181,11 +184,11 @@ def decontaminate(
             "inner",
         )
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .agg(F.count_distinct(F.col("shingle")).alias("n_hits"))
     )
     return (
         docs.select(id_col)
-        .join(hits, id_col, "left")
+        .join(F.broadcast(hits), id_col, "left")
         .select(
             id_col,
             F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
