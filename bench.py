@@ -79,6 +79,11 @@ HEADLINE = [
     "cube_agg",                   # Expand-based multi-grouping
     "minmax_by",                  # struct-ordered max_by/min_by
     "approx_distinct_ok",         # HLL + exact side by side
+    # round 4 LLM corpus-curation suite (operators/llmdata.py):
+    "doc_chunk",                  # context-window packing, zero shuffle
+    "decontaminate",              # broadcast benchmark n-gram probe
+    "shard_assign",               # global training-order shuffle
+    "repetition_stats",           # chained hash aggs over n-grams
 ]
 
 
