@@ -56,7 +56,7 @@ _VERIFY_FIRST = [
     "upsert",
     # new in round 4 (LLM corpus-curation suite, operators/llmdata.py):
     "doc_chunk", "pii_redact", "decontaminate", "mix_sources",
-    "shard_assign", "repetition_stats",
+    "shard_assign", "repetition_stats", "curate_corpus",
 ]
 
 

@@ -2638,3 +2638,91 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (documents,) = prep(spark, sf_dir, "documents")
     return repetition_stats(documents, "doc_id", "text", n=2)
+
+
+@query(
+    "curate_corpus",
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+       g2 AS (SELECT doc_id, array_to_string(list_slice(ts, i, i + 1), ' ') AS g
+              FROM (SELECT doc_id, ts,
+                           unnest(generate_series(1, greatest(len(ts), 2) - 1)) AS i
+                    FROM toks)),
+       pg AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+       rep AS (SELECT doc_id
+               FROM (SELECT doc_id, max(c) AS top, CAST(sum(c) AS BIGINT) AS total,
+                            count(*) AS dst FROM pg GROUP BY doc_id)
+               WHERE CAST(top AS DOUBLE) / total <= 0.20
+                 AND CAST(dst AS DOUBLE) / total >= 0.30),
+       g8 AS (SELECT DISTINCT doc_id, array_to_string(list_slice(ts, i, i + 7), ' ') AS g
+              FROM (SELECT doc_id, ts,
+                           unnest(generate_series(1, greatest(len(ts), 8) - 8 + 1)) AS i
+                    FROM toks)),
+       bg AS (SELECT DISTINCT g FROM g8 WHERE doc_id % 50 = 0),
+       bad AS (SELECT DISTINCT g8.doc_id FROM g8 JOIN bg ON g8.g = bg.g),
+       kept AS (SELECT d.doc_id, d.text, d.source FROM documents d
+                JOIN rep ON d.doc_id = rep.doc_id
+                WHERE d.n_chars >= 100
+                  AND d.doc_id NOT IN (SELECT doc_id FROM bad)),
+       dd AS (SELECT doc_id, source FROM kept
+              QUALIFY row_number() OVER (PARTITION BY md5(lower(text))
+                                         ORDER BY doc_id) = 1),
+       mixed AS (SELECT doc_id, source FROM dd
+                 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT::BIGINT % 10000
+                       < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+                                     WHEN 'src2' THEN 2500 WHEN 'src3' THEN 0
+                                     ELSE 1000 END)
+       SELECT doc_id, source, shard_id,
+              CAST(row_number() OVER (PARTITION BY shard_id
+                   ORDER BY md5('s0|' || CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS pos
+       FROM (SELECT doc_id, source,
+                    ('0x' || substr(md5('s0|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT::BIGINT % 8 AS shard_id
+             FROM mixed)""",
+)
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM flagship: the whole curation funnel as ONE Catalyst plan —
+    length floor + repetition gate + benchmark decontamination + exact
+    dedup (md5 fingerprint, deterministic survivor) + weighted source
+    mixture + seeded shard assignment.  The analogue of
+    ``align_pipeline`` for the LLM surface: five curation stages, one
+    DAG, no intermediate materialization — Catalyst prunes ``documents``
+    to the four columns the funnel touches and every stage's scale story
+    is the one documented on its operator."""
+    from hdfs_stream_processing_spark.operators.dedup import dedup_exact
+    from hdfs_stream_processing_spark.operators.llmdata import (
+        decontaminate,
+        mix_sources,
+        repetition_stats,
+        shard_assign,
+    )
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    rep_ok = (
+        repetition_stats(documents, "doc_id", "text")
+        .where(F.col("passes_repetition"))
+        .select("doc_id")
+    )
+    benchmark = documents.where(F.col("doc_id") % 50 == 0)
+    clean = (
+        decontaminate(documents, benchmark, "doc_id", "text", n=8)
+        .where(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    kept = (
+        documents.where(F.col("n_chars") >= 100)
+        .join(rep_ok, "doc_id")
+        .join(clean, "doc_id")
+        .select("doc_id", "text", "source")
+    )
+    deduped = dedup_exact(
+        kept.withColumn("_fp", F.md5(F.lower(F.col("text")))),
+        ["_fp"],
+        [F.col("doc_id").asc()],
+    ).select("doc_id", "source")
+    mixed = mix_sources(
+        deduped,
+        "doc_id",
+        "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0},
+        default_weight=0.1,
+    )
+    return shard_assign(mixed, "doc_id", 8, seed="s0")
