@@ -37,6 +37,7 @@ __all__ = [
     "redact_pii",
     "decontaminate",
     "mix_sources",
+    "resample_sources",
     "shard_assign",
     "repetition_stats",
 ]
@@ -312,4 +313,53 @@ def repetition_stats(
             (top_frac <= F.lit(max_top_frac))
             & (distinct_frac >= F.lit(min_distinct_frac))
         ).alias("passes_repetition"),
+    )
+
+
+def resample_sources(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Generalized mixture with UP-sampling: weight 2.5 emits every row
+    twice plus a deterministic half of rows a third time (fractional
+    epoch duplication); weight 0.5 keeps half — one formula for both:
+
+        copies = floor(w·B)/B  +  (bucket < (w·B mod B))
+
+    Output rows carry a dense ``copy`` index (0..copies-1) so
+    downstream sharding can give each duplicate its own training
+    position (shard on ``(key, copy)``, not ``key``).
+
+    Like :func:`mix_sources`, membership of the fractional copy is an
+    md5 bucket of ``key_col`` — reproducible across engines, runs,
+    retries, and partitionings.  Scale: narrow (filter + bounded
+    explode, fan-out ≤ ceil(max weight)); zero shuffles.
+    """
+    for s, w in weights.items():
+        if w < 0:
+            raise ValueError(f"weight for {s!r} must be >= 0, got {w}")
+    if default_weight < 0:
+        raise ValueError(f"default_weight must be >= 0, got {default_weight}")
+    wb: Column = F.lit(int(round(default_weight * buckets)))
+    for s, w in weights.items():
+        wb = F.when(
+            F.col(source_col) == F.lit(s), F.lit(int(round(w * buckets)))
+        ).otherwise(wb)
+    bucket = _md5_bucket(F.col(key_col), buckets)
+    copies = (wb / F.lit(buckets)).cast("int") + (
+        bucket < wb % F.lit(buckets)
+    ).cast("int")
+    # filter BEFORE the sequence: Spark's sequence(0, -1) would count
+    # DOWN (step defaults to -1 when start > stop), not return empty
+    return (
+        df.withColumn("_copies", copies)
+        .where(F.col("_copies") > 0)
+        .withColumn(
+            "copy", F.explode(F.sequence(F.lit(0), F.col("_copies") - F.lit(1)))
+        )
+        .drop("_copies")
     )

@@ -2726,3 +2726,32 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_weight=0.1,
     )
     return shard_assign(mixed, "doc_id", 8, seed="s0")
+
+
+@query(
+    "resample_sources",
+    """SELECT doc_id, source, CAST(c AS INT) AS copy
+       FROM (SELECT doc_id, source,
+                    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT::BIGINT % 10000 AS bucket,
+                    CASE source WHEN 'src0' THEN 25000 WHEN 'src1' THEN 10000
+                                WHEN 'src2' THEN 5000 WHEN 'src3' THEN 0
+                                ELSE 10000 END AS wb
+             FROM documents),
+            unnest(generate_series(0, (wb // 10000)
+                   + CASE WHEN bucket < (wb % 10000) THEN 1 ELSE 0 END - 1)) AS u(c)""",
+)
+def q_resample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional epoch up-sampling: src0 at weight 2.5 (every doc twice,
+    a deterministic md5-chosen half a third time), src2 half-sampled,
+    src3 dropped — one copies = floor(w) + (bucket < frac(w)) formula for
+    both directions, each emitted row tagged with a dense copy index."""
+    from hdfs_stream_processing_spark.operators.llmdata import resample_sources
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    return resample_sources(
+        documents.select("doc_id", "source"),
+        "doc_id",
+        "source",
+        {"src0": 2.5, "src1": 1.0, "src2": 0.5, "src3": 0.0},
+        default_weight=1.0,
+    )

@@ -623,3 +623,31 @@ def test_repetition_stats_gates_boilerplate(spark):
     assert out[1]["top_ngram_frac"] > 0.4
     assert out[2]["passes_repetition"]
     assert out[2]["distinct_frac"] == 1.0
+
+
+def test_resample_sources_upsamples_fractionally(spark):
+    from hdfs_stream_processing_spark.operators.llmdata import resample_sources
+
+    df = spark.createDataFrame(
+        [(i, f"src{i % 2}") for i in range(200)], "doc_id bigint, source string"
+    )
+    out = resample_sources(df, "doc_id", "source", {"src0": 2.5, "src1": 0.0}).collect()
+    assert all(r["source"] == "src0" for r in out)        # weight 0 drops src1
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r["copy"])
+    assert len(per_doc) == 100                            # every src0 doc survives
+    for copies in per_doc.values():
+        assert sorted(copies) == list(range(len(copies))) # dense copy index
+        assert len(copies) in (2, 3)                      # floor(2.5)=2, +1 for the md5 half
+    n3 = sum(1 for c in per_doc.values() if len(c) == 3)
+    assert 30 < n3 < 70                                   # ~half get the third copy
+    # deterministic under repartitioning
+    again = resample_sources(
+        df.repartition(9), "doc_id", "source", {"src0": 2.5, "src1": 0.0}
+    ).collect()
+    assert sorted((r["doc_id"], r["copy"]) for r in out) == sorted(
+        (r["doc_id"], r["copy"]) for r in again
+    )
+    with pytest.raises(ValueError):
+        resample_sources(df, "doc_id", "source", {"src0": -0.1})
