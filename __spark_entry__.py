@@ -57,7 +57,7 @@ _VERIFY_FIRST = [
     # new in round 4 (LLM corpus-curation suite, operators/llmdata.py):
     "doc_chunk", "pii_redact", "decontaminate", "mix_sources",
     "shard_assign", "repetition_stats", "curate_corpus",
-    "resample_sources",
+    "resample_sources", "stream_curate",
 ]
 
 

@@ -2755,3 +2755,61 @@ def q_resample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"src0": 2.5, "src1": 1.0, "src2": 0.5, "src3": 0.0},
         default_weight=1.0,
     )
+
+
+def _stage_documents(spark: SparkSession, sf_dir: str, n_files: int = 4) -> tuple[str, "object"]:
+    """Stage the documents table as a streaming source directory (same
+    file-source + availableNow stand-in contract as ``_stage_events``).
+    Memoized per sf_dir."""
+    key = (sf_dir, "documents")
+    (documents,) = prep(spark, sf_dir, "documents")
+    if key in _STAGE_CACHE:
+        return _STAGE_CACHE[key], documents.schema
+    stage_dir = _mkdtemp("hsp_stream_docsrc_")
+    documents.repartition(n_files).write.mode("overwrite").parquet(stage_dir)
+    _STAGE_CACHE[key] = stage_dir
+    return stage_dir, documents.schema
+
+
+@query(
+    "stream_curate",
+    """WITH redacted AS (
+         SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(text,
+                    '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+                    '(\\d{1,3}\\.){3}\\d{1,3}', '<IP>', 'g'),
+                    '\\d{7,}', '<NUM>', 'g') AS clean_text
+         FROM documents),
+       gated AS (
+         SELECT doc_id, clean_text FROM redacted
+         WHERE len(string_split(lower(clean_text), ' ')) >= 20)
+       SELECT doc_id,
+              s // 48 AS chunk_id,
+              array_to_string(list_slice(ts, s + 1, s + 64), ' ') AS chunk_text,
+              len(list_slice(ts, s + 1, s + 64)) AS n_tokens
+       FROM (SELECT doc_id, string_split(lower(clean_text), ' ') AS ts,
+                    unnest(generate_series(0, len(string_split(lower(clean_text), ' ')) - 1, 48)) AS s
+             FROM gated)""",
+)
+def q_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus curation (ST1 × N6): file-source stream →
+    PII scrub → token-count gate → context-window chunking → sink,
+    availableNow.  The SAME llmdata operators run unchanged on the
+    unbounded frame — every stage is stateless/narrow, so the streaming
+    plan needs no watermark and no state store, and the batch oracle is
+    the exact semantics of the stream."""
+    from hdfs_stream_processing_spark.operators.llmdata import (
+        chunk_documents,
+        redact_pii,
+    )
+    from hdfs_stream_processing_spark.streaming import (
+        run_to_memory,
+        stream_parquet_source,
+    )
+
+    src_dir, schema = _stage_documents(spark, sf_dir)
+    stream = stream_parquet_source(spark, src_dir, schema)
+    redacted = redact_pii(stream, "doc_id", "text")
+    gated = redacted.where(F.size(F.split(F.lower(F.col("clean_text")), " ")) >= 20)
+    chunks = chunk_documents(gated, "doc_id", "clean_text", chunk_size=64, stride=48)
+    return run_to_memory(chunks)
