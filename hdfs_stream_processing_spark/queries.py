@@ -2813,3 +2813,37 @@ def q_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated = redacted.where(F.size(F.split(F.lower(F.col("clean_text")), " ")) >= 20)
     chunks = chunk_documents(gated, "doc_id", "clean_text", chunk_size=64, stride=48)
     return run_to_memory(chunks)
+
+
+@query(
+    "continuous_rollup",
+    """SELECT date_trunc('hour', ts) AS bucket, event_type,
+              CAST(SUM(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(round(value * 100.0, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+       FROM events
+       GROUP BY date_trunc('hour', ts), event_type""",
+)
+def q_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate: the event stream incrementally maintains an
+    hour × type rollup table across micro-batches (foreachBatch additive
+    merge on exact cents + scoped partition upsert, replay-safe via
+    per-key last_batch).  The stored table must equal the one-shot batch
+    GROUP BY bit-for-bit — partial sums compose exactly because they are
+    integers."""
+    from hdfs_stream_processing_spark.streaming import stream_parquet_source
+    from hdfs_stream_processing_spark.streaming.pipeline import run_continuous_rollup
+
+    src_dir, schema = _stage_events(spark, sf_dir)
+    stream = stream_parquet_source(spark, src_dir, schema, max_files_per_trigger=1)
+    target = _mkdtemp("hsp_rollup_")
+    ckpt = _mkdtemp("hsp_rollup_ckpt_")
+    run_continuous_rollup(stream, target, ckpt)
+    back = spark.read.parquet(target)
+    return back.select(
+        "bucket",
+        F.col("event_type").cast("string"),
+        "sum_cents",
+        "n",
+        (F.col("sum_cents").cast("double") / F.lit(100.0)).alias("sum_value"),
+    )

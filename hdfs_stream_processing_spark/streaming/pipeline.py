@@ -318,3 +318,87 @@ def run_foreach_batch(df: DataFrame, batch_fn, checkpoint_dir: str) -> None:
         .start()
         .awaitTermination()
     )
+
+
+def run_continuous_rollup(
+    df: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    time_col: str = "ts",
+    grain: str = "hour",
+    part_col: str = "event_type",
+    value_col: str = "value",
+) -> None:
+    """Continuous aggregate (TimescaleDB-style): a streaming source
+    incrementally maintains a per-(time-bucket, type) rollup TABLE —
+    each micro-batch folds its partial sums into the stored totals
+    instead of recomputing history.
+
+    The merge is additive on exact integer cents, so partial-per-batch
+    sums compose to EXACTLY the batch ``GROUP BY`` answer regardless of
+    how rows split across micro-batches (double addition would not).
+    Replay safety: each stored key carries ``last_batch``; a key whose
+    ``last_batch >= batch_id`` already absorbed this batch (foreachBatch
+    replays whole batches after a crash) and is skipped, making the
+    additive merge idempotent per (key, batch).  The write path is
+    ``upsert_partitioned`` — only the partitions the batch touches are
+    rewritten, so a day of late sensor data against a years-deep rollup
+    rewrites one day, not years.
+
+    Scale: per-batch work is one partial aggregate (map-side combine)
+    sized by the BATCH, one join against only the touched keys, one
+    scoped partition overwrite.  History is never rescanned — that is
+    the entire point of a continuous aggregate.
+    """
+    from hdfs_stream_processing_spark.sources.io import upsert_partitioned
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cents = F.round(F.col(value_col) * F.lit(100.0), 0).cast("long")
+        delta = (
+            batch_df.select(
+                F.date_trunc(grain, F.col(time_col)).alias("bucket"),
+                F.col(part_col),
+                cents.alias("_cents"),
+            )
+            .groupBy("bucket", part_col)
+            .agg(
+                F.sum("_cents").alias("_d_cents"),
+                F.count(F.lit(1)).alias("_d_n"),
+            )
+        )
+        try:
+            existing = spark.read.parquet(target_dir).select(
+                "bucket", part_col, "sum_cents", "n", "last_batch"
+            )
+        except Exception:
+            existing = None
+        if existing is None:
+            out = delta.select(
+                "bucket",
+                part_col,
+                F.col("_d_cents").alias("sum_cents"),
+                F.col("_d_n").alias("n"),
+                F.lit(batch_id).cast("long").alias("last_batch"),
+            )
+            out.write.mode("overwrite").partitionBy(part_col).parquet(target_dir)
+            return
+        merged = (
+            delta.join(existing, ["bucket", part_col], "left")
+            # drop replayed deltas: this key already absorbed this batch
+            .where(F.col("last_batch").isNull() | (F.col("last_batch") < batch_id))
+            .select(
+                "bucket",
+                part_col,
+                (F.coalesce(F.col("sum_cents"), F.lit(0)) + F.col("_d_cents")).alias(
+                    "sum_cents"
+                ),
+                (F.coalesce(F.col("n"), F.lit(0)) + F.col("_d_n")).alias("n"),
+                F.lit(batch_id).cast("long").alias("last_batch"),
+            )
+        )
+        upsert_partitioned(
+            spark, target_dir, merged, ["bucket", part_col], part_col, "last_batch"
+        )
+
+    run_foreach_batch(df, merge, checkpoint_dir)

@@ -334,3 +334,39 @@ def test_asof_join_no_blended_rows_on_null_columns(spark):
     out = asof_join(left, right, "user_id", "ts", "ts", ["value", "tag"]).collect()[0]
     # the t(10) row matches; its value is NULL and must STAY NULL
     assert out["asof_tag"] == "new" and out["asof_value"] is None
+
+
+def test_continuous_rollup_matches_batch_and_restart_is_noop(spark, staged_events, tmp_path):
+    """Incremental per-batch merges must compose to exactly the one-shot
+    GROUP BY (integer cents are additive), and restarting the finished
+    stream from its checkpoint must not change the stored table."""
+    from hdfs_stream_processing_spark.streaming.pipeline import run_continuous_rollup
+
+    src_dir, events = staged_events
+    target, ckpt = str(tmp_path / "rollup"), str(tmp_path / "ckpt")
+    stream = stream_parquet_source(spark, src_dir, events.schema, max_files_per_trigger=1)
+    run_continuous_rollup(stream, target, ckpt)
+
+    cents = F.round(F.col("value") * F.lit(100.0), 0).cast("long")
+    expected = sorted(
+        events.select(F.date_trunc("hour", "ts").alias("bucket"), "event_type", cents.alias("c"))
+        .groupBy("bucket", "event_type")
+        .agg(F.sum("c").alias("sum_cents"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    got = sorted(
+        spark.read.parquet(target)
+        .select("bucket", F.col("event_type").cast("string"), "sum_cents", "n")
+        .collect()
+    )
+    assert got == expected
+
+    # restart with the same checkpoint: no new files -> byte-identical table
+    stream2 = stream_parquet_source(spark, src_dir, events.schema, max_files_per_trigger=1)
+    run_continuous_rollup(stream2, target, ckpt)
+    again = sorted(
+        spark.read.parquet(target)
+        .select("bucket", F.col("event_type").cast("string"), "sum_cents", "n")
+        .collect()
+    )
+    assert again == expected
