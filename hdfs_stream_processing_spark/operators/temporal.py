@@ -149,3 +149,56 @@ def range_join_buckets(
         .drop("_b0", "_bucket", "_rkey")
         .withColumnRenamed("_rts", f"r_{right_ts}")
     )
+
+
+def gapfill_locf(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    grain: str = "hour",
+) -> DataFrame:
+    """Time-bucket gap filling with last-observation-carried-forward
+    (TimescaleDB ``time_bucket_gapfill`` + ``locf``): densify each
+    key's series to EVERY ``grain`` bucket between its first and last
+    observation, carrying the previous observed value across gaps.
+
+    Expects one row per (key, bucket) — aggregate first.  Returns the
+    dense spine with the raw (nullable) value, the carried-forward
+    value, and a ``was_gap`` flag so downstream consumers can tell
+    measured from imputed points.
+
+    Scale: the spine explode is bounded by span/grain per key (time
+    ranges are narrow relative to row counts — a year is only 8 760
+    hour-buckets regardless of data volume); the spine↔observation join
+    shuffles on (key, bucket) and the LOCF window on key — partition
+    count tracks key cardinality, and a skewed key still only owns its
+    own span.  The carried value is whatever the caller aggregated —
+    exact integers (cents) keep it engine-portable.
+    """
+    obs = df.select(
+        F.col(key_col), F.col(time_col), F.col(value_col)
+    )
+    spine = (
+        obs.groupBy(key_col)
+        .agg(F.min(time_col).alias("_a"), F.max(time_col).alias("_b"))
+        .select(
+            key_col,
+            F.explode(
+                F.expr(f"sequence(_a, _b, interval 1 {grain})")
+            ).alias(time_col),
+        )
+    )
+    joined = spine.join(obs, [key_col, time_col], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(time_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        key_col,
+        time_col,
+        F.col(value_col),
+        F.last(F.col(value_col), ignorenulls=True).over(w).alias(f"{value_col}_locf"),
+        F.col(value_col).isNull().alias("was_gap"),
+    )

@@ -2847,3 +2847,40 @@ def q_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("sum_cents").cast("double") / F.lit(100.0)).alias("sum_value"),
     )
+
+
+@query(
+    "gapfill_locf",
+    """WITH obs AS (
+         SELECT event_type, date_trunc('hour', ts) AS bucket,
+                CAST(SUM(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM events WHERE value > 95.0
+         GROUP BY event_type, date_trunc('hour', ts)),
+       spine AS (
+         SELECT event_type,
+                unnest(generate_series(min(bucket), max(bucket), INTERVAL 1 HOUR)) AS bucket
+         FROM obs GROUP BY event_type)
+       SELECT s.event_type, s.bucket, o.sum_cents,
+              last_value(o.sum_cents IGNORE NULLS) OVER (
+                  PARTITION BY s.event_type ORDER BY s.bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_cents_locf,
+              o.sum_cents IS NULL AS was_gap
+       FROM spine s LEFT JOIN obs o
+         ON s.event_type = o.event_type AND s.bucket = o.bucket""",
+)
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable gap filling (time_bucket_gapfill + locf): sparse
+    high-value hourly sums densified to every hour in each type's span,
+    gaps carrying the last observed exact-cents value, imputed points
+    flagged."""
+    from hdfs_stream_processing_spark.operators.temporal import gapfill_locf
+
+    (events,) = prep(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * F.lit(100.0), 0).cast("long")
+    obs = (
+        events.where(F.col("value") > 95.0)
+        .select(F.col("event_type"), F.date_trunc("hour", "ts").alias("bucket"), cents.alias("_c"))
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("_c").alias("sum_cents"))
+    )
+    return gapfill_locf(obs, "event_type", "bucket", "sum_cents", grain="hour")

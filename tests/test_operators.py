@@ -290,3 +290,20 @@ def test_asof_join_forward_and_tolerance(spark):
         ).collect()
     }
     assert ft == {100: 30.0, 101: None}
+
+
+def test_gapfill_locf_densifies_and_carries(spark):
+    from hdfs_stream_processing_spark.operators.temporal import gapfill_locf
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 10), ("a", "2024-01-01 03:00:00", 30),
+         ("b", "2024-01-01 05:00:00", 7)],
+        "k string, bucket string, v long",
+    ).select("k", F.col("bucket").cast("timestamp").alias("bucket"), "v")
+    out = {(r["k"], r["bucket"].hour): r for r in gapfill_locf(df, "k", "bucket", "v").collect()}
+    assert len(out) == 5                                  # a: 4 dense hours, b: 1
+    assert out[("a", 1)]["was_gap"] and out[("a", 1)]["v"] is None
+    assert out[("a", 1)]["v_locf"] == 10                  # carried across the gap
+    assert out[("a", 2)]["v_locf"] == 10
+    assert out[("a", 3)]["v_locf"] == 30 and not out[("a", 3)]["was_gap"]
+    assert out[("b", 5)]["v_locf"] == 7
