@@ -202,3 +202,68 @@ def gapfill_locf(
         F.last(F.col(value_col), ignorenulls=True).over(w).alias(f"{value_col}_locf"),
         F.col(value_col).isNull().alias("was_gap"),
     )
+
+
+def gapfill_interpolate(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    grain: str = "hour",
+) -> DataFrame:
+    """Time-bucket gap filling with LINEAR interpolation (TimescaleDB
+    ``interpolate``): like :func:`gapfill_locf` but gaps get the
+    straight line between the surrounding observations; leading /
+    trailing edges fall back to the nearest observed value.
+
+    The interpolation fraction is computed in double FIRST
+    ((t−prev)/(next−prev)), then scaled — never long×long micros
+    products, which would overflow at big cents × wide spans; the
+    operation order is mirrored in the oracle so results stay
+    IEEE-bit-identical.
+
+    Scale: same spine/join shape as LOCF plus one backward window over
+    the same partitioning — Catalyst reuses the exchange, so it costs
+    one extra sort, not an extra shuffle.
+    """
+    obs = df.select(F.col(key_col), F.col(time_col), F.col(value_col))
+    spine = (
+        obs.groupBy(key_col)
+        .agg(F.min(time_col).alias("_a"), F.max(time_col).alias("_b"))
+        .select(
+            key_col,
+            F.explode(F.expr(f"sequence(_a, _b, interval 1 {grain})")).alias(time_col),
+        )
+    )
+    joined = spine.join(obs, [key_col, time_col], "left")
+    v, t = F.col(value_col), F.col(time_col)
+    fwd = (
+        Window.partitionBy(key_col)
+        .orderBy(time_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bwd = (
+        Window.partitionBy(key_col)
+        .orderBy(time_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    pv = F.last(v, ignorenulls=True).over(fwd)
+    pb = F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(fwd)
+    nv = F.first(v, ignorenulls=True).over(bwd)
+    nb = F.first(F.when(v.isNotNull(), t), ignorenulls=True).over(bwd)
+    frac = (F.unix_micros(t) - F.unix_micros(pb)) / (
+        F.unix_micros(nb) - F.unix_micros(pb)
+    ).cast("double")
+    interp = (
+        F.when(v.isNotNull(), v.cast("double"))
+        .when(pv.isNull(), nv.cast("double"))
+        .when(nv.isNull(), pv.cast("double"))
+        .otherwise(pv + (nv - pv) * frac)
+    )
+    return joined.select(
+        key_col,
+        time_col,
+        v,
+        interp.alias(f"{value_col}_interp"),
+        v.isNull().alias("was_gap"),
+    )

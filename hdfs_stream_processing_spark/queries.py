@@ -2884,3 +2884,56 @@ def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("_c").alias("sum_cents"))
     )
     return gapfill_locf(obs, "event_type", "bucket", "sum_cents", grain="hour")
+
+
+@query(
+    "gapfill_interp",
+    """WITH obs AS (
+         SELECT event_type, date_trunc('hour', ts) AS bucket,
+                CAST(SUM(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM events WHERE value > 95.0
+         GROUP BY event_type, date_trunc('hour', ts)),
+       spine AS (
+         SELECT event_type,
+                unnest(generate_series(min(bucket), max(bucket), INTERVAL 1 HOUR)) AS bucket
+         FROM obs GROUP BY event_type),
+       j AS (SELECT s.event_type, s.bucket, o.sum_cents
+             FROM spine s LEFT JOIN obs o
+               ON s.event_type = o.event_type AND s.bucket = o.bucket),
+       f AS (SELECT *,
+               last_value(sum_cents IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               last_value(CASE WHEN sum_cents IS NOT NULL THEN bucket END IGNORE NULLS)
+                   OVER (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+               first_value(sum_cents IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               first_value(CASE WHEN sum_cents IS NOT NULL THEN bucket END IGNORE NULLS)
+                   OVER (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+             FROM j)
+       SELECT event_type, bucket, sum_cents,
+              CASE WHEN sum_cents IS NOT NULL THEN CAST(sum_cents AS DOUBLE)
+                   WHEN pv IS NULL THEN CAST(nv AS DOUBLE)
+                   WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
+                   ELSE pv + (nv - pv) * ((epoch_us(bucket) - epoch_us(pb))
+                        / CAST(epoch_us(nb) - epoch_us(pb) AS DOUBLE)) END AS sum_cents_interp,
+              sum_cents IS NULL AS was_gap
+       FROM f""",
+)
+def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable gap filling with linear interpolation: gaps get the
+    straight line between surrounding observations (double fraction
+    first — operation order mirrored in the oracle for IEEE-bit
+    equality), edges fall back to the nearest observation."""
+    from hdfs_stream_processing_spark.operators.temporal import gapfill_interpolate
+
+    (events,) = prep(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * F.lit(100.0), 0).cast("long")
+    obs = (
+        events.where(F.col("value") > 95.0)
+        .select(F.col("event_type"), F.date_trunc("hour", "ts").alias("bucket"), cents.alias("_c"))
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("_c").alias("sum_cents"))
+    )
+    return gapfill_interpolate(obs, "event_type", "bucket", "sum_cents", grain="hour")

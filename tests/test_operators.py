@@ -307,3 +307,17 @@ def test_gapfill_locf_densifies_and_carries(spark):
     assert out[("a", 2)]["v_locf"] == 10
     assert out[("a", 3)]["v_locf"] == 30 and not out[("a", 3)]["was_gap"]
     assert out[("b", 5)]["v_locf"] == 7
+
+
+def test_gapfill_interpolate_midpoints_and_edges(spark):
+    from hdfs_stream_processing_spark.operators.temporal import gapfill_interpolate
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 10), ("a", "2024-01-01 03:00:00", 40)],
+        "k string, bucket string, v long",
+    ).select("k", F.col("bucket").cast("timestamp").alias("bucket"), "v")
+    out = {r["bucket"].hour: r for r in gapfill_interpolate(df, "k", "bucket", "v").collect()}
+    assert out[0]["v_interp"] == 10.0 and not out[0]["was_gap"]
+    assert out[1]["v_interp"] == 20.0 and out[1]["was_gap"]   # 1/3 of the way
+    assert out[2]["v_interp"] == 30.0
+    assert out[3]["v_interp"] == 40.0
