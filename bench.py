@@ -84,6 +84,9 @@ HEADLINE = [
     "decontaminate",              # broadcast benchmark n-gram probe
     "shard_assign",               # global training-order shuffle
     "repetition_stats",           # chained hash aggs over n-grams
+    "curate_corpus",              # the whole curation funnel, one plan
+    "stream_curate",              # same curation ops on the stream
+    "gapfill_locf",               # dense spine + IGNORE NULLS carry
 ]
 
 
