@@ -1,0 +1,141 @@
+"""Event-stream analytics: sessionization, funnels, retention cohorts.
+
+The reference pipeline ships raw classified events to Elasticsearch and
+leaves analysis to Kibana dashboards; these operators compute the three
+dashboard staples natively, so the capability the reference delegated
+to its sink is part of the engine (same rationale as
+``operators/text.py`` replacing the ES analyzer chain).
+
+Scale design: all three are built on per-key windows or hash
+aggregates — one shuffle on ``user`` (or (user, day)), no self-joins,
+no collects.  Key skew is the usual story: a bot user with millions of
+events owns one partition's worth of window work; salt or cap upstream
+(``operators/skew.py``) if a key exceeds executor memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["sessionize", "funnel_steps", "retention_cohorts"]
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_minutes: int = 30,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Batch sessionization: a new session starts when the gap since the
+    user's previous event STRICTLY exceeds ``gap_minutes`` (mirrors
+    Spark ``session_window``'s closed boundary: an event exactly ``gap``
+    after the last still extends the session).
+
+    Adds ``session_idx`` (0-based per user, in time order) and
+    ``session_id`` (``user:idx``, globally unique).  One shuffle (the
+    per-user window); the running sum over the new-session flag is the
+    standard gaps-and-islands construction — no self-join.  Pass
+    ``tiebreak_cols`` (e.g. the event id) whenever two events can share
+    a timestamp — without a total order the lag/flag assignment is
+    partition-order arbitrary.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    prev = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    new_session = (
+        prev.isNull() | (F.unix_micros(F.col(ts_col)) - prev > F.lit(gap_us))
+    ).cast("long")
+    run = (
+        Window.partitionBy(user_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    idx = F.sum(new_session).over(run) - F.lit(1)
+    return df.select(
+        "*",
+        idx.alias("session_idx"),
+        F.concat_ws(
+            ":", F.col(user_col).cast("string"), idx.cast("string")
+        ).alias("session_id"),
+    )
+
+
+def funnel_steps(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered funnel: for each user, the earliest time of step 1, the
+    earliest step-2 event STRICTLY AFTER that, and so on.  Returns one
+    row per user with ``t_<step>`` timestamps (null once the funnel
+    breaks) and ``stage`` = number of steps completed.
+
+    Each step is one hash aggregate on ``user`` followed by a join back
+    to the events of the next step — every stage keys on the SAME
+    column, so the exchanges line up (co-partitioned joins, no
+    broadcast needed, no self-join blowup).  Steps are sequential by
+    definition; len(steps) is small and fixed (funnels are 3-5 stages),
+    so the chain depth is bounded.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    ts, u, ty = F.col(ts_col), F.col(user_col), F.col(type_col)
+    # stage 1: earliest occurrence of the first step
+    cur = (
+        df.where(ty == F.lit(steps[0]))
+        .groupBy(user_col)
+        .agg(F.min(ts).alias(f"t_{steps[0]}"))
+    )
+    for prev_step, step in zip(steps, steps[1:]):
+        nxt = df.where(ty == F.lit(step)).select(
+            u.alias(user_col), ts.alias("_ts")
+        )
+        # conditional min INSIDE the aggregate (not a post-join filter):
+        # a user whose next-step events are all too early must survive
+        # with a null t_<step>, not vanish from the funnel table
+        cur = (
+            cur.join(nxt, user_col, "left")
+            .groupBy(*cur.columns)
+            .agg(
+                F.min(
+                    F.when(F.col("_ts") > F.col(f"t_{prev_step}"), F.col("_ts"))
+                ).alias(f"t_{step}")
+            )
+        )
+    # stage = deepest step reached; building forward means the LAST
+    # (deepest) when() wraps outermost and wins
+    stage: Column = F.lit(0)
+    for i, step in enumerate(steps):
+        stage = F.when(F.col(f"t_{step}").isNotNull(), F.lit(i + 1)).otherwise(stage)
+    return cur.select(user_col, *[f"t_{s}" for s in steps], stage.alias("stage"))
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Cohort retention: users grouped by their first-activity day;
+    for each (cohort_day, day_offset), how many of the cohort's users
+    were active.  The day-0 cell is the cohort size.
+
+    Two hash aggregates and one co-partitioned join on ``user`` — the
+    (user, day) distinct does the heavy dedup map-side; the final
+    matrix is tiny (days × days) regardless of input volume.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    first_day = df.groupBy(user_col).agg(F.min(day).alias("cohort_day"))
+    active = df.select(F.col(user_col), day.alias("_day")).distinct()
+    return (
+        active.join(first_day, user_col)
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("_day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
+    )

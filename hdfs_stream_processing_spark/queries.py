@@ -2937,3 +2937,99 @@ def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("_c").alias("sum_cents"))
     )
     return gapfill_interpolate(obs, "event_type", "bucket", "sum_cents", grain="hour")
+
+
+# ========================================================================
+# §event analytics (operators/analytics.py) — the Kibana-dashboard
+# staples (sessionization, funnels, retention) computed natively
+# ========================================================================
+
+
+@query(
+    "sessionize",
+    """SELECT event_id, user_id, ts,
+              CAST(session_idx AS BIGINT) AS session_idx,
+              CAST(user_id AS VARCHAR) || ':' || CAST(session_idx AS VARCHAR) AS session_id
+       FROM (SELECT event_id, user_id, ts,
+                    SUM(CASE WHEN prev IS NULL OR epoch_us(ts) - prev > 1800000000
+                             THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                        AS session_idx
+             FROM (SELECT event_id, user_id, ts,
+                          lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id) AS prev
+                   FROM events))""",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a >30-min silence starts
+    a new session; event_id tiebreak gives the window a total order so
+    session assignment is partitioning-independent."""
+    from hdfs_stream_processing_spark.operators.analytics import sessionize
+
+    (events,) = prep(spark, sf_dir, "events")
+    out = sessionize(
+        events.select("event_id", "user_id", "ts"),
+        "user_id",
+        "ts",
+        gap_minutes=30,
+        tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "session_idx", "session_id"
+    )
+
+
+@query(
+    "funnel",
+    """WITH s1 AS (SELECT user_id, min(ts) AS t_view FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+       s2 AS (SELECT s1.user_id, t_view,
+                     min(CASE WHEN e.ts > s1.t_view THEN e.ts END) AS t_click
+              FROM s1 LEFT JOIN events e
+                ON e.user_id = s1.user_id AND e.event_type = 'click'
+              GROUP BY s1.user_id, t_view),
+       s3 AS (SELECT s2.user_id, t_view, t_click,
+                     min(CASE WHEN e.ts > s2.t_click THEN e.ts END) AS t_purchase
+              FROM s2 LEFT JOIN events e
+                ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+              GROUP BY s2.user_id, t_view, t_click)
+       SELECT user_id, t_view, t_click, t_purchase,
+              CASE WHEN t_purchase IS NOT NULL THEN 3
+                   WHEN t_click IS NOT NULL THEN 2
+                   WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS stage
+       FROM s3""",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: each step's
+    earliest event strictly after the previous step, per user; stage =
+    deepest step reached.  Chained aggregates/joins all keyed on
+    user_id — co-partitioned, no self-join blowup."""
+    from hdfs_stream_processing_spark.operators.analytics import funnel_steps
+
+    (events,) = prep(spark, sf_dir, "events")
+    return funnel_steps(
+        events, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+
+
+@query(
+    "retention",
+    """WITH fd AS (SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+                   FROM events GROUP BY user_id),
+       act AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events)
+       SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day,
+              CAST(datediff('day', cohort_day, d) AS INT) AS day_offset,
+              count(DISTINCT act.user_id) AS n_users
+       FROM act JOIN fd ON act.user_id = fd.user_id
+       GROUP BY cohort_day, datediff('day', cohort_day, d)""",
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity day ×
+    day offset of each active day.  Two hash aggregates + one
+    co-partitioned join; the matrix is days × days no matter the input
+    volume."""
+    from hdfs_stream_processing_spark.operators.analytics import retention_cohorts
+
+    (events,) = prep(spark, sf_dir, "events")
+    return retention_cohorts(events, "user_id", "ts")

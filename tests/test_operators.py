@@ -321,3 +321,55 @@ def test_gapfill_interpolate_midpoints_and_edges(spark):
     assert out[1]["v_interp"] == 20.0 and out[1]["was_gap"]   # 1/3 of the way
     assert out[2]["v_interp"] == 30.0
     assert out[3]["v_interp"] == 40.0
+
+
+def test_sessionize_gap_boundary_and_ids(spark):
+    from hdfs_stream_processing_spark.operators.analytics import sessionize
+
+    df = spark.createDataFrame(
+        [(1, 7, "2024-01-01 00:00:00"), (2, 7, "2024-01-01 00:30:00"),
+         (3, 7, "2024-01-01 01:00:01"), (4, 8, "2024-01-01 00:00:00")],
+        "event_id long, user_id long, ts string",
+    ).select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    out = {r["event_id"]: r for r in
+           sessionize(df, "user_id", "ts", 30, tiebreak_cols=["event_id"]).collect()}
+    assert out[2]["session_idx"] == 0       # exactly 30 min still extends
+    assert out[3]["session_idx"] == 1       # 30:01 gap starts a new one
+    assert out[3]["session_id"] == "7:1"
+    assert out[4]["session_idx"] == 0 and out[4]["session_id"] == "8:0"
+
+
+def test_funnel_breaks_keep_users_and_stage_is_deepest(spark):
+    from hdfs_stream_processing_spark.operators.analytics import funnel_steps
+
+    rows = [
+        (1, "view", "2024-01-01 00:00:00"), (1, "click", "2024-01-01 00:10:00"),
+        (1, "purchase", "2024-01-01 00:20:00"),
+        (2, "view", "2024-01-01 00:00:00"), (2, "click", "2024-01-01 00:05:00"),
+        (3, "click", "2024-01-01 00:00:00"), (3, "view", "2024-01-01 00:10:00"),
+        (4, "purchase", "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts string") \
+        .select("user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"))
+    out = {r["user_id"]: r for r in
+           funnel_steps(df, "user_id", "ts", "event_type", ["view", "click", "purchase"]).collect()}
+    assert out[1]["stage"] == 3
+    assert out[2]["stage"] == 2 and out[2]["t_purchase"] is None
+    # user 3's only click is BEFORE the first view: funnel breaks at 1,
+    # but the user must remain in the table (regression: post-join
+    # filter used to drop them)
+    assert out[3]["stage"] == 1 and out[3]["t_click"] is None
+    assert 4 not in out                      # never did step 1
+
+
+def test_retention_day0_equals_cohort_size(spark):
+    from hdfs_stream_processing_spark.operators.analytics import retention_cohorts
+
+    rows = [(u, f"2024-01-0{d} 12:00:00") for u, days in
+            [(1, [1, 2, 3]), (2, [1, 3]), (3, [2])] for d in days]
+    df = spark.createDataFrame(rows, "user_id long, ts string") \
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    out = {(r["cohort_day"].day, r["day_offset"]): r["n_users"]
+           for r in retention_cohorts(df, "user_id", "ts").collect()}
+    assert out[(1, 0)] == 2 and out[(1, 1)] == 1 and out[(1, 2)] == 2
+    assert out[(2, 0)] == 1
