@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sessionize", "funnel_steps", "retention_cohorts"]
+__all__ = ["sessionize", "funnel_steps", "retention_cohorts", "anomaly_zscore"]
 
 
 def sessionize(
@@ -138,4 +138,57 @@ def retention_cohorts(
             F.datediff(F.col("_day"), F.col("cohort_day")).alias("day_offset"),
         )
         .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
+    )
+
+
+def anomaly_zscore(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_rows: int = 24,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Rolling z-score anomaly detection: each point scored against the
+    mean/std of the PRECEDING ``window_rows`` points of its key's series
+    (trailing window excludes the current point — a spike must not
+    inflate its own baseline).
+
+    Determinism contract: the rolling sums are EXACT integers (the
+    caller passes an integer value, e.g. cents); mean/variance/z are
+    then single double expressions over exact operands, so scores are
+    bit-identical across engines and partitionings.  Points with fewer
+    than 2 preceding observations score null (no baseline).
+
+    Scale: one shuffle (the per-key window); the frame is row-bounded so
+    state per key is O(window_rows).
+    """
+    v = F.col(value_col)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col)
+        .rowsBetween(-window_rows, -1)
+    )
+    n = F.count(v).over(w)
+    s1 = F.sum(v).over(w)
+    s2 = F.sum(v * v).over(w)
+    mean = s1.cast("double") / n.cast("double")
+    # population variance of the trailing window: E[x^2] - E[x]^2 over
+    # exact integer sums
+    var = s2.cast("double") / n.cast("double") - mean * mean
+    # clamp: float cancellation can leave var at -1e-13 for a flat
+    # window, and sqrt(negative) is NaN here but an ERROR in DuckDB
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = (v.cast("double") - mean) / std
+    # a flat baseline (std == 0) yields null score, never ±inf — keeps
+    # every emitted double finite and engine-portable
+    scorable = (n >= 2) & (std > F.lit(0.0))
+    return df.select(
+        "*",
+        F.when(n >= 2, mean).alias("baseline_mean"),
+        F.when(scorable, z).alias("zscore"),
+        # non-nullable by contract: a point with no scoreable baseline
+        # is NOT an anomaly (nullable booleans also round-trip badly
+        # through Arrow/pandas — None vs NaN)
+        (scorable & (F.abs(z) > F.lit(threshold))).alias("is_anomaly"),
     )

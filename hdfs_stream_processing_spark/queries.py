@@ -3033,3 +3033,48 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (events,) = prep(spark, sf_dir, "events")
     return retention_cohorts(events, "user_id", "ts")
+
+
+@query(
+    "anomaly_zscore",
+    """WITH obs AS (
+         SELECT event_type, date_trunc('hour', ts) AS bucket,
+                CAST(SUM(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM events GROUP BY event_type, date_trunc('hour', ts)),
+       w AS (SELECT event_type, bucket, sum_cents,
+                    count(sum_cents) OVER win AS n,
+                    CAST(sum(sum_cents) OVER win AS BIGINT) AS s1,
+                    CAST(sum(sum_cents * sum_cents) OVER win AS BIGINT) AS s2
+             FROM obs
+             WINDOW win AS (PARTITION BY event_type ORDER BY bucket
+                            ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+       m AS (SELECT *, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean FROM w),
+       v2 AS (SELECT *,
+                     sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                                   - mean * mean, 0.0)) AS std
+              FROM m)
+       SELECT event_type, bucket, sum_cents,
+              CASE WHEN n >= 2 THEN mean END AS baseline_mean,
+              CASE WHEN n >= 2 AND std > 0.0
+                   THEN (CAST(sum_cents AS DOUBLE) - mean) / std END AS zscore,
+              CASE WHEN n >= 2 AND std > 0.0
+                   THEN abs((CAST(sum_cents AS DOUBLE) - mean) / std) > 3.0
+                   ELSE false END AS is_anomaly
+       FROM v2""",
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection on the hourly sensor series:
+    each hour scored against the trailing 24 hours of its type (the
+    point never inflates its own baseline).  Exact-integer rolling sums
+    feed single double expressions, so scores are IEEE-bit-identical in
+    the oracle."""
+    from hdfs_stream_processing_spark.operators.analytics import anomaly_zscore
+
+    (events,) = prep(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * F.lit(100.0), 0).cast("long")
+    obs = (
+        events.select(F.col("event_type"), F.date_trunc("hour", "ts").alias("bucket"), cents.alias("_c"))
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("_c").alias("sum_cents"))
+    )
+    return anomaly_zscore(obs, "event_type", "bucket", "sum_cents", window_rows=24)

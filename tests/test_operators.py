@@ -373,3 +373,23 @@ def test_retention_day0_equals_cohort_size(spark):
            for r in retention_cohorts(df, "user_id", "ts").collect()}
     assert out[(1, 0)] == 2 and out[(1, 1)] == 1 and out[(1, 2)] == 2
     assert out[(2, 0)] == 1
+
+
+def test_anomaly_zscore_flags_spike_not_baseline(spark):
+    from hdfs_stream_processing_spark.operators.analytics import anomaly_zscore
+
+    # stable series 100,102,...  then a 10x spike
+    vals = [100, 102, 98, 101, 99, 100, 102, 1000, 101]
+    df = spark.createDataFrame(
+        [("a", f"2024-01-01 {h:02d}:00:00", v) for h, v in enumerate(vals)],
+        "k string, bucket string, v long",
+    ).select("k", F.col("bucket").cast("timestamp").alias("bucket"), "v")
+    out = {r["bucket"].hour: r for r in
+           anomaly_zscore(df, "k", "bucket", "v", window_rows=24).collect()}
+    assert out[0]["zscore"] is None and out[0]["is_anomaly"] is False  # no baseline
+    assert out[1]["zscore"] is None and out[1]["is_anomaly"] is False  # n=1
+    assert out[7]["is_anomaly"] is True and out[7]["zscore"] > 3
+    # the point after the spike is measured against a baseline that now
+    # CONTAINS the spike - inflated std, so a normal value isn't flagged
+    assert out[8]["is_anomaly"] is False
+    assert all(not out[h]["is_anomaly"] for h in range(7))
