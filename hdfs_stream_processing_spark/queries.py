@@ -3078,3 +3078,42 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("_c").alias("sum_cents"))
     )
     return anomaly_zscore(obs, "event_type", "bucket", "sum_cents", window_rows=24)
+
+
+@query(
+    "large_orders",
+    """WITH big AS (
+         SELECT l_orderkey,
+                CAST(SUM(CAST(round(l_quantity * 100.0, 0) AS BIGINT)) AS BIGINT) AS qty_cents
+         FROM lineitem GROUP BY l_orderkey
+         HAVING SUM(CAST(round(l_quantity * 100.0, 0) AS BIGINT)) > 25000)
+       SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+              CAST(qty_cents AS DOUBLE) / 100.0 AS total_qty
+       FROM big
+       JOIN orders   ON o_orderkey = big.l_orderkey
+       JOIN customer ON c_custkey = o_custkey""",
+)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (agg → HAVING → join back to the fact's parents):
+    orders whose summed line quantity exceeds a threshold, with their
+    customer.  The HAVING runs on the aggregated (small) side BEFORE the
+    joins, so only qualifying orderkeys ever reach the join — at scale
+    the filtered agg is broadcast against orders."""
+    lineitem, orders, customer = prep(spark, sf_dir, "lineitem", "orders", "customer")
+    qty_cents = F.round(F.col("l_quantity") * F.lit(100.0), 0).cast("long")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(qty_cents).alias("qty_cents"))
+        .where(F.col("qty_cents") > F.lit(25000))
+    )
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            (F.col("qty_cents").cast("double") / F.lit(100.0)).alias("total_qty"),
+        )
+    )
