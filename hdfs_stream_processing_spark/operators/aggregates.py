@@ -56,3 +56,80 @@ def rollup_agg(df: DataFrame, keys: list[str], aggs: list[Column]) -> DataFrame:
     drill-down shape dashboards want.  Spark plans a single Expand +
     hash aggregate — one pass over the data for all levels."""
     return df.rollup(*keys).agg(*aggs)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Exact top-``k`` most frequent values per group, deterministic
+    rank (count DESC, value ASC tiebreak — a total order, so the same
+    rows win on every engine/partitioning).
+
+    Two-level shape: hash-aggregate counts on (group, value) — partial
+    aggregation does the heavy lifting map-side — then a per-group
+    window over the (much smaller) distinct-value counts.  At 100 TB
+    the window input is |groups|×|distinct values per group| rows, not
+    the fact table; for an unbounded value domain cap it first or use a
+    sketch (this operator is the exact path).
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(*group_cols, value_col).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("n").desc(), F.col(value_col).asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def corr_exact(
+    df: DataFrame,
+    keys: list[str],
+    x_cents: Column,
+    y_cents: Column,
+) -> DataFrame:
+    """Pearson correlation per group from EXACT integer sums.
+
+    Spark's native ``corr`` streams Welford-style partial states whose
+    float accumulation is partition-order-dependent — it can never
+    hash-match an oracle.  Here the five sufficient statistics
+    (n, Σx, Σy, Σxy, Σx², Σy²) are exact integer aggregates of
+    caller-provided integer operands (e.g. cents), and the final
+    correlation is one double expression over exact operands —
+    bit-identical on every engine and partitioning.
+
+    Bounds: products of cents fit long while |x·y| · rows < 2⁶³ — at
+    TPC-H price scales that holds through ~10⁹ rows per group; beyond
+    that switch the sums to decimal(38,0) (slower but still exact).
+    """
+    agg = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x_cents).alias("sx"),
+        F.sum(y_cents).alias("sy"),
+        F.sum(x_cents * y_cents).alias("sxy"),
+        F.sum(x_cents * x_cents).alias("sxx"),
+        F.sum(y_cents * y_cents).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = F.col("sxy").cast("double") / n - (
+        F.col("sx").cast("double") / n
+    ) * (F.col("sy").cast("double") / n)
+    vx = F.col("sxx").cast("double") / n - (
+        F.col("sx").cast("double") / n
+    ) * (F.col("sx").cast("double") / n)
+    vy = F.col("syy").cast("double") / n - (
+        F.col("sy").cast("double") / n
+    ) * (F.col("sy").cast("double") / n)
+    denom = F.sqrt(F.greatest(vx, F.lit(0.0))) * F.sqrt(F.greatest(vy, F.lit(0.0)))
+    return agg.select(
+        *keys,
+        F.col("n"),
+        F.when(denom > F.lit(0.0), cov / denom).alias("corr"),
+    )

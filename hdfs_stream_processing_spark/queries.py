@@ -3117,3 +3117,88 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("qty_cents").cast("double") / F.lit(100.0)).alias("total_qty"),
         )
     )
+
+
+@query(
+    "heavy_hitters",
+    """SELECT source, token, n, CAST(rank AS INT) AS rank
+       FROM (SELECT source, token, count(*) AS n,
+                    row_number() OVER (PARTITION BY source
+                                       ORDER BY count(*) DESC, token) AS rank
+             FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS token
+                   FROM documents)
+             GROUP BY source, token)
+       WHERE rank <= 3""",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: the 3 most frequent tokens per source with a
+    deterministic total-order rank.  Map-side partial counts do the
+    heavy lifting; the window only sees distinct (source, token)
+    counts."""
+    from hdfs_stream_processing_spark.operators.aggregates import heavy_hitters
+    from hdfs_stream_processing_spark.operators.text import tokens
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    toks = documents.select("source", F.explode(tokens("text")).alias("token"))
+    return heavy_hitters(toks, ["source"], "token", k=3)
+
+
+@query(
+    "ntile_buckets",
+    """SELECT event_id, event_type, value,
+              CAST(ntile(10) OVER (PARTITION BY event_type
+                                   ORDER BY value, event_id) AS INT) AS decile
+       FROM events""",
+)
+def q_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile assignment per type (NTILE): equal-frequency buckets with
+    an event_id tiebreak so the assignment is a total order —
+    partitioning-independent and engine-exact."""
+    from pyspark.sql import Window
+
+    (events,) = prep(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("value"), F.col("event_id"))
+    return events.select(
+        "event_id", "event_type", "value", F.ntile(10).over(w).alias("decile")
+    )
+
+
+@query(
+    "corr_qty_price",
+    """WITH s AS (
+         SELECT l_returnflag,
+                count(*) AS n,
+                CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                CAST(sum(x * y) AS BIGINT) AS sxy,
+                CAST(sum(x * x) AS BIGINT) AS sxx,
+                CAST(sum(y * y) AS BIGINT) AS syy
+         FROM (SELECT l_returnflag,
+                      CAST(round(l_quantity, 0) AS BIGINT) AS x,
+                      CAST(round(l_extendedprice, 0) AS BIGINT) AS y
+               FROM lineitem)
+         GROUP BY l_returnflag)
+       SELECT l_returnflag, n,
+              CASE WHEN sqrt(greatest(CAST(sxx AS DOUBLE) / n
+                                      - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n), 0.0))
+                        * sqrt(greatest(CAST(syy AS DOUBLE) / n
+                                      - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n), 0.0)) > 0.0
+                   THEN (CAST(sxy AS DOUBLE) / n
+                         - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+                        / (sqrt(greatest(CAST(sxx AS DOUBLE) / n
+                                      - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n), 0.0))
+                           * sqrt(greatest(CAST(syy AS DOUBLE) / n
+                                      - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n), 0.0)))
+              END AS corr
+       FROM s""",
+)
+def q_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs price per return flag from
+    exact integer sufficient statistics — unlike native corr(), whose
+    float partial-state accumulation is partition-order-dependent, this
+    hash-matches the oracle bit-for-bit."""
+    from hdfs_stream_processing_spark.operators.aggregates import corr_exact
+
+    (lineitem,) = prep(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity"), 0).cast("long")
+    y = F.round(F.col("l_extendedprice"), 0).cast("long")
+    return corr_exact(lineitem, ["l_returnflag"], x, y)
