@@ -61,3 +61,26 @@ from hdfs_stream_processing_spark.operators.layout import (  # noqa: F401
     z_order_key,
     zorder_write,
 )
+from hdfs_stream_processing_spark.operators.llmdata import (  # noqa: F401
+    chunk_documents,
+    decontaminate,
+    mix_sources,
+    redact_pii,
+    repetition_stats,
+    resample_sources,
+    shard_assign,
+)
+from hdfs_stream_processing_spark.operators.analytics import (  # noqa: F401
+    anomaly_zscore,
+    funnel_steps,
+    retention_cohorts,
+    sessionize,
+)
+from hdfs_stream_processing_spark.operators.aggregates import (  # noqa: F401
+    corr_exact,
+    heavy_hitters,
+)
+from hdfs_stream_processing_spark.operators.temporal import (  # noqa: F401
+    gapfill_interpolate,
+    gapfill_locf,
+)

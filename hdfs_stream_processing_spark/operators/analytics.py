@@ -125,12 +125,19 @@ def retention_cohorts(
     were active.  The day-0 cell is the cohort size.
 
     Two hash aggregates and one co-partitioned join on ``user`` — the
-    (user, day) distinct does the heavy dedup map-side; the final
-    matrix is tiny (days × days) regardless of input volume.
+    activity branch is explicitly partitioned by ``user`` so the
+    (user, day) distinct runs on that partitioning (hash(user) clusters
+    every (user, day) group) AND the join to first-day needs no further
+    exchange: one shuffle serves both.  The final matrix is tiny
+    (days × days) regardless of input volume.
     """
     day = F.date_trunc("day", F.col(ts_col))
     first_day = df.groupBy(user_col).agg(F.min(day).alias("cohort_day"))
-    active = df.select(F.col(user_col), day.alias("_day")).distinct()
+    active = (
+        df.select(F.col(user_col), day.alias("_day"))
+        .repartition(F.col(user_col))
+        .distinct()
+    )
     return (
         active.join(first_day, user_col)
         .groupBy(

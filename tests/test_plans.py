@@ -124,6 +124,23 @@ SHUFFLE_BUDGETS = {
     # rest are map-side recomputes off the reused exchange.  The budget
     # guards against a REAL added shuffle (which adds >1 to the text count).
     "ngram_jaccard": 15,
+    # round-4 suites — lock in the documented scale shapes:
+    "doc_chunk": 0,        # narrow split/sequence/explode/slice
+    "pii_redact": 0,       # regexp chain, pure codegen
+    "mix_sources": 0,      # hash-bucket filter
+    "resample_sources": 0, # filter + bounded explode
+    "shard_assign": 1,     # the intentional global re-order
+    "repetition_stats": 2, # chained hash aggs
+    "decontaminate": 3,    # bench distinct + countDistinct pair (all tiny side)
+    "curate_corpus": 7,    # the whole funnel, one DAG
+    "gapfill_locf": 2,     # spine agg + window (join broadcasts)
+    "gapfill_interp": 2,   # same partitioning, extra sort only
+    "sessionize": 1,       # per-user window
+    "retention": 3,        # two aggs + co-partitioned join
+    "anomaly_zscore": 2,   # hourly agg + per-key window
+    "heavy_hitters": 2,    # (group,value) counts + group window
+    "corr_qty_price": 1,   # one hash aggregate
+    "ntile_buckets": 1,    # per-type window
 }
 
 
