@@ -70,3 +70,10 @@ def plan_summary(df: DataFrame) -> dict:
         "wholestage_codegen": plan.count("WholeStageCodegen"),
         "scans": plan.count("Scan parquet"),
     }
+
+
+def optimized_plan(df: DataFrame) -> str:
+    """Catalyst-optimized logical plan as text (runtime-filter
+    injections — bloom, DPP subqueries — appear here before physical
+    planning)."""
+    return df._jdf.queryExecution().optimizedPlan().toString()

@@ -152,3 +152,54 @@ def test_shuffle_budgets(spark):
         if n > budget:
             over[name] = (n, budget)
     assert not over, f"shuffle budget exceeded: {over}"
+
+
+def test_dynamic_partition_pruning_reaches_partitioned_scan(spark, tmp_path):
+    """A selective dim filter must prune the partitioned fact scan at
+    RUNTIME (DPP) — at 100 TB this is the difference between reading one
+    partition directory and reading the table."""
+    from hdfs_stream_processing_spark.plans.inspect import physical_plan
+    from hdfs_stream_processing_spark.sources.io import load_table
+
+    events = load_table(spark, SF_DIR, "events")
+    fact_dir = str(tmp_path / "fact_by_type")
+    events.write.partitionBy("event_type").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.createDataFrame(
+        [("click", 1), ("error", 2)], "event_type string, w int"
+    ).where(F.col("w") == 1)
+    plan = physical_plan(fact.join(dim, "event_type"))
+    assert "dynamicpruning" in plan.lower()
+
+
+def test_runtime_bloom_filter_injected_for_selective_shuffle_join(spark):
+    """With broadcast off (the 100 TB big-big join case), Spark must
+    inject a bloom runtime filter from the selective side into the fact
+    scan.  Thresholds are lowered because the local fixture is tiny; the
+    assertion is that OUR plans leave the optimization reachable (no
+    manual plan surgery has broken the join pattern)."""
+    from hdfs_stream_processing_spark.plans.inspect import optimized_plan
+    from hdfs_stream_processing_spark.sources.io import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        lineitem = load_table(spark, SF_DIR, "lineitem")
+        orders = load_table(spark, SF_DIR, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        assert "bloom" in optimized_plan(j).lower()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
