@@ -104,12 +104,21 @@ def asof_join(
         .where(F.col("_side") == 1)
     )
     if tolerance is not None:
-        mts = F.col("_carried")["_mts"].cast("double")
-        lts = F.col(left_ts).cast("double")
+        from pyspark.sql.types import TimestampNTZType, TimestampType
+
+        if isinstance(left.schema[left_ts].dataType, (TimestampType, TimestampNTZType)):
+            # exact integer microseconds — a double epoch compare loses
+            # ~0.5µs ulp at current epochs, which can flip matches whose
+            # gap sits exactly on the tolerance boundary
+            mts = F.unix_micros(F.col("_carried")["_mts"])
+            lts = F.unix_micros(F.col(left_ts))
+            bound = F.lit(int(round(tolerance * 1_000_000)))
+        else:
+            mts = F.col("_carried")["_mts"].cast("double")
+            lts = F.col(left_ts).cast("double")
+            bound = F.lit(float(tolerance))
         gap = (lts - mts) if direction == "backward" else (mts - lts)
-        out = out.withColumn(
-            "_carried", F.when(gap <= F.lit(float(tolerance)), F.col("_carried"))
-        )
+        out = out.withColumn("_carried", F.when(gap <= bound, F.col("_carried")))
     for v in right_vals:
         out = out.withColumn(f"{prefix}{v}", F.col("_carried")[v])
     return out.drop("_side", "_ats", "_tb", "_rrow", "_carried")

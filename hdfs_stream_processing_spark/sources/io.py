@@ -139,6 +139,43 @@ def swap_dirs(spark: SparkSession, new_dir: str, live_dir: str) -> None:
     fs.delete(retired, True)
 
 
+def path_exists(spark: SparkSession, path: str) -> bool:
+    """Whether ``path`` exists, via the Hadoop FileSystem API (HDFS,
+    S3A, and local alike).  One metadata call — lets callers distinguish
+    "table not created yet" from transient read failures instead of
+    swallowing every exception."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+def parquet_table_exists(spark: SparkSession, path: str) -> bool:
+    """Whether ``path`` holds a readable parquet table: the directory
+    exists AND contains at least one visible data file (not just
+    ``_SUCCESS`` / ``.crc`` markers or empty partition dirs).
+
+    This is the probe incremental-merge sinks need before deciding
+    between "bootstrap a new table" and "fold into the existing one":
+    a bare ``fs.exists`` says True for a pre-created empty directory
+    (schema inference would then fail), while a ``try/except`` around
+    the read would also swallow transient FS errors and corrupt footers
+    on a REAL table — silently resetting accumulated state.  Here only
+    the not-a-table-yet cases return False; everything else raises.
+    Metadata-only: one recursive listing, no data read."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return False
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if not name.startswith("_") and not name.startswith("."):
+            return True
+    return False
+
+
 def dir_bytes(spark: SparkSession, path: str) -> int:
     """Total bytes under a path via the Hadoop FileSystem API (works for
     HDFS, S3A, and local alike).  Metadata-only — one namenode call, no

@@ -350,7 +350,10 @@ def run_continuous_rollup(
     scoped partition overwrite.  History is never rescanned — that is
     the entire point of a continuous aggregate.
     """
-    from hdfs_stream_processing_spark.sources.io import upsert_partitioned
+    from hdfs_stream_processing_spark.sources.io import (
+        parquet_table_exists,
+        upsert_partitioned,
+    )
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -367,11 +370,15 @@ def run_continuous_rollup(
                 F.count(F.lit(1)).alias("_d_n"),
             )
         )
-        try:
+        # probe existence explicitly: only "table not created yet" may
+        # fall through to the bootstrap overwrite.  A transient FS error
+        # or corrupt footer on an EXISTING rollup must raise, not
+        # silently reset accumulated totals to this batch's delta.
+        if parquet_table_exists(spark, target_dir):
             existing = spark.read.parquet(target_dir).select(
                 "bucket", part_col, "sum_cents", "n", "last_batch"
             )
-        except Exception:
+        else:
             existing = None
         if existing is None:
             out = delta.select(
