@@ -142,8 +142,12 @@ def main() -> None:
     prev = _latest_bench()
     if prev is not None:
         prev_name, prev_data = prev
+        # r4+ files carry mins under "queries_min" ("queries" moved to
+        # medians); r1-r3 files reported mins under "queries".  Prefer
+        # the former so the compare stays best-vs-best either way.
+        prev_mins = prev_data.get("queries_min") or prev_data.get("queries", {})
         for name, now in mins.items():
-            old = prev_data.get("queries", {}).get(name)
+            old = prev_mins.get(name)
             if old and old > 0 and abs(now - old) / old > 0.15:
                 moved[name] = {
                     "prev": old,
@@ -167,6 +171,23 @@ def main() -> None:
         out["moved_vs_prev"] = moved
         out["prev"] = prev[0]
     print(json.dumps(out))
+    # The full line above can exceed the driver's tail-capture buffer as
+    # the suite grows (r4 lost its headline total to truncation).  Emit a
+    # short LAST line so the summary always survives: total, size, the 5
+    # slowest queries, and the regression flags.
+    top5 = dict(sorted(medians.items(), key=lambda kv: -kv[1])[:5])
+    summary = {
+        "metric": out["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(medians),
+        "runs": n_runs,
+        "queries": top5,
+        "queries_note": "top-5 slowest medians only; full per-query dict on the previous line",
+        "moved_vs_prev": moved,
+    }
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

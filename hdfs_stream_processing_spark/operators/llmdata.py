@@ -122,6 +122,12 @@ def redact_pii(
     the redaction auditable (corpus release notes need "how many emails
     did we remove", not just the clean text).
 
+    Audit contract: pattern ``i`` is counted on the text REMAINING after
+    patterns ``0..i-1`` were applied — each count is exactly the number
+    of spans that rule itself replaced, and the counts partition the
+    redacted spans (a digit run inside an email local part is counted
+    once, under ``n_email``, never double-counted under ``n_num``).
+
     Scale: pure ``regexp_count`` + ``regexp_replace`` chain — narrow,
     zero shuffles, whole-stage codegen; the regexes are RE2-compatible
     (no backtracking blowups on adversarial documents).
@@ -130,11 +136,9 @@ def redact_pii(
     out = df.select(F.col(id_col), F.col(text_col).alias("_t"))
     counts: list[Column] = []
     clean = F.col("_t")
-    for i, (pat, _) in enumerate(pats):
+    for i, (pat, repl) in enumerate(pats):
+        # count on the text as this rule sees it (post prior replacements)
         counts.append(F.regexp_count(clean, F.lit(pat)).alias(f"_c{i}"))
-    # counts are computed on the ORIGINAL text (before any replacement
-    # shifts spans); replacements then apply in order.
-    for pat, repl in pats:
         clean = F.regexp_replace(clean, pat, repl)
     named = ["n_email", "n_ip", "n_num"]
     return out.select(
@@ -224,11 +228,14 @@ def mix_sources(
     for s, w in weights.items():
         if not 0.0 <= w <= 1.0:
             raise ValueError(f"weight for {s!r} must be in [0,1], got {w}")
-    rate: Column = F.lit(int(default_weight * buckets))
+    # int(round(...)) — the same weight→threshold map as resample_sources,
+    # so w=0.35 keeps the identical deterministic sample under either
+    # operator (truncation would make it 3499/10000 here, 3500 there).
+    rate: Column = F.lit(int(round(default_weight * buckets)))
     for s, w in weights.items():
-        rate = F.when(F.col(source_col) == F.lit(s), F.lit(int(w * buckets))).otherwise(
-            rate
-        )
+        rate = F.when(
+            F.col(source_col) == F.lit(s), F.lit(int(round(w * buckets)))
+        ).otherwise(rate)
     return df.where(_md5_bucket(F.col(key_col), buckets) < rate)
 
 

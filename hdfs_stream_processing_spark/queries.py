@@ -2507,21 +2507,23 @@ _PII_SYNTH_SQL = (
 
 @query(
     "pii_redact",
-    f"""WITH synth AS (SELECT doc_id, {_PII_SYNTH_SQL} AS t FROM documents)
+    f"""WITH synth AS (SELECT doc_id, {_PII_SYNTH_SQL} AS t FROM documents),
+       s1 AS (SELECT doc_id, t,
+                     regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}', '<EMAIL>', 'g') AS t1
+              FROM synth),
+       s2 AS (SELECT *, regexp_replace(t1, '(\\d{{1,3}}\\.){{3}}\\d{{1,3}}', '<IP>', 'g') AS t2 FROM s1)
        SELECT doc_id,
-              regexp_replace(regexp_replace(regexp_replace(t,
-                  '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}', '<EMAIL>', 'g'),
-                  '(\\d{{1,3}}\\.){{3}}\\d{{1,3}}', '<IP>', 'g'),
-                  '\\d{{7,}}', '<NUM>', 'g') AS clean_text,
+              regexp_replace(t2, '\\d{{7,}}', '<NUM>', 'g') AS clean_text,
               CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}')) AS INT) AS n_email,
-              CAST(len(regexp_extract_all(t, '(\\d{{1,3}}\\.){{3}}\\d{{1,3}}')) AS INT) AS n_ip,
-              CAST(len(regexp_extract_all(t, '\\d{{7,}}')) AS INT) AS n_num
-       FROM synth""",
+              CAST(len(regexp_extract_all(t1, '(\\d{{1,3}}\\.){{3}}\\d{{1,3}}')) AS INT) AS n_ip,
+              CAST(len(regexp_extract_all(t2, '\\d{{7,}}')) AS INT) AS n_num
+       FROM s2""",
 )
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing with per-document audit counts.  The synthetic
-    spans are planted identically on both engines; counts are measured
-    on the pre-redaction text, replacements apply in pattern order."""
+    spans are planted identically on both engines; pattern i is counted
+    on the text remaining after patterns 0..i-1 replaced (so the counts
+    partition the redacted spans), replacements apply in order."""
     from hdfs_stream_processing_spark.operators.llmdata import redact_pii
 
     (documents,) = prep(spark, sf_dir, "documents")
