@@ -23,3 +23,18 @@ def test_rows_only_queries_document_why():
     for name in set(qs) - set(oracles):
         doc = (qs[name].__doc__ or "").lower()
         assert any(w in doc for w in ("rows-only", "approximate", "no sql oracle")), name
+
+
+def test_verify_window_is_exactly_50_known_names():
+    """The driver checks the FIRST 50 queries() entries.  r4's rotation
+    list was 51 entries long, so entry #51 (stream_curate) silently
+    missed its driver row — pin the list at exactly the window size and
+    require every name to resolve so a miss cannot recur."""
+    from hdfs_stream_processing_spark import queries as Q
+
+    assert len(E._VERIFY_FIRST) == 50
+    assert len(set(E._VERIFY_FIRST)) == 50
+    unknown = [n for n in E._VERIFY_FIRST if n not in Q.QUERIES]
+    assert not unknown, f"rotation names not registered: {unknown}"
+    # and the rotation actually controls dict order
+    assert list(E.queries())[:50] == E._VERIFY_FIRST
