@@ -909,6 +909,43 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QUANT_SQL = "list_transform({col}, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0, 0) AS BIGINT))"
 
+# shared quantized-cosine building blocks for the ANN oracles: integer
+# dot / sqrt(int)·sqrt(int) — one fixed expression tree of exact
+# operands, bit-identical across engines (mirrors operators.similarity
+# dot_q/cosine_q).
+_DOT_SQL = "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+_NORM_SQL = "sqrt(CAST(list_sum(list_transform({a}, x -> x * x)) AS DOUBLE))"
+_AFF_SQL = (
+    f"CAST({_DOT_SQL.format(a='q.qv', b='c.cv')} AS DOUBLE)"
+    f" / ({_NORM_SQL.format(a='q.qv')} * {_NORM_SQL.format(a='c.cv')})"
+)
+
+
+def _ivf_iter_sql(prev: str, cur: str) -> str:
+    """One deterministic Lloyd step in SQL: argmax-cosine assignment
+    (ties to the lowest cell), element-wise HALF_UP-rounded integer
+    mean per cell, empty cells keep the previous centroid — the exact
+    recurrence train_ivf_centroids runs on Spark."""
+    return f"""
+       aff_{cur} AS (
+         SELECT q.vec_id, q.qv, c.cell, {_AFF_SQL} AS a
+         FROM q CROSS JOIN {prev} c),
+       asg_{cur} AS (
+         SELECT vec_id, qv, cell FROM (
+           SELECT vec_id, qv, cell,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell ASC) AS rn
+           FROM aff_{cur}) WHERE rn = 1),
+       mean_{cur} AS (
+         SELECT cell, array_agg(mv ORDER BY i) AS cv FROM (
+           SELECT cell, i, CAST(round(CAST(SUM(x) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS mv
+           FROM (SELECT cell, unnest(qv) AS x,
+                        unnest(generate_series(1, len(qv))) AS i
+                 FROM asg_{cur})
+           GROUP BY cell, i) GROUP BY cell),
+       {cur} AS (
+         SELECT p.cell, COALESCE(m.cv, p.cv) AS cv
+         FROM {prev} p LEFT JOIN mean_{cur} m ON p.cell = m.cell)"""
+
 
 @query(
     "similarity_topk",
@@ -1423,13 +1460,22 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_stateful")  # arbitrary-state streaming op → rows-only by design
+@query(
+    "stream_stateful",
+    """SELECT user_id, COUNT(*) AS n_events,
+              CAST(SUM(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+       FROM events GROUP BY user_id""",
+)
 def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
-    per-user running totals that survive micro-batch boundaries.  Emits
-    one row per key per batch; the final row per key equals the batch
-    aggregate (asserted in tests/test_streaming.py).  Emission count
-    depends on micro-batch boundaries → rows-only check by design."""
+    per-user running totals that survive micro-batch boundaries.  Each
+    batch emits the cumulative (n_events, sum_cents) per key touched;
+    the FINAL emission per key — max_by n_events — is deterministic
+    whatever the micro-batch boundaries, and must equal the batch
+    GROUP BY over the whole stream (exact integer cents compose
+    additively across batches).  That final state is what the oracle
+    checks; the per-batch emission trail stays asserted in
+    tests/test_streaming.py."""
     from hdfs_stream_processing_spark.operators.stateful import running_totals_per_key
     from hdfs_stream_processing_spark.streaming import run_to_memory, stream_parquet_source
 
@@ -1437,7 +1483,11 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream_parquet_source(spark, src_dir, schema, max_files_per_trigger=2)
     totals = running_totals_per_key(stream.select("user_id", "value"))
     with _conf_override(spark, "spark.sql.shuffle.partitions", "8"):
-        return run_to_memory(totals, output_mode="append")
+        emissions = run_to_memory(totals, output_mode="append")
+    return emissions.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("sum_cents", "n_events").alias("sum_cents"),
+    )
 
 
 # ========================================================================
@@ -1494,13 +1544,48 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_group_sum(events, ["event_type"], cents, "sum_value", salt_buckets=16)
 
 
-@query("similarity_ivf")  # approximate-recall path → rows-only, by design
+@query(
+    "similarity_ivf",
+    f"""WITH q AS (SELECT vec_id, {_QUANT_SQL.format(col='embedding')} AS qv FROM embeddings),
+       c0 AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+                     qv AS cv
+              FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       {_ivf_iter_sql('c0', 'c1')},
+       {_ivf_iter_sql('c1', 'c2')},
+       {_ivf_iter_sql('c2', 'c3')},
+       corpus AS (
+         SELECT vec_id AS neighbor_id, qv AS nv, cell FROM (
+           SELECT q.vec_id, q.qv, c.cell,
+                  row_number() OVER (PARTITION BY q.vec_id
+                                     ORDER BY {_AFF_SQL} DESC, c.cell ASC) AS rn
+           FROM q CROSS JOIN c3 c) WHERE rn = 1),
+       probes AS (
+         SELECT vec_id AS query_id, qv AS pv, cell FROM (
+           SELECT q.vec_id, q.qv, c.cell,
+                  row_number() OVER (PARTITION BY q.vec_id
+                                     ORDER BY {_AFF_SQL} DESC, c.cell ASC) AS rn
+           FROM q CROSS JOIN c3 c) WHERE rn <= 2),
+       rescored AS (
+         SELECT p.query_id, c.neighbor_id,
+                CAST({_DOT_SQL.format(a='p.pv', b='c.nv')} AS DOUBLE)
+                / ({_NORM_SQL.format(a='p.pv')} * {_NORM_SQL.format(a='c.nv')}) AS cosine
+         FROM probes p JOIN corpus c USING (cell)
+         WHERE p.query_id <> c.neighbor_id)
+       SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+         SELECT query_id, neighbor_id, cosine,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         FROM rescored) WHERE rank <= 10""",
+)
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN (N1 alternative scale path to LSH): deterministic
     k-means coarse cells (md5-ordered init + 3 Lloyd iterations) + nprobe
-    search + exact in-cell re-rank.  Approximate recall → rows-only check
-    by design; the assignment stage is oracled bit-exact (ivf_assign) and
-    recall@10 is asserted vs brute force in tests/test_llm_ops.py."""
+    search + exact in-cell re-rank — oracled END-TO-END bit-exact
+    (VERDICT r4 #5): every stage is exact-integer / fixed-double
+    arithmetic, so the oracle replays the full Lloyd recurrence, the
+    nprobe probe selection, and the quantized-cosine re-rank in SQL.
+    Recall@10 vs brute force is additionally asserted in
+    tests/test_llm_ops.py."""
     from hdfs_stream_processing_spark.operators.similarity import ivf_topk
 
     (embeddings,) = prep(spark, sf_dir, "embeddings")
