@@ -651,3 +651,24 @@ def test_resample_sources_upsamples_fractionally(spark):
     )
     with pytest.raises(ValueError):
         resample_sources(df, "doc_id", "source", {"src0": -0.1})
+
+
+def test_ivf_probe_join_path_parity_at_512_cells(spark):
+    """VERDICT r4 #6: exercise _probe_cells_join at a cell count that
+    actually EXCEEDS max_literal_cells (the scale regime it exists for —
+    real deployments size n_cells ~ sqrt(corpus) at 10^4-10^5).  512
+    deterministic centroids: the default config routes both corpus
+    assignment and probe selection through the broadcast-join paths;
+    forcing the literal path on the same centroids must give the
+    identical result set (same affinities, same tie rules, same
+    re-rank)."""
+    from hdfs_stream_processing_spark.operators.similarity import ivf_topk
+    from hdfs_stream_processing_spark.sources.io import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = [[((i * 31 + j * 17) % 41) - 20 for j in range(64)] for i in range(512)]
+    assert all(any(v != 0 for v in cv) for cv in cents)  # no zero-norm cells
+    join = ivf_topk(emb, nprobe=2, k=5, centroids=cents).collect()  # 512 > 256 default
+    lit = ivf_topk(emb, nprobe=2, k=5, centroids=cents, max_literal_cells=1024).collect()
+    assert sorted(map(tuple, join)) == sorted(map(tuple, lit))
+    assert len(join) > 0
