@@ -53,7 +53,8 @@ _VERIFY_FIRST = [
     # behavior touched in round 5 (ADVICE fixes — re-earn driver rows):
     "asof_tolerance", "pii_redact", "mix_sources", "resample_sources",
     "curate_corpus",
-    # --- new round-5 registrations get inserted here ---
+    # new round-5 registrations:
+    "funnel_lag", "stream_sessionize",
     # long-green padding to exactly 50 (oldest driver rows, r2):
     "scan_csv", "scan_parquet", "sink_roundtrip", "compaction",
     "stream_ingest", "to_wire", "parse_wire", "epoch_to_ts",
@@ -62,7 +63,7 @@ _VERIFY_FIRST = [
     "top_k", "group_agg", "count_distinct", "rollup_agg",
     "window_rank", "window_running", "json_extract", "text_ngram",
     "text_search", "text_stats", "quality_score", "lang_id",
-    "doc_fingerprint", "dedup_exact", "dedup_near", "minhash_sig",
+    "doc_fingerprint", "dedup_exact",
 ]
 
 

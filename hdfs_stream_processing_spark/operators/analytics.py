@@ -18,7 +18,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sessionize", "funnel_steps", "retention_cohorts", "anomaly_zscore"]
+__all__ = [
+    "sessionize",
+    "funnel_steps",
+    "funnel_conversion_lags",
+    "retention_cohorts",
+    "anomaly_zscore",
+]
 
 
 def sessionize(
@@ -113,6 +119,51 @@ def funnel_steps(
     for i, step in enumerate(steps):
         stage = F.when(F.col(f"t_{step}").isNotNull(), F.lit(i + 1)).otherwise(stage)
     return cur.select(user_col, *[f"t_{s}" for s in steps], stage.alias("stage"))
+
+
+def funnel_conversion_lags(
+    funnel_df: DataFrame,
+    steps: list[str],
+) -> DataFrame:
+    """Time-to-convert per funnel transition: over the per-user funnel
+    table (:func:`funnel_steps` output), the count of users who made
+    each consecutive transition and the exact p50/p90 of the time it
+    took them.
+
+    Gaps are exact integer MICROSECONDS (``unix_micros`` difference —
+    the funnel guarantees strict ordering, so gaps are positive);
+    percentiles use Spark ``percentile`` ((n-1)p interpolation, same as
+    DuckDB ``quantile_cont``) and are divided to seconds as one double
+    op — bit-portable end-to-end.
+
+    Scale: one narrow explode of len(steps)-1 structs per user row (the
+    funnel table is per-user, already small), then ONE hash aggregate on
+    the transition key — len(steps)-1 groups.  The exact percentile
+    materializes per-group gap arrays; at extreme user counts swap in
+    approx_percentile (t-digest) per the same trade-off as
+    queries.percentiles.
+    """
+    if len(steps) < 2:
+        raise ValueError("need at least two steps to measure a transition")
+    pairs = [
+        F.struct(
+            F.lit(f"{a}->{b}").alias("transition"),
+            (
+                F.unix_micros(F.col(f"t_{b}")) - F.unix_micros(F.col(f"t_{a}"))
+            ).alias("gap_us"),
+        )
+        for a, b in zip(steps, steps[1:])
+    ]
+    gaps = (
+        funnel_df.select(F.explode(F.array(*pairs)).alias("p"))
+        .select("p.transition", "p.gap_us")
+        .where(F.col("gap_us").isNotNull())
+    )
+    return gaps.groupBy("transition").agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        (F.expr("percentile(gap_us, 0.5)") / F.lit(1e6)).alias("p50_s"),
+        (F.expr("percentile(gap_us, 0.9)") / F.lit(1e6)).alias("p90_s"),
+    )
 
 
 def retention_cohorts(

@@ -3101,6 +3101,91 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "funnel_lag",
+    """WITH s1 AS (SELECT user_id, min(ts) AS t_view FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+       s2 AS (SELECT s1.user_id, t_view,
+                     min(CASE WHEN e.ts > s1.t_view THEN e.ts END) AS t_click
+              FROM s1 LEFT JOIN events e
+                ON e.user_id = s1.user_id AND e.event_type = 'click'
+              GROUP BY s1.user_id, t_view),
+       s3 AS (SELECT s2.user_id, t_view, t_click,
+                     min(CASE WHEN e.ts > s2.t_click THEN e.ts END) AS t_purchase
+              FROM s2 LEFT JOIN events e
+                ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+              GROUP BY s2.user_id, t_view, t_click),
+       lags AS (
+         SELECT 'view->click' AS transition,
+                epoch_us(t_click) - epoch_us(t_view) AS gap_us
+         FROM s3 WHERE t_click IS NOT NULL
+         UNION ALL
+         SELECT 'click->purchase' AS transition,
+                epoch_us(t_purchase) - epoch_us(t_click) AS gap_us
+         FROM s3 WHERE t_purchase IS NOT NULL)
+       SELECT transition, COUNT(*) AS n_converted,
+              quantile_cont(gap_us, 0.5) / 1e6 AS p50_s,
+              quantile_cont(gap_us, 0.9) / 1e6 AS p90_s
+       FROM lags GROUP BY transition""",
+)
+def q_funnel_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert per funnel transition (VERDICT r4 #7): exact
+    p50/p90 of the view→click and click→purchase gaps in seconds, over
+    the same per-user funnel table as `funnel`.  Gaps are exact integer
+    microseconds; percentile interpolation is the engine-portable
+    (n-1)p form proven by the `percentiles` query."""
+    from hdfs_stream_processing_spark.operators.analytics import (
+        funnel_conversion_lags,
+        funnel_steps,
+    )
+
+    (events,) = prep(spark, sf_dir, "events")
+    fun = funnel_steps(events, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+    return funnel_conversion_lags(fun, ["view", "click", "purchase"])
+
+
+@query(
+    "stream_sessionize",
+    """WITH x AS (SELECT user_id, ts, value,
+                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          > INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS brk
+         FROM events),
+       s AS (SELECT user_id, ts, value,
+                SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+             FROM x)
+       SELECT user_id,
+              MIN(ts) AS session_start,
+              MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(round(value * 100.0, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+       FROM s GROUP BY user_id, sess""",
+)
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sessionization via session_window state (VERDICT r4
+    #7): the event stream arrives in multiple micro-batches
+    (maxFilesPerTrigger), so sessions spanning batch boundaries MERGE in
+    the streaming session-state store; complete-mode availableNow then
+    emits the final session set, which must equal the batch
+    gaps-and-islands derivation — proving the streaming merge loses and
+    fabricates nothing.  10-minute gap (vs session_agg's 5) with the
+    same closed boundary: an event exactly at last+gap still merges."""
+    from hdfs_stream_processing_spark.streaming import (
+        run_to_memory,
+        session_window_agg,
+        stream_parquet_source,
+    )
+
+    src_dir, schema = _stage_events(spark, sf_dir)
+    stream = stream_parquet_source(spark, src_dir, schema, max_files_per_trigger=2)
+    sessions = session_window_agg(
+        stream, ts_col="ts", key_col="user_id", value_col="value",
+        gap="10 minutes", watermark="10 minutes",
+    )
+    with _conf_override(spark, "spark.sql.shuffle.partitions", "8"):
+        return run_to_memory(sessions, output_mode="complete")
+
+
+@query(
     "retention",
     """WITH fd AS (SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
                    FROM events GROUP BY user_id),

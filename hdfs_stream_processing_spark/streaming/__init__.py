@@ -10,6 +10,7 @@ from hdfs_stream_processing_spark.streaming.pipeline import (  # noqa: F401
     run_foreach_batch_compacting,
     run_to_memory,
     run_to_parquet,
+    session_window_agg,
     stream_dedup,
     stream_parquet_source,
     stream_window_agg,
