@@ -87,6 +87,19 @@ HEADLINE = [
     "curate_corpus",              # the whole curation funnel, one plan
     "stream_curate",              # same curation ops on the stream
     "gapfill_locf",               # dense spine + IGNORE NULLS carry
+    # round 5: fold in the analytics/statistics suite (VERDICT r4 #8)
+    "sessionize",                 # gaps-and-islands session derivation
+    "funnel",                     # ordered-step conversion funnel
+    "retention",                  # cohort retention matrix (3 shuffles)
+    "anomaly_zscore",             # trailing-window z-score
+    "gapfill_interp",             # linear interpolation across gaps
+    "continuous_rollup",          # foreachBatch additive-merge rollup
+    "large_orders",               # TPC-H Q18 shape: agg→HAVING→join back
+    "heavy_hitters",              # exact top-k frequent per group
+    "ntile_buckets",              # per-type NTILE deciles
+    "corr_qty_price",             # Pearson r from exact integer sums
+    "funnel_lag",                 # p50/p90 time-to-convert per transition
+    "stream_sessionize",          # session_window state across batches
 ]
 
 

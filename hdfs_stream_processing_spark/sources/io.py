@@ -26,22 +26,34 @@ def load_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     Parquet is self-describing, so no schema argument: Catalyst still gets
     column pruning + predicate pushdown from the footer metadata.
 
-    TIMESTAMP(NANOS) columns (the events table is pandas-written with ns
-    precision) surface as LongType under
-    ``spark.sql.legacy.parquet.nanosAsLong`` (session.py); they are
-    converted here to TimestampType with exact integer division — ns
-    values exceed 2^53, so float division would corrupt the low digits.
+    Timestamp physical encodings vary by how the driver generated the
+    parquet, so expected-TimestampType columns are normalized here:
+
+    - TIMESTAMP(NANOS) surfaces as LongType under
+      ``spark.sql.legacy.parquet.nanosAsLong`` (session.py) → converted
+      with exact integer division (ns values exceed 2^53; float
+      division would corrupt the low digits).
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false) surfaces as
+      TimestampNTZType → cast to TimestampType.  The session time zone
+      is pinned to UTC (queries.prep / session factory), so the cast
+      maps wall time to the same instant bit-for-bit and every
+      ``unix_micros``-based operator (as-of joins, sessionization,
+      funnel lags) sees the exact integer microsecond it would read
+      straight from the file.
     """
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     expected = DRIVER_TABLES.get(table)
     if expected is not None:
         for f in expected.fields:
-            if isinstance(f.dataType, T.TimestampType) and isinstance(
-                df.schema[f.name].dataType, T.LongType
-            ):
+            if not isinstance(f.dataType, T.TimestampType):
+                continue
+            actual = df.schema[f.name].dataType
+            if isinstance(actual, T.LongType):
                 df = df.withColumn(
                     f.name, F.timestamp_micros(F.expr(f"{f.name} div 1000"))
                 )
+            elif isinstance(actual, T.TimestampNTZType):
+                df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 

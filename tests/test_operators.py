@@ -375,6 +375,37 @@ def test_retention_day0_equals_cohort_size(spark):
     assert out[(2, 0)] == 1
 
 
+def test_funnel_conversion_lags_exact_percentiles(spark):
+    """p50/p90 time-to-convert per transition: exact (n-1)p percentile
+    interpolation over integer-microsecond gaps; broken funnels
+    contribute to no transition past their break."""
+    from hdfs_stream_processing_spark.operators.analytics import (
+        funnel_conversion_lags,
+        funnel_steps,
+    )
+
+    rows = [
+        # users 1-3 convert view->click in 60s, 120s, 180s; only user 1
+        # goes on to purchase (+600s)
+        (1, "view", "2024-01-01 00:00:00"), (1, "click", "2024-01-01 00:01:00"),
+        (1, "purchase", "2024-01-01 00:11:00"),
+        (2, "view", "2024-01-01 00:00:00"), (2, "click", "2024-01-01 00:02:00"),
+        (3, "view", "2024-01-01 00:00:00"), (3, "click", "2024-01-01 00:03:00"),
+        (4, "view", "2024-01-01 00:00:00"),  # never clicks
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts string") \
+        .select("user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"))
+    fun = funnel_steps(df, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+    out = {r["transition"]: r for r in
+           funnel_conversion_lags(fun, ["view", "click", "purchase"]).collect()}
+    vc = out["view->click"]
+    assert vc["n_converted"] == 3
+    assert vc["p50_s"] == 120.0                 # median of 60/120/180
+    assert vc["p90_s"] == 168.0                 # (n-1)p: 120 + 0.8*(180-120)
+    cp = out["click->purchase"]
+    assert cp["n_converted"] == 1 and cp["p50_s"] == 600.0 == cp["p90_s"]
+
+
 def test_anomaly_zscore_flags_spike_not_baseline(spark):
     from hdfs_stream_processing_spark.operators.analytics import anomaly_zscore
 

@@ -370,3 +370,45 @@ def test_continuous_rollup_matches_batch_and_restart_is_noop(spark, staged_event
         .collect()
     )
     assert again == expected
+
+
+def test_stream_sessionize_merges_sessions_across_microbatches(spark, tmp_path):
+    """session_window state (r5): a session whose events arrive in
+    DIFFERENT micro-batches must still come out as ONE merged session —
+    the streaming session store widens the window as late fragments
+    arrive.  Expected sessions are written by hand, not by re-running
+    the batch derivation."""
+    from hdfs_stream_processing_spark.streaming import session_window_agg
+
+    src = str(tmp_path / "src")
+    schema = "user_id long, ts timestamp, value double"
+    batch1 = spark.createDataFrame(
+        [(7, "2024-01-01 00:00:00", 1.0),   # session A fragment 1
+         (9, "2024-01-01 00:00:00", 5.0)],  # user 9's whole session
+        "user_id long, ts string, value double",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+    batch2 = spark.createDataFrame(
+        [(7, "2024-01-01 00:04:00", 2.0),   # extends A (gap 4 < 5 min)
+         (7, "2024-01-01 00:20:00", 4.0)],  # new session B (gap 16 min)
+        "user_id long, ts string, value double",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    batch2.coalesce(1).write.mode("append").parquet(src)
+
+    from hdfs_stream_processing_spark.streaming import (
+        run_to_memory,
+        stream_parquet_source,
+    )
+
+    stream = stream_parquet_source(spark, src, batch1.schema, max_files_per_trigger=1)
+    out = run_to_memory(
+        session_window_agg(stream, gap="5 minutes", watermark="1 hour"),
+        output_mode="complete",
+    )
+    got = {(r["user_id"], str(r["session_start"]), str(r["session_end"]),
+            r["n"], r["sum_value"]) for r in out.collect()}
+    assert got == {
+        (7, "2024-01-01 00:00:00", "2024-01-01 00:09:00", 2, 3.0),
+        (7, "2024-01-01 00:20:00", "2024-01-01 00:25:00", 1, 4.0),
+        (9, "2024-01-01 00:00:00", "2024-01-01 00:05:00", 1, 5.0),
+    }
