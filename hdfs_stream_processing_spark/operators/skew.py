@@ -40,3 +40,47 @@ def salted_group_sum(
         (F.sum("_partial_cents").cast("double") / F.lit(100.0)).alias(alias),
         F.sum("_partial_n").alias("n"),
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where the BIG side has hot keys: salt the big side,
+    replicate the small side once per salt value, join on (key, salt).
+
+    A hot join key puts every one of its rows in a single reducer of a
+    shuffled join; AQE's skew-join split only helps sort-merge joins
+    and only splits at partition granularity AFTER the skewed exchange
+    is materialized.  Salting removes the hot spot in the plan itself:
+    the big side's rows for one key spread over ``salt_buckets``
+    reducers, and the small side grows by exactly ``salt_buckets`` ×
+    |small| rows — acceptable when small is dim-sized but above the
+    broadcast threshold (below it, a plain broadcast join needs no
+    salt at all).
+
+    The big-side salt is ``monotonically_increasing_id() % buckets``
+    (deterministic spread, no RNG — same policy as
+    :func:`salted_group_sum`); correctness never depends on which
+    bucket a row lands in because the small side carries every bucket.
+    Result is row-identical to ``big.join(small, on, how)``.
+
+    Only ``inner`` and ``left`` joins are supported: a right/full outer
+    would surface each UNMATCHED small-side row once per replica.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    b = big.withColumn(
+        "_salt", (F.monotonically_increasing_id() % salt_buckets).cast("int")
+    )
+    s = small.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<int>")),
+    )
+    cond = (b[big_key] == s[small_key]) & (b["_salt"] == s["_salt"])
+    joined = b.join(s, cond, how)
+    return joined.drop(b["_salt"]).drop(s["_salt"]).drop(s[small_key])

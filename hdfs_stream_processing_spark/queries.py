@@ -1545,6 +1545,31 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "skew_join",
+    """SELECT event_id, user_id, c_mktsegment, value
+       FROM events JOIN customer ON user_id = c_custkey""",
+)
+def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (skew handling, SURVEY §4): the fact side is
+    salted over 8 buckets and the dim side replicated once per bucket,
+    so a hot user's events spread over 8 reducers instead of one.  The
+    oracle is the PLAIN join — salting must be invisible in the result.
+    (At dim sizes under the broadcast threshold a plain broadcast join
+    needs no salt; this operator is for the dim that doesn't fit.)"""
+    from hdfs_stream_processing_spark.operators.skew import salted_join
+
+    events, customer = prep(spark, sf_dir, "events", "customer")
+    out = salted_join(
+        events.select("event_id", "user_id", "value"),
+        customer.select("c_custkey", "c_mktsegment"),
+        "user_id",
+        "c_custkey",
+        salt_buckets=8,
+    )
+    return out.select("event_id", "user_id", "c_mktsegment", "value")
+
+
+@query(
     "similarity_ivf",
     f"""WITH q AS (SELECT vec_id, {_QUANT_SQL.format(col='embedding')} AS qv FROM embeddings),
        c0 AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,

@@ -109,6 +109,36 @@ def test_salted_agg_equals_plain_agg(spark):
         assert sorted(salted.collect()) == sorted(plain.collect())
 
 
+def test_salted_join_equals_plain_join(spark):
+    """Salting must be row-multiset-identical to the plain join —
+    including duplicate keys on BOTH sides and, for left joins,
+    unmatched big-side rows surviving exactly once."""
+    from hdfs_stream_processing_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (9, "z")], "k long, payload string"
+    )
+    small = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "w")], "sk long, dim string"
+    )
+    plain_inner = sorted(
+        big.join(small, big["k"] == small["sk"]).select("k", "payload", "dim").collect()
+    )
+    plain_left = sorted(
+        big.join(small, big["k"] == small["sk"], "left")
+        .select("k", "payload", "dim").collect()
+    )
+    for buckets in (1, 4):
+        si = salted_join(big, small, "k", "sk", salt_buckets=buckets)
+        assert sorted(si.select("k", "payload", "dim").collect()) == plain_inner
+        sl = salted_join(big, small, "k", "sk", salt_buckets=buckets, how="left")
+        assert sorted(sl.select("k", "payload", "dim").collect()) == plain_left
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        salted_join(big, small, "k", "sk", how="full")
+
+
 def test_session_window_batch_semantics(spark):
     """Session boundary is CLOSED: an event exactly `gap` after the
     previous one still merges; only a gap strictly greater splits."""

@@ -138,6 +138,7 @@ SHUFFLE_BUDGETS = {
     "sessionize": 1,       # per-user window
     "retention": 3,        # two aggs + co-partitioned join
     "anomaly_zscore": 2,   # hourly agg + per-key window
+    "skew_join": 2,        # big side by (key,salt) + exploded dim side
     "heavy_hitters": 2,    # (group,value) counts + group window
     "corr_qty_price": 1,   # one hash aggregate
     "ntile_buckets": 1,    # per-type window
