@@ -1,0 +1,145 @@
+"""Incremental table maintenance: CDC apply, SCD2 history, snapshot diff.
+
+The reference pipeline is append-only (streaming parquet sink,
+convert-to-minio.py:125-131) — it has no story for upstream rows that
+CHANGE.  A production lake needs one: apply a change-data-capture log to
+a snapshot, keep dimension history (slowly-changing type 2), and diff
+two snapshots to find what moved.  All three are single-shuffle window/
+join plans over the key columns — no collects, no iteration.
+
+Scale notes
+-----------
+* ``cdc_apply`` and ``scd2_build`` shuffle ONCE on the key; every window
+  in the chain shares that partitioning (Catalyst plans one exchange).
+  Hot keys (a bot user with millions of change rows) are the usual skew
+  story — cap upstream or salt (operators/skew.py).
+* ``snapshot_diff`` is one co-partitioned full-outer join on the key —
+  both sides shuffle on the same columns; with bucketed snapshots the
+  exchanges disappear entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["cdc_apply", "scd2_build", "snapshot_diff"]
+
+
+def cdc_apply(
+    changes: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    op_col: str | Column,
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a change log to produce the current snapshot: for each key,
+    the row with the highest ``order_cols`` wins; keys whose winning row
+    is a delete disappear.
+
+    This is the MERGE a mutable lake table performs on every sync
+    (Delta/Hudi/Iceberg "upsert with deletes"), expressed as one
+    window: row_number over (key ORDER BY order DESC) = 1, then filter
+    the winner's op.  One shuffle; no join against the existing
+    snapshot is needed when the log is complete (initial loads are 'I'
+    rows like any other change).
+    """
+    op = F.col(op_col) if isinstance(op_col, str) else op_col
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    return (
+        changes.withColumn("_op", op)
+        .withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & (F.col("_op") != F.lit(delete_op)))
+        .drop("_rn", "_op")
+    )
+
+
+def scd2_build(
+    changes: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    attr_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: the validity history of
+    ``attr_col`` per key.  Consecutive rows with the SAME attribute
+    value are collapsed (change suppression), then each surviving
+    version gets ``valid_from`` = its timestamp, ``valid_to`` = the
+    next version's timestamp (null = current), ``is_current``.
+
+    Both windows — the lag() that suppresses repeats and the lead()
+    that closes intervals — partition on the same key, so the whole
+    history builds in ONE shuffle.  ``tiebreak_cols`` totally orders
+    same-timestamp changes (same contract as sessionize).
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    prev = F.lag(F.col(attr_col)).over(w)
+    versions = (
+        changes.select(*key_cols, ts_col, *(tiebreak_cols or []), attr_col)
+        .withColumn("_chg", prev.isNull() | (F.col(attr_col) != prev))
+        .where(F.col("_chg"))
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(*order)
+    out = versions.select(
+        *key_cols,
+        F.col(attr_col),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(F.col(ts_col)).over(w2).alias("valid_to"),
+    )
+    return out.withColumn("is_current", F.col("valid_to").isNull())
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Keyed diff of two snapshots: which keys were added, removed, or
+    changed (any ``compare_cols`` value differs, null-safe), with the
+    old and new value of every compared column side by side.  Unchanged
+    keys are dropped — on a 100 TB table the diff is the small output.
+
+    One full-outer join on the key; both sides shuffle on the same
+    columns (co-partitioned — bucketed snapshots make it exchange-free).
+    """
+    o = old.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in key_cols],
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in key_cols],
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    cond = None
+    for k in key_cols:
+        c = o[f"_ok_{k}"] == n[f"_nk_{k}"]
+        cond = c if cond is None else (cond & c)
+    joined = o.join(n, cond, "full_outer")
+
+    in_old = F.col(f"_ok_{key_cols[0]}").isNotNull()
+    in_new = F.col(f"_nk_{key_cols[0]}").isNotNull()
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    status = (
+        F.when(~in_old, F.lit("added"))
+        .when(~in_new, F.lit("removed"))
+        .when(changed, F.lit("changed"))
+    )
+    keys = [
+        F.coalesce(F.col(f"_ok_{k}"), F.col(f"_nk_{k}")).alias(k) for k in key_cols
+    ]
+    return (
+        joined.withColumn("status", status)
+        .where(F.col("status").isNotNull())
+        .select(
+            *keys,
+            "status",
+            *[F.col(f"old_{c}") for c in compare_cols],
+            *[F.col(f"new_{c}") for c in compare_cols],
+        )
+    )

@@ -1570,6 +1570,115 @@ def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_apply",
+    """WITH ranked AS (
+         SELECT user_id, ts, event_id, event_type, value,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+         FROM events)
+       SELECT user_id, ts AS op_ts, event_type, value
+       FROM ranked WHERE rn = 1 AND event_type <> 'error'""",
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture merge (r5): the event log as a change stream
+    — signup inserts, error deletes, everything else upserts — applied
+    to produce the current per-user snapshot.  Latest op wins; a user
+    whose latest op is a delete vanishes.  ONE window shuffle — the
+    MERGE a mutable lake table runs per sync, with no join against the
+    previous snapshot."""
+    from hdfs_stream_processing_spark.operators.incremental import cdc_apply
+
+    (events,) = prep(spark, sf_dir, "events")
+    log = events.select("user_id", "ts", "event_id", "event_type", "value")
+    op = (
+        F.when(F.col("event_type") == "signup", F.lit("I"))
+        .when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+    )
+    snap = cdc_apply(log, ["user_id"], ["ts", "event_id"], op)
+    return snap.select(
+        "user_id", F.col("ts").alias("op_ts"), "event_type", "value"
+    )
+
+
+@query(
+    "scd2_build",
+    """WITH ordered AS (
+         SELECT user_id, ts, event_id, event_type,
+                lag(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev_type
+         FROM events),
+       vers AS (
+         SELECT user_id, ts, event_id, event_type FROM ordered
+         WHERE prev_type IS NULL OR event_type <> prev_type)
+       SELECT user_id, event_type,
+              ts AS valid_from,
+              lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+              lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+       FROM vers""",
+)
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 (r5): each user's event_type
+    history as validity intervals — consecutive repeats collapsed, each
+    surviving version stamped valid_from/valid_to (null = current).
+    The suppression lag() and the interval-closing lead() share one key
+    partitioning: ONE shuffle builds the whole history."""
+    from hdfs_stream_processing_spark.operators.incremental import scd2_build
+
+    (events,) = prep(spark, sf_dir, "events")
+    return scd2_build(
+        events, ["user_id"], "ts", "event_type", tiebreak_cols=["event_id"]
+    ).drop("event_id")
+
+
+@query(
+    "snapshot_diff",
+    """WITH o AS (SELECT user_id, event_type, value FROM (
+           SELECT user_id, event_type, value,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00') WHERE rn = 1),
+       n AS (SELECT user_id, event_type, value FROM (
+           SELECT user_id, event_type, value,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) WHERE rn = 1)
+       SELECT coalesce(o.user_id, n.user_id) AS user_id,
+              CASE WHEN o.user_id IS NULL THEN 'added'
+                   WHEN n.user_id IS NULL THEN 'removed'
+                   WHEN (o.event_type IS DISTINCT FROM n.event_type)
+                     OR (o.value IS DISTINCT FROM n.value) THEN 'changed'
+              END AS status,
+              o.event_type AS old_event_type, o.value AS old_value,
+              n.event_type AS new_event_type, n.value AS new_value
+       FROM o FULL JOIN n ON o.user_id = n.user_id
+       WHERE o.user_id IS NULL OR n.user_id IS NULL
+          OR (o.event_type IS DISTINCT FROM n.event_type)
+          OR (o.value IS DISTINCT FROM n.value)""",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot diff (r5): mid-month state vs final state of the
+    per-user latest row — which users were added, changed, or removed,
+    with old/new values side by side.  One co-partitioned full-outer
+    join; unchanged keys drop out, so the output is the (small) delta
+    no matter the table size."""
+    from hdfs_stream_processing_spark.operators.incremental import (
+        cdc_apply,
+        snapshot_diff,
+    )
+
+    (events,) = prep(spark, sf_dir, "events")
+    log = events.select("user_id", "ts", "event_id", "event_type", "value")
+    latest = lambda df: cdc_apply(  # noqa: E731 — pure latest, no deletes
+        df, ["user_id"], ["ts", "event_id"], F.lit("U")
+    ).select("user_id", "event_type", "value")
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    old = latest(log.where(F.col("ts") < cutoff))
+    new = latest(log)
+    return snapshot_diff(old, new, ["user_id"], ["event_type", "value"])
+
+
+@query(
     "similarity_ivf",
     f"""WITH q AS (SELECT vec_id, {_QUANT_SQL.format(col='embedding')} AS qv FROM embeddings),
        c0 AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,

@@ -1,0 +1,77 @@
+"""Incremental table maintenance (operators/incremental.py): CDC merge
+semantics, SCD2 change suppression + interval closing, snapshot diff
+statuses — each against hand-written expectations."""
+
+from pyspark.sql import functions as F
+
+from hdfs_stream_processing_spark.operators.incremental import (
+    cdc_apply,
+    scd2_build,
+    snapshot_diff,
+)
+
+
+def _log(spark, rows):
+    return spark.createDataFrame(
+        rows, "k long, seq long, op string, attr string"
+    )
+
+
+def test_cdc_apply_latest_wins_and_delete_removes(spark):
+    log = _log(spark, [
+        (1, 1, "I", "a"), (1, 2, "U", "b"),            # k=1 ends at b
+        (2, 1, "I", "x"), (2, 2, "D", None),           # k=2 deleted
+        (3, 1, "D", None), (3, 2, "I", "re"),          # k=3 re-inserted after delete
+    ])
+    out = {r["k"]: r["attr"]
+           for r in cdc_apply(log, ["k"], ["seq"], "op").collect()}
+    assert out == {1: "b", 3: "re"}
+
+
+def test_cdc_apply_order_cols_break_ties(spark):
+    # same seq, second order col decides the winner
+    log = spark.createDataFrame(
+        [(1, 5, 1, "U", "lo"), (1, 5, 2, "U", "hi")],
+        "k long, seq long, sub long, op string, attr string",
+    )
+    out = cdc_apply(log, ["k"], ["seq", "sub"], "op").collect()
+    assert len(out) == 1 and out[0]["attr"] == "hi"
+
+
+def test_scd2_suppresses_repeats_and_closes_intervals(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "a"),     # repeat suppressed
+         (1, 30, "b"), (1, 40, "a"),     # a again = NEW version
+         (2, 10, "z")],
+        "k long, t long, attr string",
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "attr")
+    hist = scd2_build(df, ["k"], "ts", "attr").collect()
+    k1 = sorted([r for r in hist if r["k"] == 1], key=lambda r: r["valid_from"])
+    assert [r["attr"] for r in k1] == ["a", "b", "a"]
+    assert [r["is_current"] for r in k1] == [False, False, True]
+    # each version closes exactly where the next opens
+    assert k1[0]["valid_to"] == k1[1]["valid_from"]
+    assert k1[1]["valid_to"] == k1[2]["valid_from"]
+    (k2,) = [r for r in hist if r["k"] == 2]
+    assert k2["is_current"] and k2["valid_to"] is None
+
+
+def test_snapshot_diff_statuses_and_nullsafe_compare(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (4, "d", 4.0)],
+        "k long, attr string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0),          # unchanged -> dropped
+         (2, "b", 2.0),          # null -> value: changed (null-safe)
+         (3, "CHANGED", 3.0),    # attr changed
+         (5, "e", 5.0)],         # added; k=4 removed
+        "k long, attr string, v double",
+    )
+    out = {r["k"]: r for r in
+           snapshot_diff(old, new, ["k"], ["attr", "v"]).collect()}
+    assert set(out) == {2, 3, 4, 5}
+    assert out[2]["status"] == "changed" and out[2]["old_v"] is None
+    assert out[3]["status"] == "changed" and out[3]["new_attr"] == "CHANGED"
+    assert out[4]["status"] == "removed" and out[4]["new_attr"] is None
+    assert out[5]["status"] == "added" and out[5]["old_attr"] is None

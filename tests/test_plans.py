@@ -139,6 +139,9 @@ SHUFFLE_BUDGETS = {
     "retention": 3,        # two aggs + co-partitioned join
     "anomaly_zscore": 2,   # hourly agg + per-key window
     "skew_join": 2,        # big side by (key,salt) + exploded dim side
+    "cdc_apply": 1,        # one key-partitioned window
+    "scd2_build": 1,       # lag + lead share the key partitioning
+    "snapshot_diff": 3,    # two latest-windows + co-partitioned join
     "heavy_hitters": 2,    # (group,value) counts + group window
     "corr_qty_price": 1,   # one hash aggregate
     "ntile_buckets": 1,    # per-type window
