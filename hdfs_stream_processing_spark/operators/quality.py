@@ -1,0 +1,81 @@
+"""Declarative data-quality checks: rule violations counted in one pass.
+
+The reference pipeline's only quality gate is ``dropna()``
+(utils/spark_transforming.py:145) — rows silently vanish with no record
+of what was wrong.  A 100 TB ingest needs the opposite: MEASURE every
+rule violation in one cheap pass, then decide.  ``dq_check`` evaluates
+any number of per-row rules in a SINGLE aggregate (each rule is one
+conditional-sum column — no per-rule scans, no shuffle beyond the final
+1-row reduce), and ``fk_violations`` covers the one class a per-row
+expression can't: referential integrity, as an anti-join against the
+(broadcastable) parent key set.
+
+Rules are plain boolean Columns (TRUE = row violates), so the same rule
+list runs unchanged on a batch frame or an unbounded streaming frame —
+the engine's usual batch/stream symmetry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["dq_check", "fk_violations"]
+
+
+def dq_check(df: DataFrame, rules: list[tuple[str, Column]]) -> DataFrame:
+    """Evaluate every (name, violation-predicate) rule in ONE aggregate
+    pass; returns (rule, n_violations), one row per rule.
+
+    A NULL predicate counts as NOT violated — each rule judges only
+    what it can see (a null ``props`` fails the not-null rule, not also
+    every downstream shape rule).  The single agg produces map-side
+    partials for all rules at once: cost is one scan regardless of how
+    many rules are registered.
+    """
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    sums = [
+        F.sum(F.when(pred, F.lit(1)).otherwise(F.lit(0))).alias(f"_v{i}")
+        for i, (_, pred) in enumerate(rules)
+    ]
+    one = df.agg(*sums)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"), F.col(f"_v{i}").alias("n_violations")
+            )
+            for i, (name, _) in enumerate(rules)
+        ]
+    )
+    return one.select(F.explode(pairs).alias("p")).select(
+        "p.rule", "p.n_violations"
+    )
+
+
+def fk_violations(
+    child: DataFrame,
+    child_key: str,
+    parent: DataFrame,
+    parent_key: str,
+    rule: str,
+    dedup_parent: bool = False,
+) -> DataFrame:
+    """Referential-integrity rule: count child rows whose key has no
+    parent.  One anti-join on the parent's key column — dim-sized
+    parents broadcast and the child never shuffles.  Anti-join ignores
+    duplicate right-side keys, so no distinct is needed for a
+    primary-key parent (set ``dedup_parent`` only when the parent has
+    MANY rows per key and the dedup shuffle is cheaper than hashing
+    the duplicates into the broadcast relation).  Returns the same
+    (rule, n_violations) shape as :func:`dq_check` for unioning into
+    one report.
+    """
+    keys = parent.select(F.col(parent_key).alias(child_key))
+    if dedup_parent:
+        keys = keys.distinct()
+    orphans = child.join(keys, child_key, "left_anti")
+    return orphans.agg(
+        F.lit(rule).alias("rule"),
+        F.count(F.lit(1)).alias("n_violations"),
+    )

@@ -1678,6 +1678,85 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new, ["user_id"], ["event_type", "value"])
 
 
+#: The events-table rule set shared by dq_checks (batch) and stream_dq
+#: (unbounded frame) — TRUE = the row violates the rule.
+_DQ_RULES = [
+    ("value_in_range", lambda: (F.col("value") < 0) | (F.col("value") > 95)),
+    (
+        "event_type_in_domain",
+        lambda: ~F.col("event_type").isin(
+            "view", "click", "purchase", "signup", "error"
+        ),
+    ),
+    ("props_not_null", lambda: F.col("props").isNull()),
+    (
+        "props_json_shape",
+        lambda: ~F.col("props").rlike(r'^\{"k": \d+\}$'),
+    ),
+]
+
+_DQ_ORACLE_PER_ROW = r"""
+  SELECT CAST(sum(CASE WHEN value < 0 OR value > 95 THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+         CAST(sum(CASE WHEN event_type NOT IN ('view','click','purchase','signup','error') THEN 1 ELSE 0 END) AS BIGINT) AS v_domain,
+         CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+         CAST(sum(CASE WHEN props IS NOT NULL AND NOT regexp_matches(props, '^\{"k": \d+\}$') THEN 1 ELSE 0 END) AS BIGINT) AS v_shape
+  FROM events"""
+
+
+@query(
+    "dq_checks",
+    f"""WITH per_row AS ({_DQ_ORACLE_PER_ROW}),
+       fk AS (SELECT count(*) AS v_fk
+              FROM events e ANTI JOIN customer c ON e.user_id = c.c_custkey)
+       SELECT 'value_in_range' AS rule, v_range AS n_violations FROM per_row
+       UNION ALL SELECT 'event_type_in_domain', v_domain FROM per_row
+       UNION ALL SELECT 'props_not_null', v_null FROM per_row
+       UNION ALL SELECT 'props_json_shape', v_shape FROM per_row
+       UNION ALL SELECT 'user_fk_exists', v_fk FROM fk""",
+)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality report (r5): every per-row rule (range, domain,
+    not-null, JSON shape) measured in ONE aggregate pass over the
+    table, plus the referential-integrity rule as an anti-join against
+    the broadcastable customer key set.  The reference's only gate was
+    a silent dropna(); this measures instead of discarding."""
+    from hdfs_stream_processing_spark.operators.quality import (
+        dq_check,
+        fk_violations,
+    )
+
+    events, customer = prep(spark, sf_dir, "events", "customer")
+    per_row = dq_check(events, [(n, p()) for n, p in _DQ_RULES])
+    fk = fk_violations(events, "user_id", customer, "c_custkey", "user_fk_exists")
+    return per_row.unionByName(fk)
+
+
+@query(
+    "stream_dq",
+    f"""WITH per_row AS ({_DQ_ORACLE_PER_ROW})
+       SELECT 'value_in_range' AS rule, v_range AS n_violations FROM per_row
+       UNION ALL SELECT 'event_type_in_domain', v_domain FROM per_row
+       UNION ALL SELECT 'props_not_null', v_null FROM per_row
+       UNION ALL SELECT 'props_json_shape', v_shape FROM per_row""",
+)
+def q_stream_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME per-row rule set on the unbounded frame (r5): quality
+    counters accumulate across micro-batches as a streaming global
+    aggregate; complete-mode availableNow emission must equal the batch
+    report — one rule list, two execution modes."""
+    from hdfs_stream_processing_spark.operators.quality import dq_check
+    from hdfs_stream_processing_spark.streaming import (
+        run_to_memory,
+        stream_parquet_source,
+    )
+
+    src_dir, schema = _stage_events(spark, sf_dir)
+    stream = stream_parquet_source(spark, src_dir, schema, max_files_per_trigger=2)
+    report = dq_check(stream, [(n, p()) for n, p in _DQ_RULES])
+    with _conf_override(spark, "spark.sql.shuffle.partitions", "8"):
+        return run_to_memory(report, output_mode="complete")
+
+
 @query(
     "similarity_ivf",
     f"""WITH q AS (SELECT vec_id, {_QUANT_SQL.format(col='embedding')} AS qv FROM embeddings),

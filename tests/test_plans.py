@@ -142,6 +142,7 @@ SHUFFLE_BUDGETS = {
     "cdc_apply": 1,        # one key-partitioned window
     "scd2_build": 1,       # lag + lead share the key partitioning
     "snapshot_diff": 3,    # two latest-windows + co-partitioned join
+    "dq_checks": 2,        # one rule-agg reduce + one FK-count reduce
     "heavy_hitters": 2,    # (group,value) counts + group window
     "corr_qty_price": 1,   # one hash aggregate
     "ntile_buckets": 1,    # per-type window
