@@ -73,13 +73,22 @@ def scd2_build(
     that closes intervals — partition on the same key, so the whole
     history builds in ONE shuffle.  ``tiebreak_cols`` totally orders
     same-timestamp changes (same contract as sessionize).
+
+    Null-safe: a key's first change is detected positionally
+    (row_number = 1), NOT by ``lag() IS NULL`` — so an attribute that
+    is legitimately NULL opens a version, a value→NULL transition is a
+    real change, and consecutive NULLs collapse like any other repeat
+    (``eqNullSafe`` comparison throughout).
     """
     order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak_cols or [])]
     w = Window.partitionBy(*key_cols).orderBy(*order)
     prev = F.lag(F.col(attr_col)).over(w)
     versions = (
         changes.select(*key_cols, ts_col, *(tiebreak_cols or []), attr_col)
-        .withColumn("_chg", prev.isNull() | (F.col(attr_col) != prev))
+        .withColumn(
+            "_chg",
+            (F.row_number().over(w) == 1) | ~F.col(attr_col).eqNullSafe(prev),
+        )
         .where(F.col("_chg"))
     )
     w2 = Window.partitionBy(*key_cols).orderBy(*order)
@@ -105,14 +114,20 @@ def snapshot_diff(
 
     One full-outer join on the key; both sides shuffle on the same
     columns (co-partitioned — bucketed snapshots make it exchange-free).
+
+    Side presence is tracked with a literal marker column per side, not
+    key-column nullness — a row whose (first) key column is NULL still
+    classifies correctly instead of masquerading as absent.
     """
     o = old.select(
         *[F.col(k).alias(f"_ok_{k}") for k in key_cols],
         *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_old"),
     )
     n = new.select(
         *[F.col(k).alias(f"_nk_{k}") for k in key_cols],
         *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_new"),
     )
     cond = None
     for k in key_cols:
@@ -120,8 +135,8 @@ def snapshot_diff(
         cond = c if cond is None else (cond & c)
     joined = o.join(n, cond, "full_outer")
 
-    in_old = F.col(f"_ok_{key_cols[0]}").isNotNull()
-    in_new = F.col(f"_nk_{key_cols[0]}").isNotNull()
+    in_old = F.col("_in_old").isNotNull()
+    in_new = F.col("_in_new").isNotNull()
     changed = F.lit(False)
     for c in compare_cols:
         changed = changed | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))

@@ -13,6 +13,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _check_no_salt(df: DataFrame, side: str) -> None:
+    """Salting claims the ``_salt`` column name; silently overwriting a
+    user column of that name (then dropping it) would lose data."""
+    if "_salt" in df.columns:
+        raise ValueError(
+            f"{side} input already has a '_salt' column; rename it before salting"
+        )
+
+
 def salted_group_sum(
     df: DataFrame,
     keys: list[str],
@@ -29,6 +38,7 @@ def salted_group_sum(
     no RNG); correctness never depends on WHICH bucket a row lands in,
     only that the integer partials re-add exactly (they do: exact cents).
     """
+    _check_no_salt(df, "salted_group_sum")
     salted = df.withColumn(
         "_salt", (F.monotonically_increasing_id() % salt_buckets).cast("int")
     )
@@ -71,9 +81,17 @@ def salted_join(
 
     Only ``inner`` and ``left`` joins are supported: a right/full outer
     would surface each UNMATCHED small-side row once per replica.
+
+    Caveats: both inputs must be free of a pre-existing ``_salt``
+    column (raises — overwriting would drop user data), and non-key
+    column names shared by both sides survive as ambiguous duplicates
+    in the output, same as a plain ``df.join`` on an expression —
+    rename or select before joining.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    _check_no_salt(big, "salted_join big")
+    _check_no_salt(small, "salted_join small")
     b = big.withColumn(
         "_salt", (F.monotonically_increasing_id() % salt_buckets).cast("int")
     )

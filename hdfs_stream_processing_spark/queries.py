@@ -1605,12 +1605,13 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scd2_build",
     """WITH ordered AS (
          SELECT user_id, ts, event_id, event_type,
-                lag(event_type) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id) AS prev_type
-         FROM events),
+                lag(event_type) OVER w AS prev_type,
+                row_number() OVER w AS rn
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
        vers AS (
          SELECT user_id, ts, event_id, event_type FROM ordered
-         WHERE prev_type IS NULL OR event_type <> prev_type)
+         WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type)
        SELECT user_id, event_type,
               ts AS valid_from,
               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,

@@ -56,6 +56,41 @@ def test_scd2_suppresses_repeats_and_closes_intervals(spark):
     assert k2["is_current"] and k2["valid_to"] is None
 
 
+def test_scd2_null_transitions(spark):
+    """ADVICE r5: value→NULL is a real change, consecutive NULLs are
+    suppressed like any repeat, and a NULL-attr first row opens a
+    version (positional first-row detection, not lag-IS-NULL)."""
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, None), (1, 30, None), (1, 40, "b"),
+         (2, 10, None)],                   # first row per key with NULL attr
+        "k long, t long, attr string",
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "attr")
+    hist = scd2_build(df, ["k"], "ts", "attr").collect()
+    k1 = sorted([r for r in hist if r["k"] == 1], key=lambda r: r["valid_from"])
+    assert [r["attr"] for r in k1] == ["a", None, "b"]
+    assert k1[0]["valid_to"] == k1[1]["valid_from"]      # a closes at NULL
+    assert k1[1]["valid_to"] == k1[2]["valid_from"]      # NULL closes at b
+    (k2,) = [r for r in hist if r["k"] == 2]
+    assert k2["attr"] is None and k2["is_current"]
+
+
+def test_snapshot_diff_null_key_rows(spark):
+    """ADVICE r5: a NULL key never equi-joins, so the old-side row is
+    'removed' and the new-side row 'added' — presence comes from the
+    literal marker, not key nullness, so old/new values land on the
+    correct side."""
+    old = spark.createDataFrame([(None, "x", 1.0)], "k long, attr string, v double")
+    new = spark.createDataFrame([(None, "y", 2.0)], "k long, attr string, v double")
+    out = sorted(
+        snapshot_diff(old, new, ["k"], ["attr", "v"]).collect(),
+        key=lambda r: r["status"],
+    )
+    assert [r["status"] for r in out] == ["added", "removed"]
+    added, removed = out
+    assert added["new_attr"] == "y" and added["old_attr"] is None
+    assert removed["old_attr"] == "x" and removed["new_attr"] is None
+
+
 def test_snapshot_diff_statuses_and_nullsafe_compare(spark):
     old = spark.createDataFrame(
         [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (4, "d", 4.0)],

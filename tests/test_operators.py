@@ -139,6 +139,26 @@ def test_salted_join_equals_plain_join(spark):
         salted_join(big, small, "k", "sk", how="full")
 
 
+def test_salting_rejects_existing_salt_column(spark):
+    """ADVICE r5: a pre-existing user `_salt` column must raise, not be
+    silently overwritten and dropped."""
+    import pytest as _pytest
+
+    from hdfs_stream_processing_spark.operators.skew import (
+        salted_group_sum,
+        salted_join,
+    )
+
+    tainted = spark.createDataFrame([(1, 7, 1.0)], "k long, _salt int, value double")
+    clean = spark.createDataFrame([(1, "x")], "sk long, dim string")
+    with _pytest.raises(ValueError, match="_salt"):
+        salted_group_sum(tainted, ["k"], F.col("value"), "s")
+    with _pytest.raises(ValueError, match="_salt"):
+        salted_join(tainted, clean, "k", "sk")
+    with _pytest.raises(ValueError, match="_salt"):
+        salted_join(clean, tainted.withColumnRenamed("k", "sk2"), "sk", "sk2")
+
+
 def test_session_window_batch_semantics(spark):
     """Session boundary is CLOSED: an event exactly `gap` after the
     previous one still merges; only a gap strictly greater splits."""
