@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cdc_apply", "scd2_build", "snapshot_diff"]
+__all__ = ["cdc_apply", "scd2_build", "scd2_merge", "snapshot_diff"]
 
 
 def cdc_apply(
@@ -99,6 +99,68 @@ def scd2_build(
         F.lead(F.col(ts_col)).over(w2).alias("valid_to"),
     )
     return out.withColumn("is_current", F.col("valid_to").isNull())
+
+
+def scd2_merge(
+    existing: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    attr_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Merge a NEW batch of changes into an EXISTING SCD2 table without
+    rebuilding history — the nightly dimension-maintenance op
+    (:func:`scd2_build` is the initial load; this is every load after).
+
+    For each key touched by the batch: the open (``is_current``) version
+    is re-opened as a seed change at its own ``valid_from``, the new
+    changes are appended after it, and the same suppression/closing
+    logic replays over that small per-key tail — so a first new change
+    equal to the open version's attribute is suppressed (the version
+    simply stays open), a differing one closes it.  CLOSED versions of
+    touched keys and ALL versions of untouched keys pass through
+    untouched; keys new to the dimension build their full history from
+    the batch alone.
+
+    Result is row-identical to ``scd2_build`` over the unioned change
+    log (the oracle proves it) **provided the contract holds**: every
+    change in the batch is strictly later (by ``ts_col``) than the open
+    version's ``valid_from`` for its key — i.e. batches arrive in order.
+    A change that time-travels before the open version cannot patch
+    already-closed intervals incrementally; run a rebuild for that key.
+
+    Scale: the change-key set (day-sized) broadcasts into semi/anti
+    joins against the existing table — a map-side scan, no shuffle of
+    history; the one window shuffle is sized by seed + batch rows only.
+    """
+    tb = tiebreak_cols or []
+    out_cols = [*key_cols, attr_col, "valid_from", "valid_to", "is_current"]
+    chg_keys = changes.select(*key_cols).distinct()
+    untouched = existing.join(F.broadcast(chg_keys), key_cols, "left_anti")
+    touched = existing.join(F.broadcast(chg_keys), key_cols, "left_semi")
+    closed = touched.where(~F.col("is_current"))
+    # the open version, replayed as the FIRST change of the tail: _seq 0
+    # orders it before any batch change (batch ts is strictly later per
+    # the contract; _seq also shields its NULL tiebreak values)
+    seed = touched.where(F.col("is_current")).select(
+        *key_cols,
+        F.col("valid_from").alias(ts_col),
+        F.lit(0).alias("_seq"),
+        *[F.lit(None).cast(changes.schema[c].dataType).alias(c) for c in tb],
+        F.col(attr_col),
+    )
+    tail = seed.unionByName(
+        changes.select(
+            *key_cols, ts_col, F.lit(1).alias("_seq"), *tb, attr_col
+        )
+    )
+    rebuilt = scd2_build(tail, key_cols, ts_col, attr_col, tiebreak_cols=["_seq", *tb])
+    return (
+        untouched.select(*out_cols)
+        .unionByName(closed.select(*out_cols))
+        .unionByName(rebuilt.select(*out_cols))
+    )
 
 
 def snapshot_diff(

@@ -1633,6 +1633,50 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scd2_merge",
+    """WITH ordered AS (
+         SELECT user_id, ts, event_id, event_type,
+                lag(event_type) OVER w AS prev_type,
+                row_number() OVER w AS rn
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       vers AS (
+         SELECT user_id, ts, event_id, event_type FROM ordered
+         WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type)
+       SELECT user_id, event_type,
+              ts AS valid_from,
+              lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+              lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+       FROM vers""",
+)
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance (r6): history is built from the
+    first half-month of events, then the remaining days merge in as the
+    nightly batch — open versions close or stay open (same-attribute
+    suppression works ACROSS the boundary), closed history passes
+    through untouched, and new keys build from the batch alone.  The
+    oracle rebuilds from the full log: the merge must be row-identical
+    to a from-scratch build."""
+    from hdfs_stream_processing_spark.operators.incremental import (
+        scd2_build,
+        scd2_merge,
+    )
+
+    (events,) = prep(spark, sf_dir, "events")
+    log = events.select("user_id", "ts", "event_id", "event_type")
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    existing = scd2_build(
+        log.where(F.col("ts") < cutoff),
+        ["user_id"], "ts", "event_type", tiebreak_cols=["event_id"],
+    )
+    return scd2_merge(
+        existing,
+        log.where(F.col("ts") >= cutoff),
+        ["user_id"], "ts", "event_type", tiebreak_cols=["event_id"],
+    )
+
+
+@query(
     "snapshot_diff",
     """WITH o AS (SELECT user_id, event_type, value FROM (
            SELECT user_id, event_type, value,

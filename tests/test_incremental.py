@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from hdfs_stream_processing_spark.operators.incremental import (
     cdc_apply,
     scd2_build,
+    scd2_merge,
     snapshot_diff,
 )
 
@@ -54,6 +55,32 @@ def test_scd2_suppresses_repeats_and_closes_intervals(spark):
     assert k1[1]["valid_to"] == k1[2]["valid_from"]
     (k2,) = [r for r in hist if r["k"] == 2]
     assert k2["is_current"] and k2["valid_to"] is None
+
+
+def test_scd2_merge_equals_rebuild(spark):
+    """Merging a later batch into an existing SCD2 table must be
+    row-identical to rebuilding from the unioned log.  Covers: open
+    version closed by a differing change; same-attr first batch change
+    suppressed across the boundary (version stays open); repeats inside
+    the batch; a key new to the dimension; an untouched key."""
+    rows = [
+        (1, 10, "a"), (1, 20, "b"),      # k=1: open 'b' at 20
+        (2, 10, "x"),                    # k=2: open 'x'
+        (3, 10, "q"), (3, 20, "r"),      # k=3: untouched by the batch
+    ]
+    batch = [
+        (1, 30, "b"), (1, 40, "c"),      # same-attr suppressed, then close
+        (2, 30, "x"), (2, 35, "x"),      # all suppressed: 'x' stays open
+        (4, 30, "new"), (4, 40, "new"), (4, 50, "v2"),  # brand-new key
+    ]
+    to_df = lambda rs: spark.createDataFrame(  # noqa: E731
+        rs, "k long, t long, attr string"
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "attr")
+    existing = scd2_build(to_df(rows), ["k"], "ts", "attr")
+    merged = scd2_merge(existing, to_df(batch), ["k"], "ts", "attr")
+    rebuilt = scd2_build(to_df(rows + batch), ["k"], "ts", "attr")
+    key = lambda r: (r["k"], r["valid_from"])  # noqa: E731
+    assert sorted(merged.collect(), key=key) == sorted(rebuilt.collect(), key=key)
 
 
 def test_scd2_null_transitions(spark):
