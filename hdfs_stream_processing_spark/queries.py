@@ -3195,6 +3195,51 @@ def q_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_cdc",
+    """WITH ranked AS (
+         SELECT user_id, ts, event_id, event_type, value,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+         FROM events)
+       SELECT user_id, ts AS op_ts, event_type, value
+       FROM ranked WHERE rn = 1 AND event_type <> 'error'""",
+)
+def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC (r6): the event log arrives as a change stream —
+    error rows are deletes, everything else upserts — and foreachBatch
+    maintains the per-user snapshot table across micro-batches (merge
+    scoped to touched hash-bucket partitions; content-based latest-wins
+    plus delete tombstones make the result independent of the batch
+    split and idempotent under replay).  The live snapshot must equal
+    the one-shot batch ``cdc_apply`` over the whole log."""
+    from hdfs_stream_processing_spark.streaming import stream_parquet_source
+    from hdfs_stream_processing_spark.streaming.pipeline import (
+        read_cdc_snapshot,
+        run_stream_cdc,
+    )
+
+    src_dir, schema = _stage_events(spark, sf_dir)
+    stream = stream_parquet_source(spark, src_dir, schema, max_files_per_trigger=1)
+    log = stream.select(
+        "user_id", "ts", "event_id", "event_type", "value",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        # partition by a STABLE function of the key (contract: a key
+        # never moves partitions), never by a mutable attribute
+        F.pmod(F.hash("user_id"), F.lit(8)).alias("bucket"),
+    )
+    target = _mkdtemp("hsp_cdc_")
+    ckpt = _mkdtemp("hsp_cdc_ckpt_")
+    run_stream_cdc(
+        log, target, ckpt, ["user_id"], ["ts", "event_id"], "op", "bucket"
+    )
+    return read_cdc_snapshot(spark, target).select(
+        "user_id", F.col("ts").alias("op_ts"), "event_type", "value"
+    )
+
+
+@query(
     "gapfill_locf",
     """WITH obs AS (
          SELECT event_type, date_trunc('hour', ts) AS bucket,

@@ -8,6 +8,8 @@ from hdfs_stream_processing_spark.streaming.pipeline import (  # noqa: F401
     restore_confs,
     run_foreach_batch,
     run_foreach_batch_compacting,
+    read_cdc_snapshot,
+    run_stream_cdc,
     run_to_memory,
     run_to_parquet,
     session_window_agg,

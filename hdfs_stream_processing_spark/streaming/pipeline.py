@@ -409,3 +409,107 @@ def run_continuous_rollup(
         )
 
     run_foreach_batch(df, merge, checkpoint_dir)
+
+
+def run_stream_cdc(
+    df: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    order_cols: list[str],
+    op_col: str,
+    part_col: str,
+    delete_op: str = "D",
+) -> None:
+    """Streaming CDC: a continuously-arriving change log maintains a
+    mutable snapshot TABLE — the upgrade over the reference's
+    append-only sink (convert-to-minio.py:125-131), which can only ever
+    grow.  Each micro-batch reduces to its per-key winner (keeping
+    delete winners), then MERGEs against only the touched partitions of
+    the target: global latest-wins on ``order_cols`` across the stored
+    row and the batch winner, a winning delete removes the key.
+
+    Replay safety is CONTENT-based, stronger than the last_batch
+    counter in :func:`run_continuous_rollup`: the merge resolves each
+    key to the row with the greatest ``order_cols`` no matter how many
+    times it sees it, so a replayed batch re-derives the identical
+    state (idempotent), and the final table is independent of how the
+    log split into micro-batches — an upsert is not additive, so
+    nothing needs to remember which batch it came from.
+
+    Deletes persist as TOMBSTONES (``_tombstone`` = true): a winning
+    delete must outlive the merge, or a lower-ordered change for the
+    same key arriving in a LATER micro-batch (file/Kafka sources are
+    not time-ordered) would resurrect the key.  Read the live snapshot
+    with :func:`read_cdc_snapshot`; production GC would compact
+    tombstones older than the source's out-of-order bound.
+
+    Contracts: ``order_cols`` totally orders each key's changes, and
+    ``part_col`` is FUNCTIONALLY DEPENDENT on the key (a key never
+    moves partitions — use a hash bucket of the key, not a mutable
+    attribute), otherwise the scoped merge cannot see a key's old row.
+
+    Scale: per batch — one batch-sized window, one scan of the touched
+    partitions only (blast radius = partitions the batch touches, not
+    the table), one dynamic partition overwrite.  History outside the
+    touched partitions is never read or written.
+    """
+    from pyspark.sql import Window
+
+    from hdfs_stream_processing_spark.sources.io import parquet_table_exists
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        wb = Window.partitionBy(*key_cols).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        winner = (
+            batch_df.withColumn("_op", F.col(op_col))
+            .withColumn("_rn", F.row_number().over(wb))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if parquet_table_exists(spark, target_dir):
+            parts = [r[0] for r in winner.select(part_col).distinct().collect()]
+            current = (
+                spark.read.parquet(target_dir)
+                .where(F.col(part_col).isin(parts))
+                .withColumn(
+                    "_op",
+                    F.when(F.col("_tombstone"), F.lit(delete_op)).otherwise(
+                        F.lit("\x00upsert")
+                    ),
+                )
+                .drop("_tombstone")
+                .withColumn("_src", F.lit(0))
+            )
+            merged = current.unionByName(winner.withColumn("_src", F.lit(1)))
+            wm = Window.partitionBy(*key_cols).orderBy(
+                *[F.col(c).desc() for c in order_cols], F.col("_src").desc()
+            )
+            winner = (
+                merged.withColumn("_rn", F.row_number().over(wm))
+                .where(F.col("_rn") == 1)
+                .drop("_rn", "_src")
+            )
+        out = winner.withColumn(
+            "_tombstone", F.col("_op") == F.lit(delete_op)
+        ).drop("_op")
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(part_col)
+            .parquet(target_dir)
+        )
+
+    run_foreach_batch(df, merge, checkpoint_dir)
+
+
+def read_cdc_snapshot(spark: SparkSession, target_dir: str) -> DataFrame:
+    """The live rows of a :func:`run_stream_cdc` target: tombstoned
+    keys filtered out, the marker column dropped."""
+    return (
+        spark.read.parquet(target_dir)
+        .where(~F.col("_tombstone"))
+        .drop("_tombstone")
+    )

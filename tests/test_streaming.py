@@ -412,3 +412,53 @@ def test_stream_sessionize_merges_sessions_across_microbatches(spark, tmp_path):
         (7, "2024-01-01 00:20:00", "2024-01-01 00:25:00", 1, 4.0),
         (9, "2024-01-01 00:00:00", "2024-01-01 00:05:00", 1, 5.0),
     }
+
+
+def test_stream_cdc_merge_deletes_and_replay(spark, tmp_path):
+    """Streaming CDC (r6): per-key latest-wins across micro-batches,
+    winning deletes tombstone keys so an out-of-order lower-seq change
+    in a LATER batch cannot resurrect them, and reprocessing the full
+    log over the final table — the worst-case replay — is a no-op
+    (content idempotency)."""
+    from hdfs_stream_processing_spark.streaming.pipeline import (
+        read_cdc_snapshot,
+        run_stream_cdc,
+    )
+
+    src = str(tmp_path / "cdc_src")
+    rows1 = [(1, 1, "U", "a", 0), (2, 1, "U", "b", 1), (3, 1, "U", "c", 0)]
+    rows2 = [(1, 3, "U", "a2", 0),   # update k=1
+             (2, 3, "D", None, 1),   # delete k=2
+             (4, 3, "U", "d", 0)]    # insert k=4
+    rows3 = [(2, 2, "U", "late", 1)]  # out-of-order: older than the delete
+    schema = "k long, seq long, op string, attr string, bucket int"
+    for rows in (rows1, rows2, rows3):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    target = str(tmp_path / "cdc_target")
+    src_df = spark.read.parquet(src)
+
+    def run(ckpt_name):
+        stream = (
+            spark.readStream.schema(src_df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        run_stream_cdc(
+            stream, target, str(tmp_path / ckpt_name),
+            ["k"], ["seq"], "op", "bucket",
+        )
+
+    run("ckpt1")
+    got = {r["k"]: r["attr"] for r in read_cdc_snapshot(spark, target).collect()}
+    # k=2 stays deleted: the seq-2 straggler lost to the seq-3 tombstone
+    assert got == {1: "a2", 3: "c", 4: "d"}
+
+    # replay EVERYTHING with a fresh checkpoint over the final table:
+    # every batch re-merges, state must not change
+    run("ckpt2")
+    assert {r["k"]: r["attr"] for r in read_cdc_snapshot(spark, target).collect()} == got
+
+    # resume with the original checkpoint (source exhausted): no-op
+    run("ckpt1")
+    assert {r["k"]: r["attr"] for r in read_cdc_snapshot(spark, target).collect()} == got
