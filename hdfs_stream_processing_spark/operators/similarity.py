@@ -409,9 +409,14 @@ def ivf_topk(
     n_iters: int = 3,
     centroids: list[list[int]] | None = None,
     max_literal_cells: int = 256,
+    queries_filter: Column | None = None,
 ) -> DataFrame:
     """IVF ANN: k-means coarse cells, search the query's ``nprobe``
     nearest cells, exact cosine re-rank inside.
+
+    ``queries_filter`` restricts which vectors QUERY (probe side);
+    the corpus side — cell training and assignment — always covers
+    every vector, matching the search-a-full-index semantics.
 
     Up to ``max_literal_cells`` BOTH cell assignments are
     literal-centroid codegen expressions (no join, no shuffle); beyond
@@ -431,11 +436,12 @@ def ivf_topk(
     corpus = assign_cells(
         q, centroids, id_col=id_col, max_literal_cells=max_literal_cells
     ).select(F.col(id_col).alias("neighbor_id"), F.col("qv").alias("nv"), "cell")
+    qq = q.where(queries_filter) if queries_filter is not None else q
     if len(centroids) <= max_literal_cells:
         # nprobe nearest cells per query: sort the same per-cell affinity
         # structs descending, slice, explode — still a narrow map.
         qn = F.sqrt(dot_q(F.col("qv"), F.col("qv")).cast("double"))
-        probes = q.withColumn("_qn", qn)
+        probes = qq.withColumn("_qn", qn)
         parts = []
         for cell, cv in enumerate(centroids):
             cc = sum(int(v) * int(v) for v in cv)
@@ -454,7 +460,7 @@ def ivf_topk(
             F.explode(F.expr(top_cells)).alias("cell"),
         )
     else:
-        probes = _probe_cells_join(q, centroids, id_col, nprobe)
+        probes = _probe_cells_join(qq, centroids, id_col, nprobe)
     pairs = probes.join(corpus, "cell").where(F.col("query_id") != F.col("neighbor_id"))
     rescored = pairs.select(
         "query_id", "neighbor_id", cosine_q(F.col("pv"), F.col("nv")).alias("cosine")

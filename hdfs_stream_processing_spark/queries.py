@@ -1802,9 +1802,10 @@ def q_stream_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_to_memory(report, output_mode="complete")
 
 
-@query(
-    "similarity_ivf",
-    f"""WITH q AS (SELECT vec_id, {_QUANT_SQL.format(col='embedding')} AS qv FROM embeddings),
+#: The full IVF pipeline (md5 init → 3 Lloyd steps → assignment →
+#: nprobe=2 probes → in-cell re-rank) as reusable oracle CTEs ending in
+#: ``rescored`` — shared by similarity_ivf and ann_recall.
+_IVF_RESCORED_CTES = f"""q AS (SELECT vec_id, {_QUANT_SQL.format(col='embedding')} AS qv FROM embeddings),
        c0 AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
                      qv AS cv
               FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
@@ -1828,7 +1829,12 @@ def q_stream_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 CAST({_DOT_SQL.format(a='p.pv', b='c.nv')} AS DOUBLE)
                 / ({_NORM_SQL.format(a='p.pv')} * {_NORM_SQL.format(a='c.nv')}) AS cosine
          FROM probes p JOIN corpus c USING (cell)
-         WHERE p.query_id <> c.neighbor_id)
+         WHERE p.query_id <> c.neighbor_id)"""
+
+
+@query(
+    "similarity_ivf",
+    f"""WITH {_IVF_RESCORED_CTES}
        SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
          SELECT query_id, neighbor_id, cosine,
                 row_number() OVER (PARTITION BY query_id
@@ -1848,6 +1854,65 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (embeddings,) = prep(spark, sf_dir, "embeddings")
     return ivf_topk(embeddings, n_cells=16, nprobe=2, k=10, n_iters=3)
+
+
+@query(
+    "ann_recall",
+    f"""WITH {_IVF_RESCORED_CTES},
+       ivf AS (
+         SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id ASC) AS rank
+           FROM rescored WHERE query_id < 100) WHERE rank <= 10),
+       exact AS (
+         SELECT query_id, neighbor_id FROM (
+           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                  row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                    CAST({_DOT_SQL.format(a='a.qv', b='b.qv')} AS DOUBLE)
+                    / ({_NORM_SQL.format(a='a.qv')} * {_NORM_SQL.format(a='b.qv')}) DESC,
+                    b.vec_id ASC) AS rank
+           FROM (SELECT * FROM q WHERE vec_id < 100) a CROSS JOIN q b
+           WHERE a.vec_id <> b.vec_id) WHERE rank <= 10)
+       SELECT e.query_id,
+              CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
+              CAST(count(i.neighbor_id) AS DOUBLE) / 10.0 AS recall_at_10
+       FROM exact e LEFT JOIN ivf i
+         ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+       GROUP BY e.query_id""",
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality contract (r6): recall@10 of the IVF index vs exact
+    brute-force top-10, per query, for 100 query vectors against the
+    full corpus — the measurement that justifies shipping the
+    approximate path.  Overlap COUNTS are integers, so the whole
+    quality metric is oracle-hashable end-to-end (the oracle replays
+    both the exact ranking and the full IVF pipeline in SQL).  The
+    driver tables' embeddings are uniform random — the hardest case
+    for any partitioning index — so recall at the nprobe=2 operating
+    point sits near 0.33; the recall-vs-nprobe contract (monotone,
+    ≥ 0.9 at nprobe 12/16, exactly 1.0 at exhaustive nprobe=16) is
+    asserted in tests/test_llm_ops.py."""
+    from hdfs_stream_processing_spark.operators.similarity import (
+        ivf_topk,
+        similarity_topk,
+    )
+
+    (embeddings,) = prep(spark, sf_dir, "embeddings")
+    qf = F.col("vec_id") < 100
+    exact = similarity_topk(
+        embeddings, "vec_id", "embedding", queries_filter=qf, k=10
+    ).select("query_id", "neighbor_id")
+    approx = ivf_topk(
+        embeddings, n_cells=16, nprobe=2, k=10, n_iters=3, queries_filter=qf
+    ).select("query_id", "neighbor_id")
+    joined = exact.join(
+        approx.withColumn("_hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("_hit").alias("n_hits"),
+        (F.count("_hit").cast("double") / F.lit(10.0)).alias("recall_at_10"),
+    )
 
 
 @query(

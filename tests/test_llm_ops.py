@@ -244,6 +244,50 @@ def test_ivf_kmeans_training_deterministic_and_improves_recall(spark):
     assert trained > init_only, (trained, init_only)
 
 
+def test_ann_recall_contract(spark):
+    """The recall-vs-nprobe contract behind the ann_recall query
+    (VERDICT r5 #7): recall@10 is monotone in nprobe, clears 0.9 at
+    nprobe=12 even on uniform-random embeddings (the worst case for a
+    partitioning index), and hits exactly 1.0 at exhaustive
+    nprobe = n_cells — where IVF degenerates to brute force."""
+    from pyspark.sql import functions as F
+
+    import hdfs_stream_processing_spark.queries as Q
+    from hdfs_stream_processing_spark.operators.similarity import (
+        ivf_topk,
+        similarity_topk,
+    )
+    from hdfs_stream_processing_spark.sources.io import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qf = F.col("vec_id") < 100
+    exact = (
+        similarity_topk(emb, "vec_id", "embedding", queries_filter=qf, k=10)
+        .select("query_id", "neighbor_id")
+        .cache()
+    )
+    n_truth = exact.count()
+
+    def recall(nprobe):
+        ap = ivf_topk(
+            emb, n_cells=16, nprobe=nprobe, k=10, n_iters=3, queries_filter=qf
+        ).select("query_id", "neighbor_id")
+        return exact.join(ap, ["query_id", "neighbor_id"]).count() / n_truth
+
+    r2, r12, r16 = recall(2), recall(12), recall(16)
+    assert r2 <= r12 <= r16, (r2, r12, r16)
+    assert r12 >= 0.9, r12
+    assert r16 == 1.0, r16
+    # and the registered query reports the same nprobe=2 operating point
+    mean = (
+        Q.QUERIES["ann_recall"](spark, SF_DIR)
+        .agg(F.avg("recall_at_10"))
+        .collect()[0][0]
+    )
+    assert abs(mean - r2) < 1e-9, (mean, r2)
+    exact.unpersist()
+
+
 def test_assign_cells_join_path_matches_literal_path(spark):
     """The broadcast-join assignment (the >256-cell scale path) must
     agree row-for-row with the literal-codegen path — same affinity
