@@ -146,6 +146,13 @@ SHUFFLE_BUDGETS = {
     "heavy_hitters": 2,    # (group,value) counts + group window
     "corr_qty_price": 1,   # one hash aggregate
     "ntile_buckets": 1,    # per-type window
+    # round-6 suites:
+    # textual count: the existing-SCD2 subtree (1 window shuffle) is
+    # referenced 3x (untouched/closed/seed) and the change-key distinct
+    # 2x; ReuseExchange materializes each ONCE at runtime.
+    "scd2_merge": 7,
+    "ann_recall": 5,       # exact window + ivf cell join/window + overlap join/agg
+    "dedup_clusters": 2,   # loop rounds are checkpointed; final label join
 }
 
 
@@ -157,6 +164,33 @@ def test_shuffle_budgets(spark):
         if n > budget:
             over[name] = (n, budget)
     assert not over, f"shuffle budget exceeded: {over}"
+
+
+def test_plans_md_agrees_with_live_audit(spark):
+    """PLANS.md is auto-generated but goes stale when operators change
+    after the last regeneration (VERDICT r5: the retention row said 4
+    while the code said 3).  For every budget-pinned query, the doc's
+    shuffle count must equal the LIVE plan at the same sf the audit
+    uses — regenerate with tools/plan_audit.py when this fails."""
+    import re
+    from pathlib import Path
+
+    text = Path(__file__).resolve().parent.parent.joinpath("PLANS.md").read_text()
+    doc = {}
+    for line in text.splitlines():
+        m = re.match(r"\|\s*(\w+)\s*\|\s*(\d+)\s*\|", line)
+        if m:
+            doc[m.group(1)] = int(m.group(2))
+    assert len(doc) >= 100  # the audit covers the whole registry
+    missing = sorted(set(SHUFFLE_BUDGETS) - set(doc))
+    assert not missing, f"PLANS.md has no row for: {missing}"
+    audit_sf = "/root/testdata/sf0.01"  # what plan_audit.py uses
+    stale = {}
+    for name in SHUFFLE_BUDGETS:
+        live = count_shuffles(Q.QUERIES[name](spark, audit_sf))
+        if live != doc[name]:
+            stale[name] = {"plans_md": doc[name], "live": live}
+    assert not stale, f"PLANS.md stale — rerun tools/plan_audit.py: {stale}"
 
 
 def test_dynamic_partition_pruning_reaches_partitioned_scan(spark, tmp_path):
