@@ -35,35 +35,34 @@ def entry(spark: SparkSession) -> DataFrame:
 # order.  Each round rotates this list so every registered query earns a
 # driver-green row in some round (union of CORRECTNESS_r*.json); queries
 # outside the current window pass the identical check locally via
-# tools/check_correctness.py.  Round 5 window: the 12 queries with no
-# driver row in any prior round (r4's list was 51 entries against a
-# 50-entry window, which dropped stream_curate; registered-after-freeze
-# analytics/stats queries make up the rest), then queries whose oracle
-# status changes this round, then new round-5 registrations, padded to
-# EXACTLY 50 with long-green entries.  tests/test_registry.py pins
-# len(_VERIFY_FIRST) == 50 so the off-by-one cannot recur.
+# tools/check_correctness.py.  Round 6 window: the six round-5
+# registrations that landed after the r5 window froze (judge-verified
+# only — VERDICT r5 #1), the new round-6 registrations, the two queries
+# whose implementation changed this round (connected components moved
+# to star contraction) and scd2_build (oracle rewritten null-safe),
+# padded to EXACTLY 50 with the longest-stale driver-green entries
+# (r2-r4 rows).  tests/test_registry.py pins len(_VERIFY_FIRST) == 50
+# so the off-by-one cannot recur.
 _VERIFY_FIRST = [
-    # no driver row in any prior round (r2-r4):
-    "stream_curate", "continuous_rollup", "gapfill_locf",
-    "gapfill_interp", "sessionize", "funnel", "retention",
-    "anomaly_zscore", "large_orders", "heavy_hitters", "ntile_buckets",
-    "corr_qty_price",
-    # oracle status changes in round 5 (rows-only -> hash-checked):
-    "stream_stateful", "similarity_ivf",
-    # behavior touched in round 5 (ADVICE fixes — re-earn driver rows):
-    "asof_tolerance", "pii_redact", "mix_sources", "resample_sources",
-    "curate_corpus",
-    # new round-5 registrations:
-    "funnel_lag", "stream_sessionize",
-    # long-green padding to exactly 50 (oldest driver rows, r2):
-    "scan_csv", "scan_parquet", "sink_roundtrip", "compaction",
-    "stream_ingest", "to_wire", "parse_wire", "epoch_to_ts",
-    "multi_join", "join_outer", "join_semi", "join_anti",
-    "union_rooms", "except_op", "sort_by_ts",
-    "top_k", "group_agg", "count_distinct", "rollup_agg",
-    "window_rank", "window_running", "json_extract", "text_ngram",
-    "text_search", "text_stats", "quality_score", "lang_id",
-    "doc_fingerprint", "dedup_exact",
+    # round-5 registrations with no driver row yet (judge-green r5):
+    "cdc_apply", "scd2_build", "snapshot_diff", "skew_join",
+    "dq_checks", "stream_dq",
+    # new round-6 registrations:
+    "scd2_merge", "stream_cdc", "ann_recall",
+    # implementation changed in round 6 — re-earn driver rows:
+    "dedup_clusters", "dedup_keep",
+    # longest-stale padding to exactly 50 (last driver-green r2-r4):
+    "project_exclude", "add_lit", "drop_nulls", "case_when", "limit_n",
+    "count_rows", "set_ops", "align_pipeline", "token_count",
+    "minhash_sig", "dedup_near", "ngram_jaccard", "simhash",
+    "similarity_topk", "similarity_lsh", "similarity_lsh_multiprobe",
+    "multimodal_meta", "stream_dedup", "stream_window_agg",
+    "session_agg", "time_rollup", "salted_agg", "asof_join",
+    "range_join", "pivot_wide", "unpivot_narrow", "fill_nulls",
+    "regex_extract", "percentiles", "stream_wire_ingest",
+    "stream_stream_join", "profile_table", "histogram", "sample_hash",
+    "sample_stratified", "minmax_by", "string_agg_sorted", "cube_agg",
+    "window_time_range",
 ]
 
 
