@@ -58,18 +58,10 @@ def connected_components(
     data dwarfs compile time, and ``loop_shuffle_partitions`` to
     override the ~2M-edges-per-reducer sizing.
     """
-    verts = (
-        edges.select(F.col(src).alias("id"))
-        .unionByName(edges.select(F.col(dst).alias("id")))
-        .distinct()
-        .localCheckpoint()
-    )
-    cur = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint()
-    )
+    # materialize the upstream edge-producing plan exactly ONCE; both
+    # the loop input and the self-loop branch below read the checkpoint
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
+    cur = raw.where(F.col("u") != F.col("v")).distinct().localCheckpoint()
     cur_count = cur.count()
     spark = edges.sparkSession
     if loop_shuffle_partitions is None:
@@ -86,13 +78,21 @@ def connected_components(
     finally:
         for k, v in prior.items():
             spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
-    # at the fixpoint every edge is (member, component-min); roots and
-    # isolated vertices (self-loop-only inputs) label themselves
-    labels = cur.select(F.col("u").alias("id"), F.col("v").alias("component"))
-    return (
-        verts.join(labels, "id", "left")
-        .select("id", F.coalesce(F.col("component"), F.col("id")).alias("component"))
+    # at the fixpoint every edge is (member, component-min), so every
+    # looped vertex appears on the u side (members) or v side (roots);
+    # self-loop-only vertices re-enter as identity rows.  component is
+    # always ≤ id (min reachable), so MIN per id resolves a vertex that
+    # has both an identity row and a real label to the real label —
+    # ONE aggregation shuffle, no join against a vertex table.
+    candidates = (
+        cur.select(F.col("u").alias("id"), F.col("v").alias("component"))
+        .unionByName(cur.select(F.col("v").alias("id"), F.col("v").alias("component")))
+        .unionByName(
+            raw.where(F.col("u") == F.col("v"))
+            .select(F.col("u").alias("id"), F.col("u").alias("component"))
+        )
     )
+    return candidates.groupBy("id").agg(F.min("component").alias("component"))
 
 
 def _star_contraction_loop(

@@ -16,4 +16,5 @@ from hdfs_stream_processing_spark.streaming.pipeline import (  # noqa: F401
     stream_dedup,
     stream_parquet_source,
     stream_window_agg,
+    vacuum_cdc_tombstones,
 )

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -513,3 +513,56 @@ def read_cdc_snapshot(spark: SparkSession, target_dir: str) -> DataFrame:
         .where(~F.col("_tombstone"))
         .drop("_tombstone")
     )
+
+
+def vacuum_cdc_tombstones(
+    spark: SparkSession,
+    target_dir: str,
+    part_col: str,
+    expired: Column,
+) -> int:
+    """GC expired tombstones from a :func:`run_stream_cdc` target.
+
+    Tombstones exist to outlive out-of-order stragglers; once the
+    source's lateness bound has passed they are dead weight.  ``expired``
+    is a boolean Column over the stored row (e.g. ``F.col("ts") <
+    horizon``) — a tombstone matching it is dropped.  Live rows are
+    never touched.  Only partitions that actually hold an expired
+    tombstone are rewritten (dynamic overwrite, same blast-radius story
+    as the merge); a partition left completely empty has its directory
+    removed.  Returns the number of tombstones collected.
+
+    Safety contract: the horizon must ALSO exceed the source's replay
+    window — a batch replayed after its delete's tombstone was vacuumed
+    would resurrect the key, exactly the hazard every log-compacted
+    store (e.g. a Kafka compacted topic's delete.retention.ms) documents.
+    """
+    full = spark.read.parquet(target_dir)
+    dead = F.col("_tombstone") & expired
+    parts = [r[0] for r in full.where(dead).select(part_col).distinct().collect()]
+    if not parts:
+        return 0
+    scoped = full.where(F.col(part_col).isin(parts))
+    keep = scoped.where(~dead).persist()
+    try:
+        n_dead = scoped.count() - keep.count()
+        alive = {r[0] for r in keep.select(part_col).distinct().collect()}
+        (
+            keep.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(part_col)
+            .parquet(target_dir)
+        )
+    finally:
+        keep.unpersist()
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    for p in parts:
+        if p not in alive:
+            hp = jvm.org.apache.hadoop.fs.Path(
+                target_dir.rstrip("/") + f"/{part_col}={p}"
+            )
+            fs = hp.getFileSystem(conf)
+            if fs.exists(hp):
+                fs.delete(hp, True)
+    return n_dead

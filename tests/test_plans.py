@@ -152,7 +152,7 @@ SHUFFLE_BUDGETS = {
     # 2x; ReuseExchange materializes each ONCE at runtime.
     "scd2_merge": 7,
     "ann_recall": 5,       # exact window + ivf cell join/window + overlap join/agg
-    "dedup_clusters": 2,   # loop rounds are checkpointed; final label join
+    "dedup_clusters": 1,   # loop rounds checkpointed; one final label agg
 }
 
 

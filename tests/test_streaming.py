@@ -462,3 +462,46 @@ def test_stream_cdc_merge_deletes_and_replay(spark, tmp_path):
     # resume with the original checkpoint (source exhausted): no-op
     run("ckpt1")
     assert {r["k"]: r["attr"] for r in read_cdc_snapshot(spark, target).collect()} == got
+
+
+def test_vacuum_cdc_tombstones(spark, tmp_path):
+    """Tombstone GC: expired tombstones vanish (including a partition
+    holding nothing else — its directory is removed), fresh tombstones
+    and live rows survive untouched."""
+    from pyspark.sql import functions as F
+
+    from hdfs_stream_processing_spark.streaming.pipeline import (
+        read_cdc_snapshot,
+        run_stream_cdc,
+        vacuum_cdc_tombstones,
+    )
+
+    src = str(tmp_path / "src")
+    rows = [(1, 1, "U", "a", 0),
+            (2, 2, "D", None, 1),   # old delete -> expired tombstone
+            (3, 9, "D", None, 2),   # fresh delete -> kept tombstone
+            (4, 3, "U", "d", 1)]
+    spark.createDataFrame(
+        rows, "k long, seq long, op string, attr string, bucket int"
+    ).coalesce(1).write.mode("append").parquet(src)
+    target = str(tmp_path / "target")
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    run_stream_cdc(stream, target, str(tmp_path / "ckpt"),
+                   ["k"], ["seq"], "op", "bucket")
+
+    n = vacuum_cdc_tombstones(spark, target, "bucket", F.col("seq") < 5)
+    assert n == 1
+    stored = spark.read.parquet(target)
+    assert {r["k"] for r in stored.collect()} == {1, 3, 4}  # k=2 GC'd
+    assert {r["k"] for r in stored.where("_tombstone").collect()} == {3}
+    assert {r["k"]: r["attr"] for r in read_cdc_snapshot(spark, target).collect()} \
+        == {1: "a", 4: "d"}
+    import os
+
+    assert os.path.exists(os.path.join(target, "bucket=2"))  # fresh tombstone partition
+    # bucket=1 still exists: k=4 lives there
+    assert os.path.exists(os.path.join(target, "bucket=1"))
+    # a second vacuum is a no-op
+    assert vacuum_cdc_tombstones(spark, target, "bucket", F.col("seq") < 5) == 0
