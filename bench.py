@@ -109,6 +109,7 @@ HEADLINE = [
     "stream_dq",                  # same rule list on the unbounded frame
     # round 6 additions:
     "scd2_merge",                 # incremental SCD2 maintenance
+    "scd2_multi",                 # multi-attribute SCD2 build
     "stream_cdc",                 # foreachBatch tombstone upsert stream
     "ann_recall",                 # IVF recall@10 vs exact, oracle-hashed
 ]

@@ -60,14 +60,18 @@ def scd2_build(
     changes: DataFrame,
     key_cols: list[str],
     ts_col: str,
-    attr_col: str,
+    attr_col: str | list[str],
     tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Slowly-changing-dimension type 2: the validity history of
-    ``attr_col`` per key.  Consecutive rows with the SAME attribute
-    value are collapsed (change suppression), then each surviving
-    version gets ``valid_from`` = its timestamp, ``valid_to`` = the
-    next version's timestamp (null = current), ``is_current``.
+    """Slowly-changing-dimension type 2: the validity history of the
+    tracked attribute(s) per key.  Consecutive rows with the SAME
+    attribute values are collapsed (change suppression), then each
+    surviving version gets ``valid_from`` = its timestamp, ``valid_to``
+    = the next version's timestamp (null = current), ``is_current``.
+
+    ``attr_col`` may be one column or a list — real dimension tables
+    track several (name, segment, tier); a version opens when ANY of
+    them changes, and every tracked column rides along in the output.
 
     Both windows — the lag() that suppresses repeats and the lead()
     that closes intervals — partition on the same key, so the whole
@@ -80,21 +84,21 @@ def scd2_build(
     real change, and consecutive NULLs collapse like any other repeat
     (``eqNullSafe`` comparison throughout).
     """
+    attrs = [attr_col] if isinstance(attr_col, str) else list(attr_col)
     order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak_cols or [])]
     w = Window.partitionBy(*key_cols).orderBy(*order)
-    prev = F.lag(F.col(attr_col)).over(w)
+    any_changed = F.lit(False)
+    for a in attrs:
+        any_changed = any_changed | ~F.col(a).eqNullSafe(F.lag(F.col(a)).over(w))
     versions = (
-        changes.select(*key_cols, ts_col, *(tiebreak_cols or []), attr_col)
-        .withColumn(
-            "_chg",
-            (F.row_number().over(w) == 1) | ~F.col(attr_col).eqNullSafe(prev),
-        )
+        changes.select(*key_cols, ts_col, *(tiebreak_cols or []), *attrs)
+        .withColumn("_chg", (F.row_number().over(w) == 1) | any_changed)
         .where(F.col("_chg"))
     )
     w2 = Window.partitionBy(*key_cols).orderBy(*order)
     out = versions.select(
         *key_cols,
-        F.col(attr_col),
+        *[F.col(a) for a in attrs],
         F.col(ts_col).alias("valid_from"),
         F.lead(F.col(ts_col)).over(w2).alias("valid_to"),
     )
@@ -106,7 +110,7 @@ def scd2_merge(
     changes: DataFrame,
     key_cols: list[str],
     ts_col: str,
-    attr_col: str,
+    attr_col: str | list[str],
     tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Merge a NEW batch of changes into an EXISTING SCD2 table without
@@ -135,7 +139,8 @@ def scd2_merge(
     history; the one window shuffle is sized by seed + batch rows only.
     """
     tb = tiebreak_cols or []
-    out_cols = [*key_cols, attr_col, "valid_from", "valid_to", "is_current"]
+    attrs = [attr_col] if isinstance(attr_col, str) else list(attr_col)
+    out_cols = [*key_cols, *attrs, "valid_from", "valid_to", "is_current"]
     chg_keys = changes.select(*key_cols).distinct()
     untouched = existing.join(F.broadcast(chg_keys), key_cols, "left_anti")
     touched = existing.join(F.broadcast(chg_keys), key_cols, "left_semi")
@@ -148,14 +153,14 @@ def scd2_merge(
         F.col("valid_from").alias(ts_col),
         F.lit(0).alias("_seq"),
         *[F.lit(None).cast(changes.schema[c].dataType).alias(c) for c in tb],
-        F.col(attr_col),
+        *[F.col(a) for a in attrs],
     )
     tail = seed.unionByName(
         changes.select(
-            *key_cols, ts_col, F.lit(1).alias("_seq"), *tb, attr_col
+            *key_cols, ts_col, F.lit(1).alias("_seq"), *tb, *attrs
         )
     )
-    rebuilt = scd2_build(tail, key_cols, ts_col, attr_col, tiebreak_cols=["_seq", *tb])
+    rebuilt = scd2_build(tail, key_cols, ts_col, attrs, tiebreak_cols=["_seq", *tb])
     return (
         untouched.select(*out_cols)
         .unionByName(closed.select(*out_cols))

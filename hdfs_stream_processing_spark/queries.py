@@ -1677,6 +1677,40 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scd2_multi",
+    """WITH ordered AS (
+         SELECT user_id, ts, event_id, event_type, value,
+                lag(event_type) OVER w AS prev_type,
+                lag(value) OVER w AS prev_value,
+                row_number() OVER w AS rn
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       vers AS (
+         SELECT user_id, ts, event_id, event_type, value FROM ordered
+         WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type
+                      OR value IS DISTINCT FROM prev_value)
+       SELECT user_id, event_type, value,
+              ts AS valid_from,
+              lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+              lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+       FROM vers""",
+)
+def q_scd2_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-attribute SCD2 (r6): a version opens when ANY tracked
+    column changes — the shape every real dimension table needs (a
+    customer's segment OR region change both cut a new version).  Same
+    one-shuffle window plan as the single-attribute build; change
+    detection is the null-safe OR across tracked columns."""
+    from hdfs_stream_processing_spark.operators.incremental import scd2_build
+
+    (events,) = prep(spark, sf_dir, "events")
+    return scd2_build(
+        events, ["user_id"], "ts", ["event_type", "value"],
+        tiebreak_cols=["event_id"],
+    ).drop("event_id")
+
+
+@query(
     "snapshot_diff",
     """WITH o AS (SELECT user_id, event_type, value FROM (
            SELECT user_id, event_type, value,

@@ -83,6 +83,33 @@ def test_scd2_merge_equals_rebuild(spark):
     assert sorted(merged.collect(), key=key) == sorted(rebuilt.collect(), key=key)
 
 
+def test_scd2_multi_attribute_and_merge(spark):
+    """Multi-attribute SCD2: a version opens when ANY tracked column
+    changes (null-safe per column), all tracked columns ride along,
+    and scd2_merge over a later batch equals the full rebuild."""
+    to_df = lambda rs: spark.createDataFrame(  # noqa: E731
+        rs, "k long, t long, a string, b double"
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "a", "b")
+    rows = [(1, 10, "x", 1.0), (1, 20, "x", 1.0),   # repeat suppressed
+            (1, 30, "x", 2.0),                      # b changed -> new version
+            (1, 40, None, 2.0)]                     # a -> NULL: real change
+    hist = scd2_build(to_df(rows), ["k"], "ts", ["a", "b"]).collect()
+    vs = sorted(hist, key=lambda r: r["valid_from"])
+    assert [(r["a"], r["b"]) for r in vs] == [("x", 1.0), ("x", 2.0), (None, 2.0)]
+    assert [r["is_current"] for r in vs] == [False, False, True]
+
+    batch = [(1, 50, None, 2.0),    # both equal open version: suppressed
+             (1, 60, "y", 2.0),     # a changed
+             (2, 55, "new", 9.0)]   # new key
+    merged = scd2_merge(
+        scd2_build(to_df(rows), ["k"], "ts", ["a", "b"]),
+        to_df(batch), ["k"], "ts", ["a", "b"],
+    )
+    rebuilt = scd2_build(to_df(rows + batch), ["k"], "ts", ["a", "b"])
+    key = lambda r: (r["k"], r["valid_from"])  # noqa: E731
+    assert sorted(merged.collect(), key=key) == sorted(rebuilt.collect(), key=key)
+
+
 def test_scd2_null_transitions(spark):
     """ADVICE r5: value→NULL is a real change, consecutive NULLs are
     suppressed like any repeat, and a NULL-attr first row opens a

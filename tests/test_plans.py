@@ -151,6 +151,7 @@ SHUFFLE_BUDGETS = {
     # referenced 3x (untouched/closed/seed) and the change-key distinct
     # 2x; ReuseExchange materializes each ONCE at runtime.
     "scd2_merge": 7,
+    "scd2_multi": 1,       # same one-shuffle window plan as scd2_build
     "ann_recall": 5,       # exact window + ivf cell join/window + overlap join/agg
     "dedup_clusters": 1,   # loop rounds checkpointed; one final label agg
 }
