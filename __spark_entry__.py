@@ -48,7 +48,8 @@ _VERIFY_FIRST = [
     "cdc_apply", "scd2_build", "snapshot_diff", "skew_join",
     "dq_checks", "stream_dq",
     # new round-6 registrations:
-    "scd2_merge", "stream_cdc", "ann_recall",
+    "scd2_merge", "scd2_multi", "stream_cdc", "ann_recall",
+    "grouping_sets",
     # implementation changed in round 6 — re-earn driver rows:
     "dedup_clusters", "dedup_keep",
     # longest-stale padding to exactly 50 (last driver-green r2-r4):
@@ -61,8 +62,7 @@ _VERIFY_FIRST = [
     "range_join", "pivot_wide", "unpivot_narrow", "fill_nulls",
     "regex_extract", "percentiles", "stream_wire_ingest",
     "stream_stream_join", "profile_table", "histogram", "sample_hash",
-    "sample_stratified", "minmax_by", "string_agg_sorted", "cube_agg",
-    "window_time_range",
+    "sample_stratified", "minmax_by", "string_agg_sorted",
 ]
 
 

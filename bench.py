@@ -110,6 +110,7 @@ HEADLINE = [
     # round 6 additions:
     "scd2_merge",                 # incremental SCD2 maintenance
     "scd2_multi",                 # multi-attribute SCD2 build
+    "grouping_sets",              # arbitrary multi-granularity Expand agg
     "stream_cdc",                 # foreachBatch tombstone upsert stream
     "ann_recall",                 # IVF recall@10 vs exact, oracle-hashed
 ]

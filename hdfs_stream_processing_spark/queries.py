@@ -581,6 +581,30 @@ def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "grouping_sets",
+    f"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               {sql_cents_sum('l_quantity', 'sum_qty')}
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (A4 beyond rollup/cube): per-flag totals,
+    per-status totals, and the grand total in ONE Expand + hash
+    aggregate pass — three aggregations for one scan instead of three
+    queries (the multi-granularity report every dashboard batch runs).
+    Uses the native DataFrame groupingSets API (Spark 4)."""
+    (lineitem,) = prep(spark, sf_dir, "lineitem")
+    return lineitem.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        cents_sum(F.col("l_quantity"), "sum_qty"),
+    )
+
+
 # ========================================================================
 # §2.7 window functions
 # ========================================================================
@@ -3318,7 +3342,9 @@ def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     src_dir, schema = _stage_events(spark, sf_dir)
-    stream = stream_parquet_source(spark, src_dir, schema, max_files_per_trigger=1)
+    # 2 files per trigger -> 2 micro-batches: still exercises the
+    # cross-batch merge (pytest covers 1-file batches + replay)
+    stream = stream_parquet_source(spark, src_dir, schema, max_files_per_trigger=2)
     log = stream.select(
         "user_id", "ts", "event_id", "event_type", "value",
         F.when(F.col("event_type") == "error", F.lit("D"))

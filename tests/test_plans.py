@@ -152,6 +152,7 @@ SHUFFLE_BUDGETS = {
     # 2x; ReuseExchange materializes each ONCE at runtime.
     "scd2_merge": 7,
     "scd2_multi": 1,       # same one-shuffle window plan as scd2_build
+    "grouping_sets": 1,    # one Expand + partial/final hash agg
     "ann_recall": 5,       # exact window + ivf cell join/window + overlap join/agg
     "dedup_clusters": 1,   # loop rounds checkpointed; one final label agg
 }
