@@ -111,6 +111,7 @@ HEADLINE = [
     "scd2_merge",                 # incremental SCD2 maintenance
     "scd2_multi",                 # multi-attribute SCD2 build
     "grouping_sets",              # arbitrary multi-granularity Expand agg
+    "stream_enrich",              # stream-static broadcast dim lookup
     "stream_cdc",                 # foreachBatch tombstone upsert stream
     "ann_recall",                 # IVF recall@10 vs exact, oracle-hashed
 ]

@@ -3365,6 +3365,33 @@ def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_enrich",
+    """SELECT e.event_id, e.user_id, c.c_mktsegment, e.value
+       FROM events e JOIN customer c ON e.user_id = c.c_custkey""",
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (ST × J1): the event stream joins the
+    static customer dimension per micro-batch — the broadcast-hash-join
+    lookup every streaming pipeline bolts onto its facts.  No state
+    store and no watermark needed (the static side is re-read per
+    trigger, broadcast under the autoBroadcast threshold); the result
+    must equal the batch join row-for-row."""
+    from hdfs_stream_processing_spark.streaming import (
+        run_to_memory,
+        stream_parquet_source,
+    )
+
+    src_dir, schema = _stage_events(spark, sf_dir)
+    stream = stream_parquet_source(spark, src_dir, schema)
+    (customer,) = prep(spark, sf_dir, "customer")
+    dim = customer.select("c_custkey", "c_mktsegment")
+    enriched = stream.join(
+        F.broadcast(dim), stream["user_id"] == dim["c_custkey"], "inner"
+    ).select("event_id", "user_id", "c_mktsegment", "value")
+    return run_to_memory(enriched)
+
+
+@query(
     "gapfill_locf",
     """WITH obs AS (
          SELECT event_type, date_trunc('hour', ts) AS bucket,
