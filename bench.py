@@ -228,6 +228,12 @@ def main() -> None:
     spread: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         fn = Q.QUERIES[name]
+        # one unrecorded warm-up execution per query: the first run of a
+        # plan pays Janino/codegen compilation and file-index first-touch
+        # — measuring it would make `spread` a compile-cost metric, not a
+        # plan-stability one (mins/medians of the recorded runs are what
+        # the round-over-round compare uses either way)
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         runs: list[float] = []
         for _ in range(n_runs):
             t0 = time.time()

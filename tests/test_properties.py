@@ -75,3 +75,60 @@ def test_jaccard_bounds_and_symmetry(spark, texts):
     for r in out:
         assert 0.0 < r["jaccard"] <= 1.0
         assert r["id_a"] < r["id_b"]
+
+
+CHANGE_LOGS = st.lists(
+    st.tuples(
+        st.integers(1, 4),              # key
+        st.integers(1, 40),             # seq (may collide -> tiebreak)
+        st.sampled_from(["a", "b", None]),  # attr
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(CHANGE_LOGS, st.integers(10, 30))
+def test_scd2_merge_equals_rebuild_any_log(spark, log, cutoff):
+    """For ANY change log and ANY in-order batch boundary, merging the
+    post-cutoff tail into the SCD2 table built from the head equals the
+    full rebuild (r6 scd2_merge contract, null attrs included)."""
+    from hdfs_stream_processing_spark.operators.incremental import (
+        scd2_build,
+        scd2_merge,
+    )
+
+    rows = [(k, s, i, a) for i, (k, s, a) in enumerate(log)]  # unique tiebreak
+    to_df = lambda rs: spark.createDataFrame(  # noqa: E731
+        rs, "k long, t long, i long, attr string"
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "i", "attr")
+    head = [r for r in rows if r[1] < cutoff]
+    tail = [r for r in rows if r[1] >= cutoff]
+    rebuilt = scd2_build(to_df(rows), ["k"], "ts", "attr", tiebreak_cols=["i"])
+    if not head or not tail:
+        return  # nothing to merge across the boundary
+    merged = scd2_merge(
+        scd2_build(to_df(head), ["k"], "ts", "attr", tiebreak_cols=["i"]),
+        to_df(tail), ["k"], "ts", "attr", tiebreak_cols=["i"],
+    )
+    key = lambda r: (r["k"], r["valid_from"], str(r["attr"]))  # noqa: E731
+    assert sorted(merged.collect(), key=key) == sorted(rebuilt.collect(), key=key)
+
+
+@settings(max_examples=8, deadline=None)
+@given(CHANGE_LOGS)
+def test_cdc_apply_matches_python_fold(spark, log):
+    """cdc_apply equals a trivial driver-side latest-wins fold for ANY
+    log: per key, highest (seq, idx) wins; delete winners vanish."""
+    from hdfs_stream_processing_spark.operators.incremental import cdc_apply
+
+    rows = [(k, s, i, a, "D" if a is None else "U") for i, (k, s, a) in enumerate(log)]
+    df = spark.createDataFrame(rows, "k long, seq long, i long, attr string, op string")
+    got = {r["k"]: r["attr"] for r in cdc_apply(df, ["k"], ["seq", "i"], "op").collect()}
+    best = {}
+    for k, s, i, a, op in rows:
+        if k not in best or (s, i) > best[k][:2]:
+            best[k] = (s, i, a, op)
+    want = {k: v[2] for k, v in best.items() if v[3] != "D"}
+    assert got == want
