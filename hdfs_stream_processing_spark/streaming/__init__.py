@@ -3,6 +3,7 @@ streaming parse → classify → HDFS/Parquet sink with checkpointing.
 """
 
 from hdfs_stream_processing_spark.streaming.pipeline import (  # noqa: F401
+    cdc_merge_batch,
     classify_movement,
     enable_rocksdb_state,
     restore_confs,

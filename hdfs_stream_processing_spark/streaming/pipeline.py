@@ -454,55 +454,77 @@ def run_stream_cdc(
     the table), one dynamic partition overwrite.  History outside the
     touched partitions is never read or written.
     """
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        cdc_merge_batch(
+            batch_df, target_dir, key_cols, order_cols, op_col, part_col, delete_op
+        )
+
+    run_foreach_batch(df, merge, checkpoint_dir)
+
+
+def cdc_merge_batch(
+    batch_df: DataFrame,
+    target_dir: str,
+    key_cols: list[str],
+    order_cols: list[str],
+    op_col: str,
+    part_col: str,
+    delete_op: str = "D",
+) -> None:
+    """One CDC merge step (the body :func:`run_stream_cdc` runs per
+    micro-batch, public so batch backfills can reuse it and tests can
+    drive arbitrary batch splits): reduce the batch to per-key winners,
+    merge against the touched partitions of the target with global
+    latest-wins on ``order_cols``, persist winning deletes as
+    tombstones.  Applying any in-order partition of a log through this
+    function leaves the same table as applying it in one call — the
+    batch-split-invariance contract (property-tested)."""
     from pyspark.sql import Window
 
     from hdfs_stream_processing_spark.sources.io import parquet_table_exists
 
-    def merge(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        wb = Window.partitionBy(*key_cols).orderBy(
-            *[F.col(c).desc() for c in order_cols]
+    spark = batch_df.sparkSession
+    wb = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    winner = (
+        batch_df.withColumn("_op", F.col(op_col))
+        .withColumn("_rn", F.row_number().over(wb))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if parquet_table_exists(spark, target_dir):
+        parts = [r[0] for r in winner.select(part_col).distinct().collect()]
+        current = (
+            spark.read.parquet(target_dir)
+            .where(F.col(part_col).isin(parts))
+            .withColumn(
+                "_op",
+                F.when(F.col("_tombstone"), F.lit(delete_op)).otherwise(
+                    F.lit("\x00upsert")
+                ),
+            )
+            .drop("_tombstone")
+            .withColumn("_src", F.lit(0))
+        )
+        merged = current.unionByName(winner.withColumn("_src", F.lit(1)))
+        wm = Window.partitionBy(*key_cols).orderBy(
+            *[F.col(c).desc() for c in order_cols], F.col("_src").desc()
         )
         winner = (
-            batch_df.withColumn("_op", F.col(op_col))
-            .withColumn("_rn", F.row_number().over(wb))
+            merged.withColumn("_rn", F.row_number().over(wm))
             .where(F.col("_rn") == 1)
-            .drop("_rn")
+            .drop("_rn", "_src")
         )
-        if parquet_table_exists(spark, target_dir):
-            parts = [r[0] for r in winner.select(part_col).distinct().collect()]
-            current = (
-                spark.read.parquet(target_dir)
-                .where(F.col(part_col).isin(parts))
-                .withColumn(
-                    "_op",
-                    F.when(F.col("_tombstone"), F.lit(delete_op)).otherwise(
-                        F.lit("\x00upsert")
-                    ),
-                )
-                .drop("_tombstone")
-                .withColumn("_src", F.lit(0))
-            )
-            merged = current.unionByName(winner.withColumn("_src", F.lit(1)))
-            wm = Window.partitionBy(*key_cols).orderBy(
-                *[F.col(c).desc() for c in order_cols], F.col("_src").desc()
-            )
-            winner = (
-                merged.withColumn("_rn", F.row_number().over(wm))
-                .where(F.col("_rn") == 1)
-                .drop("_rn", "_src")
-            )
-        out = winner.withColumn(
-            "_tombstone", F.col("_op") == F.lit(delete_op)
-        ).drop("_op")
-        (
-            out.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(part_col)
-            .parquet(target_dir)
-        )
-
-    run_foreach_batch(df, merge, checkpoint_dir)
+    out = winner.withColumn(
+        "_tombstone", F.col("_op") == F.lit(delete_op)
+    ).drop("_op")
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(part_col)
+        .parquet(target_dir)
+    )
 
 
 def read_cdc_snapshot(spark: SparkSession, target_dir: str) -> DataFrame:

@@ -132,3 +132,50 @@ def test_cdc_apply_matches_python_fold(spark, log):
             best[k] = (s, i, a, op)
     want = {k: v[2] for k, v in best.items() if v[3] != "D"}
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    log=CHANGE_LOGS,
+    chunk_sizes=st.lists(st.integers(1, 5), min_size=1, max_size=8),
+)
+def test_cdc_batch_split_invariance(spark, tmp_path_factory, log, chunk_sizes):
+    """Applying a change log through cdc_merge_batch in ANY batch split
+    — including out-of-order arrivals across batches — leaves the same
+    live snapshot as the one-shot batch cdc_apply over the whole log:
+    latest-wins is content-based and tombstones keep winning deletes
+    effective against stragglers."""
+    import shutil
+
+    from hdfs_stream_processing_spark.operators.incremental import cdc_apply
+    from hdfs_stream_processing_spark.streaming.pipeline import (
+        cdc_merge_batch,
+        read_cdc_snapshot,
+    )
+
+    rows = [
+        (k, s, i, a, "D" if a is None else "U", k % 2)
+        for i, (k, s, a) in enumerate(log)
+    ]
+    schema = "k long, seq long, i long, attr string, op string, bucket int"
+    # chunk the log in GENERATION order (seq values are arbitrary, so
+    # batches arrive out of order relative to the change sequence)
+    batches, idx, j = [], 0, 0
+    while idx < len(rows):
+        size = chunk_sizes[j % len(chunk_sizes)]
+        batches.append(rows[idx : idx + size])
+        idx, j = idx + size, j + 1
+
+    target = str(tmp_path_factory.mktemp("cdc_prop"))
+    shutil.rmtree(target)  # cdc_merge_batch bootstraps a fresh table
+    for b in batches:
+        cdc_merge_batch(
+            spark.createDataFrame(b, schema), target,
+            ["k"], ["seq", "i"], "op", "bucket",
+        )
+    got = {r["k"]: r["attr"] for r in read_cdc_snapshot(spark, target).collect()}
+    want_df = cdc_apply(
+        spark.createDataFrame(rows, schema), ["k"], ["seq", "i"], "op"
+    )
+    want = {r["k"]: r["attr"] for r in want_df.collect()}
+    assert got == want
