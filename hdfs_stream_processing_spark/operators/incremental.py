@@ -137,6 +137,11 @@ def scd2_merge(
     Scale: the change-key set (day-sized) broadcasts into semi/anti
     joins against the existing table — a map-side scan, no shuffle of
     history; the one window shuffle is sized by seed + batch rows only.
+
+    Key columns must be non-null: a NULL key never equi-joins, so its
+    existing history can neither be claimed as touched nor passed
+    through consistently with a full rebuild (same contract as
+    :func:`snapshot_diff` documents for its join keys).
     """
     tb = tiebreak_cols or []
     attrs = [attr_col] if isinstance(attr_col, str) else list(attr_col)
