@@ -49,7 +49,7 @@ _VERIFY_FIRST = [
     "dq_checks", "stream_dq",
     # new round-6 registrations:
     "scd2_merge", "scd2_multi", "stream_cdc", "ann_recall",
-    "grouping_sets", "stream_enrich",
+    "grouping_sets", "stream_enrich", "schema_evolution",
     # implementation changed in round 6 — re-earn driver rows:
     "dedup_clusters", "dedup_keep",
     # longest-stale padding to exactly 50 (last driver-green r2-r4):
@@ -62,7 +62,7 @@ _VERIFY_FIRST = [
     "range_join", "pivot_wide", "unpivot_narrow", "fill_nulls",
     "regex_extract", "percentiles", "stream_wire_ingest",
     "stream_stream_join", "profile_table", "histogram", "sample_hash",
-    "sample_stratified", "minmax_by",
+    "sample_stratified",
 ]
 
 

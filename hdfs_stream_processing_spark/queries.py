@@ -3365,6 +3365,37 @@ def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "schema_evolution",
+    """SELECT event_id, user_id, value,
+              CASE WHEN event_id % 2 = 1 THEN event_type END AS event_type
+       FROM events""",
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a parquet table (S-surface beyond the
+    reference): files written BEFORE a column existed coexist with
+    files written after — ``mergeSchema`` unions the file schemas and
+    old files surface the new column as NULL.  Even-id rows are staged
+    without ``event_type`` (the 'old' files), odd-id rows with it; the
+    oracle mirrors that split over the base table.  This is the
+    append-only reality of a years-deep lake: adding a column must not
+    require rewriting history."""
+    (events,) = prep(spark, sf_dir, "events")
+    stage = _mkdtemp("hsp_evolve_", memo_key=sf_dir)
+    import os as _os
+
+    if not _os.path.exists(_os.path.join(stage, "_staged")):
+        base = events.select("event_id", "user_id", "value", "event_type")
+        old = base.where(F.col("event_id") % 2 == 0).drop("event_type")
+        new = base.where(F.col("event_id") % 2 == 1)
+        old.write.mode("append").parquet(stage)
+        new.write.mode("append").parquet(stage)
+        open(_os.path.join(stage, "_staged"), "w").close()
+    return spark.read.option("mergeSchema", "true").parquet(stage).select(
+        "event_id", "user_id", "value", "event_type"
+    )
+
+
+@query(
     "stream_enrich",
     """SELECT e.event_id, e.user_id, c.c_mktsegment, e.value
        FROM events e JOIN customer c ON e.user_id = c.c_custkey""",
