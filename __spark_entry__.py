@@ -50,6 +50,7 @@ _VERIFY_FIRST = [
     # new round-6 registrations:
     "scd2_merge", "scd2_multi", "stream_cdc", "ann_recall",
     "grouping_sets", "stream_enrich", "schema_evolution",
+    "pit_join", "seq_pack", "incr_dedup", "stream_join_outer",
     # implementation changed in round 6 — re-earn driver rows:
     "dedup_clusters", "dedup_keep",
     # longest-stale padding to exactly 50 (last driver-green r2-r4):
@@ -61,8 +62,7 @@ _VERIFY_FIRST = [
     "session_agg", "time_rollup", "salted_agg", "asof_join",
     "range_join", "pivot_wide", "unpivot_narrow", "fill_nulls",
     "regex_extract", "percentiles", "stream_wire_ingest",
-    "stream_stream_join", "profile_table", "histogram", "sample_hash",
-    "sample_stratified",
+    "stream_stream_join",
 ]
 
 

@@ -114,6 +114,10 @@ HEADLINE = [
     "stream_enrich",              # stream-static broadcast dim lookup
     "stream_cdc",                 # foreachBatch tombstone upsert stream
     "ann_recall",                 # IVF recall@10 vs exact, oracle-hashed
+    "pit_join",                   # point-in-time SCD2 lookup, 1 shuffle
+    "seq_pack",                   # concat-and-split sequence packing
+    "incr_dedup",                 # batch-vs-corpus anti-join dedup
+    "stream_join_outer",          # leftOuter interval join w/ eviction
 ]
 
 

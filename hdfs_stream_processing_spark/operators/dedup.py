@@ -42,6 +42,37 @@ def dedup_exact(df: DataFrame, keys: list[str], order: list[Column]) -> DataFram
     )
 
 
+def dedup_incremental(
+    batch: DataFrame,
+    existing_keys: DataFrame,
+    keys: list[str],
+    order: list[Column],
+) -> DataFrame:
+    """Deduplicate a NEW batch against an already-deduplicated corpus —
+    the form dedup actually takes in a continuously-ingesting 100 TB
+    pipeline, where re-deduplicating the whole corpus per crawl is off
+    the table.  A recrawled page (same content hash, new doc id) is
+    dropped because the corpus already has it; duplicates WITHIN the
+    batch collapse to one deterministic survivor, same contract as
+    :func:`dedup_exact`.
+
+    ``existing_keys`` is the corpus's dedup-key projection (e.g. a
+    maintained ``md5(text)`` column table) — at scale a tiny fraction
+    of corpus bytes, bucketed on the key so the anti-join below never
+    re-shuffles it.
+
+    Two key-hash operations sized by the BATCH, not the corpus: a
+    left-anti equi-join against ``existing_keys`` and the in-batch
+    survivor window.  Catalyst shares one exchange for both (the
+    window's partitioning equals the join key), and a day-sized key set
+    broadcasts the anti-join entirely map-side.
+    """
+    fresh = batch.join(
+        existing_keys.select(*keys).distinct(), keys, "left_anti"
+    )
+    return dedup_exact(fresh, keys, order)
+
+
 def md5_hash64(col: Column, seed: int) -> Column:
     """Deterministic 32-bit hash from md5 — engine-portable (md5 is
     byte-identical in Spark, DuckDB, and every other engine; Spark's

@@ -23,7 +23,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cdc_apply", "scd2_build", "scd2_merge", "snapshot_diff"]
+__all__ = [
+    "cdc_apply",
+    "pit_join",
+    "rollup_merge",
+    "scd2_build",
+    "scd2_merge",
+    "snapshot_diff",
+]
 
 
 def cdc_apply(
@@ -171,6 +178,81 @@ def scd2_merge(
         .unionByName(closed.select(*out_cols))
         .unionByName(rebuilt.select(*out_cols))
     )
+
+
+def rollup_merge(
+    existing: DataFrame,
+    batch_partial: DataFrame,
+    keys: list[str],
+    merge_cols: list[str],
+) -> DataFrame:
+    """Merge a new batch's partial aggregate into an existing rollup
+    table — incremental view maintenance for additive aggregates, the
+    batch analog of the streaming ``run_continuous_rollup``.  Every
+    ``merge_cols`` column must be RE-AGGREGATABLE (counts, integer-cent
+    sums, min/max as separate sums is on the caller): merged value =
+    sum of partials, so a day's load touches only batch-sized input and
+    the rollup table, never the 100 TB history.
+
+    Non-additive stats derive at READ time from additive parts — avg =
+    sum/count, variance from (n, Σx, Σx²) — which is why the table
+    stores sufficient statistics, not finished answers.
+
+    Scale: one union + one hash agg on the key — the merged table is
+    keyed-small (group cardinality, not event cardinality); both sides
+    partial-aggregate map-side before the single exchange.
+    """
+    return (
+        existing.select(*keys, *merge_cols)
+        .unionByName(batch_partial.select(*keys, *merge_cols))
+        .groupBy(*keys)
+        .agg(*[F.sum(c).alias(c) for c in merge_cols])
+    )
+
+
+def pit_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time join: enrich each fact row with the dimension
+    version that was valid AT the fact's timestamp —
+    ``valid_from <= ts < valid_to`` (open versions have NULL
+    ``valid_to``).  The feature-store / training-data op that prevents
+    label leakage: a model trained on January events must see each
+    user's January-era attributes, not today's.
+
+    Composes with :func:`scd2_build` / :func:`scd2_merge` output
+    directly.  Facts before a key's first version (or with no dimension
+    key at all) keep NULL attributes under ``how='left'``.
+
+    Scale: ONE equi-join shuffle on the key; the interval predicate
+    rides along as a join residual, and because SCD2 intervals are
+    DISJOINT per key each fact matches at most one version — the output
+    never exceeds the fact count.  No range-explosion, no window over
+    the fact table.  A dimension small enough to broadcast makes the
+    whole thing map-side; history tables bucketed on the key join the
+    bucketed fact with zero exchange.
+    """
+    f, d = facts.alias("f"), dim.alias("d")
+    cond = None
+    for k in key_cols:
+        c = F.col(f"f.{k}") == F.col(f"d.{k}")
+        cond = c if cond is None else (cond & c)
+    ts = F.col(f"f.{ts_col}")
+    cond = (
+        cond
+        & (ts >= F.col(f"d.{valid_from}"))
+        & (F.col(f"d.{valid_to}").isNull() | (ts < F.col(f"d.{valid_to}")))
+    )
+    out = f.join(d, on=cond, how=how)
+    for k in key_cols:
+        out = out.drop(F.col(f"d.{k}"))
+    return out
 
 
 def snapshot_diff(

@@ -37,6 +37,7 @@ __all__ = [
     "redact_pii",
     "decontaminate",
     "mix_sources",
+    "pack_sequences",
     "resample_sources",
     "shard_assign",
     "repetition_stats",
@@ -273,6 +274,62 @@ def shard_assign(
     )
     w = Window.partitionBy("shard_id").orderBy(F.col("_ord"), F.col(key_col))
     return out.withColumn("pos", F.row_number().over(w)).drop("_ord")
+
+
+def pack_sequences(
+    df: DataFrame,
+    key_col: str,
+    tokens_col: str,
+    capacity: int,
+    n_shards: int,
+    seed: str = "s0",
+) -> DataFrame:
+    """GPT-style sequence packing: lay the corpus out as fixed-length
+    training sequences.  Documents are concatenated in a deterministic
+    seed-dependent order and the token stream is cut every ``capacity``
+    tokens — documents cross sequence boundaries (the standard
+    concat-and-split packing used for pre-training, not bin-packing
+    with padding).  Each document gets the coordinates a data loader
+    needs to place it: which shard, which sequence its first token
+    lands in (``seq_id``), and the offset of that token within the
+    sequence (``seq_off``).
+
+    Output adds ``shard_id``, ``pos`` (document order within the
+    shard), ``seq_id``, ``seq_off``.
+
+    Scale: ONE shuffle — the same hash-shard exchange as
+    :func:`shard_assign`; the running token total is a window sum over
+    the identical partitioning, so Catalyst plans no second exchange.
+    The cumulative sum per shard is sequential, which is exactly why
+    packing shards FIRST matters: 100 TB packs as n_shards independent
+    prefix sums instead of one global one (a global cumulative sum
+    would need a range repartition).  Deterministic md5 ordering means
+    a retry or engine change reproduces byte-identical sequence
+    layouts.
+    """
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    ordh = F.md5(F.concat_ws("|", F.lit(seed), F.col(key_col).cast("string")))
+    out = df.withColumn("_ord", ordh).withColumn(
+        "shard_id",
+        F.conv(F.substring(F.col("_ord"), 1, 8), 16, 10).cast("long")
+        % F.lit(n_shards),
+    )
+    w = Window.partitionBy("shard_id").orderBy(F.col("_ord"), F.col(key_col))
+    cum_prior = F.coalesce(
+        F.sum(F.col(tokens_col)).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    ).cast("long")
+    return (
+        out.withColumn("pos", F.row_number().over(w))
+        .withColumn("seq_id", F.floor(cum_prior / F.lit(capacity)))
+        .withColumn("seq_off", cum_prior % F.lit(capacity))
+        .drop("_ord")
+    )
 
 
 def repetition_stats(

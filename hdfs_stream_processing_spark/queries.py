@@ -3860,3 +3860,223 @@ def q_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = F.round(F.col("l_quantity"), 0).cast("long")
     y = F.round(F.col("l_extendedprice"), 0).cast("long")
     return corr_exact(lineitem, ["l_returnflag"], x, y)
+
+
+# ========================================================================
+# Round 6 (cont.): point-in-time join, sequence packing, incremental
+# dedup, outer stream-stream join
+# ========================================================================
+
+
+@query(
+    "pit_join",
+    """WITH ordered AS (
+         SELECT user_id, ts, event_id, event_type,
+                lag(event_type) OVER w AS prev_type,
+                row_number() OVER w AS rn
+         FROM events WHERE event_type <> 'purchase'
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       vers AS (
+         SELECT user_id, ts, event_id, event_type FROM ordered
+         WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type),
+       dim AS (
+         SELECT user_id, event_type,
+                ts AS valid_from,
+                lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+         FROM vers)
+       SELECT f.event_id, f.user_id, f.ts, f.value,
+              d.event_type AS dim_type, d.valid_from AS dim_since
+       FROM events f LEFT JOIN dim d
+         ON f.user_id = d.user_id
+        AND f.ts >= d.valid_from
+        AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+       WHERE f.event_type = 'purchase'""",
+)
+def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join (r6): each purchase enriched with the user's
+    SCD2 state AS OF the purchase timestamp — the feature-store lookup
+    that prevents label leakage (a January purchase must see the user's
+    January-era attribute, not the latest).  Dimension = event_type
+    history over non-purchase events; ONE equi-join shuffle, the
+    interval predicate rides as a residual, and disjoint versions mean
+    at most one match per fact."""
+    from hdfs_stream_processing_spark.operators.incremental import (
+        pit_join,
+        scd2_build,
+    )
+
+    (events,) = prep(spark, sf_dir, "events")
+    dim = scd2_build(
+        events.where(F.col("event_type") != "purchase"),
+        ["user_id"], "ts", "event_type", tiebreak_cols=["event_id"],
+    ).select("user_id", "event_type", "valid_from", "valid_to")
+    facts = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return pit_join(facts, dim, ["user_id"], "ts").select(
+        F.col("f.event_id").alias("event_id"),
+        F.col("f.user_id").alias("user_id"),
+        F.col("f.ts").alias("ts"),
+        F.col("f.value").alias("value"),
+        F.col("d.event_type").alias("dim_type"),
+        F.col("d.valid_from").alias("dim_since"),
+    )
+
+
+@query(
+    "seq_pack",
+    """WITH t AS (
+         SELECT doc_id,
+                CAST(floor((length(text) + 3) / 4.0) AS BIGINT) AS n_tok,
+                md5('s0|' || CAST(doc_id AS VARCHAR)) AS ord
+         FROM documents),
+       s AS (
+         SELECT doc_id, n_tok, ord,
+                ('0x' || substr(ord, 1, 8))::UBIGINT::BIGINT % 4 AS shard_id
+         FROM t),
+       c AS (
+         SELECT doc_id, n_tok, shard_id,
+                CAST(row_number() OVER (PARTITION BY shard_id
+                     ORDER BY ord, doc_id) AS INT) AS pos,
+                COALESCE(SUM(n_tok) OVER (PARTITION BY shard_id
+                     ORDER BY ord, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         FROM s)
+       SELECT doc_id, n_tok, shard_id, pos,
+              CAST(floor(cum / 2048.0) AS BIGINT) AS seq_id,
+              cum % 2048 AS seq_off
+       FROM c""",
+)
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (r6): the corpus laid out as 2048-token
+    training sequences across 4 shards — concat-and-split in a
+    deterministic seeded order, each document stamped with the shard,
+    sequence id, and in-sequence offset of its first token.  ONE
+    shuffle: the shard exchange is shared by the position window and
+    the running token sum (per-shard prefix sums are the reason to
+    shard FIRST — a global cumulative sum would need a range
+    exchange)."""
+    from hdfs_stream_processing_spark.operators.llmdata import pack_sequences
+    from hdfs_stream_processing_spark.operators.text import token_count
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    toks = token_count(documents, "doc_id", "text").select(
+        "doc_id", F.col("n_tokens_est").alias("n_tok")
+    )
+    return pack_sequences(toks, "doc_id", "n_tok", capacity=2048, n_shards=4, seed="s0")
+
+
+@query(
+    "incr_dedup",
+    """WITH batch AS (
+         SELECT doc_id, source, text FROM documents WHERE doc_id > 250
+         UNION ALL
+         SELECT doc_id + 20000, source, text FROM documents
+         WHERE doc_id BETWEEN 201 AND 300
+         UNION ALL
+         SELECT doc_id + 10000, source, text FROM documents WHERE doc_id <= 100),
+       ex AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id <= 250),
+       fresh AS (
+         SELECT b.doc_id, b.source, md5(b.text) AS h FROM batch b
+         WHERE NOT EXISTS (SELECT 1 FROM ex WHERE ex.h = md5(b.text))),
+       ranked AS (
+         SELECT doc_id, source, h,
+                row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+         FROM fresh)
+       SELECT doc_id, source, h FROM ranked WHERE rn = 1""",
+)
+def q_incr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup (r6): a new crawl batch — fresh docs plus
+    recrawls of already-ingested pages under NEW doc ids — deduped
+    against the existing corpus's content-hash set without touching
+    corpus bytes.  Recrawls of ingested docs drop (anti-join); recrawls
+    colliding within the batch collapse to the min-id survivor.  At
+    100 TB this is THE dedup shape: per-batch work, corpus keys
+    bucketed, history never re-deduplicated."""
+    from hdfs_stream_processing_spark.operators.dedup import dedup_incremental
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    base = documents.select("doc_id", "source", "text")
+    batch = (
+        base.where(F.col("doc_id") > 250)
+        .unionByName(
+            base.where(F.col("doc_id").between(201, 300)).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(20000)
+            )
+        )
+        .unionByName(
+            base.where(F.col("doc_id") <= 100).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(10000)
+            )
+        )
+        .withColumn("h", F.md5(F.col("text")))
+    )
+    existing_keys = (
+        base.where(F.col("doc_id") <= 250).select(F.md5(F.col("text")).alias("h"))
+    )
+    out = dedup_incremental(batch, existing_keys, ["h"], [F.col("doc_id")])
+    return out.select("doc_id", "source", "h")
+
+
+@query(
+    "stream_join_outer",
+    """SELECT l.event_id, r.event_id AS r_event_id, l.user_id,
+              date_diff('microsecond', l.ts, r.ts) AS dt_us
+       FROM (SELECT * FROM events
+             WHERE event_type = 'click'
+               AND ts < TIMESTAMP '2024-01-25 00:00:00') l
+       LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+         ON l.user_id = r.user_id
+        AND abs(date_diff('microsecond', l.ts, r.ts)) <= 120000000""",
+)
+def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join (r6): clicks that DID
+    convert within ±120 s pair with their purchase; clicks that never
+    did emit with NULL right columns once the watermark proves no match
+    can arrive — the state store evicts and emits as the stream runs,
+    no daily batch join needed.  The analysis cutoff (clicks before
+    Jan 25) applies AFTER the watermark declaration, so the frontier
+    advances with the full stream and every kept click's eviction
+    bound is provably passed before the finite run ends."""
+    from hdfs_stream_processing_spark.streaming import (
+        run_to_memory,
+        stream_parquet_source,
+    )
+    from hdfs_stream_processing_spark.streaming.pipeline import (
+        stream_stream_interval_join,
+    )
+
+    src_dir, schema = _stage_events(spark, sf_dir)
+    clicks = (
+        stream_parquet_source(spark, src_dir, schema, max_files_per_trigger=2)
+        .where(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts")
+    )
+    purchases = (
+        stream_parquet_source(spark, src_dir, schema, max_files_per_trigger=2)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("r_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("r_ts"),
+        )
+    )
+    joined = stream_stream_interval_join(
+        clicks,
+        purchases,
+        "user_id",
+        left_ts="ts",
+        right_ts="r_ts",
+        max_gap_seconds=120,
+        watermark="1 minute",
+        how="leftOuter",
+        left_filter=F.col("ts") < F.lit("2024-01-25 00:00:00").cast("timestamp"),
+    )
+    with _conf_override(spark, "spark.sql.shuffle.partitions", "8"):
+        out = run_to_memory(joined)
+    return out.select(
+        "event_id",
+        F.col("r_id").alias("r_event_id"),
+        "user_id",
+        (F.unix_micros(F.col("r_ts")) - F.unix_micros(F.col("ts"))).alias("dt_us"),
+    )

@@ -245,19 +245,46 @@ def stream_stream_interval_join(
     right_ts: str = "ts",
     max_gap_seconds: int = 120,
     watermark: str = "10 minutes",
+    how: str = "inner",
+    left_filter: Column | None = None,
+    right_filter: Column | None = None,
 ) -> DataFrame:
-    """Stream-stream inner join with an event-time interval condition —
-    full Structured Streaming state machine: BOTH sides buffered in the
+    """Stream-stream join with an event-time interval condition — full
+    Structured Streaming state machine: BOTH sides buffered in the
     state store, watermarks bounding how long (without them the state
     grows forever; with them rows older than watermark+gap are evicted).
 
     Equality on ``key`` plus |right_ts − left_ts| ≤ gap.  With
     availableNow over a finite source the result equals the batch
     interval join — which is exactly how it is oracle-checked.
+
+    ``how='leftOuter'`` adds the never-matched left rows with NULL
+    right columns — e.g. clicks that never converted, emitted AS the
+    stream runs rather than by a daily batch join.  An outer row is
+    only provably match-free once the watermark passes its interval, so
+    emission trails the watermark; left rows closer than
+    ``watermark + gap`` to the stream's end are still pending when a
+    finite run terminates (bound the left side or keep the delay small
+    when comparing against a batch oracle).
+
+    ``left_filter`` / ``right_filter`` apply AFTER the watermark is
+    declared: the watermark then tracks the SOURCE's event-time
+    frontier, not the filtered subset's.  This matters for outer
+    emission — a predicate that caps the left side's event times (e.g.
+    "analyze clicks before Tuesday") would otherwise cap the global
+    watermark with it, and the last ``watermark + gap`` of kept rows
+    could never be proven match-free.  Filtering a watermarked stream
+    is the production shape: the frontier advances with the pipe, not
+    with the analyst's WHERE clause.
     """
     gap = f"INTERVAL {max_gap_seconds} SECONDS"
-    l = left.withWatermark(left_ts, watermark).alias("l")
-    r = right.withWatermark(right_ts, watermark).alias("r")
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    if left_filter is not None:
+        l = l.where(left_filter)
+    if right_filter is not None:
+        r = r.where(right_filter)
+    l, r = l.alias("l"), r.alias("r")
     cond = (
         (F.col(f"l.{key}") == F.col(f"r.{key}"))
         & (F.col(f"r.{right_ts}") >= F.expr(f"l.{left_ts} - {gap}"))
@@ -265,7 +292,7 @@ def stream_stream_interval_join(
     )
     # drop the right copy of the equi-key: downstream selects would hit
     # AMBIGUOUS_REFERENCE otherwise
-    return l.join(r, on=cond, how="inner").drop(F.col(f"r.{key}"))
+    return l.join(r, on=cond, how=how).drop(F.col(f"r.{key}"))
 
 
 def run_foreach_batch_compacting(

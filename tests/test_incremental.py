@@ -164,3 +164,50 @@ def test_snapshot_diff_statuses_and_nullsafe_compare(spark):
     assert out[3]["status"] == "changed" and out[3]["new_attr"] == "CHANGED"
     assert out[4]["status"] == "removed" and out[4]["new_attr"] is None
     assert out[5]["status"] == "added" and out[5]["old_attr"] is None
+
+
+def test_pit_join_picks_version_valid_at_fact_time(spark):
+    """Each fact matches the ONE dimension version whose interval
+    contains its timestamp; facts before the key's first version (or
+    with an unknown key) keep NULL attributes under how='left'."""
+    from hdfs_stream_processing_spark.operators.incremental import pit_join
+
+    dim = spark.createDataFrame(
+        [(1, "bronze", 10, 30), (1, "gold", 30, None), (2, "silver", 5, None)],
+        "k long, tier string, vf long, vt long",
+    ).select(
+        "k", "tier",
+        F.timestamp_seconds("vf").alias("valid_from"),
+        F.timestamp_seconds("vt").alias("valid_to"),
+    )
+    facts = spark.createDataFrame(
+        [(100, 1, 15), (101, 1, 30),   # boundary: valid_from is inclusive
+         (102, 1, 5),                  # before first version -> NULL
+         (103, 2, 99), (104, 9, 50)],  # open version; unknown key
+        "fid long, k long, t long",
+    ).select("fid", "k", F.timestamp_seconds("t").alias("ts"))
+    out = {
+        r["fid"]: r["tier"]
+        for r in pit_join(facts, dim, ["k"], "ts")
+        .select("f.fid", "d.tier").collect()
+    }
+    assert out == {100: "bronze", 101: "gold", 102: None, 103: "silver", 104: None}
+
+
+def test_pit_join_inner_drops_unmatched_and_never_duplicates(spark):
+    from hdfs_stream_processing_spark.operators.incremental import pit_join
+
+    dim = spark.createDataFrame(
+        [(1, "a", 0, 10), (1, "b", 10, None)],
+        "k long, attr string, vf long, vt long",
+    ).select(
+        "k", "attr",
+        F.timestamp_seconds("vf").alias("valid_from"),
+        F.timestamp_seconds("vt").alias("valid_to"),
+    )
+    facts = spark.createDataFrame(
+        [(1, 1, 5), (2, 1, 50), (3, 7, 5)], "fid long, k long, t long"
+    ).select("fid", "k", F.timestamp_seconds("t").alias("ts"))
+    out = pit_join(facts, dim, ["k"], "ts", how="inner").collect()
+    # disjoint versions: at most one match per fact, unmatched dropped
+    assert sorted((r["fid"], r["attr"]) for r in out) == [(1, "a"), (2, "b")]

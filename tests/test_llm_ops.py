@@ -716,3 +716,62 @@ def test_ivf_probe_join_path_parity_at_512_cells(spark):
     lit = ivf_topk(emb, nprobe=2, k=5, centroids=cents, max_literal_cells=1024).collect()
     assert sorted(map(tuple, join)) == sorted(map(tuple, lit))
     assert len(join) > 0
+
+
+def test_pack_sequences_prefix_sums_and_boundaries(spark):
+    """seq_id/seq_off are the concat-and-split coordinates: within each
+    shard (in pos order) the running prior-token total t satisfies
+    seq_id = t // capacity and seq_off = t % capacity, starting at
+    (0, 0)."""
+    from hdfs_stream_processing_spark.operators.llmdata import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 7 * (i % 5) + 1) for i in range(200)], "doc_id long, n_tok long"
+    )
+    out = pack_sequences(df, "doc_id", "n_tok", capacity=64, n_shards=3).collect()
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r["shard_id"], r["pos"])):
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    assert len(by_shard) == 3 and len(out) == 200
+    for rows in by_shard.values():
+        cum = 0
+        for i, r in enumerate(rows):
+            assert r["pos"] == i + 1
+            assert r["seq_id"] == cum // 64
+            assert r["seq_off"] == cum % 64
+            cum += r["n_tok"]
+
+
+def test_pack_sequences_deterministic_and_seed_sensitive(spark):
+    from hdfs_stream_processing_spark.operators.llmdata import pack_sequences
+
+    df = spark.createDataFrame([(i, 10) for i in range(100)], "doc_id long, n_tok long")
+    a = sorted(map(tuple, pack_sequences(df, "doc_id", "n_tok", 32, 4).collect()))
+    b = sorted(map(tuple, pack_sequences(df.repartition(7), "doc_id", "n_tok", 32, 4).collect()))
+    c = sorted(map(tuple, pack_sequences(df, "doc_id", "n_tok", 32, 4, seed="s1").collect()))
+    assert a == b          # partitioning-independent
+    assert a != c          # seed reshuffles the layout
+    import pytest
+    with pytest.raises(ValueError):
+        pack_sequences(df, "doc_id", "n_tok", 0, 4)
+    with pytest.raises(ValueError):
+        pack_sequences(df, "doc_id", "n_tok", 32, 0)
+
+
+def test_dedup_incremental_drops_known_keeps_fresh(spark):
+    """Recrawls of corpus content drop; in-batch duplicates collapse to
+    the min-id survivor; genuinely new docs survive untouched."""
+    from hdfs_stream_processing_spark.operators.dedup import dedup_incremental
+
+    existing = spark.createDataFrame([("h1",), ("h2",)], "h string")
+    batch = spark.createDataFrame(
+        [(10, "h1"),            # already in corpus -> dropped
+         (11, "h9"), (12, "h9"),  # in-batch dup -> 11 survives
+         (13, "h8")],           # fresh
+        "doc_id long, h string",
+    )
+    out = sorted(
+        (r["doc_id"], r["h"])
+        for r in dedup_incremental(batch, existing, ["h"], [F.col("doc_id")]).collect()
+    )
+    assert out == [(11, "h9"), (13, "h8")]

@@ -155,6 +155,11 @@ SHUFFLE_BUDGETS = {
     "grouping_sets": 1,    # one Expand + partial/final hash agg
     "ann_recall": 5,       # exact window + ivf cell join/window + overlap join/agg
     "dedup_clusters": 1,   # loop rounds checkpointed; one final label agg
+    "pit_join": 1,         # scd2 window; version join broadcasts
+    "seq_pack": 1,         # the shard exchange, shared by pos + prefix sum
+    # corpus keys are corpus-sized at scale (never broadcastable): key
+    # distinct + co-partitioned anti-join pair + survivor window
+    "incr_dedup": 4,
 }
 
 

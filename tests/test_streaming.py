@@ -505,3 +505,49 @@ def test_vacuum_cdc_tombstones(spark, tmp_path):
     assert os.path.exists(os.path.join(target, "bucket=1"))
     # a second vacuum is a no-op
     assert vacuum_cdc_tombstones(spark, target, "bucket", F.col("seq") < 5) == 0
+
+
+def test_stream_join_left_outer_emits_null_rows_after_watermark(spark, tmp_path):
+    """leftOuter stream-stream join: a left row with no match inside
+    ±gap emits with NULL right columns once the watermark passes its
+    eviction bound.  The analysis cutoff goes through ``left_filter``
+    (post-watermark) so the frontier advances with the SOURCE — a
+    filtered-out late frontier row still unlocks the outer emission."""
+    import datetime as dt
+
+    from hdfs_stream_processing_spark.streaming.pipeline import (
+        stream_stream_interval_join,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    lschema = "event_id bigint, user_id bigint, ts timestamp"
+    # data file first, frontier file second: two micro-batches, the
+    # frontier batch advances the watermark past the data rows' bounds
+    spark.createDataFrame(
+        [(1, 1, t(0)), (2, 2, t(1))], lschema
+    ).coalesce(1).write.mode("append").parquet(lsrc)
+    spark.createDataFrame(
+        [(3, 3, t(200))], lschema  # frontier row, excluded by left_filter
+    ).coalesce(1).write.mode("append").parquet(lsrc)
+    rschema = "r_id bigint, user_id bigint, r_ts timestamp"
+    spark.createDataFrame(
+        [(101, 1, t(1)), (999, 9, t(300))], rschema
+    ).coalesce(1).write.mode("append").parquet(rsrc)
+
+    mk = lambda p, s: spark.readStream.schema(s).option("maxFilesPerTrigger", 1).parquet(p)
+    joined = stream_stream_interval_join(
+        mk(lsrc, spark.createDataFrame([], lschema).schema),
+        mk(rsrc, spark.createDataFrame([], rschema).schema),
+        "user_id",
+        left_ts="ts",
+        right_ts="r_ts",
+        max_gap_seconds=120,
+        watermark="1 minute",
+        how="leftOuter",
+        left_filter=F.col("ts") < F.lit(t(100)),
+    )
+    out = {(r["event_id"], r["r_id"]) for r in run_to_memory(joined).collect()}
+    # click 1 converted; click 2 is a proven non-match (NULL right);
+    # frontier click 3 is filtered out of the analysis entirely
+    assert out == {(1, 101), (2, None)}
