@@ -118,6 +118,9 @@ HEADLINE = [
     "seq_pack",                   # concat-and-split sequence packing
     "incr_dedup",                 # batch-vs-corpus anti-join dedup
     "stream_join_outer",          # leftOuter interval join w/ eviction
+    "incr_rollup",                # additive partial-aggregate merge
+    "avg_yearly",                 # TPC-H Q17 decorrelated broadcast plan
+    "stream_pit",                 # stream-static SCD2 interval lookup
 ]
 
 

@@ -4080,3 +4080,162 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.unix_micros(F.col("r_ts")) - F.unix_micros(F.col("ts"))).alias("dt_us"),
     )
+
+
+@query(
+    "incr_rollup",
+    """SELECT event_type, CAST(ts AS DATE) AS day,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(round(value * 100.0, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value,
+              CAST(SUM(CAST(round(value * 100.0, 0) AS BIGINT)) AS DOUBLE) / 100.0
+                  / COUNT(*) AS avg_value
+       FROM events GROUP BY event_type, CAST(ts AS DATE)""",
+)
+def q_incr_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate-table maintenance (r6): the daily rollup is
+    maintained by merging the new day's PARTIAL aggregate into the
+    existing table — additive sufficient statistics (count, integer-
+    cent sum) re-aggregate exactly, and avg derives at read time.  The
+    oracle aggregates the whole table from scratch: the merge must be
+    bit-identical.  A day's load touches batch + rollup rows only —
+    history is never rescanned (the batch analog of the streaming
+    continuous_rollup)."""
+    from hdfs_stream_processing_spark.operators.incremental import rollup_merge
+
+    (events,) = prep(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-25 00:00:00").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        cents = F.round(F.col("value") * F.lit(100.0), 0).cast("long")
+        return df.groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        ).agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("cents"))
+
+    existing = partial(events.where(F.col("ts") < cutoff))
+    batch = partial(events.where(F.col("ts") >= cutoff))
+    merged = rollup_merge(existing, batch, ["event_type", "day"], ["n", "cents"])
+    return merged.select(
+        "event_type",
+        "day",
+        "n",
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("sum_value"),
+        (F.col("cents").cast("double") / F.lit(100.0) / F.col("n")).alias("avg_value"),
+    )
+
+
+@query(
+    "avg_yearly",
+    """WITH lim AS (
+         SELECT l_partkey,
+                0.2 * (CAST(SUM(CAST(round(l_quantity, 0) AS BIGINT)) AS DOUBLE)
+                       / COUNT(*)) AS qty_lim
+         FROM lineitem GROUP BY l_partkey),
+       brand AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23')
+       SELECT COUNT(*) AS n_small,
+              CAST(SUM(CAST(round(l.l_extendedprice * 100.0, 0) AS BIGINT)) AS DOUBLE)
+                  / 700.0 AS avg_yearly
+       FROM lineitem l
+       JOIN lim ON l.l_partkey = lim.l_partkey
+       JOIN brand ON l.l_partkey = brand.p_partkey
+       WHERE CAST(round(l.l_quantity, 0) AS BIGINT) < lim.qty_lim""",
+)
+def q_avg_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (correlated-subquery decorrelation): orders whose
+    quantity is under 20% of the part's average — the classic "small
+    lot" revenue probe.  Catalyst's decorrelated plan: ONE per-part
+    aggregate (keyed-small, broadcast back onto the fact scan) + the
+    brand dim broadcast — the 100 TB lineitem is scanned, never
+    shuffled.  Exact arithmetic throughout: integral quantities and
+    integer cents, one final division."""
+    (lineitem, part) = prep(spark, sf_dir, "lineitem", "part")
+    qty = F.round(F.col("l_quantity"), 0).cast("long")
+    lim = (
+        lineitem.groupBy("l_partkey")
+        .agg(
+            (
+                F.lit(0.2)
+                * (F.sum(qty).cast("double") / F.count(F.lit(1)))
+            ).alias("qty_lim")
+        )
+    )
+    brand = part.where(F.col("p_brand") == "Brand#23").select("p_partkey")
+    cents = F.round(F.col("l_extendedprice") * F.lit(100.0), 0).cast("long")
+    small = (
+        lineitem.withColumn("_qty", qty)
+        .join(F.broadcast(lim), "l_partkey")
+        .join(F.broadcast(brand), F.col("l_partkey") == F.col("p_partkey"))
+        .where(F.col("_qty") < F.col("qty_lim"))
+    )
+    return small.agg(
+        F.count(F.lit(1)).alias("n_small"),
+        (F.sum(cents).cast("double") / F.lit(700.0)).alias("avg_yearly"),
+    )
+
+
+@query(
+    "stream_pit",
+    """WITH ordered AS (
+         SELECT user_id, ts, event_id, event_type,
+                lag(event_type) OVER w AS prev_type,
+                row_number() OVER w AS rn
+         FROM events WHERE event_type <> 'purchase'
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       vers AS (
+         SELECT user_id, ts, event_id, event_type FROM ordered
+         WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type),
+       dim AS (
+         SELECT user_id, event_type,
+                ts AS valid_from,
+                lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+         FROM vers)
+       SELECT f.event_id, f.user_id, f.ts, f.value,
+              d.event_type AS dim_type, d.valid_from AS dim_since
+       FROM events f LEFT JOIN dim d
+         ON f.user_id = d.user_id
+        AND f.ts >= d.valid_from
+        AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+       WHERE f.event_type = 'purchase'""",
+)
+def q_stream_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment ON THE STREAM (r6): the purchase stream
+    left-joins the static SCD2 dimension with the interval residual —
+    stream-static joins are stateless, so each micro-batch enriches
+    map-side against the (broadcastable) dimension; same result as the
+    batch pit_join, proven by the same oracle."""
+    from hdfs_stream_processing_spark.operators.incremental import scd2_build
+    from hdfs_stream_processing_spark.streaming import (
+        run_to_memory,
+        stream_parquet_source,
+    )
+
+    src_dir, schema = _stage_events(spark, sf_dir)
+    (events,) = prep(spark, sf_dir, "events")
+    dim = scd2_build(
+        events.where(F.col("event_type") != "purchase"),
+        ["user_id"], "ts", "event_type", tiebreak_cols=["event_id"],
+    ).select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("dim_type"),
+        "valid_from",
+        "valid_to",
+    )
+    facts = (
+        stream_parquet_source(spark, src_dir, schema, max_files_per_trigger=2)
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "value")
+    )
+    cond = (
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+    )
+    joined = facts.join(F.broadcast(dim), cond, "left")
+    out = run_to_memory(joined)
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "dim_type",
+        F.col("valid_from").alias("dim_since"),
+    )

@@ -211,3 +211,23 @@ def test_pit_join_inner_drops_unmatched_and_never_duplicates(spark):
     out = pit_join(facts, dim, ["k"], "ts", how="inner").collect()
     # disjoint versions: at most one match per fact, unmatched dropped
     assert sorted((r["fid"], r["attr"]) for r in out) == [(1, "a"), (2, "b")]
+
+
+def test_rollup_merge_equals_full_rebuild_and_handles_new_keys(spark):
+    """Merging a batch's partial aggregate into the existing rollup must
+    equal aggregating everything from scratch — including keys only in
+    the batch, only in history, and present in both."""
+    from hdfs_stream_processing_spark.operators.incremental import rollup_merge
+
+    full = spark.createDataFrame(
+        [("a", 1, 10), ("a", 1, 20), ("b", 1, 5), ("a", 2, 7), ("c", 2, 9)],
+        "k string, day long, v long",
+    )
+    part = lambda df: df.groupBy("k", "day").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    )
+    existing = part(full.where("day = 1"))
+    merged = rollup_merge(existing, part(full.where("day = 2")), ["k", "day"], ["n", "s"])
+    got = sorted(map(tuple, merged.collect()))
+    want = sorted(map(tuple, part(full).collect()))
+    assert got == want

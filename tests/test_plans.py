@@ -160,6 +160,9 @@ SHUFFLE_BUDGETS = {
     # corpus keys are corpus-sized at scale (never broadcastable): key
     # distinct + co-partitioned anti-join pair + survivor window
     "incr_dedup": 4,
+    "incr_rollup": 2,      # two partial aggs; the merge reuses their keying
+    "avg_yearly": 2,       # per-part avg agg + final scalar reduce; fact
+                           # scan joins broadcast-only, never shuffles
 }
 
 
