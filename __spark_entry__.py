@@ -51,7 +51,7 @@ _VERIFY_FIRST = [
     "scd2_merge", "scd2_multi", "stream_cdc", "ann_recall",
     "grouping_sets", "stream_enrich", "schema_evolution",
     "pit_join", "seq_pack", "incr_dedup", "stream_join_outer",
-    "incr_rollup", "avg_yearly", "stream_pit",
+    "incr_rollup", "avg_yearly", "stream_pit", "dedup_near_incr",
     # implementation changed in round 6 — re-earn driver rows:
     "dedup_clusters", "dedup_keep",
     # longest-stale padding to exactly 50 (last driver-green r2-r4):
@@ -62,7 +62,6 @@ _VERIFY_FIRST = [
     "multimodal_meta", "stream_dedup", "stream_window_agg",
     "session_agg", "time_rollup", "salted_agg", "asof_join",
     "range_join", "pivot_wide", "unpivot_narrow", "fill_nulls",
-    "regex_extract",
 ]
 
 

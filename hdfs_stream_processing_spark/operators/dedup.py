@@ -73,6 +73,116 @@ def dedup_incremental(
     return dedup_exact(fresh, keys, order)
 
 
+def dedup_near_incremental(
+    batch: DataFrame,
+    corpus: DataFrame,
+    corpus_bands: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 2,
+    min_jaccard: float = 0.5,
+    verify_shingle_n: int = 1,
+) -> DataFrame:
+    """Near-duplicate dedup of a NEW batch against an existing corpus —
+    the incremental MinHash-LSH shape (:func:`dedup_incremental` is the
+    exact-hash analog).  The corpus maintains a band-hash table
+    (``corpus_bands``: id, band, band_hash — the output schema of
+    :func:`band_hashes`); each load:
+
+    1. signs the batch and equi-joins its bands against the corpus band
+       table → cross candidates (batch doc, corpus doc);
+    2. verifies candidates with exact shingle Jaccard, touching ONLY
+       the candidate corpus docs (semi-join point-reads, never corpus
+       bytes at large) — verified batch docs drop;
+    3. among the corpus-clean remainder, runs the usual within-batch
+       LSH → verify → connected-components → keep-component-min.
+
+    Survivors are the rows to append to the corpus (and their bands to
+    the band table) — history is never re-deduplicated.
+
+    Scale: every join is an equi-join on (band, band_hash) or on a
+    shingle among LSH-bounded candidates; the corpus-sized inputs
+    (bands, texts) are touched by semi-join only.  The one iterative
+    piece — components — runs on the within-batch verified pairs, a
+    batch-bounded graph.
+    """
+    sig = minhash_signature_wide(batch, id_col, text_col, num_hashes, shingle_n)
+    batch_bands = band_hashes(sig, id_col, num_hashes, band_size)
+    cross = (
+        batch_bands.select(F.col(id_col).alias("_bid"), "band", "band_hash")
+        .join(
+            corpus_bands.select(F.col(id_col).alias("_cid"), "band", "band_hash"),
+            ["band", "band_hash"],
+        )
+        .select("_bid", "_cid")
+        .distinct()
+    )
+    # bipartite exact-Jaccard verify over the candidates only
+    bsh = shingle_rows(
+        batch.join(
+            cross.select(F.col("_bid").alias(id_col)).distinct(), id_col, "left_semi"
+        ),
+        id_col,
+        text_col,
+        verify_shingle_n,
+    )
+    csh = shingle_rows(
+        corpus.join(
+            cross.select(F.col("_cid").alias(id_col)).distinct(), id_col, "left_semi"
+        ),
+        id_col,
+        text_col,
+        verify_shingle_n,
+    )
+    bsz = bsh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_bsz"))
+    csz = csh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_csz"))
+    inter = (
+        bsh.select(F.col(id_col).alias("_bid"), "shingle")
+        .join(csh.select(F.col(id_col).alias("_cid"), "shingle"), "shingle")
+        .groupBy("_bid", "_cid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .join(cross, ["_bid", "_cid"], "left_semi")
+    )
+    dup_bids = (
+        inter.join(bsz.select(F.col(id_col).alias("_bid"), "_bsz"), "_bid")
+        .join(csz.select(F.col(id_col).alias("_cid"), "_csz"), "_cid")
+        .where(
+            F.col("_n").cast("double")
+            / (F.col("_bsz") + F.col("_csz") - F.col("_n")).cast("double")
+            >= F.lit(min_jaccard)
+        )
+        .select(F.col("_bid").alias(id_col))
+        .distinct()
+        # materialize the (batch-bounded, id-only) drop set ONCE: the
+        # corpus-clean remainder is referenced by the within-batch LSH
+        # restriction, the Jaccard verify, and the survivor join, and
+        # each reference would otherwise re-execute the whole
+        # cross-verify subtree (same lineage-truncation precedent as
+        # connected_components' loop)
+        .localCheckpoint()
+    )
+    clean = batch.join(dup_bids, id_col, "left_anti")
+    # within-batch near-dups among the corpus-clean remainder
+    pairs = lsh_candidate_pairs(sig, id_col, num_hashes, band_size, wide=True)
+    clean_ids = clean.select(id_col)
+    pairs = pairs.join(
+        clean_ids.withColumnRenamed(id_col, "id_a"), "id_a", "left_semi"
+    ).join(clean_ids.withColumnRenamed(id_col, "id_b"), "id_b", "left_semi")
+    verified = jaccard_pairs(
+        clean, id_col, text_col, verify_shingle_n, min_jaccard, candidates=pairs
+    )
+    from hdfs_stream_processing_spark.operators.graph import connected_components
+
+    comp = connected_components(verified.select("id_a", "id_b"))
+    return (
+        clean.join(comp, clean[id_col] == comp["id"], "left")
+        .where(F.col("id").isNull() | (clean[id_col] == F.col("component")))
+        .drop("id", "component")
+    )
+
+
 def md5_hash64(col: Column, seed: int) -> Column:
     """Deterministic 32-bit hash from md5 — engine-portable (md5 is
     byte-identical in Spark, DuckDB, and every other engine; Spark's

@@ -4239,3 +4239,76 @@ def q_stream_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim_type",
         F.col("valid_from").alias("dim_since"),
     )
+
+
+@query(
+    "dedup_near_incr",
+    f"""{_PAIRS_SQL.replace("WITH RECURSIVE", "WITH RECURSIVE").replace("pairs AS", "all_pairs AS")},
+       cross_pairs AS (SELECT id_a AS cid, id_b AS bid FROM all_pairs
+                       WHERE id_a <= 250 AND id_b > 250),
+       wsh AS (SELECT DISTINCT doc_id, w FROM (
+                 SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+                 FROM documents)),
+       sz AS (SELECT doc_id, COUNT(*) AS sz FROM wsh GROUP BY doc_id),
+       cinter AS (SELECT p.cid, p.bid, COUNT(*) AS n
+                  FROM cross_pairs p
+                  JOIN wsh a ON a.doc_id = p.cid
+                  JOIN wsh b ON b.doc_id = p.bid AND b.w = a.w
+                  GROUP BY 1, 2),
+       cdup AS (SELECT DISTINCT ci.bid FROM cinter ci
+                JOIN sz sa ON sa.doc_id = ci.cid
+                JOIN sz sb ON sb.doc_id = ci.bid
+                WHERE CAST(ci.n AS DOUBLE) / (sa.sz + sb.sz - ci.n) >= 0.5),
+       clean AS (SELECT doc_id, lang, source FROM documents
+                 WHERE doc_id > 250 AND doc_id NOT IN (SELECT bid FROM cdup)),
+       wpairs AS (SELECT id_a, id_b FROM all_pairs
+                  WHERE id_a > 250
+                    AND id_a IN (SELECT doc_id FROM clean)
+                    AND id_b IN (SELECT doc_id FROM clean)),
+       winter AS (SELECT p.id_a, p.id_b, COUNT(*) AS n
+                  FROM wpairs p
+                  JOIN wsh a ON a.doc_id = p.id_a
+                  JOIN wsh b ON b.doc_id = p.id_b AND b.w = a.w
+                  GROUP BY 1, 2),
+       wver AS (SELECT wi.id_a, wi.id_b FROM winter wi
+                JOIN sz sa ON sa.doc_id = wi.id_a
+                JOIN sz sb ON sb.doc_id = wi.id_b
+                WHERE CAST(wi.n AS DOUBLE) / (sa.sz + sb.sz - wi.n) >= 0.5),
+       edges(u, v) AS (SELECT id_a, id_b FROM wver UNION SELECT id_b, id_a FROM wver),
+       reach(id, r) AS (
+         SELECT u, u FROM edges
+         UNION
+         SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+       comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+       SELECT c.doc_id, c.lang, c.source FROM clean c
+       LEFT JOIN comp ON c.doc_id = comp.id
+       WHERE comp.id IS NULL OR c.doc_id = comp.component""",
+)
+def q_dedup_near_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup dedup (r6): the corpus (doc_id ≤ 250)
+    maintains its LSH band table; the new crawl batch (doc_id > 250)
+    joins its bands against it, Jaccard-verifies the candidates
+    touching only candidate corpus docs, drops verified recrawls, then
+    collapses within-batch near-dup clusters to their min-id survivor.
+    History is never re-deduplicated — per-load cost is batch-sized.
+    The oracle replays the whole decision chain (LSH bands, bipartite
+    verify, recursive-CTE components) in SQL."""
+    from hdfs_stream_processing_spark.operators.dedup import (
+        band_hashes,
+        dedup_near_incremental,
+        minhash_signature_wide,
+    )
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    docs = documents.select("doc_id", "text", "lang", "source")
+    corpus = docs.where(F.col("doc_id") <= 250)
+    batch = docs.where(F.col("doc_id") > 250)
+    corpus_bands = band_hashes(
+        minhash_signature_wide(corpus, "doc_id", "text", num_hashes=8, shingle_n=2),
+        "doc_id", num_hashes=8, band_size=2,
+    )
+    out = dedup_near_incremental(
+        batch, corpus, corpus_bands, "doc_id", "text",
+        num_hashes=8, band_size=2, shingle_n=2, min_jaccard=0.5,
+    )
+    return out.select("doc_id", "lang", "source")

@@ -775,3 +775,38 @@ def test_dedup_incremental_drops_known_keeps_fresh(spark):
         for r in dedup_incremental(batch, existing, ["h"], [F.col("doc_id")]).collect()
     )
     assert out == [(11, "h9"), (13, "h8")]
+
+
+def test_dedup_near_incremental_cross_and_within_batch(spark):
+    """Batch docs near-identical to corpus docs drop via the band-table
+    join; near-dup clusters WITHIN the corpus-clean remainder collapse
+    to the min-id survivor; dissimilar docs pass through."""
+    from hdfs_stream_processing_spark.operators.dedup import (
+        band_hashes,
+        dedup_near_incremental,
+        minhash_signature_wide,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    corpus = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, base + " extra"),                      # near-dup of corpus 1 -> drop
+         (11, "completely different words about spark shuffles and joins here now"),
+         (12, "completely different words about spark shuffles and joins here soon"),
+         (13, "unrelated singleton content nothing shares any shingle with this")],
+        "doc_id long, text string",
+    )
+    corpus_bands = band_hashes(
+        minhash_signature_wide(corpus, "doc_id", "text", num_hashes=8, shingle_n=2),
+        "doc_id", num_hashes=8, band_size=2,
+    )
+    out = sorted(
+        r["doc_id"]
+        for r in dedup_near_incremental(
+            batch, corpus, corpus_bands, "doc_id", "text",
+            num_hashes=8, band_size=2, shingle_n=2, min_jaccard=0.5,
+        ).collect()
+    )
+    # 10 dropped (corpus dup); 11/12 cluster -> 11 survives; 13 passes
+    # (deterministic: md5-derived minhash, so the LSH collision is too)
+    assert out == [11, 13]
