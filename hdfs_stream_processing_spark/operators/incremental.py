@@ -29,6 +29,7 @@ __all__ = [
     "rollup_merge",
     "scd2_build",
     "scd2_merge",
+    "scd2_repair",
     "snapshot_diff",
 ]
 
@@ -136,10 +137,14 @@ def scd2_merge(
 
     Result is row-identical to ``scd2_build`` over the unioned change
     log (the oracle proves it) **provided the contract holds**: every
-    change in the batch is strictly later (by ``ts_col``) than the open
-    version's ``valid_from`` for its key — i.e. batches arrive in order.
-    A change that time-travels before the open version cannot patch
-    already-closed intervals incrementally; run a rebuild for that key.
+    change in the batch is strictly later (by ``ts_col``) than EVERY
+    previously loaded change for its key — i.e. batches arrive in
+    order.  The open version's ``valid_from`` is NOT a sufficient
+    check: a suppressed repeat later than ``valid_from`` leaves no
+    trace in the table, yet a batch change landing between them would
+    change how history replays.  Track the per-key high watermark
+    (max loaded ``ts_col``; itself additively mergeable) and route
+    violating keys through :func:`scd2_repair`.
 
     Scale: the change-key set (day-sized) broadcasts into semi/anti
     joins against the existing table — a map-side scan, no shuffle of
@@ -253,6 +258,59 @@ def pit_join(
     for k in key_cols:
         out = out.drop(F.col(f"d.{k}"))
     return out
+
+
+def scd2_repair(
+    existing: DataFrame,
+    changes: DataFrame,
+    full_log: DataFrame,
+    hwm: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    attr_col: str | list[str],
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """:func:`scd2_merge` with a repair path for late-arriving changes.
+
+    ``hwm`` is the per-key high-watermark table (``key_cols`` +
+    ``max_ts`` = max ``ts_col`` ever loaded for the key) — the state a
+    real lake maintains alongside the dimension (max is additively
+    mergeable, so the watermark table is itself a
+    :func:`rollup_merge`-style incremental aggregate).  Keys whose
+    batch violates the ordering contract (any change at or before the
+    key's watermark) cannot be patched incrementally — a late row may
+    land between changes whose repeats were suppressed without trace —
+    so those keys REBUILD from ``full_log``, while every in-order key
+    takes the cheap merge path.
+
+    Scale: the violator set is load-sized (usually tiny — true
+    time-travelers); it broadcasts into the anti/semi joins, so
+    ``full_log`` — the 100 TB archive — is touched by semi-join point
+    reads for violator keys only, exactly like the corpus reads in
+    incremental near-dup dedup.
+    """
+    attrs = [attr_col] if isinstance(attr_col, str) else list(attr_col)
+    out_cols = [*key_cols, *attrs, "valid_from", "valid_to", "is_current"]
+    bmin = changes.groupBy(*key_cols).agg(F.min(ts_col).alias("_bmin"))
+    viol = (
+        bmin.join(hwm, key_cols)
+        .where(F.col("_bmin") <= F.col("max_ts"))
+        .select(*key_cols)
+        .distinct()
+    )
+    ok_existing = existing.join(F.broadcast(viol), key_cols, "left_anti")
+    ok_changes = changes.join(F.broadcast(viol), key_cols, "left_anti")
+    merged = scd2_merge(
+        ok_existing, ok_changes, key_cols, ts_col, attrs, tiebreak_cols
+    )
+    rebuilt = scd2_build(
+        full_log.join(F.broadcast(viol), key_cols, "left_semi"),
+        key_cols,
+        ts_col,
+        attrs,
+        tiebreak_cols,
+    )
+    return merged.select(*out_cols).unionByName(rebuilt.select(*out_cols))
 
 
 def snapshot_diff(

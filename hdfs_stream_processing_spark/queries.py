@@ -4312,3 +4312,53 @@ def q_dedup_near_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=8, band_size=2, shingle_n=2, min_jaccard=0.5,
     )
     return out.select("doc_id", "lang", "source")
+
+
+@query(
+    "scd2_repair",
+    """WITH ordered AS (
+         SELECT user_id, ts, event_id, event_type,
+                lag(event_type) OVER w AS prev_type,
+                row_number() OVER w AS rn
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       vers AS (
+         SELECT user_id, ts, event_id, event_type FROM ordered
+         WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type)
+       SELECT user_id, event_type,
+              ts AS valid_from,
+              lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+              lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+       FROM vers""",
+)
+def q_scd2_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 merge with late-arrival repair (r6): the nightly batch is
+    the second half-month PLUS ~1% stragglers from the first half that
+    missed their load.  Keys whose batch time-travels behind their
+    per-key high watermark rebuild from the archive (semi-join point
+    reads); every in-order key takes the cheap incremental merge.  The
+    oracle rebuilds from the full log — repair must make the mixed
+    pipeline exactly equal to a from-scratch build, which plain
+    scd2_merge cannot (a late row can land between changes whose
+    repeats were suppressed without trace)."""
+    from hdfs_stream_processing_spark.operators.incremental import (
+        scd2_build,
+        scd2_repair,
+    )
+
+    (events,) = prep(spark, sf_dir, "events")
+    log = events.select("user_id", "ts", "event_id", "event_type")
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    in_batch = (F.col("ts") >= cutoff) | (F.col("event_id") % 97 == 0)
+    loaded = log.where(~in_batch)
+    existing = scd2_build(
+        loaded, ["user_id"], "ts", "event_type", tiebreak_cols=["event_id"]
+    )
+    hwm = loaded.groupBy("user_id").agg(F.max("ts").alias("max_ts"))
+    return scd2_repair(
+        existing,
+        log.where(in_batch),
+        log,
+        hwm,
+        ["user_id"], "ts", "event_type", tiebreak_cols=["event_id"],
+    )

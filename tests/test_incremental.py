@@ -231,3 +231,36 @@ def test_rollup_merge_equals_full_rebuild_and_handles_new_keys(spark):
     got = sorted(map(tuple, merged.collect()))
     want = sorted(map(tuple, part(full).collect()))
     assert got == want
+
+
+def test_scd2_repair_rebuilds_time_travelers_and_merges_the_rest(spark):
+    """The exact case plain merge cannot patch: a late row lands between
+    a version's start and a later SUPPRESSED repeat of the same value.
+    Rebuild-from-archive for that key; cheap merge for in-order keys."""
+    from hdfs_stream_processing_spark.operators.incremental import (
+        scd2_build,
+        scd2_repair,
+    )
+
+    full = spark.createDataFrame(
+        #  key 1: A@10, A@30 (suppressed repeat), late B@20 arrives in batch
+        #  key 2: X@10 loaded, Y@40 arrives in order
+        [(1, 10, "A"), (1, 30, "A"), (1, 20, "B"),
+         (2, 10, "X"), (2, 40, "Y")],
+        "k long, t long, attr string",
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "attr")
+    late = (F.col("k") == 1) & (F.col("ts") == F.timestamp_seconds(F.lit(20)))
+    in_batch = late | (F.col("ts") >= F.timestamp_seconds(F.lit(35)))
+    loaded = full.where(~in_batch)
+    existing = scd2_build(loaded, ["k"], "ts", "attr")
+    hwm = loaded.groupBy("k").agg(F.max("ts").alias("max_ts"))
+    out = scd2_repair(
+        existing, full.where(in_batch), full, hwm, ["k"], "ts", "attr"
+    )
+    want = scd2_build(full, ["k"], "ts", "attr")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, want.collect()))
+    # and the repaired key really has the 3-version A,B,A history
+    k1 = sorted(
+        (r["attr"] for r in out.where("k = 1").collect()),
+    )
+    assert k1 == ["A", "A", "B"]

@@ -179,3 +179,58 @@ def test_cdc_batch_split_invariance(spark, tmp_path_factory, log, chunk_sizes):
     )
     want = {r["k"]: r["attr"] for r in want_df.collect()}
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(1, 500), min_size=1, max_size=60),
+    st.integers(1, 64),
+    st.integers(1, 5),
+)
+def test_pack_sequences_is_a_partition_of_the_token_stream(spark, toks, capacity, n_shards):
+    """For ANY token lengths / capacity / shard count: per shard the
+    docs tile the concatenated token stream exactly — offsets chain
+    (next cum = cum + n_tok), coordinates satisfy seq_id = cum //
+    capacity and seq_off = cum % capacity, and nothing is lost."""
+    from hdfs_stream_processing_spark.operators.llmdata import pack_sequences
+
+    df = spark.createDataFrame(list(enumerate(toks)), "doc_id long, n_tok long")
+    out = pack_sequences(df, "doc_id", "n_tok", capacity, n_shards)
+    rows = sorted(out.collect(), key=lambda r: (r["shard_id"], r["pos"]))
+    assert len(rows) == len(toks)
+    cum = {}
+    for r in rows:
+        c = cum.get(r["shard_id"], 0)
+        assert r["seq_id"] == c // capacity and r["seq_off"] == c % capacity
+        cum[r["shard_id"]] = c + r["n_tok"]
+    assert sum(cum.values()) == sum(toks)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(1, 3), st.integers(-100, 100)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(1, 3),
+)
+def test_rollup_merge_any_split_equals_full_rebuild(spark, rows, cut):
+    """Splitting the input at ANY day boundary and merging the partials
+    equals aggregating everything at once — the additive-merge
+    invariant incremental maintenance rests on."""
+    from hdfs_stream_processing_spark.operators.incremental import rollup_merge
+
+    df = spark.createDataFrame(rows, "k long, day long, v long")
+    part = lambda d: d.groupBy("k", "day").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    )
+    merged = rollup_merge(
+        part(df.where(F.col("day") < cut)),
+        part(df.where(F.col("day") >= cut)),
+        ["k", "day"],
+        ["n", "s"],
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, part(df).collect())
+    )

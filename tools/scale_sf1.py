@@ -29,7 +29,15 @@ from hdfs_stream_processing_spark import queries as Q
 
 SRC = "/root/testdata/sf0.1"
 SF1_DIR = "/root/repo/.tmp/scale_sf1"  # .tmp/ is gitignored
-SLOW = ["dedup_clusters", "continuous_rollup", "stream_stream_join", "curate_corpus"]
+SLOW = [
+    "dedup_clusters", "continuous_rollup", "stream_stream_join", "curate_corpus",
+    # round-6 additions whose plans have a scale story worth probing:
+    # iterative/banded (dedup_near_incr), key-shuffle window merges
+    # (scd2_merge, pit_join), two-sided stream state (stream_join_outer),
+    # corpus anti-join (incr_dedup), shard prefix sums (seq_pack)
+    "dedup_near_incr", "scd2_merge", "pit_join", "stream_join_outer",
+    "incr_dedup", "seq_pack",
+]
 COPIES = 10
 
 
