@@ -84,6 +84,7 @@ def dedup_near_incremental(
     shingle_n: int = 2,
     min_jaccard: float = 0.5,
     verify_shingle_n: int = 1,
+    keep_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate dedup of a NEW batch against an existing corpus —
     the incremental MinHash-LSH shape (:func:`dedup_incremental` is the
@@ -107,6 +108,15 @@ def dedup_near_incremental(
     (bands, texts) are touched by semi-join only.  The one iterative
     piece — components — runs on the within-batch verified pairs, a
     batch-bounded graph.
+
+    ``keep_shingles`` (one column, "shingle") gates EVERY verify join
+    to that allow-list — pass the corpus's low-df word set (shingles in
+    ≤ N corpus docs), maintained incrementally like the band table.
+    Without it a stopword puts every candidate on one join key and the
+    verify goes quadratic in candidates — measured 10.6× on a 10× data
+    step at sf1, vs linear with the cutoff.  Jaccard then lives on the
+    filtered universe, the same (documented) semantics as
+    ``jaccard_pairs(max_doc_freq=...)``.
     """
     sig = minhash_signature_wide(batch, id_col, text_col, num_hashes, shingle_n)
     batch_bands = band_hashes(sig, id_col, num_hashes, band_size)
@@ -136,14 +146,19 @@ def dedup_near_incremental(
         text_col,
         verify_shingle_n,
     )
+    if keep_shingles is not None:
+        allow = keep_shingles.select("shingle")
+        bsh = bsh.join(allow, "shingle", "left_semi")
+        csh = csh.join(allow, "shingle", "left_semi")
     bsz = bsh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_bsz"))
     csz = csh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_csz"))
+    # pair-expansion intersection (see jaccard_pairs): O(pairs × doc
+    # len), immune to stopword join buckets
     inter = (
-        bsh.select(F.col(id_col).alias("_bid"), "shingle")
-        .join(csh.select(F.col(id_col).alias("_cid"), "shingle"), "shingle")
+        cross.join(bsh.select(F.col(id_col).alias("_bid"), "shingle"), "_bid")
+        .join(csh.select(F.col(id_col).alias("_cid"), "shingle"), ["_cid", "shingle"])
         .groupBy("_bid", "_cid")
         .agg(F.count(F.lit(1)).alias("_n"))
-        .join(cross, ["_bid", "_cid"], "left_semi")
     )
     dup_bids = (
         inter.join(bsz.select(F.col(id_col).alias("_bid"), "_bsz"), "_bid")
@@ -171,7 +186,13 @@ def dedup_near_incremental(
         clean_ids.withColumnRenamed(id_col, "id_a"), "id_a", "left_semi"
     ).join(clean_ids.withColumnRenamed(id_col, "id_b"), "id_b", "left_semi")
     verified = jaccard_pairs(
-        clean, id_col, text_col, verify_shingle_n, min_jaccard, candidates=pairs
+        clean,
+        id_col,
+        text_col,
+        verify_shingle_n,
+        min_jaccard,
+        candidates=pairs,
+        keep_shingles=keep_shingles,
     )
     from hdfs_stream_processing_spark.operators.graph import connected_components
 
@@ -349,15 +370,18 @@ def jaccard_pairs(
     min_jaccard: float = 0.5,
     candidates: DataFrame | None = None,
     max_doc_freq: int | None = None,
+    keep_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity between documents.
 
-    With ``candidates`` (e.g. from LSH) the exploded shingle sides are
-    semi-joined against the candidate doc ids BEFORE the shared-shingle
-    join, so only colliding docs enter the expensive pair aggregation —
-    the 100 TB path (the pair-level semi-join after still enforces the
-    exact pair set).  Without, it self-joins on shared shingles, which
-    is O(pairs-sharing-a-shingle): still far from all-pairs, but only
+    With ``candidates`` (e.g. from LSH) intersections are computed by
+    PAIR-EXPANSION: each candidate pair expands by the left doc's
+    shingles, then equi-joins the right side on (doc, shingle) — cost
+    O(pairs × doc_len), never a function of shingle document frequency.
+    This is the 100 TB path: a stopword cannot form a quadratic join
+    bucket because the join key always carries a doc id.  Without
+    ``candidates`` it self-joins on shared shingles, which is
+    O(pairs-sharing-a-shingle): still far from all-pairs, but only
     safe at moderate scale or with ``max_doc_freq``.
 
     ``max_doc_freq`` drops shingles appearing in more than that many
@@ -368,9 +392,19 @@ def jaccard_pairs(
     the SAME filtered shingle universe, so Jaccard stays internally
     consistent: |A'∩B'| / |A'∪B'|.
 
+    ``keep_shingles`` is the externally-maintained form of the same
+    cutoff: a one-column ("shingle") allow-list — e.g. the corpus's
+    word-df stat in incremental dedup, where the df universe must be
+    the CORPUS, not whichever batch is flowing through.  Mutually
+    exclusive with ``max_doc_freq``.
+
     Jaccard = |A∩B| / (|A|+|B|-|A∩B|), all exact integers.
     """
+    if max_doc_freq is not None and keep_shingles is not None:
+        raise ValueError("pass max_doc_freq or keep_shingles, not both")
     sh = shingle_rows(df, id_col, text_col, shingle_n)
+    if keep_shingles is not None:
+        sh = sh.join(keep_shingles.select("shingle"), "shingle", "left_semi")
     if max_doc_freq is not None:
         keep = (
             sh.groupBy("shingle")
@@ -380,19 +414,35 @@ def jaccard_pairs(
         )
         sh = sh.join(keep, "shingle", "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     if candidates is not None:
-        a = a.join(candidates.select("id_a").distinct(), "id_a", "left_semi")
-        b = b.join(candidates.select("id_b").distinct(), "id_b", "left_semi")
-    inter = (
-        a.join(b, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    if candidates is not None:
-        inter = inter.join(candidates, on=["id_a", "id_b"], how="left_semi")
+        # pair-expansion: expand each candidate pair by the left doc's
+        # shingles, then equi-join the right side on (doc, shingle).
+        # Cost is O(pairs × doc_len) — independent of shingle document
+        # frequency, so a ubiquitous shingle CANNOT create a quadratic
+        # join bucket (the composite key always contains a doc id).
+        # The shared-shingle join below would put every candidate doc
+        # on one key per stopword — measured 10.6× on a 10× data step
+        # before this path existed.
+        inter = (
+            candidates.select("id_a", "id_b")
+            .distinct()
+            .join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
+            .join(
+                sh.select(F.col(id_col).alias("id_b"), "shingle"),
+                ["id_b", "shingle"],
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+        b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     jacc = (

@@ -4362,3 +4362,42 @@ def q_scd2_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         hwm,
         ["user_id"], "ts", "event_type", tiebreak_cols=["event_id"],
     )
+
+
+@query(
+    "incr_topk",
+    """SELECT source, token, n, CAST(rank AS INT) AS rank
+       FROM (SELECT source, token, count(*) AS n,
+                    row_number() OVER (PARTITION BY source
+                                       ORDER BY count(*) DESC, token) AS rank
+             FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS token
+                   FROM documents)
+             GROUP BY source, token)
+       WHERE rank <= 3""",
+)
+def q_incr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental heavy hitters (r6): the per-(source, token) count
+    table is maintained by rollup_merge — each load adds its partial
+    counts, history is never re-tokenized — and the top-k ranking reads
+    the merged count table (groups × distinct tokens, not the corpus).
+    The oracle counts the whole corpus from scratch: the incremental
+    count table must rank identically.  This is how exact top-k
+    survives continuous ingestion at 100 TB; the count table is the
+    only state."""
+    from hdfs_stream_processing_spark.operators.incremental import rollup_merge
+    from pyspark.sql import Window
+
+    (documents,) = prep(spark, sf_dir, "documents")
+
+    def partial(df: DataFrame) -> DataFrame:
+        toks = df.select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+        )
+        return toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n"))
+
+    existing = partial(documents.where(F.col("doc_id") <= 250))
+    batch = partial(documents.where(F.col("doc_id") > 250))
+    counts = rollup_merge(existing, batch, ["source", "token"], ["n"])
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("token").asc())
+    return counts.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 3)
