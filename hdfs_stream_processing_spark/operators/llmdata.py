@@ -37,6 +37,7 @@ __all__ = [
     "redact_pii",
     "decontaminate",
     "mix_sources",
+    "pack_extend",
     "pack_sequences",
     "resample_sources",
     "shard_assign",
@@ -329,6 +330,67 @@ def pack_sequences(
         .withColumn("seq_id", F.floor(cum_prior / F.lit(capacity)))
         .withColumn("seq_off", cum_prior % F.lit(capacity))
         .drop("_ord")
+    )
+
+
+def pack_extend(
+    shard_state: DataFrame,
+    batch: DataFrame,
+    key_col: str,
+    tokens_col: str,
+    capacity: int,
+    n_shards: int,
+    seed: str = "s0",
+) -> DataFrame:
+    """Extend packed training shards with a NEW batch of documents —
+    the incremental form of :func:`pack_sequences`.  Already-packed
+    documents keep their coordinates (a data loader may have consumed
+    them); the batch appends to each shard's token stream where it left
+    off.
+
+    ``shard_state`` is the per-shard cursor the pack table maintains:
+    ``(shard_id, n_docs, total_toks)`` — two additive numbers per
+    shard, itself a :func:`rollup_merge`-style incremental aggregate.
+    A shard with no state row starts at zero, so the initial load is
+    just ``pack_extend(empty_state, corpus)``.
+
+    Scale: identical ONE-shuffle shape as ``pack_sequences`` (shard
+    exchange shared by the position window and the prefix sum); the
+    cursor table is n_shards rows and broadcasts onto the batch.
+    """
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    ordh = F.md5(F.concat_ws("|", F.lit(seed), F.col(key_col).cast("string")))
+    out = batch.withColumn("_ord", ordh).withColumn(
+        "shard_id",
+        F.conv(F.substring(F.col("_ord"), 1, 8), 16, 10).cast("long")
+        % F.lit(n_shards),
+    )
+    st = shard_state.select(
+        "shard_id",
+        F.col("n_docs").alias("_st_docs"),
+        F.col("total_toks").alias("_st_toks"),
+    )
+    out = out.join(F.broadcast(st), "shard_id", "left").na.fill(
+        {"_st_docs": 0, "_st_toks": 0}
+    )
+    w = Window.partitionBy("shard_id").orderBy(F.col("_ord"), F.col(key_col))
+    cum_prior = (
+        F.col("_st_toks")
+        + F.coalesce(
+            F.sum(F.col(tokens_col)).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+    ).cast("long")
+    return (
+        out.withColumn("pos", (F.col("_st_docs") + F.row_number().over(w)).cast("int"))
+        .withColumn("seq_id", F.floor(cum_prior / F.lit(capacity)))
+        .withColumn("seq_off", cum_prior % F.lit(capacity))
+        .drop("_ord", "_st_docs", "_st_toks")
     )
 
 

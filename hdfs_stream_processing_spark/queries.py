@@ -4401,3 +4401,58 @@ def q_incr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = rollup_merge(existing, batch, ["source", "token"], ["n"])
     w = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("token").asc())
     return counts.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 3)
+
+
+@query(
+    "incr_pack",
+    """WITH t AS (
+         SELECT doc_id,
+                CAST(floor((length(text) + 3) / 4.0) AS BIGINT) AS n_tok,
+                md5('s0|' || CAST(doc_id AS VARCHAR)) AS ord,
+                CASE WHEN doc_id > 250 THEN 1 ELSE 0 END AS is_new
+         FROM documents),
+       s AS (
+         SELECT doc_id, n_tok, ord, is_new,
+                ('0x' || substr(ord, 1, 8))::UBIGINT::BIGINT % 4 AS shard_id
+         FROM t),
+       c AS (
+         SELECT doc_id, n_tok, shard_id, is_new,
+                CAST(row_number() OVER (PARTITION BY shard_id
+                     ORDER BY is_new, ord, doc_id) AS INT) AS pos,
+                COALESCE(SUM(n_tok) OVER (PARTITION BY shard_id
+                     ORDER BY is_new, ord, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         FROM s)
+       SELECT doc_id, n_tok, shard_id, pos,
+              CAST(floor(cum / 2048.0) AS BIGINT) AS seq_id,
+              cum % 2048 AS seq_off
+       FROM c WHERE is_new = 1""",
+)
+def q_incr_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sequence packing (r6): the first 250 docs were packed
+    in an earlier load and a data loader may already have consumed
+    them, so their coordinates are frozen; the new batch extends each
+    shard's token stream from the per-shard cursor (n_docs,
+    total_toks — two additive numbers, maintained like any rollup).
+    The oracle packs the composite order (history first, then batch)
+    from scratch and keeps the batch rows: extension must land every
+    new doc exactly where the full repack would."""
+    from hdfs_stream_processing_spark.operators.llmdata import (
+        pack_extend,
+        pack_sequences,
+    )
+    from hdfs_stream_processing_spark.operators.text import token_count
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    toks = token_count(documents, "doc_id", "text").select(
+        "doc_id", F.col("n_tokens_est").alias("n_tok")
+    )
+    hist = pack_sequences(
+        toks.where(F.col("doc_id") <= 250), "doc_id", "n_tok", 2048, 4, seed="s0"
+    )
+    state = hist.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("total_toks")
+    )
+    return pack_extend(
+        state, toks.where(F.col("doc_id") > 250), "doc_id", "n_tok", 2048, 4, seed="s0"
+    )

@@ -810,3 +810,42 @@ def test_dedup_near_incremental_cross_and_within_batch(spark):
     # 10 dropped (corpus dup); 11/12 cluster -> 11 survives; 13 passes
     # (deterministic: md5-derived minhash, so the LSH collision is too)
     assert out == [11, 13]
+
+
+def test_pack_extend_from_empty_equals_pack_sequences(spark):
+    """The initial load is just an extension of the empty state — and
+    chained extensions tile the stream exactly like one combined pack
+    over the composite (load order, seeded order)."""
+    from hdfs_stream_processing_spark.operators.llmdata import (
+        pack_extend,
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 5 + i % 7) for i in range(120)], "doc_id long, n_tok long"
+    )
+    empty = spark.createDataFrame([], "shard_id long, n_docs long, total_toks long")
+    cols = ["doc_id", "n_tok", "shard_id", "pos", "seq_id", "seq_off"]
+    a = sorted(map(tuple, pack_sequences(df, "doc_id", "n_tok", 32, 3).select(cols).collect()))
+    b = sorted(map(tuple, pack_extend(empty, df, "doc_id", "n_tok", 32, 3).select(cols).collect()))
+    assert a == b
+
+    first, second = df.where("doc_id < 60"), df.where("doc_id >= 60")
+    p1 = pack_extend(empty, first, "doc_id", "n_tok", 32, 3)
+    state = p1.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("total_toks")
+    )
+    p2 = pack_extend(state, second, "doc_id", "n_tok", 32, 3)
+    # the union tiles each shard stream with chained offsets: per shard,
+    # positions are dense 1..n and cum coordinates chain across loads
+    rows = sorted(
+        p1.unionByName(p2).collect(), key=lambda r: (r["shard_id"], r["pos"])
+    )
+    cum = {}
+    npos = {}
+    for r in rows:
+        c = cum.get(r["shard_id"], 0)
+        assert r["pos"] == npos.get(r["shard_id"], 0) + 1
+        assert r["seq_id"] == c // 32 and r["seq_off"] == c % 32
+        cum[r["shard_id"]] = c + r["n_tok"]
+        npos[r["shard_id"]] = r["pos"]

@@ -163,6 +163,9 @@ SHUFFLE_BUDGETS = {
     "incr_rollup": 2,      # two partial aggs; the merge reuses their keying
     "avg_yearly": 2,       # per-part avg agg + final scalar reduce; fact
                            # scan joins broadcast-only, never shuffles
+    "incr_topk": 3,        # two partial count aggs + merged ranking window
+    "incr_pack": 2,        # history pack shard exchange + batch shard
+                           # exchange; cursor state broadcasts
 }
 
 
