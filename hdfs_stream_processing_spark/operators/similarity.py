@@ -545,3 +545,65 @@ def similarity_topk_np(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def embedding_dedup_incremental(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    bucket_col: str,
+    vec_col: str,
+    min_cosine: float = 0.9,
+) -> DataFrame:
+    """Embedding-space dedup of a NEW batch against an existing corpus —
+    the vector analog of the incremental exact/near-dup text ops.  A
+    batch vector drops if its cosine to ANY same-bucket corpus vector
+    reaches ``min_cosine``, or to a LOWER-id same-bucket batch vector
+    (greedy min-id rule: documented as non-transitive — a batch vector
+    is compared against every lower id, survivor or not, which keeps
+    the rule one non-recursive join).
+
+    ``bucket_col`` bounds both comparisons to an equi-join key — an IVF
+    cell or hyperplane-LSH bucket in production (here the driver
+    table's label plays that role).  Cosines are exact: quantized
+    integer dot products, one final double division — so the whole
+    decision is oracle-checkable.
+
+    Scale: two bucket equi-joins sized by |bucket| × batch-share, never
+    all-pairs; corpus vectors are touched only in the probed buckets
+    (partition-prune the corpus by the batch's bucket set).
+    """
+    q = lambda df, i, v, n: df.select(
+        F.col(id_col).alias(i),
+        F.col(bucket_col).alias("_bkt"),
+        quantized(vec_col).alias(v),
+        F.sqrt(dot_q(quantized(vec_col), quantized(vec_col)).cast("double")).alias(n),
+    )
+    b = q(batch, "_id", "_bv", "_bn")
+    c = q(corpus, "_cid", "_cv", "_cn")
+    cos = lambda av, an, bv, bn: dot_q(F.col(av), F.col(bv)).cast("double") / (
+        F.col(an) * F.col(bn)
+    )
+    drop_cross = (
+        b.join(c, "_bkt")
+        .where(cos("_bv", "_bn", "_cv", "_cn") >= F.lit(min_cosine))
+        .select(F.col("_id").alias(id_col))
+        .distinct()
+    )
+    hi = b
+    lo = b.select(
+        F.col("_id").alias("_lo"), F.col("_bkt"),
+        F.col("_bv").alias("_lv"), F.col("_bn").alias("_ln"),
+    )
+    drop_within = (
+        hi.join(lo, "_bkt")
+        .where(
+            (F.col("_lo") < F.col("_id"))
+            & (cos("_bv", "_bn", "_lv", "_ln") >= F.lit(min_cosine))
+        )
+        .select(F.col("_id").alias(id_col))
+        .distinct()
+    )
+    return batch.join(
+        drop_cross.unionByName(drop_within).distinct(), id_col, "left_anti"
+    )

@@ -4456,3 +4456,41 @@ def q_incr_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_extend(
         state, toks.where(F.col("doc_id") > 250), "doc_id", "n_tok", 2048, 4, seed="s0"
     )
+
+
+@query(
+    "incr_dedup_vec",
+    f"""WITH q AS (SELECT vec_id, label, {_QUANT_SQL.format(col='embedding')} AS qv
+                   FROM embeddings),
+       c AS (SELECT * FROM q WHERE vec_id < 250),
+       b AS (SELECT * FROM q WHERE vec_id >= 250),
+       drops AS (
+         SELECT DISTINCT b.vec_id FROM b JOIN c ON b.label = c.label
+         WHERE {_DOT_SQL.format(a='b.qv', b='c.qv')}
+               / ({_NORM_SQL.format(a='b.qv')} * {_NORM_SQL.format(a='c.qv')}) >= 0.3
+         UNION
+         SELECT DISTINCT hi.vec_id FROM b hi JOIN b lo
+           ON hi.label = lo.label AND lo.vec_id < hi.vec_id
+         WHERE {_DOT_SQL.format(a='hi.qv', b='lo.qv')}
+               / ({_NORM_SQL.format(a='hi.qv')} * {_NORM_SQL.format(a='lo.qv')}) >= 0.3)
+       SELECT vec_id, label FROM b
+       WHERE vec_id NOT IN (SELECT vec_id FROM drops)""",
+)
+def q_incr_dedup_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space incremental dedup (r6): new batch vectors drop
+    when cosine-similar (≥ 0.3) to any same-bucket corpus vector or to
+    a lower-id same-bucket batch vector — the vector analog of the
+    exact/near-dup incremental ops, with the label standing in for the
+    production IVF cell.  Exact quantized cosines make the whole
+    decision hashable."""
+    from hdfs_stream_processing_spark.operators.similarity import (
+        embedding_dedup_incremental,
+    )
+
+    (embeddings,) = prep(spark, sf_dir, "embeddings")
+    corpus = embeddings.where(F.col("vec_id") < 250)
+    batch = embeddings.where(F.col("vec_id") >= 250)
+    out = embedding_dedup_incremental(
+        batch, corpus, "vec_id", "label", "embedding", min_cosine=0.3
+    )
+    return out.select("vec_id", "label")

@@ -849,3 +849,30 @@ def test_pack_extend_from_empty_equals_pack_sequences(spark):
         assert r["seq_id"] == c // 32 and r["seq_off"] == c % 32
         cum[r["shard_id"]] = c + r["n_tok"]
         npos[r["shard_id"]] = r["pos"]
+
+
+def test_embedding_dedup_incremental_drops_by_cosine(spark):
+    """Batch vectors near a same-bucket corpus vector drop; near a
+    lower-id batch vector drop; different-bucket twins survive (the
+    bucket bounds every comparison)."""
+    from hdfs_stream_processing_spark.operators.similarity import (
+        embedding_dedup_incremental,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, 0, [1.0, 0.0, 0.0])], "vec_id long, label int, embedding array<float>"
+    )
+    batch = spark.createDataFrame(
+        [(10, 0, [0.99, 0.01, 0.0]),   # ~corpus vec, same bucket -> drop
+         (11, 1, [1.0, 0.0, 0.0]),     # identical direction, DIFFERENT bucket -> survives
+         (12, 1, [0.0, 1.0, 0.0]),     # orthogonal to 11 -> survives
+         (13, 1, [0.01, 0.999, 0.0])], # ~12, same bucket, higher id -> drop
+        "vec_id long, label int, embedding array<float>",
+    )
+    out = sorted(
+        r["vec_id"]
+        for r in embedding_dedup_incremental(
+            batch, corpus, "vec_id", "label", "embedding", min_cosine=0.9
+        ).collect()
+    )
+    assert out == [11, 12]
