@@ -4494,3 +4494,47 @@ def q_incr_dedup_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch, corpus, "vec_id", "label", "embedding", min_cosine=0.3
     )
     return out.select("vec_id", "label")
+
+
+@query(
+    "ohlc_bars",
+    """WITH c AS (SELECT date_trunc('hour', ts) AS hour, event_type, ts, event_id,
+                         CAST(round(value * 100.0, 0) AS BIGINT) AS cents
+                  FROM events WHERE value IS NOT NULL),
+       w AS (SELECT *,
+                    row_number() OVER (PARTITION BY hour, event_type
+                                       ORDER BY ts, event_id) AS rf,
+                    row_number() OVER (PARTITION BY hour, event_type
+                                       ORDER BY ts DESC, event_id DESC) AS rl
+             FROM c)
+       SELECT hour, event_type,
+              CAST(MAX(CASE WHEN rf = 1 THEN cents END) AS DOUBLE) / 100.0 AS open,
+              CAST(MAX(cents) AS DOUBLE) / 100.0 AS high,
+              CAST(MIN(cents) AS DOUBLE) / 100.0 AS low,
+              CAST(MAX(CASE WHEN rl = 1 THEN cents END) AS DOUBLE) / 100.0 AS close,
+              COUNT(*) AS n
+       FROM w GROUP BY hour, event_type""",
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling (time-series staple): per hour × type, the
+    opening/closing value by event time (min_by/max_by over a
+    (ts, event_id) struct — a total order, so bars are engine- and
+    partitioning-independent) plus high/low/count.  ONE hash aggregate
+    with map-side partials; integer cents keep every bar exact."""
+    (events,) = prep(spark, sf_dir, "events")
+    e = events.where(F.col("value").isNotNull())
+    cents = F.round(F.col("value") * F.lit(100.0), 0).cast("long")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.withColumn("_c", cents)
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        )
+        .agg(
+            (F.min_by(F.col("_c"), key).cast("double") / F.lit(100.0)).alias("open"),
+            (F.max(F.col("_c")).cast("double") / F.lit(100.0)).alias("high"),
+            (F.min(F.col("_c")).cast("double") / F.lit(100.0)).alias("low"),
+            (F.max_by(F.col("_c"), key).cast("double") / F.lit(100.0)).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
