@@ -121,6 +121,13 @@ HEADLINE = [
     "incr_rollup",                # additive partial-aggregate merge
     "avg_yearly",                 # TPC-H Q17 decorrelated broadcast plan
     "stream_pit",                 # stream-static SCD2 interval lookup
+    "dedup_near_incr",            # banded batch-vs-corpus near-dup verify
+    "scd2_repair",                # high-watermark late-arrival repair
+    "incr_topk",                  # top-k from a maintained count table
+    "incr_pack",                  # shard extension from per-shard cursors
+    "incr_dedup_vec",             # bucketed exact-cosine batch dedup
+    "ohlc_bars",                  # min_by/max_by hourly bars, one agg
+    "stream_ohlc",                # same bars as watermarked window agg
 ]
 
 

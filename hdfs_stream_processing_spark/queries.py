@@ -4538,3 +4538,63 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@query(
+    "stream_ohlc",
+    """WITH c AS (SELECT date_trunc('hour', ts) AS hour, event_type, ts, event_id,
+                         CAST(round(value * 100.0, 0) AS BIGINT) AS cents
+                  FROM events WHERE value IS NOT NULL),
+       w AS (SELECT *,
+                    row_number() OVER (PARTITION BY hour, event_type
+                                       ORDER BY ts, event_id) AS rf,
+                    row_number() OVER (PARTITION BY hour, event_type
+                                       ORDER BY ts DESC, event_id DESC) AS rl
+             FROM c)
+       SELECT hour, event_type,
+              CAST(MAX(CASE WHEN rf = 1 THEN cents END) AS DOUBLE) / 100.0 AS open,
+              CAST(MAX(cents) AS DOUBLE) / 100.0 AS high,
+              CAST(MIN(cents) AS DOUBLE) / 100.0 AS low,
+              CAST(MAX(CASE WHEN rl = 1 THEN cents END) AS DOUBLE) / 100.0 AS close,
+              COUNT(*) AS n
+       FROM w GROUP BY hour, event_type""",
+)
+def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars maintained ON THE STREAM (r6): the same hourly bars as
+    the batch ohlc_bars, built as a watermarked tumbling-window
+    aggregate — min_by/max_by keyed on (ts, event_id) are
+    order-insensitive aggregates, so bars are exact regardless of
+    micro-batch arrival order; the batch query is the oracle."""
+    from hdfs_stream_processing_spark.streaming import (
+        run_to_memory,
+        stream_parquet_source,
+    )
+
+    src_dir, schema = _stage_events(spark, sf_dir)
+    stream = stream_parquet_source(spark, src_dir, schema).where(
+        F.col("value").isNotNull()
+    )
+    cents = F.round(F.col("value") * F.lit(100.0), 0).cast("long")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    agg = (
+        stream.withColumn("_c", cents)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window(F.col("ts"), "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            (F.min_by(F.col("_c"), key).cast("double") / F.lit(100.0)).alias("open"),
+            (F.max(F.col("_c")).cast("double") / F.lit(100.0)).alias("high"),
+            (F.min(F.col("_c")).cast("double") / F.lit(100.0)).alias("low"),
+            (F.max_by(F.col("_c"), key).cast("double") / F.lit(100.0)).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    out = run_to_memory(agg, output_mode="complete")
+    return out.select(
+        F.col("win.start").alias("hour"),
+        "event_type",
+        "open",
+        "high",
+        "low",
+        "close",
+        "n",
+    )
