@@ -53,7 +53,7 @@ _VERIFY_FIRST = [
     "pit_join", "seq_pack", "incr_dedup", "stream_join_outer",
     "incr_rollup", "avg_yearly", "stream_pit", "dedup_near_incr",
     "scd2_repair", "incr_topk", "incr_pack", "incr_dedup_vec",
-    "ohlc_bars", "stream_ohlc",
+    "ohlc_bars", "stream_ohlc", "stream_daily_rollup",
     # implementation changed in round 6 — re-earn driver rows:
     "dedup_clusters", "dedup_keep",
     # longest-stale padding to exactly 50 (last driver-green r2-r4):
@@ -62,7 +62,7 @@ _VERIFY_FIRST = [
     "minhash_sig", "dedup_near", "ngram_jaccard", "simhash",
     "similarity_topk", "similarity_lsh", "similarity_lsh_multiprobe",
     "multimodal_meta", "stream_dedup", "stream_window_agg",
-    "session_agg", "time_rollup",
+    "session_agg",
 ]
 
 

@@ -3944,7 +3944,7 @@ def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
          FROM s)
        SELECT doc_id, n_tok, shard_id, pos,
               CAST(floor(cum / 2048.0) AS BIGINT) AS seq_id,
-              cum % 2048 AS seq_off
+              CAST(cum % 2048 AS BIGINT) AS seq_off
        FROM c""",
 )
 def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4425,7 +4425,7 @@ def q_incr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
          FROM s)
        SELECT doc_id, n_tok, shard_id, pos,
               CAST(floor(cum / 2048.0) AS BIGINT) AS seq_id,
-              cum % 2048 AS seq_off
+              CAST(cum % 2048 AS BIGINT) AS seq_off
        FROM c WHERE is_new = 1""",
 )
 def q_incr_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4597,4 +4597,56 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "low",
         "close",
         "n",
+    )
+
+
+@query(
+    "stream_daily_rollup",
+    """SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+              CAST(SUM(CAST(round(value * 100.0, 0) AS BIGINT)) AS DOUBLE) / 100.0
+                  AS sum_value,
+              COUNT(*) AS n,
+              COUNT(DISTINCT date_trunc('hour', ts)) AS n_hours
+       FROM events
+       WHERE value IS NOT NULL AND CAST(ts AS DATE) < DATE '2024-01-30'
+       GROUP BY 1""",
+)
+def q_stream_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful streaming aggregation (r6): hourly window sums
+    feed a second, daily windowed aggregate in the same query — two
+    state stores, event-time watermark propagated through both (the
+    multi-stateful-operator capability Spark gained in 3.4).  Append
+    mode emits only watermark-closed days, so the stream's final
+    partial day is withheld — the oracle states that contract
+    explicitly by cutting at the last closed day.  At 100 TB this is
+    the cascade shape (raw → hourly → daily) that otherwise needs two
+    jobs and an intermediate table."""
+    from hdfs_stream_processing_spark.streaming import (
+        run_to_memory,
+        stream_parquet_source,
+    )
+
+    src_dir, schema = _stage_events(spark, sf_dir)
+    stream = stream_parquet_source(spark, src_dir, schema).where(
+        F.col("value").isNotNull()
+    )
+    cents = F.round(F.col("value") * F.lit(100.0), 0).cast("long")
+    hourly = (
+        stream.withColumn("_c", cents)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("hw"))
+        .agg(F.sum("_c").alias("hc"), F.count(F.lit(1)).alias("hn"))
+    )
+    daily = hourly.groupBy(F.window("hw", "1 day").alias("dw")).agg(
+        F.sum("hc").alias("dc"),
+        F.sum("hn").alias("dn"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
+    with _conf_override(spark, "spark.sql.shuffle.partitions", "8"):
+        out = run_to_memory(daily, output_mode="append")
+    return out.select(
+        F.col("dw.start").alias("day"),
+        (F.col("dc").cast("double") / F.lit(100.0)).alias("sum_value"),
+        F.col("dn").alias("n"),
+        F.col("n_hours"),
     )

@@ -551,3 +551,40 @@ def test_stream_join_left_outer_emits_null_rows_after_watermark(spark, tmp_path)
     # click 1 converted; click 2 is a proven non-match (NULL right);
     # frontier click 3 is filtered out of the analysis entirely
     assert out == {(1, 101), (2, None)}
+
+
+def test_chained_window_aggs_state_spans_microbatches(spark, tmp_path):
+    """Hourly → daily chained stateful aggregation: rows for one day
+    arriving across DIFFERENT micro-batches still fold into a single
+    daily row once the watermark closes the day (two state stores,
+    watermark propagated through both)."""
+    import datetime as dt
+
+    t = lambda d, h: dt.datetime(2024, 1, d, h, 30)
+    src = str(tmp_path / "chain")
+    schema = "event_id bigint, ts timestamp, v bigint"
+    # day 1 split across two files/batches; day 3 frontier closes day 1+2
+    spark.createDataFrame(
+        [(1, t(1, 0), 10), (2, t(1, 5), 20)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(3, t(1, 23), 30), (4, t(2, 1), 40), (5, t(3, 12), 99)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(
+        spark.createDataFrame([], schema).schema
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    hourly = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 hour").alias("hw"))
+        .agg(F.sum("v").alias("hv"), F.count(F.lit(1)).alias("hn"))
+    )
+    daily = hourly.groupBy(F.window("hw", "1 day").alias("dw")).agg(
+        F.sum("hv").alias("dv"), F.sum("hn").alias("dn")
+    )
+    out = {
+        r["dw"]["start"].day: (r["dv"], r["dn"])
+        for r in run_to_memory(daily, output_mode="append").collect()
+    }
+    # days 1 and 2 closed (watermark at day 3); day 3 still open
+    assert out == {1: (60, 3), 2: (40, 1)}
