@@ -588,3 +588,50 @@ def test_chained_window_aggs_state_spans_microbatches(spark, tmp_path):
     }
     # days 1 and 2 closed (watermark at day 3); day 3 still open
     assert out == {1: (60, 3), 2: (40, 1)}
+
+
+def test_transform_with_state_parity_or_documented_env_gate(spark, staged_events, tmp_path):
+    """Spark 4 transformWithStateInPandas: where the environment can run
+    it (RocksDB store + python protobuf), the running-totals contract
+    must equal the batch GROUP BY — the same oracle as the
+    applyInPandasWithState path.  Without protobuf the query fails in
+    the TWS driver worker; assert that documented gate rather than
+    silently skipping the API."""
+    import importlib.util
+
+    from hdfs_stream_processing_spark.operators.stateful import running_totals_tws
+    from hdfs_stream_processing_spark.streaming.pipeline import (
+        enable_rocksdb_state,
+        restore_confs,
+    )
+
+    src_dir, events = staged_events
+    stream = stream_parquet_source(spark, src_dir, events.schema)
+    totals = running_totals_tws(stream.select("user_id", "value"))
+    try:
+        have_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no 'google' namespace package at all
+        have_protobuf = False
+    prior = enable_rocksdb_state(spark)
+    try:
+        if not have_protobuf:
+            with pytest.raises(Exception) as exc_info:
+                run_to_memory(totals, output_mode="append")
+            # the driver-worker crash surfaces as STREAM_FAILED with the
+            # TWS operator named; the protobuf ImportError is its cause
+            # in the driver log
+            msg = str(exc_info.value)
+            assert "TransformWithStateInPySpark" in msg or "STREAM_FAILED" in msg
+            return
+        out = run_to_memory(totals, output_mode="append")
+        final = out.groupBy("user_id").agg(
+            F.max("n_events").alias("n"),
+            F.max_by("sum_cents", "n_events").alias("s"),
+        )
+        cents = F.round(F.col("value") * F.lit(100.0), 0).cast("long")
+        want = events.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"), F.sum(cents).alias("s")
+        )
+        assert sorted(map(tuple, final.collect())) == sorted(map(tuple, want.collect()))
+    finally:
+        restore_confs(spark, prior)
