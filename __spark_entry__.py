@@ -54,6 +54,7 @@ _VERIFY_FIRST = [
     "incr_rollup", "avg_yearly", "stream_pit", "dedup_near_incr",
     "scd2_repair", "incr_topk", "incr_pack", "incr_dedup_vec",
     "ohlc_bars", "stream_ohlc", "stream_daily_rollup",
+    "dq_quarantine", "cap_per_source",
     # implementation changed in round 6 — re-earn driver rows:
     "dedup_clusters", "dedup_keep",
     # longest-stale padding to exactly 50 (last driver-green r2-r4):
@@ -61,8 +62,7 @@ _VERIFY_FIRST = [
     "count_rows", "set_ops", "align_pipeline", "token_count",
     "minhash_sig", "dedup_near", "ngram_jaccard", "simhash",
     "similarity_topk", "similarity_lsh", "similarity_lsh_multiprobe",
-    "multimodal_meta", "stream_dedup", "stream_window_agg",
-    "session_agg",
+    "multimodal_meta", "stream_dedup",
 ]
 
 

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from hdfs_stream_processing_spark.operators.text import tokens
 
 __all__ = [
+    "cap_per_group",
     "chunk_documents",
     "redact_pii",
     "decontaminate",
@@ -488,4 +489,31 @@ def resample_sources(
             "copy", F.explode(F.sequence(F.lit(0), F.col("_copies") - F.lit(1)))
         )
         .drop("_copies")
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order: list[Column],
+    n: int,
+) -> DataFrame:
+    """Per-group cap: keep at most ``n`` rows per group under a TOTAL
+    order — the per-domain document cap every crawl-curation pipeline
+    applies so no single site dominates the corpus (RefinedWeb,
+    Gopher/MassiveWeb all cap per domain).  ``order`` decides WHICH
+    rows survive (e.g. quality desc with a unique-id tiebreak), so the
+    kept set is engine- and partitioning-independent, same contract as
+    dedup_exact.
+
+    One shuffle on the group key; the window prunes map-side partials
+    to n per group before the exchange when Spark plans a rank filter.
+    """
+    if n <= 0:
+        raise ValueError("n must be positive")
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n)
+        .drop("_rn")
     )

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["dq_check", "fk_violations"]
+__all__ = ["dq_check", "dq_quarantine", "fk_violations"]
 
 
 def dq_check(df: DataFrame, rules: list[tuple[str, Column]]) -> DataFrame:
@@ -78,4 +78,32 @@ def fk_violations(
     return orphans.agg(
         F.lit(rule).alias("rule"),
         F.count(F.lit(1)).alias("n_violations"),
+    )
+
+
+def dq_quarantine(
+    df: DataFrame, rules: list[tuple[str, Column]]
+) -> DataFrame:
+    """Row-level routing for the same rule list :func:`dq_check`
+    aggregates: every row gains ``failed_rules`` — the (name-ordered)
+    array of rules it violates — and ``is_valid``.  The loader then
+    splits one output into the target table (``is_valid``) and the
+    quarantine table (everything else, with its reasons attached) —
+    the record the reference's silent ``dropna()`` never kept.
+
+    Pure narrow projection: zero shuffles, whole-stage codegen, one
+    shared scan with the counting pass if both run.  NULL predicates
+    count as not-violated, matching ``dq_check``.
+    """
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    hits = F.array(
+        *[
+            F.when(pred, F.lit(name)).otherwise(F.lit(None))
+            for name, pred in rules
+        ]
+    )
+    failed = F.array_compact(hits)
+    return df.withColumn("failed_rules", failed).withColumn(
+        "is_valid", F.size(F.col("failed_rules")) == 0
     )

@@ -4650,3 +4650,67 @@ def q_stream_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dn").alias("n"),
         F.col("n_hours"),
     )
+
+
+@query(
+    "dq_quarantine",
+    """SELECT event_id,
+              list_sort(list_filter([
+                CASE WHEN value < 0 OR value > 95 THEN 'value_in_range' END,
+                CASE WHEN event_type NOT IN ('view','click','purchase','signup','error')
+                     THEN 'event_type_in_domain' END,
+                CASE WHEN props IS NULL THEN 'props_not_null' END,
+                CASE WHEN NOT regexp_matches(props, '^\\{"k": \\d+\\}$')
+                     THEN 'props_json_shape' END
+              ], x -> x IS NOT NULL)) AS failed_rules
+       FROM events
+       WHERE len(list_filter([
+                CASE WHEN value < 0 OR value > 95 THEN 'value_in_range' END,
+                CASE WHEN event_type NOT IN ('view','click','purchase','signup','error')
+                     THEN 'event_type_in_domain' END,
+                CASE WHEN props IS NULL THEN 'props_not_null' END,
+                CASE WHEN NOT regexp_matches(props, '^\\{"k": \\d+\\}$')
+                     THEN 'props_json_shape' END
+              ], x -> x IS NOT NULL)) > 0""",
+)
+def q_dq_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level quarantine (r6): the SAME rule list the dq_checks
+    report aggregates, routed per row — quarantined rows carry the
+    array of rules they violate, so a loader splits one narrow
+    zero-shuffle pass into target + quarantine tables instead of the
+    reference's silent dropna().  Output: the quarantine side with
+    reasons (sorted for cross-engine stability)."""
+    from hdfs_stream_processing_spark.operators.quality import dq_quarantine
+
+    (events,) = prep(spark, sf_dir, "events")
+    out = dq_quarantine(events, [(n, p()) for n, p in _DQ_RULES])
+    return (
+        out.where(~F.col("is_valid"))
+        .select("event_id", F.array_sort("failed_rules").alias("failed_rules"))
+    )
+
+
+@query(
+    "cap_per_source",
+    """SELECT doc_id, source, n_chars FROM (
+         SELECT doc_id, source, n_chars,
+                row_number() OVER (PARTITION BY source
+                                   ORDER BY n_chars DESC, doc_id) AS rn
+         FROM documents)
+       WHERE rn <= 40""",
+)
+def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap (r6): at most 40 docs per source, longest first
+    with a unique-id tiebreak — the anti-dominance cap every crawl
+    curation applies (RefinedWeb / MassiveWeb cap per domain) so one
+    site cannot swamp the mixture.  One group-key shuffle; survivor
+    set is partitioning-independent by the total order."""
+    from hdfs_stream_processing_spark.operators.llmdata import cap_per_group
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    return cap_per_group(
+        documents.select("doc_id", "source", "n_chars"),
+        ["source"],
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        40,
+    )

@@ -35,3 +35,42 @@ def test_fk_violations_counts_orphans_once_each(spark):
     parent = spark.createDataFrame([(1,), (1,), (2,)], "pk long")  # dup parents ok
     (row,) = fk_violations(child, "k", parent, "pk", "fk").collect()
     assert row["rule"] == "fk" and row["n_violations"] == 2  # both k=9 rows
+
+
+def test_dq_quarantine_routes_rows_with_reasons(spark):
+    from hdfs_stream_processing_spark.operators.quality import dq_quarantine
+
+    df = spark.createDataFrame(
+        [(1, 50.0, "ok"), (2, -1.0, "ok"), (3, 200.0, None)],
+        "id long, v double, s string",
+    )
+    rules = [
+        ("v_range", (F.col("v") < 0) | (F.col("v") > 95)),
+        ("s_not_null", F.col("s").isNull()),
+    ]
+    out = {r["id"]: (r["is_valid"], sorted(r["failed_rules"]))
+           for r in dq_quarantine(df, rules).collect()}
+    assert out == {
+        1: (True, []),
+        2: (False, ["v_range"]),
+        3: (False, ["s_not_null", "v_range"]),
+    }
+    import pytest
+    with pytest.raises(ValueError):
+        dq_quarantine(df, [])
+
+
+def test_cap_per_group_is_partitioning_independent(spark):
+    from hdfs_stream_processing_spark.operators.llmdata import cap_per_group
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 2), i * 10) for i in range(20)],
+        "id long, g string, score long",
+    )
+    pick = lambda parts: sorted(
+        r["id"]
+        for r in cap_per_group(
+            df.repartition(parts), ["g"], [F.col("score").desc(), F.col("id")], 3
+        ).collect()
+    )
+    assert pick(1) == pick(7) == [14, 15, 16, 17, 18, 19]
