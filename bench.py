@@ -128,6 +128,9 @@ HEADLINE = [
     "incr_dedup_vec",             # bucketed exact-cosine batch dedup
     "ohlc_bars",                  # min_by/max_by hourly bars, one agg
     "stream_ohlc",                # same bars as watermarked window agg
+    "stream_daily_rollup",        # chained hourly->daily stateful aggs
+    "dq_quarantine",              # row-level rule routing, zero shuffle
+    "cap_per_source",             # per-domain cap window
 ]
 
 
