@@ -234,3 +234,54 @@ def test_rollup_merge_any_split_equals_full_rebuild(spark, rows, cut):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, part(df).collect())
     )
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(  # dimension change log: (key, ts, attr)
+        st.tuples(st.integers(1, 3), st.integers(0, 40), st.sampled_from("abc")),
+        min_size=1,
+        max_size=15,
+    ),
+    st.lists(  # facts: (key, ts)
+        st.tuples(st.integers(1, 4), st.integers(0, 45)),
+        min_size=1,
+        max_size=15,
+    ),
+)
+def test_pit_join_matches_python_reference_any_history(spark, log, facts):
+    """For ANY change log and fact set: pit_join returns, per fact, the
+    attribute of the version valid at the fact's timestamp — computed
+    independently in python from first principles (last change at or
+    before ts, after suppression-irrelevant dedup of same-instant
+    changes by build order)."""
+    from hdfs_stream_processing_spark.operators.incremental import (
+        pit_join,
+        scd2_build,
+    )
+
+    # unique (key, ts) in the log: same-instant changes need a tiebreak
+    # the python reference would have to replicate — drop that case
+    seen = set()
+    log2 = []
+    for k, t, a in log:
+        if (k, t) not in seen:
+            seen.add((k, t))
+            log2.append((k, t, a))
+    dim_src = spark.createDataFrame(log2, "k long, t long, attr string").select(
+        "k", F.timestamp_seconds("t").alias("ts"), "attr"
+    )
+    dim = scd2_build(dim_src, ["k"], "ts", "attr")
+    fdf = spark.createDataFrame(
+        list(enumerate(facts)), "fid long, f struct<k: long, t: long>"
+    ).select("fid", F.col("f.k").alias("k"), F.timestamp_seconds("f.t").alias("ts"))
+    got = {
+        r["fid"]: r["attr"]
+        for r in pit_join(fdf, dim, ["k"], "ts").select("f.fid", "d.attr").collect()
+    }
+    # python reference: per fact, the attr of the latest change <= ts
+    want = {}
+    for fid, (k, t) in enumerate(facts):
+        hist = sorted((lt, a) for lk, lt, a in log2 if lk == k and lt <= t)
+        want[fid] = hist[-1][1] if hist else None
+    assert got == want
