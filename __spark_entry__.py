@@ -54,7 +54,7 @@ _VERIFY_FIRST = [
     "incr_rollup", "avg_yearly", "stream_pit", "dedup_near_incr",
     "scd2_repair", "incr_topk", "incr_pack", "incr_dedup_vec",
     "ohlc_bars", "stream_ohlc", "stream_daily_rollup",
-    "dq_quarantine", "cap_per_source",
+    "dq_quarantine", "cap_per_source", "stream_quarantine", "merge_upsert",
     # implementation changed in round 6 — re-earn driver rows:
     "dedup_clusters", "dedup_keep",
     # longest-stale padding to exactly 50 (last driver-green r2-r4):
@@ -62,7 +62,6 @@ _VERIFY_FIRST = [
     "count_rows", "set_ops", "align_pipeline", "token_count",
     "minhash_sig", "dedup_near", "ngram_jaccard", "simhash",
     "similarity_topk", "similarity_lsh", "similarity_lsh_multiprobe",
-    "multimodal_meta", "stream_dedup",
 ]
 
 

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "cdc_apply",
+    "merge_into",
     "pit_join",
     "rollup_merge",
     "scd2_build",
@@ -370,3 +371,67 @@ def snapshot_diff(
             *[F.col(f"new_{c}") for c in compare_cols],
         )
     )
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    key_cols: list[str],
+    update_set: dict[str, Column] | None = None,
+    insert_values: dict[str, Column] | None = None,
+    delete_condition: Column | None = None,
+    matched_condition: Column | None = None,
+) -> DataFrame:
+    """Declarative MERGE INTO — the lakehouse upsert statement (WHEN
+    MATCHED THEN UPDATE/DELETE, WHEN NOT MATCHED THEN INSERT) as one
+    DataFrame op producing the new target table.
+
+    ``update_set`` / ``insert_values`` / ``delete_condition`` /
+    ``matched_condition`` are Column expressions over the aliased
+    sides: reference target columns as ``F.col("t.x")`` and source
+    columns as ``F.col("s.y")``.  Clause semantics follow SQL MERGE:
+    a matched delete wins over a matched update; unmatched target rows
+    pass through; unmatched source rows insert only when
+    ``insert_values`` is given (missing target columns default NULL).
+
+    Contract (as in SQL MERGE, which errors on multi-matches): the
+    source has at most ONE row per key — pre-aggregate or
+    :func:`cdc_apply` the change stream first.
+
+    Scale: ONE co-partitioned full-outer join on the key — the same
+    shape as :func:`snapshot_diff`; day-sized sources flip to a
+    broadcast/shuffled-hash join automatically, and bucketed targets
+    merge with zero exchange.  This is the generalized form of
+    :func:`cdc_apply` (which needs no join because its log is
+    complete); here the target is authoritative and only touched keys
+    change.
+    """
+    t = target.withColumn("_tp", F.lit(True)).alias("t")
+    s = source.withColumn("_sp", F.lit(True)).alias("s")
+    cond = None
+    for k in key_cols:
+        c = F.col(f"t.{k}") == F.col(f"s.{k}")
+        cond = c if cond is None else (cond & c)
+    j = t.join(s, cond, "full_outer")
+    matched = F.col("t._tp").isNotNull() & F.col("s._sp").isNotNull()
+    s_only = F.col("t._tp").isNull()
+    upd_gate = matched if matched_condition is None else (matched & matched_condition)
+    del_gate = (
+        F.lit(False) if delete_condition is None else (matched & delete_condition)
+    )
+    out_cols = []
+    for c in target.columns:
+        tcol = F.col(f"t.{c}")
+        v = tcol
+        if update_set and c in update_set:
+            v = F.when(upd_gate, update_set[c]).otherwise(tcol)
+        if insert_values is not None:
+            iv = insert_values.get(
+                c, F.lit(None).cast(target.schema[c].dataType)
+            )
+            v = F.when(s_only, iv).otherwise(v)
+        out_cols.append(v.alias(c))
+    keep = ~del_gate
+    if insert_values is None:
+        keep = keep & ~s_only
+    return j.where(keep).select(*out_cols)

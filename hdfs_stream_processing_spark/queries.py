@@ -4714,3 +4714,130 @@ def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("n_chars").desc(), F.col("doc_id").asc()],
         40,
     )
+
+
+@query(
+    "stream_quarantine",
+    """SELECT event_id,
+              list_sort(list_filter([
+                CASE WHEN value < 0 OR value > 95 THEN 'value_in_range' END,
+                CASE WHEN event_type NOT IN ('view','click','purchase','signup','error')
+                     THEN 'event_type_in_domain' END,
+                CASE WHEN props IS NULL THEN 'props_not_null' END,
+                CASE WHEN NOT regexp_matches(props, '^\\{"k": \\d+\\}$')
+                     THEN 'props_json_shape' END
+              ], x -> x IS NOT NULL)) AS failed_rules
+       FROM events
+       WHERE len(list_filter([
+                CASE WHEN value < 0 OR value > 95 THEN 'value_in_range' END,
+                CASE WHEN event_type NOT IN ('view','click','purchase','signup','error')
+                     THEN 'event_type_in_domain' END,
+                CASE WHEN props IS NULL THEN 'props_not_null' END,
+                CASE WHEN NOT regexp_matches(props, '^\\{"k": \\d+\\}$')
+                     THEN 'props_json_shape' END
+              ], x -> x IS NOT NULL)) > 0""",
+)
+def q_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level quarantine ON THE STREAM (r6): the identical rule list
+    routes rows as they arrive — stateless narrow projection, no
+    watermark, no state store — so the quarantine table fills
+    continuously instead of after a nightly batch.  Same oracle as the
+    batch dq_quarantine: one rule list, two execution modes (the
+    quality suite's batch/stream symmetry, completed for routing as
+    stream_dq completed it for counting)."""
+    from hdfs_stream_processing_spark.operators.quality import dq_quarantine
+    from hdfs_stream_processing_spark.streaming import (
+        run_to_memory,
+        stream_parquet_source,
+    )
+
+    src_dir, schema = _stage_events(spark, sf_dir)
+    stream = stream_parquet_source(spark, src_dir, schema, max_files_per_trigger=2)
+    routed = dq_quarantine(stream, [(n, p()) for n, p in _DQ_RULES])
+    out = run_to_memory(routed.where(~F.col("is_valid")))
+    return out.select("event_id", F.array_sort("failed_rules").alias("failed_rules"))
+
+
+@query(
+    "merge_upsert",
+    """WITH base AS (
+         SELECT user_id,
+                SUM(COALESCE(CAST(round(value * 100.0, 0) AS BIGINT), 0)) AS cents,
+                SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err
+         FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+         GROUP BY user_id),
+       src AS (
+         SELECT user_id, cents, n_err FROM base
+         UNION ALL
+         SELECT user_id + 2000, cents, n_err FROM base WHERE user_id < 100),
+       merged AS (
+         SELECT COALESCE(t.c_custkey, s.user_id) AS c_custkey,
+                CASE WHEN t.c_custkey IS NULL
+                     THEN 'new-' || CAST(s.user_id AS VARCHAR)
+                     ELSE t.c_name END AS c_name,
+                CASE WHEN t.c_custkey IS NULL THEN NULL
+                     ELSE t.c_nationkey END AS c_nationkey,
+                CASE WHEN t.c_custkey IS NULL
+                     THEN CAST(s.cents AS DOUBLE) / 100.0
+                     WHEN s.user_id IS NOT NULL
+                     THEN CAST(CAST(round(t.c_acctbal * 100.0, 0) AS BIGINT)
+                               + s.cents AS DOUBLE) / 100.0
+                     ELSE t.c_acctbal END AS c_acctbal,
+                CASE WHEN t.c_custkey IS NULL THEN 'NEW'
+                     ELSE t.c_mktsegment END AS c_mktsegment,
+                (t.c_custkey IS NOT NULL AND s.user_id IS NOT NULL
+                 AND s.n_err >= 3) AS _del
+         FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.user_id)
+       SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+       FROM merged WHERE NOT _del""",
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative MERGE INTO (r6): the customer table absorbs a
+    half-month activity batch in one statement — matched customers with
+    ≥ 3 errors DELETE, other matched customers UPDATE their balance by
+    the exact-cents activity total, unseen account ids INSERT as new
+    rows.  One co-partitioned full-outer join (the snapshot_diff
+    shape); the generalized form of cdc_apply for when the target is
+    authoritative and the source is just a day's delta."""
+    from hdfs_stream_processing_spark.operators.incremental import merge_into
+
+    events, customer = prep(spark, sf_dir, "events", "customer")
+    cents = F.coalesce(
+        F.round(F.col("value") * F.lit(100.0), 0).cast("long"), F.lit(0)
+    )
+    base = (
+        events.where(F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(cents).alias("cents"),
+            F.sum(
+                F.when(F.col("event_type") == "error", F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_err"),
+        )
+    )
+    src = base.unionByName(
+        base.where(F.col("user_id") < 100).withColumn(
+            "user_id", F.col("user_id") + F.lit(2000)
+        )
+    ).withColumnRenamed("user_id", "c_custkey")
+    return merge_into(
+        customer,
+        src,
+        ["c_custkey"],
+        update_set={
+            "c_acctbal": (
+                F.round(F.col("t.c_acctbal") * F.lit(100.0), 0).cast("long")
+                + F.col("s.cents")
+            ).cast("double")
+            / F.lit(100.0)
+        },
+        insert_values={
+            "c_custkey": F.col("s.c_custkey"),
+            "c_name": F.concat(
+                F.lit("new-"), F.col("s.c_custkey").cast("string")
+            ),
+            "c_acctbal": F.col("s.cents").cast("double") / F.lit(100.0),
+            "c_mktsegment": F.lit("NEW"),
+        },
+        delete_condition=F.col("s.n_err") >= 3,
+    )

@@ -264,3 +264,39 @@ def test_scd2_repair_rebuilds_time_travelers_and_merges_the_rest(spark):
         (r["attr"] for r in out.where("k = 1").collect()),
     )
     assert k1 == ["A", "A", "B"]
+
+
+def test_merge_into_clause_semantics(spark):
+    """Standard MERGE: matched delete wins over update, matched rows
+    update, unmatched targets pass through, unmatched sources insert
+    (missing columns NULL), and without insert_values source-only rows
+    are ignored."""
+    from hdfs_stream_processing_spark.operators.incremental import merge_into
+
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, name string, v long"
+    )
+    source = spark.createDataFrame(
+        [(1, 5, False), (2, 99, True), (4, 7, False)], "k long, dv long, kill boolean"
+    )
+    out = merge_into(
+        target,
+        source,
+        ["k"],
+        update_set={"v": F.col("t.v") + F.col("s.dv")},
+        insert_values={"k": F.col("s.k"), "v": F.col("s.dv")},
+        delete_condition=F.col("s.kill"),
+    )
+    got = {r["k"]: (r["name"], r["v"]) for r in out.collect()}
+    assert got == {
+        1: ("a", 15),   # matched update
+        3: ("c", 30),   # untouched target
+        4: (None, 7),   # insert, name defaults NULL
+    }  # 2 deleted
+
+    no_ins = merge_into(
+        target, source, ["k"],
+        update_set={"v": F.col("t.v") + F.col("s.dv")},
+        delete_condition=F.col("s.kill"),
+    )
+    assert sorted(r["k"] for r in no_ins.collect()) == [1, 3]
