@@ -54,14 +54,14 @@ _VERIFY_FIRST = [
     "incr_rollup", "avg_yearly", "stream_pit", "dedup_near_incr",
     "scd2_repair", "incr_topk", "incr_pack", "incr_dedup_vec",
     "ohlc_bars", "stream_ohlc", "stream_daily_rollup",
-    "dq_quarantine", "cap_per_source", "stream_quarantine", "merge_upsert",
+    "dq_quarantine", "cap_per_source", "stream_quarantine", "merge_upsert", "time_travel",
     # implementation changed in round 6 — re-earn driver rows:
     "dedup_clusters", "dedup_keep",
     # longest-stale padding to exactly 50 (last driver-green r2-r4):
     "project_exclude", "add_lit", "drop_nulls", "case_when", "limit_n",
     "count_rows", "set_ops", "align_pipeline", "token_count",
     "minhash_sig", "dedup_near", "ngram_jaccard", "simhash",
-    "similarity_topk", "similarity_lsh", "similarity_lsh_multiprobe",
+    "similarity_topk", "similarity_lsh",
 ]
 
 

@@ -4841,3 +4841,69 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         delete_condition=F.col("s.n_err") >= 3,
     )
+
+
+@query(
+    "time_travel",
+    """WITH base AS (
+         SELECT user_id,
+                SUM(COALESCE(CAST(round(value * 100.0, 0) AS BIGINT), 0)) AS cents,
+                SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err
+         FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+         GROUP BY user_id),
+       src AS (
+         SELECT user_id, cents, n_err FROM base
+         UNION ALL
+         SELECT user_id + 2000, cents, n_err FROM base WHERE user_id < 100)
+       SELECT t.c_custkey,
+              CASE WHEN t.c_custkey IS NULL THEN 'added'
+                   WHEN s.n_err >= 3 THEN 'removed'
+                   WHEN s.user_id IS NOT NULL AND s.cents <> 0 THEN 'changed'
+              END AS status,
+              t.c_acctbal AS old_acctbal,
+              CASE WHEN s.n_err >= 3 THEN NULL
+                   WHEN s.user_id IS NOT NULL
+                   THEN CAST(CAST(round(t.c_acctbal * 100.0, 0) AS BIGINT)
+                             + s.cents AS DOUBLE) / 100.0
+              END AS new_acctbal
+       FROM customer t JOIN src s ON t.c_custkey = s.user_id
+       WHERE s.n_err >= 3 OR s.cents <> 0
+       UNION ALL
+       SELECT s.user_id, 'added', NULL, CAST(s.cents AS DOUBLE) / 100.0
+       FROM src s LEFT JOIN customer t ON t.c_custkey = s.user_id
+       WHERE t.c_custkey IS NULL""",
+)
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned table + time travel (r6): the customer table commits
+    as snapshot v_n, the MERGE result as v_{n+1} (immutable ``v=``
+    dirs behind an atomically-renamed ``_latest`` pointer — the
+    minimal Iceberg-shaped commit protocol), old snapshots are
+    vacuumed down to the last two, then BOTH versions are read back —
+    the new one through the pointer, the old one by explicit version —
+    and keyed-diffed.  The oracle derives the same diff from the base
+    tables alone, so pointer resolution, snapshot isolation, vacuum
+    safety, and the diff all verify in one query."""
+    from hdfs_stream_processing_spark.operators.incremental import snapshot_diff
+    from hdfs_stream_processing_spark.sources.io import (
+        read_table_version,
+        table_latest_version,
+        vacuum_table_versions,
+        write_table_version,
+    )
+
+    (customer,) = prep(spark, sf_dir, "customer")
+    tdir = _mkdtemp("hsp_versioned_", memo_key=sf_dir)
+    merged = QUERIES["merge_upsert"](spark, sf_dir)
+    write_table_version(spark, customer, tdir)
+    v_new = write_table_version(spark, merged, tdir)
+    vacuum_table_versions(spark, tdir, keep_last=2)
+    old = read_table_version(spark, tdir, version=v_new - 1)  # time travel
+    new = read_table_version(spark, tdir)  # pointer = latest
+    assert table_latest_version(spark, tdir) == v_new
+    diff = snapshot_diff(old, new, ["c_custkey"], ["c_acctbal"])
+    return diff.select(
+        "c_custkey",
+        "status",
+        F.col("old_c_acctbal").alias("old_acctbal"),
+        F.col("new_c_acctbal").alias("new_acctbal"),
+    )

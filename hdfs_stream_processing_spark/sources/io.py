@@ -305,3 +305,99 @@ def upsert_partitioned(
         .partitionBy(partition_col)
         .parquet(target_dir)
     )
+
+
+# ---------------------------------------------------------------------------
+# Versioned table: snapshot directories + an atomically-published pointer
+# ---------------------------------------------------------------------------
+
+def _fs_for(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def table_latest_version(spark: SparkSession, table_dir: str) -> int | None:
+    """Version the ``_latest`` pointer currently publishes, or None for
+    a table that has never committed."""
+    jvm, fs = _fs_for(spark, table_dir)
+    ptr = jvm.org.apache.hadoop.fs.Path(table_dir.rstrip("/") + "/_latest")
+    if not fs.exists(ptr):
+        return None
+    stream = fs.open(ptr)
+    try:
+        raw = bytes(stream.readAllBytes()).decode("ascii").strip()
+    finally:
+        stream.close()
+    return int(raw)
+
+
+def write_table_version(spark: SparkSession, df: DataFrame, table_dir: str) -> int:
+    """Commit ``df`` as the table's next immutable snapshot and publish
+    it — the minimal form of the Iceberg/Delta snapshot protocol:
+
+    1. data lands in a NEW directory ``v=<n>/`` (never touched again);
+    2. the ``_latest`` pointer file is written aside and renamed over
+       the old pointer.
+
+    Readers resolving the pointer therefore see the previous snapshot
+    or the new one, never a half-written mix, and every prior version
+    stays readable (:func:`read_table_version`) until
+    :func:`vacuum_table_versions` retires it — time travel, audits,
+    and rollback are all "read an older v=".
+
+    The delete+rename pointer flip is atomic enough for a single
+    writer (this engine's loaders run one committer per table); a
+    multi-writer lake puts the pointer CAS in a metastore/catalog
+    instead — the layout here is deliberately that same shape.
+    """
+    n = (table_latest_version(spark, table_dir) or 0) + 1
+    base = table_dir.rstrip("/")
+    df.write.mode("error").parquet(f"{base}/v={n}/data")
+    jvm, fs = _fs_for(spark, table_dir)
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{base}/_latest.tmp")
+    ptr = jvm.org.apache.hadoop.fs.Path(f"{base}/_latest")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(str(n).encode("ascii")))
+    finally:
+        out.close()
+    if fs.exists(ptr):
+        fs.delete(ptr, False)
+    if not fs.rename(tmp, ptr):
+        raise IOError(f"write_table_version: could not publish pointer for v={n}")
+    return n
+
+
+def read_table_version(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read a snapshot: the pointer's latest by default, or any retained
+    ``version`` for time travel."""
+    v = version if version is not None else table_latest_version(spark, table_dir)
+    if v is None:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    return spark.read.parquet(f"{table_dir.rstrip('/')}/v={v}/data")
+
+
+def vacuum_table_versions(
+    spark: SparkSession, table_dir: str, keep_last: int = 2
+) -> list[int]:
+    """Retire all but the newest ``keep_last`` snapshots (never the
+    published one); returns the versions removed.  Partition-dir
+    deletes only — data files of retained versions are never touched.
+    """
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    latest = table_latest_version(spark, table_dir)
+    if latest is None:
+        return []
+    jvm, fs = _fs_for(spark, table_dir)
+    base = table_dir.rstrip("/")
+    removed = []
+    for v in range(1, max(1, latest - keep_last + 1)):
+        p = jvm.org.apache.hadoop.fs.Path(f"{base}/v={v}")
+        if fs.exists(p):
+            fs.delete(p, True)
+            removed.append(v)
+    return removed

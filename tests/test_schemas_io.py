@@ -161,3 +161,36 @@ def test_bucketed_join_has_zero_exchanges(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {ta}")
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_versioned_table_commit_time_travel_vacuum(spark, tmp_path):
+    """Snapshot protocol: each commit is an immutable v= dir behind an
+    atomically-renamed pointer; old versions stay readable (time
+    travel) until vacuumed, and vacuum never touches the published or
+    retained snapshots."""
+    from hdfs_stream_processing_spark.sources.io import (
+        read_table_version,
+        table_latest_version,
+        vacuum_table_versions,
+        write_table_version,
+    )
+
+    tdir = str(tmp_path / "vt")
+    assert table_latest_version(spark, tdir) is None
+    d1 = spark.range(3).withColumnRenamed("id", "k")
+    d2 = spark.range(5).withColumnRenamed("id", "k")
+    d3 = spark.range(7).withColumnRenamed("id", "k")
+    assert write_table_version(spark, d1, tdir) == 1
+    assert write_table_version(spark, d2, tdir) == 2
+    assert write_table_version(spark, d3, tdir) == 3
+    assert table_latest_version(spark, tdir) == 3
+    # pointer reads latest; any retained version readable explicitly
+    assert read_table_version(spark, tdir).count() == 7
+    assert read_table_version(spark, tdir, version=1).count() == 3
+    removed = vacuum_table_versions(spark, tdir, keep_last=2)
+    assert removed == [1]
+    assert read_table_version(spark, tdir, version=2).count() == 5
+    assert read_table_version(spark, tdir).count() == 7
+    import pytest
+    with pytest.raises(Exception):
+        read_table_version(spark, tdir, version=1).count()
