@@ -131,6 +131,8 @@ HEADLINE = [
     "stream_daily_rollup",        # chained hourly->daily stateful aggs
     "dq_quarantine",              # row-level rule routing, zero shuffle
     "cap_per_source",             # per-domain cap window
+    "merge_upsert",               # declarative MERGE, one full-outer join
+    "time_travel",                # snapshot commit + pointer read + diff
 ]
 
 
