@@ -57,11 +57,13 @@ _VERIFY_FIRST = [
     "dq_quarantine", "cap_per_source", "stream_quarantine", "merge_upsert", "time_travel",
     # implementation changed in round 6 — re-earn driver rows:
     "dedup_clusters", "dedup_keep",
+    # round-6 decision-support suite (queries_dss.py):
+    "ship_priority", "late_ship_priority", "nation_trade",
+    "market_share", "returned_revenue", "cust_order_dist",
+    "promo_share", "top_supplier", "waiting_suppliers",
+    "idle_customers",
     # longest-stale padding to exactly 50 (last driver-green r2-r4):
     "project_exclude", "add_lit", "drop_nulls", "case_when", "limit_n",
-    "count_rows", "set_ops", "align_pipeline", "token_count",
-    "minhash_sig", "dedup_near", "ngram_jaccard", "simhash",
-    "similarity_topk", "similarity_lsh",
 ]
 
 

@@ -133,6 +133,17 @@ HEADLINE = [
     "cap_per_source",             # per-domain cap window
     "merge_upsert",               # declarative MERGE, one full-outer join
     "time_travel",                # snapshot commit + pointer read + diff
+    # round 6 decision-support (TPC-H-shaped) suite (queries_dss.py):
+    "ship_priority",              # Q3: filtered dims + TakeOrdered top-10
+    "late_ship_priority",         # Q4: EXISTS → left-semi decorrelation
+    "nation_trade",               # Q7: bilateral 6-way join, pruned dims
+    "market_share",               # Q8: conditional cents, one agg pass
+    "returned_revenue",           # Q10: quarter-pruned agg-then-enrich
+    "cust_order_dist",            # Q13: left-join histogram, two aggs
+    "promo_share",                # Q14: promo ratio, single global agg
+    "top_supplier",               # Q15: broadcast scalar max, ties kept
+    "waiting_suppliers",          # Q21: semi+anti on co-partitioned fact
+    "idle_customers",             # Q22: scalar-avg broadcast + anti-join
 ]
 
 

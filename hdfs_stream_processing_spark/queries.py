@@ -4907,3 +4907,9 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("old_c_acctbal").alias("old_acctbal"),
         F.col("new_c_acctbal").alias("new_acctbal"),
     )
+
+
+# Decision-support (TPC-H-shaped) suite — registers into QUERIES/ORACLES
+# via the shared @query decorator.  Import sits at module end so the
+# decorator and helpers above are defined when the submodule runs.
+from hdfs_stream_processing_spark import queries_dss  # noqa: E402,F401

@@ -166,6 +166,19 @@ SHUFFLE_BUDGETS = {
     "incr_topk": 3,        # two partial count aggs + merged ranking window
     "incr_pack": 2,        # history pack shard exchange + batch shard
                            # exchange; cursor state broadcasts
+    # round-6 decision-support suite (queries_dss.py) — at sf0.01 every
+    # dim broadcasts, so each query is its aggregation exchange(s) only:
+    "ship_priority": 1,        # one group agg; top-10 is TakeOrdered
+    "late_ship_priority": 1,   # semi-join broadcast + priority agg
+    "nation_trade": 1,         # 5 broadcasts, one (nation,year) agg
+    "market_share": 1,         # 7 broadcasts, one year agg
+    "returned_revenue": 1,     # per-cust agg; enrich joins broadcast
+    "cust_order_dist": 2,      # custkey agg + count-domain agg
+    "promo_share": 1,          # single global conditional agg
+    "top_supplier": 3,         # rev agg referenced 2x (ReuseExchange
+                               # materializes once) + scalar max reduce
+    "waiting_suppliers": 1,    # semi+anti broadcast legs + name agg
+    "idle_customers": 1,       # scalar-avg reduce; anti-join broadcasts
 }
 
 
