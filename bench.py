@@ -144,6 +144,7 @@ HEADLINE = [
     "top_supplier",               # Q15: broadcast scalar max, ties kept
     "waiting_suppliers",          # Q21: semi+anti on co-partitioned fact
     "idle_customers",             # Q22: scalar-avg broadcast + anti-join
+    "stream_scd2",                # versioned-snapshot SCD2 maintenance
 ]
 
 

@@ -4913,3 +4913,98 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # via the shared @query decorator.  Import sits at module end so the
 # decorator and helpers above are defined when the submodule runs.
 from hdfs_stream_processing_spark import queries_dss  # noqa: E402,F401
+
+
+def _stage_events_time_ordered(
+    spark: SparkSession, sf_dir: str, n_files: int = 3
+) -> tuple[str, "T.StructType"]:
+    """Stage the events table as a streaming source whose files arrive
+    in EVENT-TIME order: file i holds a contiguous ts range strictly
+    before file i+1's (cutpoints = exact ts percentiles; events ts is
+    unique in the driver data).  File mtimes are stamped increasing so
+    the file source's oldest-first ordering is deterministic, and
+    ``maxFilesPerTrigger=1`` turns each range into its own micro-batch.
+    This is the staging that satisfies the in-order batch contract of
+    ``scd2_merge``-style incremental maintenance (a real deployment
+    gets the same property from Kafka per-key ordering or time-bucketed
+    landing dirs; stragglers route through scd2_repair)."""
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import types as T  # noqa: F401
+
+    key = ("hsp_stream_ordsrc_", (sf_dir, n_files))
+    (events,) = prep(spark, sf_dir, "events")
+    if key in _STAGE_CACHE:
+        return _STAGE_CACHE[key], events.schema
+    stage_dir = _mkdtemp("hsp_stream_ordsrc_")
+    fracs = [i / n_files for i in range(1, n_files)]
+    (cuts,) = (
+        events.agg(
+            F.expr(
+                "percentile(unix_micros(ts), array("
+                + ",".join(str(f) for f in fracs)
+                + "))"
+            ).alias("c")
+        ).collect()[0]
+    )
+    bounds = [None, *[int(c) for c in cuts], None]
+    base = int(_time.time())
+    stamped: set[str] = set()
+    for i in range(n_files):
+        cond = F.lit(True)
+        if bounds[i] is not None:
+            cond = cond & (F.unix_micros("ts") > F.lit(bounds[i]))
+        if bounds[i + 1] is not None:
+            cond = cond & (F.unix_micros("ts") <= F.lit(bounds[i + 1]))
+        events.where(cond).coalesce(1).write.mode("append").parquet(stage_dir)
+        for f in _os.listdir(stage_dir):
+            p = _os.path.join(stage_dir, f)
+            if f.endswith(".parquet") and p not in stamped:
+                _os.utime(p, (base + i, base + i))
+                stamped.add(p)
+    _STAGE_CACHE[key] = stage_dir
+    return stage_dir, events.schema
+
+
+@query(
+    "stream_scd2",
+    """WITH ordered AS (
+         SELECT user_id, ts, event_id, event_type,
+                lag(event_type) OVER w AS prev_type,
+                row_number() OVER w AS rn
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       vers AS (
+         SELECT user_id, ts, event_id, event_type FROM ordered
+         WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type)
+       SELECT user_id, event_type,
+              ts AS valid_from,
+              lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+              lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+       FROM vers""",
+)
+def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 maintenance (r6): the change stream arrives in
+    event-time-ordered micro-batches; the first bootstraps the
+    dimension via scd2_build, each later one folds in via scd2_merge,
+    and every step publishes an immutable snapshot through the
+    versioned-table pointer (readers never see a half-merged
+    dimension; replays skip on the committed batch id).  The live
+    dimension must equal the one-shot scd2_build over the whole log —
+    the same oracle proves batch and stream paths identical."""
+    from hdfs_stream_processing_spark.streaming import stream_parquet_source
+    from hdfs_stream_processing_spark.streaming.pipeline import (
+        read_scd2_snapshot,
+        run_stream_scd2,
+    )
+
+    src_dir, schema = _stage_events_time_ordered(spark, sf_dir, n_files=3)
+    stream = stream_parquet_source(spark, src_dir, schema, max_files_per_trigger=1)
+    log = stream.select("user_id", "ts", "event_id", "event_type")
+    tdir = _mkdtemp("hsp_sscd2_")
+    ckpt = _mkdtemp("hsp_sscd2_ckpt_")
+    run_stream_scd2(
+        log, tdir, ckpt, ["user_id"], "ts", "event_type", tiebreak_cols=["event_id"]
+    )
+    return read_scd2_snapshot(spark, tdir)

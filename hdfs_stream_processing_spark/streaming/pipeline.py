@@ -615,3 +615,104 @@ def vacuum_cdc_tombstones(
             if fs.exists(hp):
                 fs.delete(hp, True)
     return n_dead
+
+
+def scd2_apply_batch(
+    batch_df: DataFrame,
+    table_dir: str,
+    key_cols: list[str],
+    ts_col: str,
+    attr_col: str | list[str],
+    tiebreak_cols: list[str] | None = None,
+    batch_id: int = 0,
+) -> bool:
+    """One streaming SCD2 maintenance step (the body
+    :func:`run_stream_scd2` runs per micro-batch; public so batch
+    backfills reuse it and tests drive arbitrary batch splits).
+
+    First batch bootstraps the dimension with ``scd2_build``; every
+    later batch folds in through ``scd2_merge`` — history is never
+    rebuilt.  Each step commits a NEW immutable snapshot through the
+    versioned-table pointer protocol (``write_table_version``), so a
+    reader mid-merge sees the previous complete dimension, never a
+    half-written one, and the dimension gets time travel for free.
+
+    Replay safety: an SCD2 merge is not content-idempotent (re-merging
+    an already-absorbed change set against the updated open versions
+    would replay history out of order), so each snapshot records the
+    micro-batch id that produced it in ``_batch``; a batch whose id ≤
+    the committed ``_batch`` already produced a published snapshot and
+    is skipped (same guard family as ``run_continuous_rollup``'s
+    last_batch, here table-level because the commit is all-or-nothing).
+    Old snapshots are vacuumed to the last two.
+
+    Ordering contract (inherited from ``scd2_merge``): batches arrive
+    per-key in ``ts_col`` order.  Out-of-order arrivals must be routed
+    through ``operators.incremental.scd2_repair`` instead — the
+    high-watermark pattern its docstring describes.
+
+    Returns True if a snapshot was committed, False for a replay skip.
+    """
+    from hdfs_stream_processing_spark.operators.incremental import (
+        scd2_build,
+        scd2_merge,
+    )
+    from hdfs_stream_processing_spark.sources.io import (
+        read_table_version,
+        table_latest_version,
+        vacuum_table_versions,
+        write_table_version,
+    )
+
+    spark = batch_df.sparkSession
+    latest = table_latest_version(spark, table_dir)
+    if latest is None:
+        merged = scd2_build(batch_df, key_cols, ts_col, attr_col, tiebreak_cols)
+    else:
+        existing = read_table_version(spark, table_dir, latest)
+        last_batch = existing.agg(F.max("_batch")).collect()[0][0]  # 1 row
+        if last_batch is not None and batch_id <= last_batch:
+            return False  # replayed batch: snapshot already published
+        merged = scd2_merge(
+            existing.drop("_batch"), batch_df, key_cols, ts_col, attr_col,
+            tiebreak_cols,
+        )
+    write_table_version(
+        spark,
+        merged.withColumn("_batch", F.lit(batch_id).cast("long")),
+        table_dir,
+    )
+    vacuum_table_versions(spark, table_dir, keep_last=2)
+    return True
+
+
+def run_stream_scd2(
+    df: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    ts_col: str,
+    attr_col: str | list[str],
+    tiebreak_cols: list[str] | None = None,
+) -> None:
+    """Streaming SCD2: a change stream continuously maintains a type-2
+    dimension — the stream-side completion of the scd2_build /
+    scd2_merge pair, matching stream_cdc's batch/stream symmetry for
+    snapshot tables.  availableNow; see :func:`scd2_apply_batch` for
+    the per-batch merge, commit, replay, and ordering contracts."""
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        scd2_apply_batch(
+            batch_df, table_dir, key_cols, ts_col, attr_col, tiebreak_cols,
+            batch_id,
+        )
+
+    run_foreach_batch(df, step, checkpoint_dir)
+
+
+def read_scd2_snapshot(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Read the live dimension a :func:`run_stream_scd2` target
+    publishes (latest committed snapshot, bookkeeping column dropped)."""
+    from hdfs_stream_processing_spark.sources.io import read_table_version
+
+    return read_table_version(spark, table_dir).drop("_batch")

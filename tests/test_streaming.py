@@ -635,3 +635,63 @@ def test_transform_with_state_parity_or_documented_env_gate(spark, staged_events
         assert sorted(map(tuple, final.collect())) == sorted(map(tuple, want.collect()))
     finally:
         restore_confs(spark, prior)
+
+
+def test_stream_scd2_split_invariance_and_replay(spark, tmp_path):
+    """Streaming SCD2 (r6): folding an in-order change log through
+    scd2_apply_batch in any batch split yields the same dimension as
+    one scd2_build; a replayed batch id is skipped (no new snapshot);
+    each step publishes a fresh immutable version."""
+    import datetime as dt
+
+    from hdfs_stream_processing_spark.operators.incremental import scd2_build
+    from hdfs_stream_processing_spark.sources.io import table_latest_version
+    from hdfs_stream_processing_spark.streaming.pipeline import (
+        read_scd2_snapshot,
+        scd2_apply_batch,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    log = [
+        # key 1: a -> a (suppressed) -> b ; key 2: x only
+        (1, t0, 1, "a"), (1, t0 + dt.timedelta(1), 2, "a"),
+        (1, t0 + dt.timedelta(2), 3, "b"), (2, t0, 4, "x"),
+        # later batch: key 1 repeat b (suppressed), key 2 -> y, key 3 new
+        (1, t0 + dt.timedelta(3), 5, "b"), (2, t0 + dt.timedelta(3), 6, "y"),
+        (3, t0 + dt.timedelta(3), 7, "n"),
+    ]
+    schema = "k long, ts timestamp, seq long, attr string"
+    full = spark.createDataFrame(log, schema)
+    want = sorted(
+        scd2_build(full, ["k"], "ts", "attr", ["seq"]).collect(),
+        key=lambda r: (r["k"], r["valid_from"]),
+    )
+
+    for split in ([4, 7], [2, 4, 7], [7]):
+        tdir = str(tmp_path / f"dim_{len(split)}_{split[0]}")
+        lo = 0
+        for bid, hi in enumerate(split):
+            batch = spark.createDataFrame(log[lo:hi], schema)
+            assert scd2_apply_batch(
+                batch, tdir, ["k"], "ts", "attr", ["seq"], batch_id=bid
+            )
+            lo = hi
+        got = sorted(
+            read_scd2_snapshot(spark, tdir).collect(),
+            key=lambda r: (r["k"], r["valid_from"]),
+        )
+        assert got == want, f"split {split}"
+
+    # replay guard: re-applying an absorbed batch id commits nothing
+    tdir = str(tmp_path / "dim_3_2")  # the [2, 4, 7] table
+    v_before = table_latest_version(spark, tdir)
+    batch = spark.createDataFrame(log[4:7], schema)
+    assert not scd2_apply_batch(
+        batch, tdir, ["k"], "ts", "attr", ["seq"], batch_id=2
+    )
+    assert table_latest_version(spark, tdir) == v_before
+    got = sorted(
+        read_scd2_snapshot(spark, tdir).collect(),
+        key=lambda r: (r["k"], r["valid_from"]),
+    )
+    assert got == want
