@@ -61,9 +61,9 @@ _VERIFY_FIRST = [
     "ship_priority", "late_ship_priority", "nation_trade",
     "market_share", "returned_revenue", "cust_order_dist",
     "promo_share", "top_supplier", "waiting_suppliers",
-    "idle_customers", "stream_scd2",
+    "idle_customers", "stream_scd2", "kmeans_refine", "embed_quantize",
     # longest-stale padding to exactly 50 (last driver-green r2-r4):
-    "project_exclude", "add_lit", "drop_nulls", "case_when",
+    "project_exclude", "add_lit",
 ]
 
 

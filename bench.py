@@ -145,6 +145,8 @@ HEADLINE = [
     "waiting_suppliers",          # Q21: semi+anti on co-partitioned fact
     "idle_customers",             # Q22: scalar-avg broadcast + anti-join
     "stream_scd2",                # versioned-snapshot SCD2 maintenance
+    "kmeans_refine",              # exact Lloyd step: codegen assign + 1 agg
+    "embed_quantize",             # int8 min-max quantize, zero shuffle
 ]
 
 

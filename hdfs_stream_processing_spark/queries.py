@@ -5008,3 +5008,108 @@ def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         log, tdir, ckpt, ["user_id"], "ts", "event_type", tiebreak_cols=["event_id"]
     )
     return read_scd2_snapshot(spark, tdir)
+
+
+@query(
+    "kmeans_refine",
+    f"""WITH q AS (SELECT vec_id, {_QUANT_SQL.format(col='embedding')} AS qv
+                   FROM embeddings),
+       cents AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+                        qv AS cv
+                 FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+       aff AS (SELECT q.vec_id, q.qv, c.cell,
+                      CAST(list_sum(list_transform(list_zip(q.qv, c.cv), p -> p[1] * p[2])) AS DOUBLE)
+                      / (sqrt(CAST(list_sum(list_transform(q.qv, x -> x * x)) AS DOUBLE))
+                         * sqrt(CAST(list_sum(list_transform(c.cv, x -> x * x)) AS DOUBLE))) AS a
+               FROM q CROSS JOIN cents c),
+       assigned AS (SELECT vec_id, qv, cell FROM (
+         SELECT vec_id, qv, cell,
+                row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell ASC) AS rn
+         FROM aff) WHERE rn = 1),
+       exploded AS (SELECT cell, CAST(generate_subscripts(qv, 1) - 1 AS INT) AS pos,
+                           unnest(qv) AS val
+                    FROM assigned)
+       SELECT CAST(cell AS INT) AS cell, pos,
+              CAST(SUM(val) AS BIGINT) AS sum_q, count(*) AS n
+       FROM exploded GROUP BY cell, pos""",
+)
+def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Lloyd (k-means) iteration, oracle-checked end-to-end:
+    every vector is assigned to its argmax-cosine centroid (the
+    literal-centroid codegen expression — zero shuffle), then the NEW
+    centroid for each cell is recomputed as exact per-dimension integer
+    sums + member count (the caller divides sum_q/n — the only float
+    step, kept out of the hash).  This is precisely the loop body of
+    train_ivf_centroids (rows-only there, as floats); expressing one
+    step over exact quantized ints makes the whole iterative-ML path
+    verifiable against an independent SQL formulation.
+
+    Scale: assignment is per-row codegen; posexplode is narrow
+    (rows × dims, no shuffle); the single exchange keys on
+    (cell, pos) — k × dims groups, partial-aggregated map-side, so the
+    shuffle carries at most cells × dims × partitions rows regardless
+    of corpus size."""
+    from hdfs_stream_processing_spark.operators.similarity import (
+        assign_cells,
+        ivf_init_centroids,
+        quantized,
+    )
+
+    (embeddings,) = prep(spark, sf_dir, "embeddings")
+    cents = ivf_init_centroids(embeddings, "vec_id", "embedding", n_cells=8)
+    q = embeddings.select("vec_id", quantized("embedding").alias("qv"))
+    assigned = assign_cells(q, cents)
+    exploded = assigned.select(
+        "cell", F.posexplode("qv").alias("pos", "val")
+    )
+    return exploded.groupBy(
+        F.col("cell").cast("int").alias("cell"), F.col("pos").cast("int").alias("pos")
+    ).agg(F.sum("val").alias("sum_q"), F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "embed_quantize",
+    """WITH b AS (SELECT vec_id,
+                        list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS lo,
+                        list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS hi,
+                        embedding
+                 FROM embeddings)
+       SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+              CAST(round((CAST(unnest(embedding) AS DOUBLE) - lo) / (hi - lo) * 255.0 - 128.0, 0) AS INT) AS q8
+       FROM b WHERE hi > lo""",
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector min-max int8 quantization of the embedding column —
+    the storage/bandwidth play every 100 TB vector corpus makes (4
+    bytes → 1 byte per component; the (lo, hi) pair per vector is the
+    dequantization key).  Exploded to (vec_id, pos, q8) rows so the
+    hash compare covers every component.
+
+    Bit-exactness: each float32 component is cast to double FIRST in
+    both engines (exact), then one shared double expression tree
+    ((v-lo)/(hi-lo)*255-128, single round) — identical IEEE754 ops in
+    identical order.  Degenerate constant vectors (hi == lo) are
+    excluded in both formulations rather than dividing by zero.
+
+    Scale: narrow per-row work, no shuffle at all — array min/max and
+    the transform run inside whole-stage codegen; at 100 TB this is a
+    pure map over the scan."""
+    (embeddings,) = prep(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    b = embeddings.select(
+        "vec_id",
+        F.array_min(dbl).alias("lo"),
+        F.array_max(dbl).alias("hi"),
+        dbl.alias("emb"),
+    ).where(F.col("hi") > F.col("lo"))
+    exploded = b.select(
+        "vec_id", "lo", "hi", F.posexplode("emb").alias("pos", "val")
+    )
+    q8 = F.round(
+        (F.col("val") - F.col("lo")) / (F.col("hi") - F.col("lo")) * F.lit(255.0)
+        - F.lit(128.0),
+        0,
+    ).cast("int")
+    return exploded.select(
+        "vec_id", F.col("pos").cast("int").alias("pos"), q8.alias("q8")
+    )

@@ -876,3 +876,37 @@ def test_embedding_dedup_incremental_drops_by_cosine(spark):
         ).collect()
     )
     assert out == [11, 12]
+
+
+def test_kmeans_refine_partitions_the_corpus(spark):
+    """One Lloyd step (r6): every vector lands in exactly one cell —
+    for each dimension, member counts across cells sum to the corpus
+    size — and the recomputed centroid components are finite ints."""
+    import pyspark.sql.functions as F
+
+    import hdfs_stream_processing_spark.queries as Q
+    from hdfs_stream_processing_spark.sources.io import load_table
+    from tests.conftest import SF_DIR
+
+    out = Q.QUERIES["kmeans_refine"](spark, SF_DIR)
+    n_vecs = load_table(spark, SF_DIR, "embeddings").count()
+    per_pos = out.groupBy("pos").agg(F.sum("n").alias("total")).collect()
+    assert per_pos and all(r["total"] == n_vecs for r in per_pos)
+
+
+def test_embed_quantize_range_and_extremes(spark):
+    """int8 quantization (r6): every quantized component is in
+    [-128, 127], and each vector hits both endpoints (its min maps to
+    -128, its max to 127)."""
+    import pyspark.sql.functions as F
+
+    import hdfs_stream_processing_spark.queries as Q
+    from tests.conftest import SF_DIR
+
+    out = Q.QUERIES["embed_quantize"](spark, SF_DIR)
+    stats = out.groupBy("vec_id").agg(
+        F.min("q8").alias("lo"), F.max("q8").alias("hi")
+    )
+    bad = stats.where((F.col("lo") != -128) | (F.col("hi") != 127)).count()
+    assert bad == 0
+    assert out.where((F.col("q8") < -128) | (F.col("q8") > 127)).count() == 0

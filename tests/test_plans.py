@@ -179,6 +179,8 @@ SHUFFLE_BUDGETS = {
                                # materializes once) + scalar max reduce
     "waiting_suppliers": 1,    # semi+anti broadcast legs + name agg
     "idle_customers": 1,       # scalar-avg reduce; anti-join broadcasts
+    "kmeans_refine": 1,        # codegen assignment; one (cell,pos) agg
+    "embed_quantize": 0,       # pure map over the scan
 }
 
 
