@@ -147,6 +147,7 @@ HEADLINE = [
     "stream_scd2",                # versioned-snapshot SCD2 maintenance
     "kmeans_refine",              # exact Lloyd step: codegen assign + 1 agg
     "embed_quantize",             # int8 min-max quantize, zero shuffle
+    "stream_topk",                # maintained count table + rank read
 ]
 
 

@@ -5113,3 +5113,47 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exploded.select(
         "vec_id", F.col("pos").cast("int").alias("pos"), q8.alias("q8")
     )
+
+
+@query(
+    "stream_topk",
+    """SELECT source, token, n, CAST(rank AS INT) AS rank
+       FROM (SELECT source, token, count(*) AS n,
+                    row_number() OVER (PARTITION BY source
+                                       ORDER BY count(*) DESC, token) AS rank
+             FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS token
+                   FROM documents)
+             GROUP BY source, token)
+       WHERE rank <= 3""",
+)
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact top-k (r6): the document stream maintains the
+    per-(source, token) count table through run_stream_rollup — each
+    micro-batch contributes its partial counts, every merge commits a
+    versioned snapshot, replays skip on the recorded batch id — and the
+    ranking is a READ over the maintained state (groups × tokens, not
+    the corpus).  Must rank identically to a from-scratch count of the
+    whole corpus (incr_topk's oracle): the batch and stream maintenance
+    paths are provably the same view."""
+    from pyspark.sql import Window
+
+    from hdfs_stream_processing_spark.streaming import stream_parquet_source
+    from hdfs_stream_processing_spark.streaming.pipeline import run_stream_rollup
+    from hdfs_stream_processing_spark.sources.io import read_table_version
+
+    src_dir, schema = _stage_documents(spark, sf_dir)
+    stream = stream_parquet_source(spark, src_dir, schema, max_files_per_trigger=2)
+
+    def partial(df: DataFrame) -> DataFrame:
+        toks = df.select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+        )
+        return toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n"))
+
+    tdir = _mkdtemp("hsp_stopk_")
+    ckpt = _mkdtemp("hsp_stopk_ckpt_")
+    run_stream_rollup(stream, tdir, ckpt, ["source", "token"], ["n"], partial)
+    counts = read_table_version(spark, tdir).drop("_batch")
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("token").asc())
+    return counts.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 3)

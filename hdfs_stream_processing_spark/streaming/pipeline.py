@@ -716,3 +716,76 @@ def read_scd2_snapshot(spark: SparkSession, table_dir: str) -> DataFrame:
     from hdfs_stream_processing_spark.sources.io import read_table_version
 
     return read_table_version(spark, table_dir).drop("_batch")
+
+
+def rollup_apply_batch(
+    batch_partial: DataFrame,
+    table_dir: str,
+    key_cols: list[str],
+    sum_cols: list[str],
+    batch_id: int = 0,
+) -> bool:
+    """One streaming materialized-rollup step: fold a micro-batch's
+    PARTIAL aggregate into the stored rollup via ``rollup_merge`` and
+    commit the result as a new immutable snapshot (versioned-table
+    pointer).  Additive merges are not replay-idempotent (re-adding a
+    batch double-counts), so the committed snapshot carries the batch
+    id in ``_batch`` and a replayed id is skipped — same guard as
+    :func:`scd2_apply_batch`, complementary to
+    :func:`run_continuous_rollup`'s per-key last_batch (that one scopes
+    partition rewrites; this one is table-snapshot-atomic and gives the
+    rollup time travel).
+
+    Scale: input is batch-sized partials; the stored table is
+    group-cardinality-sized.  The merge is one union + one hash agg —
+    history is never re-aggregated.  Returns False on a replay skip."""
+    from hdfs_stream_processing_spark.operators.incremental import rollup_merge
+    from hdfs_stream_processing_spark.sources.io import (
+        read_table_version,
+        table_latest_version,
+        vacuum_table_versions,
+        write_table_version,
+    )
+
+    spark = batch_partial.sparkSession
+    latest = table_latest_version(spark, table_dir)
+    if latest is None:
+        merged = batch_partial.select(*key_cols, *sum_cols)
+    else:
+        existing = read_table_version(spark, table_dir, latest)
+        last_batch = existing.agg(F.max("_batch")).collect()[0][0]  # 1 row
+        if last_batch is not None and batch_id <= last_batch:
+            return False
+        merged = rollup_merge(
+            existing.drop("_batch"), batch_partial, key_cols, sum_cols
+        )
+    write_table_version(
+        spark,
+        merged.withColumn("_batch", F.lit(batch_id).cast("long")),
+        table_dir,
+    )
+    vacuum_table_versions(spark, table_dir, keep_last=2)
+    return True
+
+
+def run_stream_rollup(
+    df: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    sum_cols: list[str],
+    partial_fn,
+) -> None:
+    """Streaming incremental view maintenance: ``partial_fn`` reduces
+    each micro-batch to its partial aggregate (same function a batch
+    backfill uses), :func:`rollup_apply_batch` folds it into the stored
+    rollup.  availableNow.  Derived rankings/ratios are computed by
+    READERS of the rollup (top-k, avg = sum/n, ...) — the state is
+    sufficient statistics only."""
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        rollup_apply_batch(
+            partial_fn(batch_df), table_dir, key_cols, sum_cols, batch_id
+        )
+
+    run_foreach_batch(df, step, checkpoint_dir)

@@ -695,3 +695,52 @@ def test_stream_scd2_split_invariance_and_replay(spark, tmp_path):
         key=lambda r: (r["k"], r["valid_from"]),
     )
     assert got == want
+
+
+def test_stream_rollup_split_invariance_and_replay(spark, tmp_path):
+    """Streaming rollup maintenance (r6): any batch split of the input
+    folds to the same count table; a replayed batch id is skipped (no
+    double counting)."""
+    from hdfs_stream_processing_spark.sources.io import table_latest_version
+    from hdfs_stream_processing_spark.streaming.pipeline import rollup_apply_batch
+    from hdfs_stream_processing_spark.sources.io import read_table_version
+
+    rows = [("a", "x"), ("a", "x"), ("a", "y"), ("b", "x"),
+            ("a", "x"), ("b", "z"), ("b", "z")]
+    schema = "g string, t string"
+
+    def partial(df):
+        return df.groupBy("g", "t").agg(F.count(F.lit(1)).alias("n"))
+
+    want = {
+        (r["g"], r["t"]): r["n"]
+        for r in partial(spark.createDataFrame(rows, schema)).collect()
+    }
+    for split in ([7], [3, 7], [2, 5, 7]):
+        tdir = str(tmp_path / f"roll_{len(split)}")
+        lo = 0
+        for bid, hi in enumerate(split):
+            assert rollup_apply_batch(
+                partial(spark.createDataFrame(rows[lo:hi], schema)),
+                tdir, ["g", "t"], ["n"], batch_id=bid,
+            )
+            lo = hi
+        got = {
+            (r["g"], r["t"]): r["n"]
+            for r in read_table_version(spark, tdir).drop("_batch").collect()
+        }
+        assert got == want, f"split {split}"
+
+    # replay guard: same batch id again -> skip, counts unchanged
+    tdir = str(tmp_path / "roll_3")
+    v = table_latest_version(spark, tdir)
+    assert not rollup_apply_batch(
+        partial(spark.createDataFrame(rows[5:7], schema)),
+        tdir, ["g", "t"], ["n"], batch_id=2,
+    )
+    assert table_latest_version(spark, tdir) == v
+    got = {
+        (r["g"], r["t"]): r["n"]
+        for r in read_table_version(spark, tdir).drop("_batch").collect()
+    }
+    assert got == want
