@@ -62,9 +62,7 @@ _VERIFY_FIRST = [
     "market_share", "returned_revenue", "cust_order_dist",
     "promo_share", "top_supplier", "waiting_suppliers",
     "idle_customers", "stream_scd2", "kmeans_refine", "embed_quantize",
-    "stream_topk",
-    # longest-stale padding to exactly 50 (last driver-green r2-r4):
-    "project_exclude",
+    "stream_topk", "cms_topk",
 ]
 
 

@@ -148,6 +148,7 @@ HEADLINE = [
     "kmeans_refine",              # exact Lloyd step: codegen assign + 1 agg
     "embed_quantize",             # int8 min-max quantize, zero shuffle
     "stream_topk",                # maintained count table + rank read
+    "cms_topk",                   # count-min sketch build + estimate
 ]
 
 

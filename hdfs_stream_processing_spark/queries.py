@@ -5157,3 +5157,62 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = read_table_version(spark, tdir).drop("_batch")
     w = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("token").asc())
     return counts.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 3)
+
+
+from hdfs_stream_processing_spark.operators.sketch import (  # noqa: E402
+    cms_bucket_sql,
+    cms_build,
+    cms_estimate,
+)
+
+_CMS_CELLS_SQL = " UNION ALL ".join(
+    f"SELECT {i} AS row, {cms_bucket_sql('token', i, 256)} AS bucket, n FROM counts"
+    for i in range(4)
+)
+
+
+@query(
+    "cms_topk",
+    f"""WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS token
+                      FROM documents),
+       counts AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+       cells AS ({_CMS_CELLS_SQL}),
+       sketch AS (SELECT row, bucket, CAST(SUM(n) AS BIGINT) AS total
+                  FROM cells GROUP BY row, bucket),
+       top AS (SELECT token, n FROM counts
+               ORDER BY n DESC, token LIMIT 10),
+       probes AS ({" UNION ALL ".join(
+           f"SELECT token, n, {i} AS row, {cms_bucket_sql('token', i, 256)} AS bucket FROM top"
+           for i in range(4))})
+       SELECT p.token, CAST(p.n AS BIGINT) AS true_n,
+              CAST(MIN(COALESCE(s.total, 0)) AS BIGINT) AS est
+       FROM probes p LEFT JOIN sketch s
+         ON p.row = s.row AND p.bucket = s.bucket
+       GROUP BY p.token, p.n""",
+)
+def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch frequency estimation, oracle-checked bit-exact:
+    the corpus token counts project into a 4×256 integer sketch
+    (md5-derived buckets — deterministic and engine-portable), and the
+    top-10 true heavy hitters are point-estimated back out of it.  The
+    DuckDB oracle REBUILDS the identical sketch in SQL, so the entire
+    construction — hashing, cell sums, min-over-rows estimate — is
+    verified, not just plumbed.  The est ≥ true_n over-estimate
+    invariant is property-tested in tests/test_operators.py.
+
+    Scale: the item shuffle happens once (the exact count aggregate);
+    the sketch is depth × width rows — merged cell-wise it streams and
+    tree-reduces (cms_merge == rollup_merge), and estimation is a
+    broadcast join.  At 100 TB the sketch replaces the unbounded count
+    table wherever approximate frequencies suffice."""
+    (documents,) = prep(spark, sf_dir, "documents")
+    toks = documents.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    sketch = cms_build(counts, "token", "n", depth=4, width=256)
+    top = counts.orderBy(F.col("n").desc(), F.col("token")).limit(10)
+    est = cms_estimate(sketch, top.select("token"), "token", depth=4, width=256)
+    return top.join(est, "token").select(
+        "token", F.col("n").alias("true_n"), "est"
+    )

@@ -474,3 +474,46 @@ def test_anomaly_zscore_flags_spike_not_baseline(spark):
     # CONTAINS the spike - inflated std, so a normal value isn't flagged
     assert out[8]["is_anomaly"] is False
     assert all(not out[h]["is_anomaly"] for h in range(7))
+
+
+def test_cms_overestimates_within_bound(spark):
+    """Count-Min contract: est >= true count for EVERY item (never
+    under), est - true <= N (trivial bound) and, at 4x256 over this
+    vocabulary, the error stays far under N/width on the heavy tail;
+    merging per-half sketches equals the one-shot sketch cell-for-cell
+    (additivity)."""
+    import pyspark.sql.functions as F
+
+    from hdfs_stream_processing_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+    from hdfs_stream_processing_spark.sources.io import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    toks = docs.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    sketch = cms_build(counts, "token", "n")
+    n_total = toks.count()
+
+    est = cms_estimate(sketch, counts.select("token"), "token")
+    both = counts.join(est, "token")
+    assert both.where(F.col("est") < F.col("n")).count() == 0  # never under
+    worst = both.agg(F.max(F.col("est") - F.col("n"))).collect()[0][0]
+    assert worst <= n_total * 4 / 256  # e/width-style bound, generous
+
+    # additivity: sketch(half1) + sketch(half2) == sketch(all)
+    h1 = toks.where(F.crc32("token") % 2 == 0).groupBy("token").agg(
+        F.count(F.lit(1)).alias("n"))
+    h2 = toks.where(F.crc32("token") % 2 == 1).groupBy("token").agg(
+        F.count(F.lit(1)).alias("n"))
+    merged = cms_merge(cms_build(h1, "token", "n"), cms_build(h2, "token", "n"))
+    assert (
+        merged.alias("m")
+        .join(sketch.alias("s"), ["row", "bucket"], "full")
+        .where(~F.col("m.total").eqNullSafe(F.col("s.total")))
+        .count()
+        == 0
+    )
