@@ -149,6 +149,7 @@ HEADLINE = [
     "embed_quantize",             # int8 min-max quantize, zero shuffle
     "stream_topk",                # maintained count table + rank read
     "cms_topk",                   # count-min sketch build + estimate
+    "pagerank",                   # 2 exact fixed-point Pregel rounds
 ]
 
 

@@ -158,3 +158,67 @@ def cluster_representatives(
         )
         .drop("id", "component")
     )
+
+
+def pagerank_exact(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iters: int = 2,
+    scale: int = 1_000_000,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """PageRank over an UNWEIGHTED directed edge list in exact integer
+    arithmetic → ``(node, rank)`` with rank in ``scale``-units.
+
+    Floats make iterative rank sums order-dependent (parallel addition
+    reorders), so this uses the fixed-point formulation: ranks are
+    bigints, a node's per-edge contribution is ``rank div out_degree``
+    (floor division — deterministic in every engine), damping is
+    ``(damping_pct * inflow) div 100``.  The result is bit-identical no
+    matter the partitioning — and re-derivable in plain SQL, which is
+    how the pagerank query's oracle verifies two full iterations.
+    Truncation loses at most out_degree units per node per step —
+    noise at ppm level against ``scale``, and identical noise in every
+    engine.
+
+    Scale: each iteration is one join keyed on ``src`` (rank table ×
+    edges, both pre-partitionable on the same key) and one aggregate
+    keyed on ``dst`` — the standard 2-shuffle Pregel step.  Lineage is
+    truncated per iteration (``localCheckpoint``) like the
+    connected-components loop; dangling nodes (no out-edges) cannot
+    occur in an edge-derived node set, and nodes with no IN-edges
+    settle at the teleport floor via the left join's coalesce.
+    """
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .unionByName(e.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    ranks = nodes.withColumn("rank", F.lit(int(scale)).cast("long"))
+    teleport = (100 - damping_pct) * scale // 100
+    for _ in range(n_iters):
+        contrib = (
+            e.join(ranks, e["_src"] == ranks["node"])
+            .join(deg, "_src")
+            .select(
+                F.col("_dst").alias("node"),
+                F.expr("rank div _deg").alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(f"({damping_pct} * coalesce(_in, 0L)) div 100")
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

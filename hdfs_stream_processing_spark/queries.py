@@ -5216,3 +5216,51 @@ def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.join(est, "token").select(
         "token", F.col("n").alias("true_n"), "est"
     )
+
+
+@query(
+    "pagerank",
+    """WITH pairs AS (
+         SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS s,
+                         's' || CAST(l_suppkey AS VARCHAR) AS d
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       edges AS (SELECT s, d FROM pairs UNION ALL SELECT d, s FROM pairs),
+       nodes AS (SELECT DISTINCT s AS node FROM edges),
+       deg AS (SELECT s, count(*) AS dg FROM edges GROUP BY s),
+       r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       c1 AS (SELECT e.d AS node, SUM(r0.r // deg.dg) AS inc
+              FROM edges e JOIN r0 ON e.s = r0.node JOIN deg ON e.s = deg.s
+              GROUP BY e.d),
+       r1 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c1.inc, 0)) // 100 AS BIGINT) AS r
+              FROM nodes n LEFT JOIN c1 ON n.node = c1.node),
+       c2 AS (SELECT e.d AS node, SUM(r1.r // deg.dg) AS inc
+              FROM edges e JOIN r1 ON e.s = r1.node JOIN deg ON e.s = deg.s
+              GROUP BY e.d),
+       r2 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c2.inc, 0)) // 100 AS BIGINT) AS r
+              FROM nodes n LEFT JOIN c2 ON n.node = c2.node)
+       SELECT node, r AS rank FROM r2""",
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer-supplier trade graph (two exact
+    fixed-point iterations): who are the structurally central parties
+    when every distinct customer↔supplier trading relation is an edge?
+    Integer ranks make the iterative sums order-independent, so the
+    oracle — the same two iterations unrolled as SQL CTEs — matches
+    bit-exactly; beyond connected components this is the repo's second
+    iterative graph operator, the standard 2-shuffle Pregel step per
+    round with lineage truncation."""
+    from hdfs_stream_processing_spark.operators.graph import pagerank_exact
+
+    lineitem, orders = prep(spark, sf_dir, "lineitem", "orders")
+    pairs = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("s"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("d"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    )
+    return pagerank_exact(edges, "s", "d", n_iters=2)

@@ -517,3 +517,26 @@ def test_cms_overestimates_within_bound(spark):
         .count()
         == 0
     )
+
+
+def test_pagerank_exact_invariants(spark):
+    """Integer PageRank: every rank >= the teleport floor; on a
+    k-regular graph (a cycle) ranks are uniform and equal scale exactly
+    (contribution = rank/2 each way, damping restores the total);
+    higher-degree hubs outrank leaves on a star."""
+    from hdfs_stream_processing_spark.operators.graph import pagerank_exact
+
+    # 4-cycle: every node deg 2 both ways -> stationary at scale
+    cyc = spark.createDataFrame(
+        [(a, b) for a, b in [(1, 2), (2, 3), (3, 4), (4, 1)]], "src int, dst int"
+    )
+    edges = cyc.union(cyc.select("dst", "src"))
+    got = {r["node"]: r["rank"] for r in pagerank_exact(edges, n_iters=3).collect()}
+    assert set(got.values()) == {1_000_000}
+
+    # star: hub 0 with 5 leaves
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], "src int, dst int")
+    sedges = star.union(star.select("dst", "src"))
+    ranks = {r["node"]: r["rank"] for r in pagerank_exact(sedges, n_iters=2).collect()}
+    assert ranks[0] > max(ranks[i] for i in range(1, 6))
+    assert all(v >= 150_000 for v in ranks.values())
