@@ -150,6 +150,7 @@ HEADLINE = [
     "stream_topk",                # maintained count table + rank read
     "cms_topk",                   # count-min sketch build + estimate
     "pagerank",                   # 2 exact fixed-point Pregel rounds
+    "hll_registers",              # open-register HLL, 64-group exchange
 ]
 
 

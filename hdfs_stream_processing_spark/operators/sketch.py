@@ -114,3 +114,82 @@ def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     from hdfs_stream_processing_spark.operators.incremental import rollup_merge
 
     return rollup_merge(a, b, ["row", "bucket"], ["total"])
+
+
+# ------------------------------------------------------------------------
+# HyperLogLog with explicit, engine-portable registers.  Spark's native
+# approx_count_distinct is correct but its sketch is opaque (rows-only
+# verification); building the registers from md5-derived hashes makes
+# the ENTIRE construction deterministic and re-derivable in ANSI SQL —
+# the estimate's only float op is one final division of exact integers.
+
+
+def hll_registers(
+    df: DataFrame, item_col: str, b: int = 6, rho_bits: int = 48
+) -> DataFrame:
+    """HLL register table for the distinct items of ``item_col`` →
+    ``(bucket, max_rho)``, bucket in [0, 2^b), rho in [1, rho_bits+1].
+
+    bucket = first 8 md5 hex chars (uint32) mod 2^b; rho = position of
+    the first 1-bit in the NEXT 12 hex chars (48 bits), i.e.
+    ``rho_bits + 1 - bit_length(v)`` with the all-zero word mapping to
+    ``rho_bits + 1``.  bit_length is ``length(conv(v, 10, 2))`` — the
+    same digits ``bin(v)`` yields in DuckDB, so an oracle rebuilds the
+    registers bit-exactly.
+
+    Scale: one exchange on the bucket key (≤ 2^b groups) after map-side
+    partial max — input can be the raw column; the distinct is implicit
+    in max().  Registers from disjoint partitions merge by MAX — the
+    HLL mergeability property (pytest-pinned), same shape as cms_merge.
+    """
+    c = F.col(item_col).cast("string")
+    h = F.md5(c)
+    bucket = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % (1 << b)).cast("int")
+    v = F.conv(F.substring(h, 9, 12), 16, 10).cast("long")
+    rho = (
+        F.when(v == 0, F.lit(rho_bits + 1))
+        .otherwise(F.lit(rho_bits + 1) - F.length(F.conv(v, 10, 2)))
+        .cast("int")
+    )
+    return (
+        df.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge register tables of identical geometry: bucket-wise MAX."""
+    return (
+        a.unionByName(b).groupBy("bucket").agg(F.max("max_rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, b: int = 6, rho_bits: int = 48) -> float:
+    """Cardinality estimate from a register table.
+
+    The harmonic denominator is computed as the EXACT integer
+    ``sum(2^(rho_bits+1-max_rho)) + empty·2^(rho_bits+1)`` (every term a
+    power of two scaled to a common 2^(rho_bits+1) denominator — no
+    float-sum order dependence), then one double division applies the
+    alpha_m bias constant.  Standard HLL small-range regime applies:
+    for n ≲ 2.5·m prefer linear counting (``empty > 0`` branch below,
+    the Flajolet et al. correction).
+    """
+    m = 1 << b
+    scale = 1 << (rho_bits + 1)
+    row = registers.agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {rho_bits + 1} - max_rho)")
+        ).alias("s"),
+        F.count(F.lit(1)).alias("filled"),
+    ).collect()[0]
+    empty = m - row["filled"]
+    denom_scaled = (row["s"] or 0) + empty * scale
+    alpha = 0.7213 / (1 + 1.079 / m)  # standard alpha_m for m >= 128; ok small m
+    raw = alpha * m * m * scale / denom_scaled
+    if raw <= 2.5 * m and empty > 0:
+        import math
+
+        return m * math.log(m / empty)  # linear counting, small-range
+    return raw

@@ -5264,3 +5264,34 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("d").alias("s"), F.col("s").alias("d"))
     )
     return pagerank_exact(edges, "s", "d", n_iters=2)
+
+
+@query(
+    "hll_registers",
+    """WITH h AS (SELECT md5(CAST(l_partkey AS VARCHAR)) AS hx FROM lineitem),
+       br AS (SELECT
+                CAST(('0x' || substr(hx, 1, 8))::UBIGINT::BIGINT % 64 AS INT) AS bucket,
+                ('0x' || substr(hx, 9, 12))::UBIGINT::BIGINT AS v
+              FROM h)
+       SELECT bucket,
+              MAX(CASE WHEN v = 0 THEN 49
+                       ELSE CAST(49 - length(bin(v)) AS INT) END) AS max_rho
+       FROM br GROUP BY bucket""",
+)
+def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog with OPEN registers (r6): the native
+    approx_count_distinct sketch is opaque (rows-only check by design);
+    this construction derives buckets and leading-zero ranks from md5 —
+    fully deterministic, so the DuckDB oracle rebuilds the register
+    table bit-exactly and the WHOLE sketch pipeline is verified, with
+    only the final bias division left outside the hash (pytest pins the
+    estimate within the published HLL error bound, and register
+    mergeability across disjoint partitions).
+
+    Scale: one exchange over at most 2^b groups after map-side partial
+    max — the distinct-item shuffle that count_distinct pays never
+    happens; that is the entire point of HLL at 100 TB."""
+    from hdfs_stream_processing_spark.operators.sketch import hll_registers
+
+    (lineitem,) = prep(spark, sf_dir, "lineitem")
+    return hll_registers(lineitem, "l_partkey", b=6)

@@ -540,3 +540,33 @@ def test_pagerank_exact_invariants(spark):
     ranks = {r["node"]: r["rank"] for r in pagerank_exact(sedges, n_iters=2).collect()}
     assert ranks[0] > max(ranks[i] for i in range(1, 6))
     assert all(v >= 150_000 for v in ranks.values())
+
+
+def test_hll_estimate_within_bound_and_merges(spark):
+    """Open-register HLL: the estimate lands within 3 standard errors
+    (1.04/sqrt(m)) of the true distinct count, and registers built on
+    disjoint halves merge (bucket-wise MAX) to the whole-data table."""
+    import pyspark.sql.functions as F
+
+    from hdfs_stream_processing_spark.operators.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+    from hdfs_stream_processing_spark.sources.io import load_table
+    from tests.conftest import SF_DIR
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    regs = hll_registers(li, "l_partkey", b=6)
+    true_n = li.select("l_partkey").distinct().count()
+    est = hll_estimate(regs, b=6)
+    rse = 1.04 / (64 ** 0.5)
+    assert abs(est - true_n) <= 3 * rse * true_n, (est, true_n)
+
+    h1 = hll_registers(li.where(F.col("l_orderkey") % 2 == 0), "l_partkey", b=6)
+    h2 = hll_registers(li.where(F.col("l_orderkey") % 2 == 1), "l_partkey", b=6)
+    merged = {
+        (r["bucket"], r["max_rho"]) for r in hll_merge(h1, h2).collect()
+    }
+    whole = {(r["bucket"], r["max_rho"]) for r in regs.collect()}
+    assert merged == whole

@@ -181,6 +181,8 @@ SHUFFLE_BUDGETS = {
     "idle_customers": 1,       # scalar-avg reduce; anti-join broadcasts
     "kmeans_refine": 1,        # codegen assignment; one (cell,pos) agg
     "embed_quantize": 0,       # pure map over the scan
+    "cms_topk": 5,             # count agg + sketch agg + top-10 + probe join
+    "hll_registers": 1,        # one ≤2^b-group exchange, partial max
 }
 
 
