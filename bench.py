@@ -151,6 +151,8 @@ HEADLINE = [
     "cms_topk",                   # count-min sketch build + estimate
     "pagerank",                   # 2 exact fixed-point Pregel rounds
     "hll_registers",              # open-register HLL, 64-group exchange
+    "bloom_prefilter",            # bloom probe + exact residual semi-join
+    "fuzzy_pairs",                # length-band blocked edit distance
 ]
 
 

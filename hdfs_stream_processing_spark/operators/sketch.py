@@ -193,3 +193,44 @@ def hll_estimate(registers: DataFrame, b: int = 6, rho_bits: int = 48) -> float:
 
         return m * math.log(m / empty)  # linear counting, small-range
     return raw
+
+
+# ------------------------------------------------------------------------
+# Bloom filter as a (bit-position) DataFrame — the third portable sketch
+# (CMS: frequencies, HLL: cardinality, Bloom: membership).  Spark's
+# runtime bloom-filter join injection is asserted elsewhere
+# (tests/test_plans.py); this is the USER-level primitive for shipping a
+# compact membership summary between pipeline stages — e.g. "which join
+# keys exist on the other side" at 100 TB, where the exact key set is
+# too big to broadcast but its bloom is a few KB.
+
+
+def bloom_bits(
+    keys: DataFrame, key_col: str, n_bits: int = 4096, k: int = 3
+) -> DataFrame:
+    """Build the filter: the DISTINCT bit positions set by hashing each
+    key ``k`` ways (md5-derived, same portable scheme as cms_bucket) →
+    a single-column ``(bit)`` table, at most ``n_bits`` rows.  Exact
+    integers from deterministic hashes: an oracle rebuilds it."""
+    pos = F.array(*[cms_bucket(key_col, i, n_bits) for i in range(k)])
+    return keys.select(F.explode(pos).alias("bit")).distinct()
+
+
+def bloom_probe(
+    df: DataFrame, col: str, bits: DataFrame, n_bits: int = 4096, k: int = 3
+) -> DataFrame:
+    """Keep the rows of ``df`` whose ``col`` MIGHT be in the key set:
+    all ``k`` bit positions present (no false negatives; false-positive
+    rate ≈ (1 - e^(-k·n/m))^k).  The bit table broadcasts; the probe is
+    a narrow explode + broadcast join + per-row count — no shuffle of
+    ``df`` itself beyond the final group on its own row identity, which
+    Spark plans as a broadcast semi-join chain when ``k`` literal
+    columns are used instead (small k unrolled below)."""
+    out = df
+    for i in range(k):
+        out = out.join(
+            F.broadcast(bits.withColumnRenamed("bit", f"_b{i}")),
+            cms_bucket(col, i, n_bits) == F.col(f"_b{i}"),
+            "left_semi",
+        )
+    return out

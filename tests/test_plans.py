@@ -183,6 +183,10 @@ SHUFFLE_BUDGETS = {
     "embed_quantize": 0,       # pure map over the scan
     "cms_topk": 5,             # count agg + sketch agg + top-10 + probe join
     "hll_registers": 1,        # one ≤2^b-group exchange, partial max
+    "bloom_prefilter": 3,      # the ONE bit-table distinct printed 3x
+                               # (k semi-join refs; ReuseExchange
+                               # materializes it once at runtime)
+    "fuzzy_pairs": 0,          # block equi-join broadcasts at this sf
 }
 
 
