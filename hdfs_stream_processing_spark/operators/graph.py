@@ -190,13 +190,22 @@ def pagerank_exact(
     occur in an edge-derived node set, and nodes with no IN-edges
     settle at the teleport floor via the left join's coalesce.
     """
-    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    # Loop-invariant tables materialize ONCE: without the checkpoint,
+    # every iteration re-derives the caller's edge lineage (often a
+    # join+distinct over the fact tables) — at sf0.1 that tripled the
+    # query's wall-clock; at 100 TB it would re-scan the lake per round.
+    e = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst")
+    ).localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("_src").alias("node"))
         .unionByName(e.select(F.col("_dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg")).localCheckpoint(
+        eager=False
+    )
     ranks = nodes.withColumn("rank", F.lit(int(scale)).cast("long"))
     teleport = (100 - damping_pct) * scale // 100
     for _ in range(n_iters):
