@@ -153,6 +153,7 @@ HEADLINE = [
     "hll_registers",              # open-register HLL, 64-group exchange
     "bloom_prefilter",            # bloom probe + exact residual semi-join
     "fuzzy_pairs",                # length-band blocked edit distance
+    "stream_cms",                 # sketch maintained by the stream rollup
 ]
 
 

@@ -5382,3 +5382,50 @@ def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "doc_a", "doc_b", dist.alias("prefix_dist"), (dist <= 5).alias("is_dup")
     )
+
+
+@query(
+    "stream_cms",
+    f"""WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS token
+                      FROM documents),
+       counts AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+       cells AS ({_CMS_CELLS_SQL})
+       SELECT row, bucket, CAST(SUM(n) AS BIGINT) AS total
+       FROM cells GROUP BY row, bucket""",
+)
+def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Count-Min maintenance (r6): sketch cells are additive,
+    so the SAME run_stream_rollup machinery that maintains exact count
+    tables maintains the sketch — each micro-batch contributes its own
+    per-batch CMS, cells merge by addition, versioned snapshots carry
+    the replay guard.  The maintained sketch must equal the one-shot
+    corpus sketch CELL FOR CELL (the oracle rebuilds it in SQL) — the
+    strongest possible statement of sketch mergeability: not within
+    error bounds, identical.
+
+    Scale: per batch the token shuffle is batch-sized; the stored state
+    is depth × width cells FOREVER, no matter how much data streams
+    through — the whole point of sketch-backed monitoring at 100 TB."""
+    from hdfs_stream_processing_spark.operators.sketch import cms_build
+    from hdfs_stream_processing_spark.sources.io import read_table_version
+    from hdfs_stream_processing_spark.streaming import stream_parquet_source
+    from hdfs_stream_processing_spark.streaming.pipeline import run_stream_rollup
+
+    src_dir, schema = _stage_documents(spark, sf_dir)
+    stream = stream_parquet_source(spark, src_dir, schema, max_files_per_trigger=2)
+
+    def partial(df: DataFrame) -> DataFrame:
+        toks = df.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+        )
+        counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+        return cms_build(counts, "token", "n", depth=4, width=256).withColumnRenamed(
+            "total", "n"
+        )
+
+    tdir = _mkdtemp("hsp_scms_")
+    ckpt = _mkdtemp("hsp_scms_ckpt_")
+    run_stream_rollup(stream, tdir, ckpt, ["row", "bucket"], ["n"], partial)
+    return read_table_version(spark, tdir).drop("_batch").select(
+        "row", "bucket", F.col("n").alias("total")
+    )
