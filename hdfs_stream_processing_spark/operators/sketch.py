@@ -234,3 +234,31 @@ def bloom_probe(
             "left_semi",
         )
     return out
+
+
+def hll_grouped_registers(
+    df: DataFrame,
+    item_col: str,
+    group_cols: list[str],
+    b: int = 6,
+    rho_bits: int = 48,
+) -> DataFrame:
+    """Per-group HLL registers → ``(*group_cols, bucket, max_rho)`` —
+    one sketch per group in a single pass (the "distinct users per
+    segment" shape).  Exchange carries at most groups × 2^b rows after
+    map-side partial max; merging two loads' tables is MAX on the full
+    key, exactly :func:`hll_merge` with the group in the key."""
+    c = F.col(item_col).cast("string")
+    h = F.md5(c)
+    bucket = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % (1 << b)).cast("int")
+    v = F.conv(F.substring(h, 9, 12), 16, 10).cast("long")
+    rho = (
+        F.when(v == 0, F.lit(rho_bits + 1))
+        .otherwise(F.lit(rho_bits + 1) - F.length(F.conv(v, 10, 2)))
+        .cast("int")
+    )
+    return (
+        df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )

