@@ -37,13 +37,21 @@ SLOW = [
     # corpus anti-join (incr_dedup), shard prefix sums (seq_pack)
     "dedup_near_incr", "scd2_merge", "pit_join", "stream_join_outer",
     "incr_dedup", "seq_pack",
+    # late round-6: iterative rank, sketches, DSS join shapes, streaming
+    # SCD2 — all fact-table-driven, so the ×10 synthesis covers them
+    "pagerank", "hll_registers", "cms_topk", "late_ship_priority",
+    "waiting_suppliers", "stream_scd2", "kmeans_refine",
 ]
 COPIES = 10
 
 
 def build_sf1(spark) -> None:
-    if os.path.exists(os.path.join(SF1_DIR, "documents.parquet", "_SUCCESS")) and (
-        os.path.exists(os.path.join(SF1_DIR, "events.parquet", "_SUCCESS"))
+    if all(
+        os.path.exists(os.path.join(SF1_DIR, f"{t}.parquet", "_SUCCESS"))
+        for t in (
+            "documents", "events", "lineitem", "orders", "customer",
+            "supplier", "embeddings",
+        )
     ):
         return
     copies = spark.range(COPIES).select(F.col("id").cast("int").alias("_copy"))
@@ -74,6 +82,48 @@ def build_sf1(spark) -> None:
     )
     docs1.repartition(16).write.mode("overwrite").parquet(
         os.path.join(SF1_DIR, "documents.parquet")
+    )
+
+    # TPC-H facts + their dims, id-shifted per copy (orderkey/custkey/
+    # suppkey/partkey all disjoint across copies — join fan-outs and the
+    # trade-graph node count scale ×10 like real growth); embeddings get
+    # shifted vec_ids (same vectors: ANN cost scales with corpus size).
+    li = spark.read.parquet(os.path.join(SRC, "lineitem.parquet"))
+    li1 = li.crossJoin(F.broadcast(copies)).select(
+        (F.col("l_orderkey") + F.col("_copy").cast("long") * 100_000_000).alias("l_orderkey"),
+        (F.col("l_partkey") + F.col("_copy").cast("long") * 10_000_000).alias("l_partkey"),
+        (F.col("l_suppkey") + F.col("_copy").cast("long") * 1_000_000).alias("l_suppkey"),
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
+    )
+    li1.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(SF1_DIR, "lineitem.parquet")
+    )
+    od = spark.read.parquet(os.path.join(SRC, "orders.parquet"))
+    od1 = od.crossJoin(F.broadcast(copies)).select(
+        (F.col("o_orderkey") + F.col("_copy").cast("long") * 100_000_000).alias("o_orderkey"),
+        (F.col("o_custkey") + F.col("_copy").cast("long") * 1_000_000).alias("o_custkey"),
+        "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority",
+    )
+    od1.repartition(16).write.mode("overwrite").parquet(
+        os.path.join(SF1_DIR, "orders.parquet")
+    )
+    for t, key in (("customer", "c_custkey"), ("supplier", "s_suppkey")):
+        d = spark.read.parquet(os.path.join(SRC, f"{t}.parquet"))
+        d1 = d.crossJoin(F.broadcast(copies)).select(
+            (F.col(key) + F.col("_copy").cast("long") * 1_000_000).alias(key),
+            *[c for c in d.columns if c != key],
+        )
+        d1.repartition(4).write.mode("overwrite").parquet(
+            os.path.join(SF1_DIR, f"{t}.parquet")
+        )
+    emb = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
+    emb1 = emb.crossJoin(F.broadcast(copies)).select(
+        (F.col("vec_id") + F.col("_copy").cast("long") * 1_000_000).alias("vec_id"),
+        "embedding", "label",
+    )
+    emb1.repartition(16).write.mode("overwrite").parquet(
+        os.path.join(SF1_DIR, "embeddings.parquet")
     )
 
 
