@@ -285,3 +285,86 @@ def test_pit_join_matches_python_reference_any_history(spark, log, facts):
         hist = sorted((lt, a) for lk, lt, a in log2 if lk == k and lt <= t)
         want[fid] = hist[-1][1] if hist else None
     assert got == want
+
+
+TOKENS = st.text(alphabet="abcdefg", min_size=1, max_size=4)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(TOKENS, min_size=1, max_size=60))
+def test_cms_never_underestimates_any_multiset(spark, items):
+    """Count-Min: for ANY multiset, est >= true count for EVERY item —
+    and the estimate is independent of how the input was split into
+    partial sketches (cell-wise addition)."""
+    from collections import Counter
+
+    from hdfs_stream_processing_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    true = Counter(items)
+    df = spark.createDataFrame([(t,) for t in items], "token string")
+    counts = df.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    sketch = cms_build(counts, "token", "n", depth=2, width=8)  # tiny → collisions
+    est = {
+        r["token"]: r["est"]
+        for r in cms_estimate(
+            sketch, counts.select("token"), "token", depth=2, width=8
+        ).collect()
+    }
+    assert all(est[t] >= n for t, n in true.items()), (est, true)
+
+    half = len(items) // 2
+    if half and half < len(items):
+        c1 = spark.createDataFrame([(t,) for t in items[:half]], "token string") \
+            .groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+        c2 = spark.createDataFrame([(t,) for t in items[half:]], "token string") \
+            .groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+        merged = cms_merge(
+            cms_build(c1, "token", "n", depth=2, width=8),
+            cms_build(c2, "token", "n", depth=2, width=8),
+        )
+        whole = {(r["row"], r["bucket"]): r["total"] for r in sketch.collect()}
+        got = {(r["row"], r["bucket"]): r["total"] for r in merged.collect()}
+        assert got == whole
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(0, 10**9), min_size=1, max_size=60))
+def test_hll_registers_depend_only_on_distinct_set(spark, xs):
+    """HLL registers are a function of the distinct item SET: duplicating
+    rows or permuting them changes nothing."""
+    from hdfs_stream_processing_spark.operators.sketch import hll_registers
+
+    df = spark.createDataFrame([(x,) for x in xs], "x long")
+    doubled = df.unionAll(df)
+    a = {(r["bucket"], r["max_rho"]) for r in hll_registers(df, "x", b=3).collect()}
+    b_ = {
+        (r["bucket"], r["max_rho"])
+        for r in hll_registers(doubled.repartition(7), "x", b=3).collect()
+    }
+    assert a == b_
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(0, 10**6), min_size=1, max_size=40, unique=True),
+    st.lists(st.integers(0, 10**6), min_size=1, max_size=40, unique=True),
+)
+def test_bloom_no_false_negatives_any_sets(spark, members, probes):
+    """Bloom: every true member survives the probe, for ANY key set and
+    ANY probe set."""
+    from hdfs_stream_processing_spark.operators.sketch import (
+        bloom_bits,
+        bloom_probe,
+    )
+
+    keys = spark.createDataFrame([(m,) for m in members], "k long")
+    bits = bloom_bits(keys, "k", n_bits=64, k=2)  # tiny → many collisions
+    probe = spark.createDataFrame(
+        [(p,) for p in set(members) | set(probes)], "k long"
+    )
+    survivors = {r["k"] for r in bloom_probe(probe, "k", bits, n_bits=64, k=2).collect()}
+    assert set(members) <= survivors
