@@ -156,6 +156,7 @@ HEADLINE = [
     "stream_cms",                 # sketch maintained by the stream rollup
     "sample_weighted",            # PPS priority sampling, portable ranks
     "hll_by_group",               # per-group registers, one pass
+    "scan_corrupt",               # PERMISSIVE JSON quarantine scan
 ]
 
 

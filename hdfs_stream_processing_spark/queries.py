@@ -5488,3 +5488,57 @@ def q_hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (events,) = prep(spark, sf_dir, "events")
     return hll_grouped_registers(events, "user_id", ["event_type"], b=4)
+
+
+@query(
+    "scan_corrupt",
+    """SELECT event_id, user_id, value FROM events
+       WHERE event_id % 7 <> 0""",
+)
+def q_scan_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record quarantine on a JSON scan (S-surface, operational
+    reality): one line in seven of the staged JSON-lines feed is
+    truncated mid-object; the PERMISSIVE read routes those lines into
+    ``_corrupt_record`` instead of failing the job, and the query
+    returns the cleanly-parsed rows — which must equal the valid subset
+    of the source exactly (doubles survive the JSON round trip via
+    shortest-repr).  The corrupt side is counted and pinned in
+    tests/test_schemas_io.py — quarantine, not silent drop.
+
+    Scale: schema-declared JSON scan (no inference pass), narrow
+    per-line parse; the malformed-line routing is free — this is how a
+    100 TB raw-feed ingest survives the 0.01% of garbage lines every
+    real feed contains."""
+    from pyspark.sql import types as T
+
+    (events,) = prep(spark, sf_dir, "events")
+    stage = _mkdtemp("hsp_corrupt_", memo_key=sf_dir)
+    import os as _os
+
+    if not _os.path.exists(_os.path.join(stage, "_staged")):
+        base = events.select("event_id", "user_id", "value")
+        good = base.where(F.col("event_id") % 7 != 0).select(
+            F.to_json(F.struct("event_id", "user_id", "value")).alias("value")
+        )
+        bad = base.where(F.col("event_id") % 7 == 0).select(
+            F.concat(
+                F.lit('{"event_id": '),
+                F.col("event_id").cast("string"),
+                F.lit(', "user_'),
+            ).alias("value")
+        )
+        good.write.mode("append").text(stage)
+        bad.write.mode("append").text(stage)
+        open(_os.path.join(stage, "_staged"), "w").close()
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    parsed = spark.read.schema(schema).option("mode", "PERMISSIVE").json(stage)
+    return parsed.where(F.col("_corrupt_record").isNull()).select(
+        "event_id", "user_id", "value"
+    )

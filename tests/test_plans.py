@@ -189,6 +189,7 @@ SHUFFLE_BUDGETS = {
     "fuzzy_pairs": 0,          # block equi-join broadcasts at this sf
     "sample_weighted": 1,      # one per-stratum ranking window
     "hll_by_group": 1,         # one (group, bucket) exchange
+    "scan_corrupt": 0,         # schema-declared JSON scan, narrow parse
 }
 
 
