@@ -78,3 +78,31 @@ def test_waiting_suppliers_excludes_single_supplier_orders(spark):
     yield nothing."""
     rows = Q.QUERIES["waiting_suppliers"](spark, SF_DIR).collect()
     assert rows and all(r["numwait"] >= 1 for r in rows)
+
+
+def test_dss_filters_push_to_scans_and_columns_prune(spark):
+    """The decision-support suite's selective predicates must reach the
+    parquet scans (partition-prunable on a date-partitioned lake) and
+    the scans must read only referenced columns — the two properties
+    that decide whether a 100 TB fact scan is survivable."""
+    from hdfs_stream_processing_spark.plans import pushed_filters, read_schemas
+
+    df = Q.QUERIES["ship_priority"](spark, "/root/testdata/sf0.01")
+    pushed = " | ".join(pushed_filters(df))
+    assert "GreaterThan(l_shipdate" in pushed
+    assert "EqualTo(c_mktsegment,BUILDING)" in pushed
+    li_schema = next(s for s in read_schemas(df) if "l_orderkey" in s)
+    assert "l_comment" not in li_schema and "l_tax" not in li_schema
+    assert li_schema.count(":") == 4  # only the 4 referenced columns
+
+    # promo_share: the month window reaches the lineitem scan (its
+    # PushedFilters render truncates in the plan string, so assert the
+    # scan-level DataFilters in the full plan text)
+    from hdfs_stream_processing_spark.plans import physical_plan
+
+    plan2 = physical_plan(Q.QUERIES["promo_share"](spark, "/root/testdata/sf0.01"))
+    scan_line = next(
+        l for l in plan2.splitlines()
+        if "FileScan parquet" in l and "l_shipdate" in l
+    )
+    assert "l_shipdate#" in scan_line.split("DataFilters:")[1]
