@@ -157,6 +157,7 @@ HEADLINE = [
     "sample_weighted",            # PPS priority sampling, portable ranks
     "hll_by_group",               # per-group registers, one pass
     "scan_corrupt",               # PERMISSIVE JSON quarantine scan
+    "corr_matrix",                # all pairwise corr, one agg pass
 ]
 
 

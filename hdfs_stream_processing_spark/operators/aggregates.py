@@ -133,3 +133,53 @@ def corr_exact(
         F.col("n"),
         F.when(denom > F.lit(0.0), cov / denom).alias("corr"),
     )
+
+
+def corr_matrix(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
+    """Every pairwise Pearson correlation of ``cols`` (name → exact
+    integer Column) from ONE aggregate pass → long-format
+    ``(col_a, col_b, n, corr)``.
+
+    The single groupBy computes all sufficient statistics at once —
+    n, per-column Σx and Σx², per-pair Σxy — so m columns cost one scan
+    and one 1-row exchange instead of m(m-1)/2 separate corr() jobs;
+    the m² pair rows then explode out of that single row.  Same
+    exactness contract as :func:`corr_exact`: integer sums, one double
+    expression at the end, bit-identical on any engine/partitioning.
+    """
+    names = list(cols)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for a in names:
+        aggs.append(F.sum(cols[a]).alias(f"s_{a}"))
+        aggs.append(F.sum(cols[a] * cols[a]).alias(f"ss_{a}"))
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            aggs.append(F.sum(cols[a] * cols[b]).alias(f"p_{a}_{b}"))
+    agg = df.agg(*aggs)
+
+    n = F.col("n").cast("double")
+
+    def var(a: str) -> Column:
+        mean = F.col(f"s_{a}").cast("double") / n
+        return F.col(f"ss_{a}").cast("double") / n - mean * mean
+
+    def corr(a: str, b: str) -> Column:
+        cov = F.col(f"p_{a}_{b}").cast("double") / n - (
+            F.col(f"s_{a}").cast("double") / n
+        ) * (F.col(f"s_{b}").cast("double") / n)
+        denom = F.sqrt(F.greatest(var(a), F.lit(0.0))) * F.sqrt(
+            F.greatest(var(b), F.lit(0.0))
+        )
+        return F.when(denom > F.lit(0.0), cov / denom)
+
+    pairs = [
+        F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.col("n").alias("n"),
+            corr(a, b).alias("corr"),
+        )
+        for i, a in enumerate(names)
+        for b in names[i + 1:]
+    ]
+    return agg.select(F.explode(F.array(*pairs)).alias("pr")).select("pr.*")

@@ -5542,3 +5542,65 @@ def q_scan_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.where(F.col("_corrupt_record").isNull()).select(
         "event_id", "user_id", "value"
     )
+
+
+def _corr_pair_sql(a: str, b: str) -> str:
+    """One pair's row of the corr_matrix oracle — the same double
+    expression tree corr_exact/corr_matrix use, over the shared sums."""
+    mean = lambda c: f"(CAST(s_{c} AS DOUBLE) / n)"
+    var = lambda c: f"(CAST(ss_{c} AS DOUBLE) / n - {mean(c)} * {mean(c)})"
+    cov = f"(CAST(p_{a}_{b} AS DOUBLE) / n - {mean(a)} * {mean(b)})"
+    denom = f"(sqrt(greatest({var(a)}, 0.0)) * sqrt(greatest({var(b)}, 0.0)))"
+    return (
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, n, "
+        f"CASE WHEN {denom} > 0.0 THEN {cov} / {denom} END AS corr FROM s"
+    )
+
+
+@query(
+    "corr_matrix",
+    """WITH base AS (
+         SELECT CAST(round(l_quantity, 0) AS BIGINT) AS qty,
+                CAST(round(l_extendedprice, 0) AS BIGINT) AS price,
+                CAST(round(l_discount * 100.0, 0) AS BIGINT) AS disc,
+                CAST(round(l_tax * 100.0, 0) AS BIGINT) AS tax
+         FROM lineitem),
+       s AS (
+         SELECT count(*) AS n,
+                CAST(sum(qty) AS BIGINT) AS s_qty, CAST(sum(qty*qty) AS BIGINT) AS ss_qty,
+                CAST(sum(price) AS BIGINT) AS s_price, CAST(sum(price*price) AS BIGINT) AS ss_price,
+                CAST(sum(disc) AS BIGINT) AS s_disc, CAST(sum(disc*disc) AS BIGINT) AS ss_disc,
+                CAST(sum(tax) AS BIGINT) AS s_tax, CAST(sum(tax*tax) AS BIGINT) AS ss_tax,
+                CAST(sum(qty*price) AS BIGINT) AS p_qty_price,
+                CAST(sum(qty*disc) AS BIGINT) AS p_qty_disc,
+                CAST(sum(qty*tax) AS BIGINT) AS p_qty_tax,
+                CAST(sum(price*disc) AS BIGINT) AS p_price_disc,
+                CAST(sum(price*tax) AS BIGINT) AS p_price_tax,
+                CAST(sum(disc*tax) AS BIGINT) AS p_disc_tax
+         FROM base)
+       {PAIRS}""".replace("{PAIRS}", " UNION ALL ".join([
+           _corr_pair_sql("qty", "price"), _corr_pair_sql("qty", "disc"),
+           _corr_pair_sql("qty", "tax"), _corr_pair_sql("price", "disc"),
+           _corr_pair_sql("price", "tax"), _corr_pair_sql("disc", "tax"),
+       ])),
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pairwise correlation matrix of four lineitem measures in ONE
+    aggregate pass (r6): all sufficient statistics — n, per-column Σx
+    and Σx², per-pair Σxy — from a single scan + single 1-row exchange,
+    pair rows exploded from that row.  m separate corr() jobs become
+    one; the profiling pattern a 100 TB feature-engineering pass needs.
+    Exact integer sums end in one double expression per pair, so the
+    matrix hash-matches the oracle bit-for-bit (native corr never can)."""
+    from hdfs_stream_processing_spark.operators.aggregates import corr_matrix
+
+    (lineitem,) = prep(spark, sf_dir, "lineitem")
+    return corr_matrix(
+        lineitem,
+        {
+            "qty": F.round(F.col("l_quantity"), 0).cast("long"),
+            "price": F.round(F.col("l_extendedprice"), 0).cast("long"),
+            "disc": F.round(F.col("l_discount") * F.lit(100.0), 0).cast("long"),
+            "tax": F.round(F.col("l_tax") * F.lit(100.0), 0).cast("long"),
+        },
+    )

@@ -190,6 +190,7 @@ SHUFFLE_BUDGETS = {
     "sample_weighted": 1,      # one per-stratum ranking window
     "hll_by_group": 1,         # one (group, bucket) exchange
     "scan_corrupt": 0,         # schema-declared JSON scan, narrow parse
+    "corr_matrix": 1,          # ALL pair stats in one 1-row exchange
 }
 
 
@@ -279,3 +280,40 @@ def test_runtime_bloom_filter_injected_for_selective_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_join_results_invariant_across_physical_strategies(spark):
+    """The flagship multi-way join must produce identical rows whether
+    the planner picks broadcast-hash, shuffled-hash, or sort-merge —
+    the correctness-under-strategy guarantee that makes plan tuning
+    safe.  Each run pins a different strategy via session confs; the
+    rows are compared exactly."""
+    name = "multi_join"
+    baseline = sorted(map(tuple, Q.QUERIES[name](spark, SF_DIR).collect()))
+    assert baseline
+
+    def with_confs(confs):
+        old = {}
+        for k, v in confs.items():
+            old[k] = spark.conf.get(k, None)
+            spark.conf.set(k, v)
+        try:
+            return sorted(map(tuple, Q.QUERIES[name](spark, SF_DIR).collect()))
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+    smj = with_confs({
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.join.preferSortMergeJoin": "true",
+    })
+    assert smj == baseline
+
+    shj = with_confs({
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.join.preferSortMergeJoin": "false",
+    })
+    assert shj == baseline
