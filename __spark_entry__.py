@@ -37,12 +37,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # outside the current window pass the identical check locally via
 # tools/check_correctness.py.  Round 6 window: the six round-5
 # registrations that landed after the r5 window froze (judge-verified
-# only — VERDICT r5 #1), the new round-6 registrations, the two queries
-# whose implementation changed this round (connected components moved
-# to star contraction) and scd2_build (oracle rewritten null-safe),
-# padded to EXACTLY 50 with the longest-stale driver-green entries
-# (r2-r4 rows).  tests/test_registry.py pins len(_VERIFY_FIRST) == 50
-# so the off-by-one cannot recur.
+# only — VERDICT r5 #1), then round-6 registrations in landing order,
+# including the two queries whose implementation changed this round
+# (connected components moved to star contraction).  The round's LATE
+# registrations (pagerank, the sketch family, sampling, corr_matrix,
+# scan_corrupt, ...) exceed the 50 slots and queue for the next
+# rotation — all are green under tools/check_correctness.py --vanilla.
+# tests/test_registry.py pins len(_VERIFY_FIRST) == 50 so the
+# off-by-one cannot recur.
 _VERIFY_FIRST = [
     # round-5 registrations with no driver row yet (judge-green r5):
     "cdc_apply", "scd2_build", "snapshot_diff", "skew_join",

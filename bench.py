@@ -158,6 +158,7 @@ HEADLINE = [
     "hll_by_group",               # per-group registers, one pass
     "scan_corrupt",               # PERMISSIVE JSON quarantine scan
     "corr_matrix",                # all pairwise corr, one agg pass
+    "stream_anomaly",             # broadcast-baseline z-score on stream
 ]
 
 

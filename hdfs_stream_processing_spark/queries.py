@@ -5604,3 +5604,64 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tax": F.round(F.col("l_tax") * F.lit(100.0), 0).cast("long"),
         },
     )
+
+
+@query(
+    "stream_anomaly",
+    """WITH base AS (
+         SELECT event_type,
+                count(*) AS n,
+                CAST(SUM(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS s1,
+                CAST(SUM(CAST(round(value * 100.0, 0) AS BIGINT)
+                         * CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS s2
+         FROM events GROUP BY event_type),
+       scored AS (
+         SELECT e.event_id, e.event_type, e.value,
+                (CAST(round(e.value * 100.0, 0) AS BIGINT)
+                 - CAST(b.s1 AS DOUBLE) / b.n)
+                / sqrt(greatest(CAST(b.s2 AS DOUBLE) / b.n
+                                - (CAST(b.s1 AS DOUBLE) / b.n)
+                                  * (CAST(b.s1 AS DOUBLE) / b.n), 0.0)) AS zscore
+         FROM events e JOIN base b ON e.event_type = b.event_type)
+       SELECT event_id, event_type, value, zscore,
+              abs(zscore) > 2.5 AS is_anomaly
+       FROM scored""",
+)
+def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming anomaly scoring (r6): the per-type baseline (exact
+    integer n/Σx/Σx² from history) broadcasts onto the live stream and
+    every arriving event is z-scored map-side — the stateless
+    stream-static detection pattern that complements the batch rolling
+    z-score (anomaly_zscore).  A baseline refresh is just a new
+    broadcast; no streaming state at all, so it scales as a pure map
+    over the stream.  Bit-exact: exact sufficient statistics end in one
+    fixed double expression per row — the oracle replays it."""
+    from hdfs_stream_processing_spark.streaming import (
+        run_to_memory,
+        stream_parquet_source,
+    )
+
+    (events,) = prep(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * F.lit(100.0), 0).cast("long")
+    base = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("s1"),
+        F.sum(cents * cents).alias("s2"),
+    )
+    src_dir, schema = _stage_events(spark, sf_dir)
+    stream = stream_parquet_source(spark, src_dir, schema)
+    mean = F.col("s1").cast("double") / F.col("n")
+    std = F.sqrt(
+        F.greatest(
+            F.col("s2").cast("double") / F.col("n") - mean * mean, F.lit(0.0)
+        )
+    )
+    scored = (
+        stream.join(F.broadcast(base), "event_type")
+        .withColumn("zscore", (cents - mean) / std)
+        .select(
+            "event_id", "event_type", "value", "zscore",
+            (F.abs(F.col("zscore")) > F.lit(2.5)).alias("is_anomaly"),
+        )
+    )
+    return run_to_memory(scored)
