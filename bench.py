@@ -159,6 +159,9 @@ HEADLINE = [
     "scan_corrupt",               # PERMISSIVE JSON quarantine scan
     "corr_matrix",                # all pairwise corr, one agg pass
     "stream_anomaly",             # broadcast-baseline z-score on stream
+    "jaccard_join",               # prefix-filtered exact similarity join
+    "regr_by_group",              # exact-integer OLS sufficient stats
+    "bfs_reach",                  # 3-hop frontier BFS, anti-join visited
 ]
 
 

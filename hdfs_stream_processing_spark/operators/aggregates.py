@@ -183,3 +183,59 @@ def corr_matrix(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
         for b in names[i + 1:]
     ]
     return agg.select(F.explode(F.array(*pairs)).alias("pr")).select("pr.*")
+
+
+def ols_exact(
+    df: DataFrame,
+    keys: list[str],
+    x_int: Column,
+    y_int: Column,
+) -> DataFrame:
+    """Per-group simple linear regression (OLS y = a·x + b) from EXACT
+    integer sufficient statistics → ``(keys…, n, slope, intercept, r2)``.
+
+    Same engine-portability contract as :func:`corr_exact`: Spark's
+    native ``regr_slope``/``regr_intercept`` accumulate float partial
+    states whose merge order follows the partitioning, so they cannot
+    hash-match a single-node oracle.  Here the five sums (n, Σx, Σy,
+    Σxy, Σx², Σy²) are exact integer aggregates — order-independent —
+    and slope/intercept/R² are each ONE double expression over those
+    exact operands, bit-identical on every engine:
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − Σx·Σx)     [null if x constant]
+        intercept = (Σy − slope·Σx) / n
+        r² = corr(x, y)²                               [null if x or y constant]
+
+    Bounds: as corr_exact — integer products must fit long
+    (|x·y|·rows < 2⁶³); switch sums to decimal(38,0) beyond that.
+
+    Scale: one partial-aggregated groupBy shuffle carrying six numbers
+    per group, whatever the row count.
+    """
+    agg = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x_int).alias("sx"),
+        F.sum(y_int).alias("sy"),
+        F.sum(x_int * y_int).alias("sxy"),
+        F.sum(x_int * x_int).alias("sxx"),
+        F.sum(y_int * y_int).alias("syy"),
+    )
+    nL = F.col("n")
+    nD = nL.cast("double")
+    # exact-integer numerators/denominators, ONE division each
+    slope_num = (nL * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    slope_den = (nL * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = F.when(slope_den > F.lit(0.0), slope_num / slope_den)
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / nD
+    vy_den = (nL * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    r2 = F.when(
+        (slope_den > F.lit(0.0)) & (vy_den > F.lit(0.0)),
+        (slope_num * slope_num) / (slope_den * vy_den),
+    )
+    return agg.select(
+        *keys,
+        nL,
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )

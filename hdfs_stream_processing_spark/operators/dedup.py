@@ -488,3 +488,115 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
         for i in range(bits)
     )
     return counted.selectExpr(id_col, f"({fingerprint}) AS simhash")
+
+
+def jaccard_join_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    t_num: int,
+    t_den: int,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """Exact set-similarity JOIN with **prefix filtering** (the
+    PPJoin/AllPairs family — Xiao et al., WWW'08; Bayardo et al.,
+    WWW'07 — public papers): all pairs with Jaccard ≥ ``t_num/t_den``
+    → ``(id_a, id_b, jaccard)``, id_a < id_b.
+
+    Same answer as the brute-force shared-shingle join, at a fraction
+    of the candidates: order every doc's shingles by GLOBAL document
+    frequency (rarest first, ties by shingle — a total order), and a
+    pair can reach threshold t only if their length-
+    ``|x| − ⌈t·|x|⌉ + 1`` prefixes share a shingle.  Candidates are
+    therefore generated by an equi-join on PREFIX shingles only — the
+    frequent shingles that create quadratic join buckets are exactly
+    the ones prefixes exclude — plus the length filter
+    ``t·|a| ≤ |b| ≤ |a|/t`` folded into the join.  Verification is
+    per-pair ``array_intersect`` on the two (distinct-set) shingle
+    arrays: O(candidates × doc_len), never a second shared-token join.
+
+    The threshold is a RATIONAL (``t_num/t_den``): ⌈t·s⌉ computed as
+    ``(t_num·s + t_den − 1) div t_den`` keeps the prefix length exact —
+    a float ceil can round 0.6·5 up to 4 and silently shorten the
+    prefix below the theorem's bound (false negatives).  The final
+    threshold compare is integer too: ``t_den·|A∩B| ≥ t_num·|A∪B|``.
+
+    Scale: one df-count aggregate, one per-doc sort (doc-local), one
+    equi-join on rare prefix shingles, one per-pair verify — the
+    standard exact-similarity-join plan at corpus scale.  The oracle is
+    the brute-force all-pairs Jaccard, so the prefix filter's
+    no-false-negative property is verified, not assumed.
+    """
+    if not (0 < t_num <= t_den):
+        raise ValueError("threshold must satisfy 0 < t_num/t_den <= 1")
+    sh = shingle_rows(df, id_col, text_col, shingle_n)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    docs = (
+        sh.join(dfreq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_df"), F.col("shingle")))
+            ).alias("_toks")
+        )
+        .withColumn("sz", F.size("_toks"))
+        .withColumn(
+            "_plen",
+            F.expr(
+                f"cast(sz - (({t_num}L * sz + {t_den - 1}L) div {t_den}L) + 1 as int)"
+            ),
+        )
+    ).localCheckpoint(eager=False)
+    pref = docs.select(
+        F.col(id_col),
+        "sz",
+        F.explode(F.expr("slice(_toks, 1, _plen)")).alias("_tk"),
+    ).select(F.col(id_col), "sz", F.col("_tk.shingle").alias("shingle"))
+    ca = pref.select(
+        F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), "shingle"
+    )
+    cb = pref.select(
+        F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"), "shingle"
+    )
+    cand = (
+        ca.join(cb, "shingle")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.lit(t_den) * F.col("sz_b") >= F.lit(t_num) * F.col("sz_a"))
+            & (F.lit(t_den) * F.col("sz_a") >= F.lit(t_num) * F.col("sz_b"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    arrs = docs.select(
+        F.col(id_col),
+        F.expr("transform(_toks, x -> x.shingle)").alias("_arr"),
+        "sz",
+    )
+    aa = arrs.select(
+        F.col(id_col).alias("id_a"), F.col("_arr").alias("_arr_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    ab = arrs.select(
+        F.col(id_col).alias("id_b"), F.col("_arr").alias("_arr_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    verified = (
+        cand.join(aa, "id_a")
+        .join(ab, "id_b")
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("_arr_a", "_arr_b")).cast("long")
+        )
+        .where(
+            F.lit(t_den) * F.col("n_inter")
+            >= F.lit(t_num) * (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+        )
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        (
+            F.col("n_inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double")
+        ).alias("jaccard"),
+    )

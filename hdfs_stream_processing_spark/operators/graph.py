@@ -231,3 +231,56 @@ def pagerank_exact(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Multi-hop reachability: minimum hop distance from any seed node
+    → ``(node, hops)`` for every node within ``max_hops`` of the seed
+    set (seeds themselves at hops = 0).  ``seeds`` is a 1-column
+    DataFrame named ``node``.
+
+    Frontier BFS: each round expands ONLY the newly-reached frontier
+    through one equi-join on ``src`` and anti-joins the already-visited
+    set — so a node's distance is fixed the first round it appears,
+    which IS the minimum (all hop counts are exact integers; no float
+    anywhere, hash-exact on every engine).  The oracle re-derives the
+    same result as a recursive CTE with UNION dedup + final MIN.
+
+    Scale: per round, one shuffle keyed on the frontier's node ids and
+    one anti-join against visited — both proportional to the frontier,
+    not the graph.  Lineage is truncated per round (``localCheckpoint``)
+    like every iterative loop here; ``max_hops`` bounds the rounds (the
+    3-hop neighborhood is the common analytics ask — fraud rings,
+    affiliate chains, supply-chain blast radius).
+    """
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d")
+    ).localCheckpoint(eager=False)
+    visited = (
+        seeds.select(F.col("node").cast("string").alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint(eager=False)
+    )
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["_s"])
+            .select(F.col("_d").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(hop))
+        )
+        nxt = nxt.localCheckpoint(eager=False)
+        # cheap emptiness probe on the already-materialized frontier
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return visited

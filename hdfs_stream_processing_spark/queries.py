@@ -5665,3 +5665,133 @@ def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(scored)
+
+
+# ========================================================================
+# Round 6 (cont.): prefix-filtered similarity join, exact per-group OLS,
+# multi-hop BFS reachability
+# ========================================================================
+
+
+@query(
+    "jaccard_join",
+    """WITH tok AS (SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS shingle
+            FROM documents)),
+       sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+       inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                        CAST(COUNT(*) AS BIGINT) AS n_inter
+                 FROM tok a JOIN tok b USING (shingle)
+                 WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+       SELECT id_a, id_b,
+              CAST(n_inter AS DOUBLE)
+                / CAST(sza.sz + szb.sz - n_inter AS DOUBLE) AS jaccard
+       FROM inter
+       JOIN sz sza ON sza.doc_id = id_a
+       JOIN sz szb ON szb.doc_id = id_b
+       WHERE 9 * n_inter >= 8 * (sza.sz + szb.sz - n_inter)""",
+)
+def q_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact similarity join (N3 scale path): all doc
+    pairs with unigram Jaccard ≥ 8/9, candidates generated from
+    rarest-first PREFIX shingles only (PPJoin/AllPairs) instead of the
+    full shared-shingle join — the frequent shingles that would form
+    quadratic join buckets never become join keys.  The oracle is the
+    brute-force all-pairs Jaccard, so the filter's no-false-negative
+    guarantee is verified against ground truth, not assumed."""
+    from hdfs_stream_processing_spark.operators.dedup import jaccard_join_prefix
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    return jaccard_join_prefix(
+        documents, "doc_id", "text", t_num=8, t_den=9, shingle_n=1
+    )
+
+
+@query(
+    "regr_by_group",
+    """WITH s AS (
+         SELECT l_returnflag,
+                count(*) AS n,
+                CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                CAST(sum(x * y) AS BIGINT) AS sxy,
+                CAST(sum(x * x) AS BIGINT) AS sxx,
+                CAST(sum(y * y) AS BIGINT) AS syy
+         FROM (SELECT l_returnflag,
+                      CAST(round(l_quantity, 0) AS BIGINT) AS x,
+                      CAST(round(l_extendedprice, 0) AS BIGINT) AS y
+               FROM lineitem)
+         GROUP BY l_returnflag),
+       m AS (
+         SELECT l_returnflag, n, sx, sy, syy,
+                CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0.0
+                     THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                          / CAST(n * sxx - sx * sx AS DOUBLE)
+                END AS slope,
+                CAST(n * sxy - sx * sy AS DOUBLE) AS s_num,
+                CAST(n * sxx - sx * sx AS DOUBLE) AS s_den
+         FROM s)
+       SELECT l_returnflag, n, slope,
+              (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                / CAST(n AS DOUBLE) AS intercept,
+              CASE WHEN s_den > 0.0
+                        AND CAST(n * syy - sy * sy AS DOUBLE) > 0.0
+                   THEN (s_num * s_num)
+                        / (s_den * CAST(n * syy - sy * sy AS DOUBLE))
+              END AS r2
+       FROM m""",
+)
+def q_regr_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS (slope/intercept/R² of price on quantity per
+    return flag) from exact integer sufficient statistics — the
+    portable replacement for regr_slope/regr_intercept, whose float
+    partial-state merges are partition-order-dependent.  One partial-
+    aggregated shuffle carrying six numbers per group."""
+    from hdfs_stream_processing_spark.operators.aggregates import ols_exact
+
+    (lineitem,) = prep(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity"), 0).cast("long")
+    y = F.round(F.col("l_extendedprice"), 0).cast("long")
+    return ols_exact(lineitem, ["l_returnflag"], x, y)
+
+
+@query(
+    "bfs_reach",
+    """WITH RECURSIVE pairs AS (
+         SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS s,
+                         's' || CAST(l_suppkey AS VARCHAR) AS d
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       edges AS (SELECT s, d FROM pairs UNION ALL SELECT d, s FROM pairs),
+       reach(node, hops) AS (
+         SELECT 's' || CAST(s_suppkey AS VARCHAR), 0
+         FROM supplier WHERE s_nationkey = 1
+         UNION
+         SELECT e.d, r.hops + 1
+         FROM reach r JOIN edges e ON e.s = r.node
+         WHERE r.hops < 3)
+       SELECT node, MIN(hops) AS hops FROM reach GROUP BY node""",
+)
+def q_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop blast radius: minimum hop distance from nation 1's
+    suppliers through the customer↔supplier trade graph (frontier BFS
+    — supply-chain contagion / fraud-ring neighborhood).  Each round
+    expands only the new frontier through one equi-join and anti-joins
+    the visited set; exact integer hops, oracle = recursive CTE with
+    UNION dedup + final MIN."""
+    from hdfs_stream_processing_spark.operators.graph import bfs_hops
+
+    lineitem, orders, supplier = prep(spark, sf_dir, "lineitem", "orders", "supplier")
+    pairs = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("s"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("d"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    )
+    seeds = supplier.where(F.col("s_nationkey") == 1).select(
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node")
+    )
+    return bfs_hops(edges, seeds, "s", "d", max_hops=3)

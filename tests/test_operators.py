@@ -639,3 +639,84 @@ def test_sample_weighted_is_biased_toward_weight(spark):
     assert samp_mean > pop_mean
     again = sample_weighted(docs, "doc_id", "n_chars", k=5, strata=["source"])
     assert sorted(samp.collect()) == sorted(again.collect())
+
+
+def test_ols_exact_matches_closed_form_and_nulls_constant_x(spark):
+    import math
+
+    rows = [("a", 1, 3), ("a", 2, 5), ("a", 3, 7), ("a", 4, 10),
+            ("b", 5, 1), ("b", 5, 2), ("b", 5, 3)]  # b: constant x
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    from hdfs_stream_processing_spark.operators.aggregates import ols_exact
+
+    out = {r["g"]: r for r in ols_exact(
+        df, ["g"], F.col("x").cast("long"), F.col("y").cast("long")
+    ).collect()}
+    xs, ys = [1, 2, 3, 4], [3, 5, 7, 10]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    a = out["a"]
+    assert math.isclose(a["slope"], slope, rel_tol=1e-12)
+    assert math.isclose(a["intercept"], intercept, rel_tol=1e-12)
+    assert math.isclose(a["r2"], r2, rel_tol=1e-12)
+    b = out["b"]  # vertical line: undefined fit, all null
+    assert b["slope"] is None and b["intercept"] is None and b["r2"] is None
+
+
+def test_bfs_hops_min_distance_cycle_and_bound(spark):
+    # 1→2→3→4→5 chain plus shortcut 1→4 and back-edge 3→1 (cycle)
+    edges = spark.createDataFrame(
+        [("1", "2"), ("2", "3"), ("3", "4"), ("4", "5"), ("1", "4"), ("3", "1")],
+        ["src", "dst"],
+    )
+    seeds = spark.createDataFrame([("1",)], ["node"])
+    from hdfs_stream_processing_spark.operators.graph import bfs_hops
+
+    got = {r["node"]: r["hops"] for r in bfs_hops(
+        edges, seeds, max_hops=2
+    ).collect()}
+    # hop 2 bound: node 5 (dist 2 via 1→4→5) included, nothing at 3+
+    assert got == {"1": 0, "2": 1, "4": 1, "3": 2, "5": 2}
+    got3 = {r["node"]: r["hops"] for r in bfs_hops(
+        edges, seeds, max_hops=3
+    ).collect()}
+    assert got3 == got  # graph exhausted at 2 hops; loop stops early
+
+
+def test_jaccard_join_prefix_equals_brute_force(spark):
+    rows = [
+        (1, "a b c d e"),
+        (2, "a b c d f"),   # J(1,2)=4/6
+        (3, "a b c d e"),   # J(1,3)=1
+        (4, "x y z"),
+        (5, "x y z w"),     # J(4,5)=3/4
+        (6, "q"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from hdfs_stream_processing_spark.operators.dedup import (
+        jaccard_join_prefix,
+        jaccard_pairs,
+    )
+
+    # t=3/5: exact rational ceil matters (0.6*5 floats to 3.0000000004;
+    # a float ceil would shorten doc 1/2/3's prefix below the bound)
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_join_prefix(df, "doc_id", "text", 3, 5).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(
+            df, "doc_id", "text", shingle_n=1, min_jaccard=0.6
+        ).collect()
+    }
+    assert got == want
+    assert (1, 3) in got and got[(1, 3)] == 1.0
+    assert (1, 2) in got and abs(got[(1, 2)] - 4 / 6) < 1e-15
+    assert (4, 5) in got and got[(4, 5)] == 0.75
