@@ -5677,7 +5677,7 @@ def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "jaccard_join",
     """WITH tok AS (SELECT DISTINCT doc_id, shingle FROM (
             SELECT doc_id, unnest(string_split(lower(text), ' ')) AS shingle
-            FROM documents)),
+            FROM documents WHERE doc_id % 5 = 0)),
        sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                         CAST(COUNT(*) AS BIGINT) AS n_inter
@@ -5698,12 +5698,17 @@ def q_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     full shared-shingle join — the frequent shingles that would form
     quadratic join buckets never become join keys.  The oracle is the
     brute-force all-pairs Jaccard, so the filter's no-false-negative
-    guarantee is verified against ground truth, not assumed."""
+    guarantee is verified against ground truth, not assumed.  Scoped
+    to a 20% doc sample: the synthetic corpus is clone-heavy, so the
+    full-corpus RESULT is quadratic in dup-group size (~1M pairs at
+    sf0.1) — a data property, not an algorithm one; the sample keeps
+    the benchmark timing the join, not the output write."""
     from hdfs_stream_processing_spark.operators.dedup import jaccard_join_prefix
 
     (documents,) = prep(spark, sf_dir, "documents")
     return jaccard_join_prefix(
-        documents, "doc_id", "text", t_num=8, t_den=9, shingle_n=1
+        documents.where(F.col("doc_id") % 5 == 0),
+        "doc_id", "text", t_num=8, t_den=9, shingle_n=1
     )
 
 
