@@ -162,6 +162,8 @@ HEADLINE = [
     "jaccard_join",               # prefix-filtered exact similarity join
     "regr_by_group",              # exact-integer OLS sufficient stats
     "bfs_reach",                  # 3-hop frontier BFS, anti-join visited
+    "vocab_ids",                  # freq-ordered vocab + id sequences
+    "attribution",                # first/last-touch, one window pass
 ]
 
 

@@ -250,3 +250,61 @@ def anomaly_zscore(
         # through Arrow/pandas — None vs NaN)
         (scorable & (F.abs(z) > F.lit(threshold))).alias("is_anomaly"),
     )
+
+
+def attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    value_cents: Column,
+    conversion: str,
+    tiebreak_cols: list[str] | None = None,
+    direct_label: str = "direct",
+) -> DataFrame:
+    """Marketing-style revenue attribution → ``(model, channel,
+    revenue_cents, n_conversions)`` for the two classic single-touch
+    models in ONE pass:
+
+    - **first_touch**: each conversion's value goes to the user's FIRST
+      non-conversion event type before it;
+    - **last_touch**: …to the LAST non-conversion event type before it.
+
+    Conversions with no prior touch attribute to ``direct_label``.
+    Both labels come from one window over the user's ordered events
+    (``last``/``first`` with ignorenulls over rows-preceding frames), so
+    the whole computation is one key shuffle + one partial-aggregated
+    group-by of the conversions — never a self-join of the event log.
+    ``value_cents`` must be an exact integer Column (the money
+    contract); ``tiebreak_cols`` totally orders same-timestamp events.
+
+    Scale: the window partitions on user (bounded per-user history);
+    the final aggregate exchanges O(models × channels) rows.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak_cols or [])]
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col(type_col) != conversion, F.col(type_col))
+    labeled = df.withColumn("_first", F.first(touch, ignorenulls=True).over(w)).withColumn(
+        "_last", F.last(touch, ignorenulls=True).over(w)
+    )
+    conv = labeled.where(F.col(type_col) == conversion).select(
+        F.coalesce(F.col("_first"), F.lit(direct_label)).alias("_ft"),
+        F.coalesce(F.col("_last"), F.lit(direct_label)).alias("_lt"),
+        value_cents.alias("_cents"),
+    )
+    unpivoted = conv.select(
+        F.expr(
+            "stack(2, 'first_touch', _ft, 'last_touch', _lt) AS (model, channel)"
+        ),
+        "_cents",
+    )
+    return unpivoted.groupBy("model", "channel").agg(
+        F.sum("_cents").alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_conversions"),
+    )

@@ -320,3 +320,61 @@ def search_prefix(index: DataFrame, id_col: str, prefix: str) -> DataFrame:
         index.where(F.col("ngram") == folded)
         .select(F.col(id_col), F.col("tf").alias("n_hits"))
     )
+
+
+def build_vocab(df: DataFrame, text_col: str, sep: str = " ") -> DataFrame:
+    """Corpus vocabulary with contiguous integer ids → ``(token_id,
+    token, freq)``: tokens ranked by total occurrence count DESC, ties
+    by token ASC (a total order — the same id assignment on every
+    engine/partitioning), ids from 0.  This is the BPE-merge-table
+    stand-in of the text→ids step: frequency-ordered ids put the most
+    common tokens in the smallest id range, which is exactly what
+    embedding-table layouts and id-compression want.
+
+    Scale: token counting is a partial-aggregated shuffle on token
+    (O(distinct tokens) exchanged, not O(corpus)); the ranking window
+    runs over the VOCABULARY, which is bounded (≤ a few million rows
+    for any real corpus) — the one deliberate single-partition sort in
+    this module, sized to the vocab, never the corpus.
+    """
+    freq = (
+        df.select(F.explode(tokens(text_col, sep)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+    return freq.select(
+        (F.row_number().over(w) - F.lit(1)).cast("long").alias("token_id"),
+        "token",
+        "freq",
+    )
+
+
+def tokens_to_ids(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: DataFrame,
+    sep: str = " ",
+) -> DataFrame:
+    """Map every document to its token-id SEQUENCE (order- and
+    duplicate-preserving) → ``(id_col, pos, token_id)`` exploded rows,
+    ``pos`` from 0.  Unknown tokens (absent from ``vocab``) keep the
+    row with ``token_id`` null — callers decide OOV policy (drop,
+    sentinel id, or fail).
+
+    The join key is the token string; with a frequency-built vocab this
+    is a broadcast join in practice (vocab ≪ corpus), so the whole map
+    is scan → posexplode → broadcast-hash lookup: no shuffle of the
+    corpus at all.  Downstream ``seq_pack`` takes these rows straight
+    into fixed-length training shards.
+    """
+    pos_tok = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col, sep)).alias("pos", "token"),
+    )
+    return pos_tok.join(F.broadcast(vocab.select("token", "token_id")), "token", "left").select(
+        F.col(id_col), F.col("pos").cast("long").alias("pos"), "token_id"
+    )

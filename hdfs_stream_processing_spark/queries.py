@@ -5800,3 +5800,74 @@ def q_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node")
     )
     return bfs_hops(edges, seeds, "s", "d", max_hops=3)
+
+
+@query(
+    "vocab_ids",
+    """WITH tok AS (SELECT doc_id,
+                unnest(string_split(lower(text), ' ')) AS token,
+                unnest(generate_series(0, length(string_split(lower(text), ' ')) - 1)) AS pos
+             FROM documents),
+       vocab AS (SELECT token,
+                row_number() OVER (ORDER BY count(*) DESC, token ASC) - 1 AS token_id
+             FROM tok GROUP BY token)
+       SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos,
+              CAST(v.token_id AS BIGINT) AS token_id
+       FROM tok t LEFT JOIN vocab v USING (token)""",
+)
+def q_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text → token-id sequences (the LLM-preprocessing id-mapping
+    step): the corpus vocabulary is built with frequency-ordered
+    contiguous ids (count DESC, token ASC — a total order, so the SAME
+    id assignment in both engines), then every document maps to
+    (doc_id, pos, token_id) rows, order- and duplicate-preserving.
+    Corpus side never shuffles: posexplode → broadcast vocab lookup."""
+    from hdfs_stream_processing_spark.operators.text import (
+        build_vocab,
+        tokens_to_ids,
+    )
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    vocab = build_vocab(documents, "text")
+    return tokens_to_ids(documents, "doc_id", "text", vocab)
+
+
+@query(
+    "attribution",
+    """WITH e AS (SELECT user_id, ts, event_id, event_type,
+                COALESCE(CAST(round(value * 100.0, 0) AS BIGINT), 0) AS cents
+             FROM events),
+       lab AS (SELECT *,
+                first_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ft,
+                last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+             FROM e),
+       conv AS (SELECT COALESCE(ft, 'direct') AS ft, COALESCE(lt, 'direct') AS lt, cents
+             FROM lab WHERE event_type = 'purchase'),
+       unp AS (SELECT 'first_touch' AS model, ft AS channel, cents FROM conv
+               UNION ALL
+               SELECT 'last_touch' AS model, lt AS channel, cents FROM conv)
+       SELECT model, channel,
+              CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+              COUNT(*) AS n_conversions
+       FROM unp GROUP BY model, channel""",
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch revenue attribution over the event log:
+    each purchase's exact cents go to the user's first (resp. last)
+    non-purchase event type before it, 'direct' when none.  Both models
+    from ONE user-keyed window pass + one tiny aggregate — never a
+    self-join of the log."""
+    from hdfs_stream_processing_spark.operators.analytics import attribution
+
+    (events,) = prep(spark, sf_dir, "events")
+    cents = F.coalesce(
+        F.round(F.col("value") * 100.0, 0).cast("long"), F.lit(0)
+    )
+    return attribution(
+        events, "user_id", "ts", "event_type", cents,
+        conversion="purchase", tiebreak_cols=["event_id"],
+    )

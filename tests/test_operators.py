@@ -720,3 +720,57 @@ def test_jaccard_join_prefix_equals_brute_force(spark):
     assert (1, 3) in got and got[(1, 3)] == 1.0
     assert (1, 2) in got and abs(got[(1, 2)] - 4 / 6) < 1e-15
     assert (4, 5) in got and got[(4, 5)] == 0.75
+
+
+def test_build_vocab_ids_and_oov(spark):
+    docs = spark.createDataFrame(
+        [(1, "b a b c b a"), (2, "a c a")], ["doc_id", "text"]
+    )
+    from hdfs_stream_processing_spark.operators.text import (
+        build_vocab,
+        tokens_to_ids,
+    )
+
+    vocab = build_vocab(docs, "text")
+    # freq: b=3, a=4, c=2 → ids by (freq desc, token asc): a=0, b=1, c=2
+    assert {(r["token"], r["token_id"], r["freq"]) for r in vocab.collect()} == {
+        ("a", 0, 4), ("b", 1, 3), ("c", 2, 2)
+    }
+    new = spark.createDataFrame([(9, "c z c")], ["doc_id", "text"])
+    rows = sorted(
+        (r["pos"], r["token_id"])
+        for r in tokens_to_ids(new, "doc_id", "text", vocab).collect()
+    )
+    # order + duplicates preserved; unseen token 'z' maps to null (OOV)
+    assert rows == [(0, 2), (1, None), (2, 2)]
+
+
+def test_attribution_first_last_touch_and_direct(spark):
+    rows = [
+        # user 1: ad → email → purchase(100) → purchase(50)
+        (1, 1.0, "e1", "ad", None),
+        (1, 2.0, "e2", "email", None),
+        (1, 3.0, "e3", "purchase", 1.00),
+        (1, 4.0, "e4", "purchase", 0.50),
+        # user 2: purchase with no prior touch → direct
+        (2, 1.0, "e5", "purchase", 2.00),
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "ts", "event_id", "event_type", "value"]
+    )
+    from hdfs_stream_processing_spark.operators.analytics import attribution
+
+    cents = F.coalesce(F.round(F.col("value") * 100, 0).cast("long"), F.lit(0))
+    got = {
+        (r["model"], r["channel"]): (r["revenue_cents"], r["n_conversions"])
+        for r in attribution(
+            df, "user_id", "ts", "event_type", cents,
+            conversion="purchase", tiebreak_cols=["event_id"],
+        ).collect()
+    }
+    assert got == {
+        ("first_touch", "ad"): (150, 2),      # both purchases: first touch = ad
+        ("last_touch", "email"): (150, 2),    # last non-purchase before each
+        ("first_touch", "direct"): (200, 1),
+        ("last_touch", "direct"): (200, 1),
+    }
