@@ -191,6 +191,13 @@ SHUFFLE_BUDGETS = {
     "hll_by_group": 1,         # one (group, bucket) exchange
     "scan_corrupt": 0,         # schema-declared JSON scan, narrow parse
     "corr_matrix": 1,          # ALL pair stats in one 1-row exchange
+    "jaccard_join": 1,         # prefix-token candidate join; the doc
+                               # array build sits behind a checkpoint
+    "regr_by_group": 1,        # one sufficient-stats group agg
+    "bfs_reach": 0,            # frontier rounds all checkpointed
+    "vocab_ids": 2,            # token-count agg + vocab ranking window;
+                               # the corpus-side lookup broadcasts
+    "attribution": 2,          # user-keyed touch window + final agg
 }
 
 
