@@ -164,6 +164,7 @@ HEADLINE = [
     "bfs_reach",                  # 3-hop frontier BFS, anti-join visited
     "vocab_ids",                  # freq-ordered vocab + id sequences
     "attribution",                # first/last-touch, one window pass
+    "stream_vocab",               # maintained token counts -> vocab ids
 ]
 
 

@@ -5871,3 +5871,54 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         events, "user_id", "ts", "event_type", cents,
         conversion="purchase", tiebreak_cols=["event_id"],
     )
+
+
+@query(
+    "stream_vocab",
+    """WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS token
+                     FROM documents),
+       counts AS (SELECT token, count(*) AS freq FROM toks GROUP BY token)
+       SELECT CAST(row_number() OVER (ORDER BY freq DESC, token ASC) - 1
+                   AS BIGINT) AS token_id,
+              token, CAST(freq AS BIGINT) AS freq""" + """
+       FROM counts""",
+)
+def q_stream_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming vocabulary maintenance: per-token counts are additive,
+    so the SAME run_stream_rollup machinery that maintains count tables
+    and sketches maintains the corpus vocabulary as documents stream in
+    — each micro-batch contributes its batch-local token counts, merged
+    by addition behind the replay guard.  Ranking the maintained table
+    (freq DESC, token ASC) must yield EXACTLY the batch-built vocab of
+    the whole corpus: the tokenizer's id table stays current without
+    ever re-scanning history.
+
+    Scale: per batch the token shuffle is batch-sized; stored state is
+    the vocabulary itself.  The ranking read is vocab-sized — done on
+    demand, not per batch."""
+    from pyspark.sql import Window
+
+    from hdfs_stream_processing_spark.sources.io import read_table_version
+    from hdfs_stream_processing_spark.streaming import stream_parquet_source
+    from hdfs_stream_processing_spark.streaming.pipeline import run_stream_rollup
+
+    src_dir, schema = _stage_documents(spark, sf_dir)
+    stream = stream_parquet_source(spark, src_dir, schema, max_files_per_trigger=2)
+
+    def partial(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("freq"))
+        )
+
+    tdir = _mkdtemp("hsp_svocab_")
+    ckpt = _mkdtemp("hsp_svocab_ckpt_")
+    run_stream_rollup(stream, tdir, ckpt, ["token"], ["freq"], partial)
+    counts = read_table_version(spark, tdir).drop("_batch")
+    w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+    return counts.select(
+        (F.row_number().over(w) - F.lit(1)).cast("long").alias("token_id"),
+        "token",
+        F.col("freq").cast("long").alias("freq"),
+    )

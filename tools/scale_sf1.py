@@ -41,6 +41,10 @@ SLOW = [
     # SCD2 — all fact-table-driven, so the ×10 synthesis covers them
     "pagerank", "hll_registers", "cms_topk", "late_ship_priority",
     "waiting_suppliers", "stream_scd2", "kmeans_refine",
+    # final round-6 batch: prefix-filtered similarity join, frontier
+    # BFS over the ×10 trade graph, corpus-wide vocab build + id map,
+    # user-window attribution
+    "jaccard_join", "bfs_reach", "vocab_ids", "attribution",
 ]
 COPIES = 10
 
