@@ -44,7 +44,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # scan_corrupt, ...) exceed the 50 slots and queue for the next
 # rotation — all are green under tools/check_correctness.py --vanilla.
 # tests/test_registry.py pins len(_VERIFY_FIRST) == 50 so the
-# off-by-one cannot recur.
+# off-by-one cannot recur.  Late round-6 registrations past the 50
+# slots (the sketch family, sampling, corr_matrix, scan_corrupt,
+# jaccard_join, regr_by_group, bfs_reach, vocab_ids, attribution,
+# stream_vocab) queue for the round-7 rotation — all green under
+# tools/check_correctness.py.
 _VERIFY_FIRST = [
     # round-5 registrations with no driver row yet (judge-green r5):
     "cdc_apply", "scd2_build", "snapshot_diff", "skew_join",
