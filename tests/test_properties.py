@@ -368,3 +368,40 @@ def test_bloom_no_false_negatives_any_sets(spark, members, probes):
     )
     survivors = {r["k"] for r in bloom_probe(probe, "k", bits, n_bits=64, k=2).collect()}
     assert set(members) <= survivors
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=8),
+        min_size=2,
+        max_size=12,
+    ),
+    st.sampled_from([(1, 2), (3, 5), (2, 3), (8, 9), (1, 1)]),
+)
+def test_jaccard_prefix_join_equals_brute_force_any_corpus(spark, docs, t):
+    """The prefix filter loses NO pairs for any corpus and any rational
+    threshold: jaccard_join_prefix == the brute-force shared-shingle
+    join (the theorem's no-false-negative guarantee, which a wrong
+    prefix length — e.g. a float ceil — would silently break)."""
+    from hdfs_stream_processing_spark.operators.dedup import jaccard_join_prefix
+
+    t_num, t_den = t
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 12)
+        for r in jaccard_join_prefix(df, "doc_id", "text", t_num, t_den).collect()
+    }
+    # ground truth from Python sets with the SAME rational compare —
+    # no float-boundary ambiguity
+    import itertools
+
+    brute = {}
+    sets = {i: set(toks) for i, toks in enumerate(docs)}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if t_den * inter >= t_num * union and inter > 0:
+            brute[(a, b)] = round(inter / union, 12)
+    assert got == brute
