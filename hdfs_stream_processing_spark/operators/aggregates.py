@@ -206,11 +206,19 @@ def ols_exact(
         intercept = (Σy − slope·Σx) / n
         r² = corr(x, y)²                               [null if x or y constant]
 
-    Bounds: as corr_exact — integer products must fit long
-    (|x·y|·rows < 2⁶³); switch sums to decimal(38,0) beyond that.
+    Bounds: the per-row products and their SUMS must fit long
+    (|x·y| · rows < 2⁶³ per group).  The second-order terms n·Σy² and
+    Σy·Σy exceed 2⁶³ long before the sums do (at TPC-H price scale
+    they overflow already at ~10⁵ rows per group), so the final
+    numerators/denominators are computed in decimal(38,0) — still
+    exact integers, just 128-bit — and only then rounded once to
+    double.  The DuckDB oracle mirrors this with HUGEINT; both engines
+    correctly round the same exact integer, so results stay
+    bit-identical.
 
     Scale: one partial-aggregated groupBy shuffle carrying six numbers
-    per group, whatever the row count.
+    per group, whatever the row count; the decimal math runs on the
+    handful of post-aggregate rows only.
     """
     agg = df.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n"),
@@ -222,12 +230,14 @@ def ols_exact(
     )
     nL = F.col("n")
     nD = nL.cast("double")
-    # exact-integer numerators/denominators, ONE division each
-    slope_num = (nL * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    slope_den = (nL * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dec = "decimal(38,0)"
+    nB, sxB, syB = nL.cast(dec), F.col("sx").cast(dec), F.col("sy").cast(dec)
+    # exact 128-bit-integer numerators/denominators, ONE division each
+    slope_num = (nB * F.col("sxy").cast(dec) - sxB * syB).cast("double")
+    slope_den = (nB * F.col("sxx").cast(dec) - sxB * sxB).cast("double")
     slope = F.when(slope_den > F.lit(0.0), slope_num / slope_den)
     intercept = (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / nD
-    vy_den = (nL * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    vy_den = (nB * F.col("syy").cast(dec) - syB * syB).cast("double")
     r2 = F.when(
         (slope_den > F.lit(0.0)) & (vy_den > F.lit(0.0)),
         (slope_num * slope_num) / (slope_den * vy_den),

@@ -5728,20 +5728,20 @@ def q_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
          GROUP BY l_returnflag),
        m AS (
          SELECT l_returnflag, n, sx, sy, syy,
-                CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0.0
-                     THEN CAST(n * sxy - sx * sy AS DOUBLE)
-                          / CAST(n * sxx - sx * sx AS DOUBLE)
+                CASE WHEN CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) > 0.0
+                     THEN CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                          / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
                 END AS slope,
-                CAST(n * sxy - sx * sy AS DOUBLE) AS s_num,
-                CAST(n * sxx - sx * sx AS DOUBLE) AS s_den
+                CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS s_num,
+                CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS s_den
          FROM s)
        SELECT l_returnflag, n, slope,
               (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
                 / CAST(n AS DOUBLE) AS intercept,
               CASE WHEN s_den > 0.0
-                        AND CAST(n * syy - sy * sy AS DOUBLE) > 0.0
+                        AND CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) > 0.0
                    THEN (s_num * s_num)
-                        / (s_den * CAST(n * syy - sy * sy AS DOUBLE))
+                        / (s_den * CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))
               END AS r2
        FROM m""",
 )
