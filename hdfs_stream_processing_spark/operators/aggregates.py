@@ -89,11 +89,34 @@ def heavy_hitters(
     )
 
 
+def _suff_stats(
+    df: DataFrame, keys: list[str], x: Column, y: Column, wide: bool
+) -> DataFrame:
+    """The shared (n, Σx, Σy, Σxy, Σx², Σy²) aggregate behind
+    :func:`corr_exact` and :func:`ols_exact`.  ``wide=False`` accumulates
+    in long (fastest, codegen'd); ``wide=True`` casts the operands to
+    decimal(38,0) FIRST so every per-row product and every running sum is
+    128-bit — exact far past the int64 range, for the sf100-per-group
+    regime where y²·rows alone exceeds 2⁶³."""
+    if wide:
+        dec = "decimal(38,0)"
+        x, y = x.cast(dec), y.cast(dec)
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+
+
 def corr_exact(
     df: DataFrame,
     keys: list[str],
     x_cents: Column,
     y_cents: Column,
+    wide: bool = False,
 ) -> DataFrame:
     """Pearson correlation per group from EXACT integer sums.
 
@@ -105,18 +128,16 @@ def corr_exact(
     correlation is one double expression over exact operands —
     bit-identical on every engine and partitioning.
 
-    Bounds: products of cents fit long while |x·y| · rows < 2⁶³ — at
-    TPC-H price scales that holds through ~10⁹ rows per group; beyond
-    that switch the sums to decimal(38,0) (slower but still exact).
+    Bounds: the long accumulators hold while
+    max(x², y², |x·y|) · rows_per_group < 2⁶³ — at TPC-H dollar scales
+    (y ≲ 10⁵, y² ≲ 10¹⁰) that is ~10⁸ rows per group, i.e. roughly
+    sf100 for a 3-group split of lineitem.  Past that, pass
+    ``wide=True``: the per-row accumulators switch to decimal(38,0)
+    (128-bit, still exact, ~2× slower map-side) and the result is
+    bit-identical to the narrow path wherever both are in range —
+    asserted by tests/test_operators.py.
     """
-    agg = df.groupBy(*keys).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(x_cents).alias("sx"),
-        F.sum(y_cents).alias("sy"),
-        F.sum(x_cents * y_cents).alias("sxy"),
-        F.sum(x_cents * x_cents).alias("sxx"),
-        F.sum(y_cents * y_cents).alias("syy"),
-    )
+    agg = _suff_stats(df, keys, x_cents, y_cents, wide)
     n = F.col("n").cast("double")
     cov = F.col("sxy").cast("double") / n - (
         F.col("sx").cast("double") / n
@@ -190,6 +211,7 @@ def ols_exact(
     keys: list[str],
     x_int: Column,
     y_int: Column,
+    wide: bool = False,
 ) -> DataFrame:
     """Per-group simple linear regression (OLS y = a·x + b) from EXACT
     integer sufficient statistics → ``(keys…, n, slope, intercept, r2)``.
@@ -218,16 +240,12 @@ def ols_exact(
 
     Scale: one partial-aggregated groupBy shuffle carrying six numbers
     per group, whatever the row count; the decimal math runs on the
-    handful of post-aggregate rows only.
+    handful of post-aggregate rows only.  When even the SUMS outgrow
+    long (max(x², y², |x·y|) · rows_per_group ≥ 2⁶³ — roughly sf100 at
+    dollar scale), pass ``wide=True`` to accumulate in decimal(38,0)
+    throughout, as :func:`corr_exact`.
     """
-    agg = df.groupBy(*keys).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(x_int).alias("sx"),
-        F.sum(y_int).alias("sy"),
-        F.sum(x_int * y_int).alias("sxy"),
-        F.sum(x_int * x_int).alias("sxx"),
-        F.sum(y_int * y_int).alias("syy"),
-    )
+    agg = _suff_stats(df, keys, x_int, y_int, wide)
     nL = F.col("n")
     nD = nL.cast("double")
     dec = "decimal(38,0)"

@@ -774,3 +774,55 @@ def test_attribution_first_last_touch_and_direct(spark):
         ("first_touch", "direct"): (200, 1),
         ("last_touch", "direct"): (200, 1),
     }
+
+
+def test_wide_accumulators_survive_int64_overflow_and_match_narrow(spark):
+    """Scale-correctness contract for the exact-sufficient-statistics
+    family (the sf0.1 bench caught n·Σy² overflowing int64; the SUMS
+    themselves overflow ~2 decades later).  (1) On operands where a
+    single y² already exceeds 2⁶³, wide=True still returns the exact
+    closed-form answer while the narrow long path raises under ANSI.
+    (2) Where both are in range, wide and narrow are bit-identical."""
+    import math
+
+    import pytest
+
+    from hdfs_stream_processing_spark.operators.aggregates import (
+        corr_exact, ols_exact,
+    )
+
+    # y ≈ 3.1e9 → y² ≈ 9.6e18 > 2⁶³−1: per-row product overflows long
+    big = [("g", 1, 3_100_000_000), ("g", 2, 6_200_000_000),
+           ("g", 3, 9_300_000_001)]
+    bdf = spark.createDataFrame(big, ["g", "x", "y"])
+    x, y = F.col("x").cast("long"), F.col("y").cast("long")
+
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.PySparkException):
+        ols_exact(bdf, ["g"], x, y).collect()
+
+    out = ols_exact(bdf, ["g"], x, y, wide=True).collect()[0]
+    xs = [r[1] for r in big]
+    ys = [r[2] for r in big]
+    n, sx, sy = len(xs), sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    assert math.isclose(out["slope"], slope, rel_tol=1e-12)
+    r2 = float(n * sxy - sx * sy) ** 2 / (
+        float(n * sxx - sx * sx) * float(n * syy - sy * sy)
+    )
+    assert math.isclose(out["r2"], r2, rel_tol=1e-12)
+
+    c = corr_exact(bdf, ["g"], x, y, wide=True).collect()[0]
+    assert math.isclose(c["corr"], math.sqrt(r2), rel_tol=1e-12)
+
+    # in-range operands: wide must be bit-identical to narrow
+    small = [("a", i, 7 * i + 3 + (i % 5)) for i in range(1, 40)]
+    sdf = spark.createDataFrame(small, ["g", "x", "y"])
+    for fn in (ols_exact, corr_exact):
+        narrow = fn(sdf, ["g"], x, y).collect()
+        wide = fn(sdf, ["g"], x, y, wide=True).collect()
+        assert [r.asDict() for r in narrow] == [r.asDict() for r in wide]
