@@ -156,7 +156,9 @@ def corr_exact(
     )
 
 
-def corr_matrix(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
+def corr_matrix(
+    df: DataFrame, cols: dict[str, Column], wide: bool = False
+) -> DataFrame:
     """Every pairwise Pearson correlation of ``cols`` (name → exact
     integer Column) from ONE aggregate pass → long-format
     ``(col_a, col_b, n, corr)``.
@@ -166,9 +168,12 @@ def corr_matrix(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
     and one 1-row exchange instead of m(m-1)/2 separate corr() jobs;
     the m² pair rows then explode out of that single row.  Same
     exactness contract as :func:`corr_exact`: integer sums, one double
-    expression at the end, bit-identical on any engine/partitioning.
+    expression at the end, bit-identical on any engine/partitioning;
+    same ``wide`` escape hatch once sums outgrow long.
     """
     names = list(cols)
+    if wide:  # 128-bit accumulators past int64 range, as _suff_stats
+        cols = {k: c.cast("decimal(38,0)") for k, c in cols.items()}
     aggs = [F.count(F.lit(1)).alias("n")]
     for a in names:
         aggs.append(F.sum(cols[a]).alias(f"s_{a}"))

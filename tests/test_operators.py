@@ -819,6 +819,11 @@ def test_wide_accumulators_survive_int64_overflow_and_match_narrow(spark):
     c = corr_exact(bdf, ["g"], x, y, wide=True).collect()[0]
     assert math.isclose(c["corr"], math.sqrt(r2), rel_tol=1e-12)
 
+    from hdfs_stream_processing_spark.operators.aggregates import corr_matrix
+
+    m = corr_matrix(bdf, {"x": x, "y": y}, wide=True).collect()[0]
+    assert math.isclose(m["corr"], math.sqrt(r2), rel_tol=1e-12)
+
     # in-range operands: wide must be bit-identical to narrow
     small = [("a", i, 7 * i + 3 + (i % 5)) for i in range(1, 40)]
     sdf = spark.createDataFrame(small, ["g", "x", "y"])
