@@ -47,7 +47,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # off-by-one cannot recur.  Late round-6 registrations past the 50
 # slots (the sketch family, sampling, corr_matrix, scan_corrupt,
 # jaccard_join, regr_by_group, bfs_reach, vocab_ids, attribution,
-# stream_vocab) queue for the round-7 rotation — all green under
+# stream_vocab, purge_keys) queue for the round-7 rotation — all green under
 # tools/check_correctness.py.
 _VERIFY_FIRST = [
     # round-5 registrations with no driver row yet (judge-green r5):

@@ -165,6 +165,7 @@ HEADLINE = [
     "vocab_ids",                  # freq-ordered vocab + id sequences
     "attribution",                # first/last-touch, one window pass
     "stream_vocab",               # maintained token counts -> vocab ids
+    "purge_keys",                 # GDPR cascade, broadcast-only probes
 ]
 
 

@@ -31,6 +31,7 @@ __all__ = [
     "scd2_build",
     "scd2_merge",
     "scd2_repair",
+    "purge_cascade",
     "snapshot_diff",
 ]
 
@@ -435,3 +436,63 @@ def merge_into(
     if insert_values is None:
         keep = keep & ~s_only
     return j.where(keep).select(*out_cols)
+
+
+def purge_cascade(
+    requests: DataFrame,
+    hops: list[tuple[str, DataFrame, str, str | None]],
+) -> tuple[DataFrame, dict[str, DataFrame]]:
+    """Propagate a deletion-request list (GDPR/right-to-be-forgotten)
+    through a chain of tables and account for every row touched.
+
+    ``requests`` is a one-column DataFrame of root keys to forget (null
+    keys are ignored — they can never match a row).  Each hop is
+    ``(name, table, key_col, emit_col)``: rows of ``table`` whose
+    ``key_col`` is in the incoming key set are purged, and — when
+    ``emit_col`` is given — their ``emit_col`` values become the key
+    set for the NEXT hop (customer → orders → lineitem: forget a
+    customer, their orders go, the orders' line items go).
+
+    Returns ``(audit, retained)``: ``audit`` has one row per hop
+    ``(table_name, purged_rows, retained_rows)`` — the compliance
+    evidence — and ``retained[name]`` is the purged table, ready to
+    swap in via the atomic-rewrite sink.
+
+    Scale: deletion requests are human-scale, so every membership probe
+    is a BROADCAST left join marking rows in one map-side pass per
+    table — no fact-side shuffle anywhere; audit counts and the
+    retained rows read the same marked plan.  The fan-out key sets
+    (the purged rows' emit_col) stay proportional to the request list,
+    not the fact table; if a hop could fan out past broadcast range
+    (~10⁸ keys), split the requests and run the cascade per slice.
+    """
+    from functools import reduce
+
+    keys = requests.toDF("_purge_key").where(
+        F.col("_purge_key").isNotNull()
+    ).distinct()
+    audits: list[DataFrame] = []
+    retained: dict[str, DataFrame] = {}
+    for name, df, key_col, emit_col in hops:
+        if "_purge_key" in df.columns:
+            raise ValueError(
+                f"{name} already has a '_purge_key' column; rename it first"
+            )
+        hit = F.col("_purge_key").isNotNull()
+        marked = df.join(
+            F.broadcast(keys), F.col(key_col) == F.col("_purge_key"), "left"
+        )
+        audits.append(
+            marked.agg(
+                F.coalesce(F.sum(hit.cast("long")), F.lit(0)).alias("purged_rows"),
+                F.coalesce(F.sum((~hit).cast("long")), F.lit(0)).alias("retained_rows"),
+            ).select(
+                F.lit(name).alias("table_name"), "purged_rows", "retained_rows"
+            )
+        )
+        retained[name] = marked.where(~hit).drop("_purge_key")
+        if emit_col is not None:
+            keys = marked.where(hit).select(
+                F.col(emit_col).alias("_purge_key")
+            ).where(F.col("_purge_key").isNotNull()).distinct()
+    return reduce(DataFrame.unionByName, audits), retained

@@ -5922,3 +5922,50 @@ def q_stream_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token",
         F.col("freq").cast("long").alias("freq"),
     )
+
+
+@query(
+    "purge_keys",
+    """WITH req AS (SELECT c_custkey AS k FROM customer
+                    WHERE c_custkey % 97 = 0),
+       po AS (SELECT o_orderkey FROM orders
+              WHERE o_custkey IN (SELECT k FROM req))
+       SELECT 'customer' AS table_name,
+              (SELECT count(*) FROM customer
+                WHERE c_custkey IN (SELECT k FROM req)) AS purged_rows,
+              (SELECT count(*) FROM customer
+                WHERE c_custkey NOT IN (SELECT k FROM req)) AS retained_rows
+       UNION ALL
+       SELECT 'orders',
+              (SELECT count(*) FROM orders
+                WHERE o_custkey IN (SELECT k FROM req)),
+              (SELECT count(*) FROM orders
+                WHERE o_custkey NOT IN (SELECT k FROM req))
+       UNION ALL
+       SELECT 'lineitem',
+              (SELECT count(*) FROM lineitem
+                WHERE l_orderkey IN (SELECT o_orderkey FROM po)),
+              (SELECT count(*) FROM lineitem
+                WHERE l_orderkey NOT IN (SELECT o_orderkey FROM po))""",
+)
+def q_purge_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten delete propagation: a deletion-request list
+    (every 97th customer) cascades customer → orders → lineitem, and the
+    audit reports purged/retained row counts per table — the compliance
+    evidence a lake must produce for each erasure batch.  Every
+    membership probe is a broadcast left join marking fact rows in one
+    map-side pass; the fan-out key sets scale with the request list,
+    never the fact tables."""
+    from hdfs_stream_processing_spark.operators.incremental import purge_cascade
+
+    customer, orders, lineitem = prep(spark, sf_dir, "customer", "orders", "lineitem")
+    requests = customer.where(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    audit, _ = purge_cascade(
+        requests,
+        [
+            ("customer", customer, "c_custkey", "c_custkey"),
+            ("orders", orders, "o_custkey", "o_orderkey"),
+            ("lineitem", lineitem, "l_orderkey", None),
+        ],
+    )
+    return audit

@@ -300,3 +300,46 @@ def test_merge_into_clause_semantics(spark):
         delete_condition=F.col("s.kill"),
     )
     assert sorted(r["k"] for r in no_ins.collect()) == [1, 3]
+
+
+def test_purge_cascade_propagates_and_accounts_for_every_row(spark):
+    from hdfs_stream_processing_spark.operators.incremental import purge_cascade
+
+    users = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["uid", "name"]
+    )
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 2), (13, 3)], ["oid", "uid"]
+    )
+    items = spark.createDataFrame(
+        [(10, "x"), (10, "y"), (11, "z"), (12, "w"), (13, "v")],
+        ["oid", "sku"],
+    )
+    # requests: uid 1 (fans out to 2 orders / 3 items), uid 99 (absent),
+    # a duplicate, and a null (ignored)
+    req = spark.createDataFrame(
+        [(1,), (1,), (99,), (None,)], ["uid"]
+    )
+    audit, retained = purge_cascade(
+        req,
+        [
+            ("users", users, "uid", "uid"),
+            ("orders", orders, "uid", "oid"),
+            ("items", items, "oid", None),
+        ],
+    )
+    got = {r["table_name"]: (r["purged_rows"], r["retained_rows"])
+           for r in audit.collect()}
+    assert got == {"users": (1, 2), "orders": (2, 2), "items": (3, 2)}
+    assert sorted(r["uid"] for r in retained["users"].collect()) == [2, 3]
+    assert sorted(r["oid"] for r in retained["orders"].collect()) == [12, 13]
+    assert sorted(set(r["oid"] for r in retained["items"].collect())) == [12, 13]
+    assert retained["users"].columns == users.columns  # marker dropped
+
+    # reserved marker column collides → explicit error, not silent loss
+    bad = users.withColumnRenamed("name", "_purge_key")
+    try:
+        purge_cascade(req, [("users", bad, "uid", None)])
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
