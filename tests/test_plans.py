@@ -198,6 +198,11 @@ SHUFFLE_BUDGETS = {
     "vocab_ids": 2,            # token-count agg + vocab ranking window;
                                # the corpus-side lookup broadcasts
     "attribution": 2,          # user-keyed touch window + final agg
+    # textual count: request-scale key-set distincts printed once per
+    # reference (ReuseExchange materializes once) + three 1-row audit
+    # reduces; the FACT tables never exchange (0 SortMergeJoin — every
+    # membership probe is a broadcast left join).
+    "purge_keys": 9,
 }
 
 
