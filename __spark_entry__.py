@@ -35,40 +35,34 @@ def entry(spark: SparkSession) -> DataFrame:
 # order.  Each round rotates this list so every registered query earns a
 # driver-green row in some round (union of CORRECTNESS_r*.json); queries
 # outside the current window pass the identical check locally via
-# tools/check_correctness.py.  Round 6 window: the six round-5
-# registrations that landed after the r5 window froze (judge-verified
-# only — VERDICT r5 #1), then round-6 registrations in landing order,
-# including the two queries whose implementation changed this round
-# (connected components moved to star contraction).  The round's LATE
-# registrations (pagerank, the sketch family, sampling, corr_matrix,
-# scan_corrupt, ...) exceed the 50 slots and queue for the next
-# rotation — all are green under tools/check_correctness.py --vanilla.
+# tools/check_correctness.py.  Round 7 window (VERDICT r6 #2): the 17
+# late round-6 registrations that landed after the r6 window froze
+# (driver never saw them; all green in GATE_r06.md), the two repaired
+# quarantine queries (r6's only driver-red rows — failed_rules is now a
+# sorted comma-joined string the driver's canonicalizer can hash), new
+# round-7 registrations, then long-green §2-core rows as padding to
+# exactly 50.  With this window the union of driver-green rows across
+# r2–r7 covers every oracled query in the registry.
 # tests/test_registry.py pins len(_VERIFY_FIRST) == 50 so the
-# off-by-one cannot recur.  Late round-6 registrations past the 50
-# slots (the sketch family, sampling, corr_matrix, scan_corrupt,
-# jaccard_join, regr_by_group, bfs_reach, vocab_ids, attribution,
-# stream_vocab, purge_keys) queue for the round-7 rotation — all green under
-# tools/check_correctness.py.
+# off-by-one cannot recur.
 _VERIFY_FIRST = [
-    # round-5 registrations with no driver row yet (judge-green r5):
-    "cdc_apply", "scd2_build", "snapshot_diff", "skew_join",
-    "dq_checks", "stream_dq",
-    # new round-6 registrations:
-    "scd2_merge", "scd2_multi", "stream_cdc", "ann_recall",
-    "grouping_sets", "stream_enrich", "schema_evolution",
-    "pit_join", "seq_pack", "incr_dedup", "stream_join_outer",
-    "incr_rollup", "avg_yearly", "stream_pit", "dedup_near_incr",
-    "scd2_repair", "incr_topk", "incr_pack", "incr_dedup_vec",
-    "ohlc_bars", "stream_ohlc", "stream_daily_rollup",
-    "dq_quarantine", "cap_per_source", "stream_quarantine", "merge_upsert", "time_travel",
-    # implementation changed in round 6 — re-earn driver rows:
-    "dedup_clusters", "dedup_keep",
-    # round-6 decision-support suite (queries_dss.py):
-    "ship_priority", "late_ship_priority", "nation_trade",
-    "market_share", "returned_revenue", "cust_order_dist",
-    "promo_share", "top_supplier", "waiting_suppliers",
-    "idle_customers", "stream_scd2", "kmeans_refine", "embed_quantize",
-    "stream_topk", "cms_topk",
+    # late round-6 registrations without a driver row (GATE_r06-green):
+    "pagerank", "hll_registers", "hll_by_group", "bloom_prefilter",
+    "fuzzy_pairs", "stream_cms", "sample_weighted", "scan_corrupt",
+    "corr_matrix", "stream_anomaly", "jaccard_join", "regr_by_group",
+    "bfs_reach", "vocab_ids", "attribution", "stream_vocab",
+    "purge_keys",
+    # repaired in round 7 (array column serialized for the driver):
+    "dq_quarantine", "stream_quarantine",
+    # padding: long-green §2-core rows (driver-green since r2–r5)
+    "multi_join", "top_k", "union_rooms", "sort_by_ts", "group_agg",
+    "window_rank", "json_extract", "regex_extract", "rollup_agg",
+    "cube_agg", "scan_csv", "scan_parquet", "sink_roundtrip",
+    "compaction", "upsert", "to_wire", "revenue_share", "text_ngram",
+    "text_search", "join_semi", "join_anti", "project_exclude",
+    "stream_ingest", "stream_dedup", "stream_stateful", "dedup_exact",
+    "dedup_near", "similarity_lsh", "lang_id", "quality_score",
+    "token_count",
 ]
 
 

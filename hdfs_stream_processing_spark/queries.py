@@ -4655,14 +4655,14 @@ def q_stream_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dq_quarantine",
     """SELECT event_id,
-              list_sort(list_filter([
+              array_to_string(list_sort(list_filter([
                 CASE WHEN value < 0 OR value > 95 THEN 'value_in_range' END,
                 CASE WHEN event_type NOT IN ('view','click','purchase','signup','error')
                      THEN 'event_type_in_domain' END,
                 CASE WHEN props IS NULL THEN 'props_not_null' END,
                 CASE WHEN NOT regexp_matches(props, '^\\{"k": \\d+\\}$')
                      THEN 'props_json_shape' END
-              ], x -> x IS NOT NULL)) AS failed_rules
+              ], x -> x IS NOT NULL)), ',') AS failed_rules
        FROM events
        WHERE len(list_filter([
                 CASE WHEN value < 0 OR value > 95 THEN 'value_in_range' END,
@@ -4679,14 +4679,19 @@ def q_dq_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     array of rules they violate, so a loader splits one narrow
     zero-shuffle pass into target + quarantine tables instead of the
     reference's silent dropna().  Output: the quarantine side with
-    reasons (sorted for cross-engine stability)."""
+    reasons (sorted and comma-joined — the driver's canonicalizer
+    hashes scalar cells only, so the array is serialized to one
+    deterministic string, CORRECTNESS_r06 regression)."""
     from hdfs_stream_processing_spark.operators.quality import dq_quarantine
 
     (events,) = prep(spark, sf_dir, "events")
     out = dq_quarantine(events, [(n, p()) for n, p in _DQ_RULES])
     return (
         out.where(~F.col("is_valid"))
-        .select("event_id", F.array_sort("failed_rules").alias("failed_rules"))
+        .select(
+            "event_id",
+            F.array_join(F.array_sort("failed_rules"), ",").alias("failed_rules"),
+        )
     )
 
 
@@ -4719,14 +4724,14 @@ def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_quarantine",
     """SELECT event_id,
-              list_sort(list_filter([
+              array_to_string(list_sort(list_filter([
                 CASE WHEN value < 0 OR value > 95 THEN 'value_in_range' END,
                 CASE WHEN event_type NOT IN ('view','click','purchase','signup','error')
                      THEN 'event_type_in_domain' END,
                 CASE WHEN props IS NULL THEN 'props_not_null' END,
                 CASE WHEN NOT regexp_matches(props, '^\\{"k": \\d+\\}$')
                      THEN 'props_json_shape' END
-              ], x -> x IS NOT NULL)) AS failed_rules
+              ], x -> x IS NOT NULL)), ',') AS failed_rules
        FROM events
        WHERE len(list_filter([
                 CASE WHEN value < 0 OR value > 95 THEN 'value_in_range' END,
@@ -4755,7 +4760,10 @@ def q_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream_parquet_source(spark, src_dir, schema, max_files_per_trigger=2)
     routed = dq_quarantine(stream, [(n, p()) for n, p in _DQ_RULES])
     out = run_to_memory(routed.where(~F.col("is_valid")))
-    return out.select("event_id", F.array_sort("failed_rules").alias("failed_rules"))
+    return out.select(
+        "event_id",
+        F.array_join(F.array_sort("failed_rules"), ",").alias("failed_rules"),
+    )
 
 
 @query(

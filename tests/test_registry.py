@@ -25,6 +25,26 @@ def test_rows_only_queries_document_why():
         assert any(w in doc for w in ("rows-only", "approximate", "no sql oracle")), name
 
 
+def test_oracled_queries_return_scalar_columns_only(spark):
+    """The driver's pandas canonicalizer factorizes object columns and
+    cannot hash Python lists/dicts — an oracled query returning a
+    top-level array/map/struct column is driver-RED even when values
+    match (CORRECTNESS_r06: dq_quarantine / stream_quarantine,
+    ``TypeError: unhashable type: 'list'``).  Lint every oracled
+    query's output schema at sf0.001 so the class cannot recur;
+    rows-only queries are exempt (driver compares row counts only)."""
+    from pyspark.sql import types as T
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    offenders = []
+    for name in oracles:
+        df = qs[name](spark, "/root/testdata/sf0.001")
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                offenders.append((name, f.name, f.dataType.simpleString()))
+    assert not offenders, f"oracled queries with unhashable columns: {offenders}"
+
+
 def test_verify_window_is_exactly_50_known_names():
     """The driver checks the FIRST 50 queries() entries.  r4's rotation
     list was 51 entries long, so entry #51 (stream_curate) silently
