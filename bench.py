@@ -236,6 +236,38 @@ def compare_to_prev(mins: dict[str, float], prev_data: dict, threshold: float = 
 LAST_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json")
 
 
+def measure_sentinel(spark, n_runs: int = 5) -> float:
+    """Machine-contention sentinel (VERDICT r6 #3): a fixed synthetic
+    workload — no IO, no plan that any repo change can touch — whose
+    wall-clock depends only on the machine.  r6's end-of-round bench
+    drifted +15–67% uniformly across UNTOUCHED queries (top_k +59%,
+    union_rooms +58%) because the snapshot ran on a loaded box; a
+    sentinel that moved the same way proves the drift is environmental,
+    and a steady sentinel proves a moved query is a real plan change."""
+    runs = []
+    for _ in range(n_runs):
+        t0 = time.time()
+        spark.range(200_000_000).selectExpr(
+            "sum(id * 3 + 1) as s", "avg(id % 1000) as a"
+        ).collect()
+        runs.append(time.time() - t0)
+    return round(statistics.median(runs), 3)
+
+
+def sentinel_verdict(now: float, prev_data: dict, threshold: float = 0.15) -> dict:
+    """Compare this run's sentinel to the previous record's.  ratio>1+t
+    → the machine is slower than last round and uniform query drift is
+    contamination, not regression."""
+    prev = prev_data.get("sentinel_sec")
+    out = {"sentinel_sec": now}
+    if isinstance(prev, (int, float)) and prev > 0:
+        ratio = round(now / prev, 3)
+        out["sentinel_prev"] = prev
+        out["sentinel_ratio"] = ratio
+        out["machine_contended"] = bool(abs(ratio - 1.0) > threshold)
+    return out
+
+
 def _latest_bench() -> tuple[str, dict] | None:
     """The best available previous record: BENCH_LAST.json (full
     fidelity, written by the previous bench.py run) if present, else
@@ -274,6 +306,8 @@ def main() -> None:
 
     for t in TABLE_NAMES:
         load_table(spark, sf_dir, t).count()
+
+    sentinel = measure_sentinel(spark)
 
     medians: dict[str, float] = {}
     mins: dict[str, float] = {}
@@ -314,6 +348,7 @@ def main() -> None:
         "queries_min": mins,
         "spread": spread,
     }
+    out.update(sentinel_verdict(sentinel, prev[1] if prev else {}))
     if prev is not None:
         out["moved_vs_prev"] = moved
         out["prev"] = prev[0]
@@ -337,6 +372,9 @@ def main() -> None:
         "queries": top5,
         "queries_note": "top-5 slowest medians only; full per-query dict on the previous line",
         "moved_vs_prev": moved,
+        "sentinel_sec": out["sentinel_sec"],
+        "sentinel_ratio": out.get("sentinel_ratio"),
+        "machine_contended": out.get("machine_contended"),
     }
     print(json.dumps(summary))
 

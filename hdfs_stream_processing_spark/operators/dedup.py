@@ -118,87 +118,175 @@ def dedup_near_incremental(
     filtered universe, the same (documented) semantics as
     ``jaccard_pairs(max_doc_freq=...)``.
     """
-    sig = minhash_signature_wide(batch, id_col, text_col, num_hashes, shingle_n)
+    # the batch signature feeds BOTH the corpus band probe and the
+    # within-batch LSH pairs — materialize it once (batch-sized, 8
+    # longs per doc) instead of re-running the shingle explode + 8
+    # hash mins per consumer (measured: the parallel recompute inside
+    # one job is slower than this one extra blocking job at sf0.1)
+    sig = minhash_signature_wide(
+        batch, id_col, text_col, num_hashes, shingle_n
+    ).localCheckpoint()
     batch_bands = band_hashes(sig, id_col, num_hashes, band_size)
+    # The batch side is load-sized by contract (the corpus is the 100 TB
+    # side, touched by this join and nothing else at large): broadcast
+    # the batch band probe so corpus_bands streams through map-side with
+    # ZERO corpus-side exchange — r6's plan sort-merge-joined here and
+    # paid 2 SMJs + a corpus shuffle (VERDICT r6 #4).
     cross = (
-        batch_bands.select(F.col(id_col).alias("_bid"), "band", "band_hash")
+        F.broadcast(batch_bands.select(F.col(id_col).alias("id_a"), "band", "band_hash"))
         .join(
-            corpus_bands.select(F.col(id_col).alias("_cid"), "band", "band_hash"),
+            corpus_bands.select(F.col(id_col).alias("id_b"), "band", "band_hash"),
             ["band", "band_hash"],
         )
-        .select("_bid", "_cid")
+        .select("id_a", "id_b")
         .distinct()
     )
-    # bipartite exact-Jaccard verify over the candidates only
-    bsh = shingle_rows(
-        batch.join(
-            cross.select(F.col("_bid").alias(id_col)).distinct(), id_col, "left_semi"
-        ),
-        id_col,
-        text_col,
-        verify_shingle_n,
+    # ONE unified candidate list: (batch, corpus) cross pairs tagged
+    # is_cross, plus within-batch LSH pairs — so the expensive verify
+    # (shingle explode, sizes, pair-expansion intersection) runs as a
+    # SINGLE pass instead of r6's two (the within-batch verify used to
+    # re-shingle the whole corpus-clean batch a second time; this was
+    # the dominant cost of the operator at sf0.1).  Within-batch pairs
+    # touching a corpus-dup id are dropped AFTER the verify — same final
+    # edge set, since dropping an endpoint drops its edges either way.
+    cand = cross.withColumn("is_cross", F.lit(True)).unionByName(
+        lsh_candidate_pairs(sig, id_col, num_hashes, band_size, wide=True)
+        .select("id_a", "id_b")
+        .withColumn("is_cross", F.lit(False))
     )
-    csh = shingle_rows(
-        corpus.join(
-            cross.select(F.col("_cid").alias(id_col)).distinct(), id_col, "left_semi"
-        ),
-        id_col,
-        text_col,
-        verify_shingle_n,
-    )
-    if keep_shingles is not None:
-        allow = keep_shingles.select("shingle")
-        bsh = bsh.join(allow, "shingle", "left_semi")
-        csh = csh.join(allow, "shingle", "left_semi")
-    bsz = bsh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_bsz"))
-    csz = csh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_csz"))
-    # pair-expansion intersection (see jaccard_pairs): O(pairs × doc
-    # len), immune to stopword join buckets
-    inter = (
-        cross.join(bsh.select(F.col(id_col).alias("_bid"), "shingle"), "_bid")
-        .join(csh.select(F.col(id_col).alias("_cid"), "shingle"), ["_cid", "shingle"])
-        .groupBy("_bid", "_cid")
-        .agg(F.count(F.lit(1)).alias("_n"))
-    )
-    dup_bids = (
-        inter.join(bsz.select(F.col(id_col).alias("_bid"), "_bsz"), "_bid")
-        .join(csz.select(F.col(id_col).alias("_cid"), "_csz"), "_cid")
-        .where(
-            F.col("_n").cast("double")
-            / (F.col("_bsz") + F.col("_csz") - F.col("_n")).cast("double")
-            >= F.lit(min_jaccard)
+    # the corpus is the only side that needs a candidate-id restriction
+    # (point-reads into the 100 TB table); the batch side is load-sized
+    # and its per-doc shingle work is codegen-cheap, and the id-keyed
+    # verify join below drops non-candidates for free — so no batch-side
+    # pre-filter, one less broadcast + blocking job
+    c_ids = cross.select(F.col("id_b").alias(id_col)).distinct()
+    side_b = F.when(F.col("is_cross"), F.lit("c")).otherwise(F.lit("b"))
+    if keep_shingles is None:
+        # ARRAY verify (the fast path): per candidate doc, ONE row
+        # carrying its distinct-shingle array (pure codegen, no explode
+        # shuffle); Jaccard per pair via array_intersect — two narrow
+        # equi-joins on id and zero aggregation.  Shuffle volume is
+        # O(pairs × doc_len), same as pair-expansion, but the per-pair
+        # intersection runs inside whole-stage codegen instead of a
+        # (doc, shingle)-keyed groupBy.  Stopword immunity is
+        # unchanged: the join keys are doc ids, never shingles.
+        arr = shingle_array(batch, id_col, text_col, verify_shingle_n).withColumn(
+            "_side", F.lit("b")
+        ).unionByName(
+            shingle_array(
+                corpus.join(F.broadcast(c_ids), id_col, "left_semi"),
+                id_col, text_col, verify_shingle_n,
+            ).withColumn("_side", F.lit("c"))
         )
-        .select(F.col("_bid").alias(id_col))
-        .distinct()
-        # materialize the (batch-bounded, id-only) drop set ONCE: the
-        # corpus-clean remainder is referenced by the within-batch LSH
-        # restriction, the Jaccard verify, and the survivor join, and
-        # each reference would otherwise re-execute the whole
-        # cross-verify subtree (same lineage-truncation precedent as
-        # connected_components' loop)
-        .localCheckpoint()
-    )
-    clean = batch.join(dup_bids, id_col, "left_anti")
-    # within-batch near-dups among the corpus-clean remainder
-    pairs = lsh_candidate_pairs(sig, id_col, num_hashes, band_size, wide=True)
-    clean_ids = clean.select(id_col)
-    pairs = pairs.join(
-        clean_ids.withColumnRenamed(id_col, "id_a"), "id_a", "left_semi"
-    ).join(clean_ids.withColumnRenamed(id_col, "id_b"), "id_b", "left_semi")
-    verified = jaccard_pairs(
-        clean,
-        id_col,
-        text_col,
-        verify_shingle_n,
-        min_jaccard,
-        candidates=pairs,
-        keep_shingles=keep_shingles,
+        verified = (
+            arr.where(F.col("_side") == "b")
+            .select(F.col(id_col).alias("id_a"), F.col("_sa").alias("_ta"))
+            .join(F.broadcast(cand.withColumn("_sb", side_b)), "id_a")
+            .join(
+                arr.select(
+                    F.col("_side").alias("_sb"),
+                    F.col(id_col).alias("id_b"),
+                    F.col("_sa").alias("_tb"),
+                ),
+                ["_sb", "id_b"],
+            )
+            .withColumn("_n", F.size(F.array_intersect("_ta", "_tb")))
+            .where(
+                F.col("_n").cast("double")
+                / (F.size("_ta") + F.size("_tb") - F.col("_n")).cast("double")
+                >= F.lit(min_jaccard)
+            )
+            .select("id_a", "id_b", "is_cross")
+        )
+    else:
+        # ROW verify: the shingle allow-list (corpus low-df set, itself
+        # a big distributed table) gates via a semi-join, which needs
+        # exploded (id, shingle) rows — sizes then live on the filtered
+        # universe (documented keep_shingles semantics)
+        b_ids = (
+            cand.select(F.col("id_a").alias(id_col))
+            .unionByName(
+                cand.where(~F.col("is_cross")).select(F.col("id_b").alias(id_col))
+            )
+            .distinct()
+        )
+        sh = (
+            shingle_rows(
+                batch.join(F.broadcast(b_ids), id_col, "left_semi"),
+                id_col, text_col, verify_shingle_n,
+            )
+            .withColumn("_side", F.lit("b"))
+            .unionByName(
+                shingle_rows(
+                    corpus.join(F.broadcast(c_ids), id_col, "left_semi"),
+                    id_col, text_col, verify_shingle_n,
+                ).withColumn("_side", F.lit("c"))
+            )
+            .join(keep_shingles.select("shingle"), "shingle", "left_semi")
+            # four consumers (both sides of the intersection join, both
+            # size lookups) — materialize the explode+filter once
+            .localCheckpoint()
+        )
+        sizes = sh.groupBy("_side", id_col).agg(F.count(F.lit(1)).alias("_sz"))
+        inter = (
+            sh.where(F.col("_side") == "b")
+            .select(F.col(id_col).alias("id_a"), "shingle")
+            .join(F.broadcast(cand.withColumn("_sb", side_b)), "id_a")
+            .join(
+                sh.select(
+                    F.col("_side").alias("_sb"), F.col(id_col).alias("id_b"), "shingle"
+                ),
+                ["_sb", "id_b", "shingle"],
+            )
+            .groupBy("id_a", "id_b", "is_cross", "_sb")
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        verified = (
+            inter.join(
+                F.broadcast(
+                    sizes.where(F.col("_side") == "b").select(
+                        F.col(id_col).alias("id_a"), F.col("_sz").alias("_sza")
+                    )
+                ),
+                "id_a",
+            )
+            .join(
+                F.broadcast(
+                    sizes.select(
+                        F.col("_side").alias("_sb"),
+                        F.col(id_col).alias("id_b"),
+                        F.col("_sz").alias("_szb"),
+                    )
+                ),
+                ["_sb", "id_b"],
+            )
+            .where(
+                F.col("_n").cast("double")
+                / (F.col("_sza") + F.col("_szb") - F.col("_n")).cast("double")
+                >= F.lit(min_jaccard)
+            )
+            .select("id_a", "id_b", "is_cross")
+        )
+    # the verified edge set feeds the drop list, the within-batch
+    # component graph, and (via broadcast) the survivor joins —
+    # materialize the single verify pass once (pair-bounded)
+    verified = verified.localCheckpoint()
+    dup_bids = verified.where("is_cross").select(F.col("id_a").alias(id_col)).distinct()
+    # dup_bids and comp are both bounded by the batch's verified
+    # near-dup set, never corpus-sized — broadcast them so the batch
+    # table is never shuffled for the final anti-join / survivor join
+    # (r6's plan paid an SMJ + full batch exchange for each)
+    clean = batch.join(F.broadcast(dup_bids), id_col, "left_anti")
+    within = (
+        verified.where(~F.col("is_cross"))
+        .join(F.broadcast(dup_bids.select(F.col(id_col).alias("id_a"))), "id_a", "left_anti")
+        .join(F.broadcast(dup_bids.select(F.col(id_col).alias("id_b"))), "id_b", "left_anti")
     )
     from hdfs_stream_processing_spark.operators.graph import connected_components
 
-    comp = connected_components(verified.select("id_a", "id_b"))
+    comp = connected_components(within.select("id_a", "id_b"))
     return (
-        clean.join(comp, clean[id_col] == comp["id"], "left")
+        clean.join(F.broadcast(comp), clean[id_col] == comp["id"], "left")
         .where(F.col("id").isNull() | (clean[id_col] == F.col("component")))
         .drop("id", "component")
     )
@@ -234,6 +322,25 @@ def shingle_rows(
         ).alias("shingle"),
     )
     return sh.distinct() if distinct else sh
+
+
+def shingle_array(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """(id, _sa) — the doc's DISTINCT shingle set as one array column.
+    Pure codegen (no explode, no shuffle): the row-set analog of
+    ``shingle_rows(distinct=True)``, for verifies that consume whole
+    per-doc sets at once (``array_intersect`` Jaccard)."""
+    with_toks = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    return with_toks.select(
+        id_col,
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, greatest(size(_toks), {n}) - {n} + 1),"
+                f" i -> array_join(slice(_toks, i, {n}), ' '))"
+            )
+        ).alias("_sa"),
+    )
 
 
 def minhash_signature(
@@ -402,6 +509,19 @@ def jaccard_pairs(
     """
     if max_doc_freq is not None and keep_shingles is not None:
         raise ValueError("pass max_doc_freq or keep_shingles, not both")
+    if candidates is not None:
+        # only docs that appear in a candidate pair need shingling —
+        # the LSH-bounded id set broadcasts, so the corpus-scale doc
+        # table is filtered map-side instead of exploding every doc's
+        # shingles to verify a small pair set (this was the dominant
+        # cost of dedup_near_incr's within-batch phase: the whole
+        # clean batch shingled to verify a few hundred pairs)
+        cand_ids = (
+            candidates.select(F.col("id_a").alias(id_col))
+            .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        df = df.join(F.broadcast(cand_ids), id_col, "left_semi")
     sh = shingle_rows(df, id_col, text_col, shingle_n)
     if keep_shingles is not None:
         sh = sh.join(keep_shingles.select("shingle"), "shingle", "left_semi")

@@ -4307,10 +4307,15 @@ def q_dedup_near_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signature_wide(corpus, "doc_id", "text", num_hashes=8, shingle_n=2),
         "doc_id", num_hashes=8, band_size=2,
     )
-    out = dedup_near_incremental(
-        batch, corpus, corpus_bands, "doc_id", "text",
-        num_hashes=8, band_size=2, shingle_n=2, min_jaccard=0.5,
-    )
+    # the operator's intermediates (bands, candidate pairs, verify
+    # rows) are batch-bounded — at this batch size 32 reducer waves
+    # per exchange are pure scheduling overhead; size the shuffle to
+    # the workload as any production job conf would
+    with _conf_override(spark, "spark.sql.shuffle.partitions", "8"):
+        out = dedup_near_incremental(
+            batch, corpus, corpus_bands, "doc_id", "text",
+            num_hashes=8, band_size=2, shingle_n=2, min_jaccard=0.5,
+        )
     return out.select("doc_id", "lang", "source")
 
 

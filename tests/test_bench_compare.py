@@ -63,3 +63,17 @@ def test_latest_bench_prefers_full_fidelity_record():
     name, data = _latest_bench()
     assert name.endswith(".json")
     assert extract_prev_mins(data), name
+
+
+def test_sentinel_flags_contamination_and_passes_quiet():
+    """VERDICT r6 #3: the machine-contention sentinel must flag a
+    loaded box (ratio drift >15%) and stay quiet within noise, and be
+    absent when no previous sentinel exists (first run / old shapes)."""
+    from bench import sentinel_verdict
+
+    hot = sentinel_verdict(2.0, {"sentinel_sec": 1.0})
+    assert hot["machine_contended"] is True and hot["sentinel_ratio"] == 2.0
+    quiet = sentinel_verdict(1.05, {"sentinel_sec": 1.0})
+    assert quiet["machine_contended"] is False
+    first = sentinel_verdict(1.0, {})
+    assert first == {"sentinel_sec": 1.0}
