@@ -283,6 +283,17 @@ def attribution(
     """
     from pyspark.sql import Window
 
+    # reserved internal names: withColumn would silently REPLACE a
+    # same-named input column, and a value_cents expression referencing
+    # it would read the computed window value instead of the data —
+    # refuse loudly, mirroring purge_cascade's _purge_key guard
+    reserved = {"_first", "_last", "_ft", "_lt", "_cents"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns collide with attribution's internal names: "
+            f"{sorted(clash)}; rename them first"
+        )
     order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak_cols or [])]
     w = (
         Window.partitionBy(user_col)

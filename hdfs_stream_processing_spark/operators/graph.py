@@ -259,8 +259,12 @@ def bfs_hops(
     3-hop neighborhood is the common analytics ask — fraud rings,
     affiliate chains, supply-chain blast radius).
     """
+    # both endpoints cast to string alongside the seeds: one declared
+    # join/union type on every side, so bigint node ids can't coerce
+    # through double (lossy above 2^53) in the frontier equi-join
     e = edges.select(
-        F.col(src).alias("_s"), F.col(dst).alias("_d")
+        F.col(src).cast("string").alias("_s"),
+        F.col(dst).cast("string").alias("_d"),
     ).localCheckpoint(eager=False)
     visited = (
         seeds.select(F.col("node").cast("string").alias("node"))

@@ -492,7 +492,69 @@ def purge_cascade(
         )
         retained[name] = marked.where(~hit).drop("_purge_key")
         if emit_col is not None:
-            keys = marked.where(hit).select(
-                F.col(emit_col).alias("_purge_key")
-            ).where(F.col("_purge_key").isNotNull()).distinct()
+            keys = (
+                marked.where(hit)
+                .select(F.col(emit_col).alias("_purge_key"))
+                .where(F.col("_purge_key").isNotNull())
+                .distinct()
+                # truncate lineage per hop: hop N's key plan would
+                # otherwise re-embed every earlier hop's fact scan, and
+                # each of the three consumers (audit, retained, next
+                # keys) would recompute that whole chain — quadratic in
+                # cascade depth.  The key set is request-proportional,
+                # so materializing it is cheap (same precedent as
+                # pagerank_exact / bfs_hops round frames).
+                .localCheckpoint()
+            )
     return reduce(DataFrame.unionByName, audits), retained
+
+
+def run_purge(
+    spark,
+    requests: DataFrame,
+    hops: list[tuple[str, str, str, str | None]],
+) -> DataFrame:
+    """EXECUTE a purge cascade against parquet table directories and
+    publish the result atomically — the deletion story the reference's
+    append-only sink cannot express (its only removal is a transform-
+    time ``dropna``, ``spark_streaming/convert-to-minio.py:125-131``;
+    once written, rows are permanent).
+
+    Each hop is ``(name, table_dir, key_col, emit_col)``.  The cascade
+    plans retained tables via :func:`purge_cascade` (broadcast probes,
+    zero fact-side shuffle), writes each to ``<dir>._staged``, then
+    publishes every staged directory with the atomic-rename swap the
+    batch sink uses (:func:`~hdfs_stream_processing_spark.sources.io.swap_dirs`)
+    — readers see the old table or the new one, never a half-purged mix.
+
+    Returns the POST-swap audit: the cascade re-run against the
+    published directories, proving ``purged_rows = 0`` for every hop —
+    the compliance evidence that the purge landed and that a replay is
+    a no-op (idempotency: re-running the same request list against the
+    swapped tables finds nothing to delete).
+
+    The pre-swap audit is intentionally not returned: counting before
+    the swap reads the marked plan twice, and the post-swap zero-count
+    is the stronger statement.
+    """
+    from hdfs_stream_processing_spark.sources.io import swap_dirs
+
+    tables = {name: spark.read.parquet(d) for name, d, _, _ in hops}
+    _, retained = purge_cascade(
+        requests, [(name, tables[name], k, e) for name, d, k, e in hops]
+    )
+    for name, d, _, _ in hops:
+        staged = d.rstrip("/") + "._staged"
+        retained[name].write.mode("overwrite").parquet(staged)
+    # write everything BEFORE swapping anything: a mid-cascade failure
+    # leaves every live directory untouched
+    for name, d, _, _ in hops:
+        swap_dirs(spark, d.rstrip("/") + "._staged", d)
+        # the session may hold a cached file listing for the live path
+        # from the reads above — drop it so the audit sees the swap
+        spark.catalog.refreshByPath(d)
+    post, _ = purge_cascade(
+        requests,
+        [(name, spark.read.parquet(d), k, e) for name, d, k, e in hops],
+    )
+    return post

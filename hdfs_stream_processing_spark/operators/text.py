@@ -358,6 +358,7 @@ def tokens_to_ids(
     text_col: str,
     vocab: DataFrame,
     sep: str = " ",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Map every document to its token-id SEQUENCE (order- and
     duplicate-preserving) → ``(id_col, pos, token_id)`` exploded rows,
@@ -368,13 +369,19 @@ def tokens_to_ids(
     The join key is the token string; with a frequency-built vocab this
     is a broadcast join in practice (vocab ≪ corpus), so the whole map
     is scan → posexplode → broadcast-hash lookup: no shuffle of the
-    corpus at all.  Downstream ``seq_pack`` takes these rows straight
-    into fixed-length training shards.
+    corpus at all.  Pass ``broadcast=False`` when the vocabulary is too
+    large to ship to every executor (a web-scale word vocab can run to
+    hundreds of millions of rows) — the lookup then falls back to a
+    token-keyed shuffle join.  Downstream ``seq_pack`` takes these rows
+    straight into fixed-length training shards.
     """
     pos_tok = df.select(
         F.col(id_col),
         F.posexplode(tokens(text_col, sep)).alias("pos", "token"),
     )
-    return pos_tok.join(F.broadcast(vocab.select("token", "token_id")), "token", "left").select(
+    v = vocab.select("token", "token_id")
+    if broadcast:
+        v = F.broadcast(v)
+    return pos_tok.join(v, "token", "left").select(
         F.col(id_col), F.col("pos").cast("long").alias("pos"), "token_id"
     )

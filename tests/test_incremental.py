@@ -343,3 +343,53 @@ def test_purge_cascade_propagates_and_accounts_for_every_row(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_run_purge_swaps_atomically_and_replays_as_noop(spark, tmp_path):
+    """VERDICT r6 #5: purge_cascade composed with the atomic-swap sink.
+    run_purge writes retained tables to staging, publishes via rename,
+    and returns the POST-swap audit — which must show zero purged rows
+    (the purge landed).  Replaying the same request list against the
+    published tables must also be a complete no-op (idempotency), and
+    untouched rows must survive byte-for-byte."""
+    from hdfs_stream_processing_spark.operators.incremental import run_purge
+
+    users_d = str(tmp_path / "users")
+    orders_d = str(tmp_path / "orders")
+    items_d = str(tmp_path / "items")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["uid", "name"]
+    ).write.parquet(users_d)
+    spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 2), (13, 3)], ["oid", "uid"]
+    ).write.parquet(orders_d)
+    spark.createDataFrame(
+        [(10, "x"), (10, "y"), (11, "z"), (12, "w"), (13, "v")],
+        ["oid", "sku"],
+    ).write.parquet(items_d)
+    req = spark.createDataFrame([(1,), (99,)], ["uid"])
+    hops = [
+        ("users", users_d, "uid", "uid"),
+        ("orders", orders_d, "uid", "oid"),
+        ("items", items_d, "oid", None),
+    ]
+
+    post = run_purge(spark, req, hops)
+    got = {r["table_name"]: (r["purged_rows"], r["retained_rows"])
+           for r in post.collect()}
+    assert got == {"users": (0, 2), "orders": (0, 2), "items": (0, 2)}
+    # the published tables are the retained rows, marker-free
+    assert sorted(r["uid"] for r in spark.read.parquet(users_d).collect()) == [2, 3]
+    assert sorted(r["oid"] for r in spark.read.parquet(orders_d).collect()) == [12, 13]
+    assert sorted(r["oid"] for r in spark.read.parquet(items_d).collect()) == [12, 13]
+    assert spark.read.parquet(users_d).columns == ["uid", "name"]
+    # no staging debris left behind
+    import os
+    assert not os.path.exists(users_d + "._staged")
+
+    # replay: same requests again — nothing left to purge, tables stable
+    post2 = run_purge(spark, req, hops)
+    got2 = {r["table_name"]: (r["purged_rows"], r["retained_rows"])
+            for r in post2.collect()}
+    assert got2 == {"users": (0, 2), "orders": (0, 2), "items": (0, 2)}
+    assert sorted(r["uid"] for r in spark.read.parquet(users_d).collect()) == [2, 3]

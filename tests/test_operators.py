@@ -831,3 +831,59 @@ def test_wide_accumulators_survive_int64_overflow_and_match_narrow(spark):
         narrow = fn(sdf, ["g"], x, y).collect()
         wide = fn(sdf, ["g"], x, y, wide=True).collect()
         assert [r.asDict() for r in narrow] == [r.asDict() for r in wide]
+
+
+def test_bfs_hops_bigint_node_ids_no_lossy_coercion(spark):
+    """ADVICE r6: bigint edge endpoints vs string seeds used to rely on
+    implicit string=bigint coercion (via double, lossy above 2^53).
+    Both sides now cast to string explicitly — ids above 2^53 where
+    double rounding would merge distinct nodes must stay distinct."""
+    big = 2**53
+    # big and big+1 are indistinguishable as doubles
+    edges = spark.createDataFrame(
+        [(1, big), (1, big + 1), (big, 7)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(str(1),)], ["node"])
+    from hdfs_stream_processing_spark.operators.graph import bfs_hops
+
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds, max_hops=2).collect()}
+    assert got == {"1": 0, str(big): 1, str(big + 1): 1, "7": 2}
+
+
+def test_attribution_rejects_reserved_column_collision(spark):
+    """ADVICE r6: an input column named _first/_cents etc. would be
+    silently replaced by withColumn and corrupt the attribution —
+    explicit ValueError instead (mirrors purge_cascade's guard)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hdfs_stream_processing_spark.operators.analytics import attribution
+
+    df = spark.createDataFrame(
+        [(1, 1, "view", 5), (1, 2, "purchase", 7)],
+        ["user_id", "ts", "event_type", "_cents"],
+    )
+    with pytest.raises(ValueError, match="_cents"):
+        attribution(df, "user_id", "ts", "event_type", F.col("_cents"), "purchase")
+
+
+def test_tokens_to_ids_shuffle_join_fallback_matches_broadcast(spark):
+    """ADVICE r6: broadcast=False is the escape hatch for vocabularies
+    past broadcast range — same result through the shuffle join."""
+    from hdfs_stream_processing_spark.operators.text import tokens_to_ids
+
+    docs = spark.createDataFrame([(1, "a b a c"), (2, "c d")], ["doc_id", "text"])
+    vocab = spark.createDataFrame(
+        [("a", 0), ("b", 1), ("c", 2)], ["token", "token_id"]
+    )
+    want = sorted(
+        tuple(r) for r in tokens_to_ids(docs, "doc_id", "text", vocab).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in tokens_to_ids(
+            docs, "doc_id", "text", vocab, broadcast=False
+        ).collect()
+    )
+    assert got == want
+    assert (2, 1, None) in got  # OOV token 'd' keeps its row, id null
