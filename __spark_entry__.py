@@ -54,15 +54,17 @@ _VERIFY_FIRST = [
     "purge_keys",
     # repaired in round 7 (array column serialized for the driver):
     "dq_quarantine", "stream_quarantine",
+    # new round-7 registrations (remaining TPC-H shapes + executed purge):
+    "local_volume", "forecast_revenue", "product_profit",
+    "priority_lateness", "disjunct_revenue", "min_cost_supplier",
+    "important_parts", "parts_supplier_counts", "excess_suppliers",
+    "purge_exec",
     # padding: long-green §2-core rows (driver-green since r2–r5)
     "multi_join", "top_k", "union_rooms", "sort_by_ts", "group_agg",
     "window_rank", "json_extract", "regex_extract", "rollup_agg",
     "cube_agg", "scan_csv", "scan_parquet", "sink_roundtrip",
     "compaction", "upsert", "to_wire", "revenue_share", "text_ngram",
-    "text_search", "join_semi", "join_anti", "project_exclude",
-    "stream_ingest", "stream_dedup", "stream_stateful", "dedup_exact",
-    "dedup_near", "similarity_lsh", "lang_id", "quality_score",
-    "token_count",
+    "text_search", "join_semi", "join_anti",
 ]
 
 

@@ -166,6 +166,17 @@ HEADLINE = [
     "attribution",                # first/last-touch, one window pass
     "stream_vocab",               # maintained token counts -> vocab ids
     "purge_keys",                 # GDPR cascade, broadcast-only probes
+    # round 7: remaining TPC-H shapes + the executed purge
+    "local_volume",               # Q5: same-nation join closure in ASIA
+    "forecast_revenue",           # Q6: pure pushdown scan + global agg
+    "product_profit",             # Q9: rev-minus-cost per nation-year
+    "priority_lateness",          # Q12: conditional agg after fact join
+    "disjunct_revenue",           # Q19: OR-of-ANDs implied-filter pushdown
+    "min_cost_supplier",          # Q2: dedup pairs + per-part argmax window
+    "important_parts",            # Q11: scalar-total threshold, exact cents
+    "parts_supplier_counts",      # Q16: anti-join blacklist + distinct count
+    "excess_suppliers",           # Q20: nested semi ladder, agg-then-semi
+    "purge_exec",                 # staged purge cascade + atomic swap + audit
 ]
 
 

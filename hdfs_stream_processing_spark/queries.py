@@ -5982,3 +5982,56 @@ def q_purge_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return audit
+
+
+@query(
+    "purge_exec",
+    """WITH req AS (SELECT c_custkey AS k FROM customer
+                    WHERE c_custkey % 97 = 0),
+       po AS (SELECT o_orderkey FROM orders
+              WHERE o_custkey IN (SELECT k FROM req))
+       SELECT 'customer' AS table_name,
+              CAST(0 AS BIGINT) AS purged_rows,
+              (SELECT count(*) FROM customer
+                WHERE c_custkey NOT IN (SELECT k FROM req)) AS retained_rows
+       UNION ALL
+       SELECT 'orders', CAST(0 AS BIGINT),
+              (SELECT count(*) FROM orders
+                WHERE o_custkey NOT IN (SELECT k FROM req))
+       UNION ALL
+       SELECT 'lineitem', CAST(0 AS BIGINT),
+              (SELECT count(*) FROM lineitem
+                WHERE l_orderkey NOT IN (SELECT o_orderkey FROM po))""",
+)
+def q_purge_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purge cascade EXECUTED (r7): copies of customer/orders/lineitem
+    are staged as live parquet directories, the same request list as
+    `purge_keys` cascades through :func:`run_purge` — retained tables
+    written to staging, published via atomic rename, audit re-run
+    against the published result.  The returned POST-swap audit must
+    show zero purged rows with the retained counts the oracle derives
+    from the base tables: proof the deletion landed on disk and a
+    replay would be a no-op.  Closes the gap the reference leaves open
+    (its sink is append-only; spark_streaming/convert-to-minio.py:125
+    can only ever add rows)."""
+    import os
+
+    from hdfs_stream_processing_spark.operators.incremental import run_purge
+
+    customer, orders, lineitem = prep(spark, sf_dir, "customer", "orders", "lineitem")
+    base = _mkdtemp("hsp_purge_live_")  # fresh dirs per run: re-purgeable
+    dirs = {}
+    for name, df in (("customer", customer), ("orders", orders), ("lineitem", lineitem)):
+        d = os.path.join(base, name)
+        df.write.mode("overwrite").parquet(d)
+        dirs[name] = d
+    requests = customer.where(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    return run_purge(
+        spark,
+        requests,
+        [
+            ("customer", dirs["customer"], "c_custkey", "c_custkey"),
+            ("orders", dirs["orders"], "o_custkey", "o_orderkey"),
+            ("lineitem", dirs["lineitem"], "l_orderkey", None),
+        ],
+    )

@@ -45,6 +45,13 @@ SLOW = [
     # BFS over the ×10 trade graph, corpus-wide vocab build + id map,
     # user-window attribution
     "jaccard_join", "bfs_reach", "vocab_ids", "attribution",
+    # round-7 additions (VERDICT r6 #6): broadcast-probe purge cascade,
+    # single-pass correlation matrix, streaming-maintained vocab ids,
+    # per-group 128-bit OLS accumulators (built for the sf100-per-group
+    # regime — show one decade of it), IVF recall probe over the ×10
+    # embedding corpus
+    "purge_keys", "corr_matrix", "stream_vocab", "regr_by_group",
+    "ann_recall",
 ]
 COPIES = 10
 
