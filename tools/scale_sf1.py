@@ -55,6 +55,19 @@ SLOW = [
 ]
 COPIES = 10
 
+# Persistent per-query footnotes: documented output-growth causes that
+# must survive regeneration (VERDICT r6 — "keep the footnote honest").
+FOOTNOTES = {
+    "jaccard_join": (
+        "† jaccard_join's sf1 OUTPUT is 30× the sf0.1 output (46.3k → 1.39M\n"
+        "pairs): the single per-copy prefix token leaves unigram shingles shared\n"
+        "across copies, so cross-copy clones are genuine ≥8/9 near-dups and the\n"
+        "true pair count grows super-linearly with the clone-group sizes.  Time\n"
+        "per emitted pair FALLS 2.8× — the prefix-filter join itself scales\n"
+        "sub-linearly; the growth is the answer, not the algorithm."
+    ),
+}
+
 
 def build_sf1(spark) -> None:
     if all(
@@ -172,7 +185,11 @@ def main() -> None:
         "|---|---|---|---|",
     ]
     for name, a, b, f_ in rows:
-        lines.append(f"| {name} | {a:.3f} | {b:.3f} | {f_:.1f}× |")
+        mark = "†" if name in FOOTNOTES else ""
+        lines.append(f"| {name} | {a:.3f} | {b:.3f} | {f_:.1f}×{mark} |")
+    for name, note in FOOTNOTES.items():
+        if any(r[0] == name for r in rows):
+            lines.extend(["", note])
     out = "/root/repo/SCALE.md"
     with open(out) as f:
         text = f.read()
