@@ -558,3 +558,67 @@ def run_purge(
         [(name, spark.read.parquet(d), k, e) for name, d, k, e in hops],
     )
     return post
+
+
+def subject_export(
+    requests: DataFrame,
+    hops: list[tuple[str, DataFrame, str, str | None, Column]],
+) -> DataFrame:
+    """Subject-access-request export (GDPR Art. 15) — the READ dual of
+    :func:`purge_cascade`: gather every record belonging to each
+    requested subject across a chain of tables, tagged with which
+    subject it belongs to.
+
+    ``requests`` is a one-column DataFrame of root subject keys (nulls
+    ignored).  Each hop is ``(name, table, key_col, emit_col,
+    record_key)``: rows of ``table`` whose ``key_col`` matches a
+    subject's current key set are exported as
+    ``(subject_key, table_name, record_key)``; when ``emit_col`` is
+    given, the matched rows' ``emit_col`` values become that subject's
+    key set for the next hop — the same customer → orders → lineitem
+    traversal the purge runs, except the ROOT subject rides along so
+    every exported record is attributable to the subject that owns it
+    (a purge only needs the key set; an export must group the evidence
+    per data subject).
+
+    Scale mirrors the purge: request lists are human-scale, so every
+    hop probes its fact table with one BROADCAST join — zero fact-side
+    shuffle; per-hop (subject, key) frames are request-proportional and
+    localCheckpoint-truncated so deep chains stay linear.  A record
+    reachable from two subjects exports once per subject — each
+    subject's file must be complete on its own.
+    """
+    from functools import reduce
+
+    for name, df, *_ in hops:
+        bad = {"_sar_root", "_sar_key"} & set(df.columns)
+        if bad:
+            raise ValueError(f"{name} already has reserved column(s) {sorted(bad)}")
+    keys = (
+        requests.toDF("_sar_root")
+        .where(F.col("_sar_root").isNotNull())
+        .distinct()
+        .withColumn("_sar_key", F.col("_sar_root"))
+    )
+    outs: list[DataFrame] = []
+    for name, df, key_col, emit_col, record_key in hops:
+        hit = df.join(
+            F.broadcast(keys), F.col(key_col) == F.col("_sar_key"), "inner"
+        )
+        outs.append(
+            hit.select(
+                F.col("_sar_root").alias("subject_key"),
+                F.lit(name).alias("table_name"),
+                record_key.cast("string").alias("record_key"),
+            ).distinct()
+        )
+        if emit_col is not None:
+            keys = (
+                hit.select("_sar_root", F.col(emit_col).alias("_sar_key"))
+                .where(F.col("_sar_key").isNotNull())
+                .distinct()
+                # same lineage truncation as purge_cascade: hop N's key
+                # plan would otherwise re-embed every earlier hop's scan
+                .localCheckpoint()
+            )
+    return reduce(DataFrame.unionByName, outs)

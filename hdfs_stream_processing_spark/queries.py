@@ -6035,3 +6035,110 @@ def q_purge_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("lineitem", dirs["lineitem"], "l_orderkey", None),
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7 additions: bucketed co-location, subject export (SAR), text/binary
+# file sources, windowed EWMA, TF-IDF, containment join.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bucketed_join",
+    """SELECT o_orderpriority,
+              count(*) AS n_items,
+              CAST(SUM(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT))
+                   AS DOUBLE) / 100.0 AS revenue
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY o_orderpriority""",
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join (the 100 TB shuffle-elimination play):
+    lineitem and orders are written ONCE as external bucketed tables —
+    identically hash-bucketed and sorted by the join key — and every
+    subsequent join between them plans with ZERO exchanges (asserted in
+    tests/test_layout_bucketed.py with broadcast disabled: SortMergeJoin,
+    no Exchange on either side).  The shuffle is paid at write time and
+    amortized over every downstream join/agg on the key — vs the
+    reference re-shuffling its alignment join on every run
+    (utils/spark_transforming.py:96-141).  The oracle proves the
+    bucketed round-trip + join is value-lossless."""
+    from hdfs_stream_processing_spark.sources.io import write_bucketed
+
+    lineitem, orders = prep(spark, sf_dir, "lineitem", "orders")
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/").split("/")[-1])
+    tl, to = f"hsp_bkt_lineitem_{tag}", f"hsp_bkt_orders_{tag}"
+    # external tables under the repo scratch dir (the session warehouse
+    # follows the host process CWD — not ours to write to); catalog
+    # registration is session-scoped, so re-register per session but
+    # reuse the memoized directory
+    if not spark.catalog.tableExists(tl):
+        write_bucketed(
+            lineitem.select("l_orderkey", "l_extendedprice"),
+            tl, ["l_orderkey"], num_buckets=8, sort_cols=["l_orderkey"],
+            path=_mkdtemp("hsp_bkt_l_", (sf_dir, "lineitem")),
+        )
+    if not spark.catalog.tableExists(to):
+        write_bucketed(
+            orders.select("o_orderkey", "o_orderpriority"),
+            to, ["o_orderkey"], num_buckets=8, sort_cols=["o_orderkey"],
+            path=_mkdtemp("hsp_bkt_o_", (sf_dir, "orders")),
+        )
+    li, od = spark.table(tl), spark.table(to)
+    joined = li.join(od, li["l_orderkey"] == od["o_orderkey"])
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        (
+            F.sum(F.round(F.col("l_extendedprice") * F.lit(100.0), 0).cast("long"))
+            .cast("double") / F.lit(100.0)
+        ).alias("revenue"),
+    )
+
+
+@query(
+    "subject_export",
+    """WITH req AS (SELECT c_custkey AS root FROM customer
+                    WHERE c_custkey % 97 = 0),
+       cust AS (SELECT root AS subject_key, 'customer' AS table_name,
+                       CAST(c_custkey AS VARCHAR) AS record_key
+                FROM req JOIN customer ON c_custkey = root),
+       ords AS (SELECT root, o_orderkey
+                FROM req JOIN orders ON o_custkey = root),
+       ordx AS (SELECT root AS subject_key, 'orders' AS table_name,
+                       CAST(o_orderkey AS VARCHAR) AS record_key
+                FROM ords),
+       linx AS (SELECT DISTINCT root AS subject_key, 'lineitem' AS table_name,
+                       CAST(l_orderkey AS VARCHAR) || '#'
+                         || CAST(l_linenumber AS VARCHAR) AS record_key
+                FROM ords JOIN lineitem ON l_orderkey = o_orderkey)
+       SELECT * FROM cust
+       UNION ALL SELECT * FROM ordx
+       UNION ALL SELECT * FROM linx""",
+)
+def q_subject_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subject-access-request export (r7): the SAME subject list the
+    purge queries forget, but read-side — every customer / orders /
+    lineitem record belonging to each subject, attributed to its
+    subject (GDPR Art. 15 data portability; the compliance pair to
+    `purge_keys`/`purge_exec` Art. 17).  Broadcast-probe per hop, zero
+    fact-side shuffle — at 100 TB the export touches each fact table in
+    one map-side pass."""
+    from hdfs_stream_processing_spark.operators.incremental import subject_export
+
+    customer, orders, lineitem = prep(spark, sf_dir, "customer", "orders", "lineitem")
+    requests = customer.where(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    return subject_export(
+        requests,
+        [
+            ("customer", customer, "c_custkey", "c_custkey", F.col("c_custkey")),
+            ("orders", orders, "o_custkey", "o_orderkey", F.col("o_orderkey")),
+            (
+                "lineitem", lineitem, "l_orderkey", None,
+                F.concat(
+                    F.col("l_orderkey").cast("string"),
+                    F.lit("#"),
+                    F.col("l_linenumber").cast("string"),
+                ),
+            ),
+        ],
+    )

@@ -241,6 +241,7 @@ def write_bucketed(
     num_buckets: int = 32,
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Bucketed managed table: pre-shuffled ON DISK by the join/agg key.
 
@@ -250,10 +251,18 @@ def write_bucketed(
     re-shuffles its alignment join on every run instead).  ``sort_cols``
     additionally pre-sorts within buckets, removing the sort from
     sort-merge joins.
+
+    With ``path`` the table is EXTERNAL: data lands at the given
+    directory instead of the session's warehouse dir (which follows the
+    host process's CWD — a location this engine does not control);
+    bucketing metadata still registers in the catalog, so the
+    zero-exchange join planning is identical.
     """
     writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table_name)
 
 

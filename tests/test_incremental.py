@@ -393,3 +393,68 @@ def test_run_purge_swaps_atomically_and_replays_as_noop(spark, tmp_path):
             for r in post2.collect()}
     assert got2 == {"users": (0, 2), "orders": (0, 2), "items": (0, 2)}
     assert sorted(r["uid"] for r in spark.read.parquet(users_d).collect()) == [2, 3]
+
+
+def test_subject_export_attributes_records_per_subject(spark):
+    from hdfs_stream_processing_spark.operators.incremental import subject_export
+    from pyspark.sql import functions as F
+
+    cust = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "ck long, name string")
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 2), (13, 3)], "ok long, ck long"
+    )
+    items = spark.createDataFrame(
+        [(10, 1), (10, 2), (12, 1)], "ok long, ln long"
+    )
+    out = subject_export(
+        spark.createDataFrame([(1,), (2,)], "k long").select("k"),
+        [
+            ("customer", cust, "ck", "ck", F.col("ck")),
+            ("orders", orders, "ck", "ok", F.col("ok")),
+            (
+                "lineitem", items, "ok", None,
+                F.concat(F.col("ok").cast("string"), F.lit("#"), F.col("ln").cast("string")),
+            ),
+        ],
+    )
+    rows = {(r.subject_key, r.table_name, r.record_key) for r in out.collect()}
+    # subject 1: itself, orders 10+11, lines of order 10; subject 2:
+    # itself, order 12, its line; subject 3 never requested -> absent
+    assert rows == {
+        (1, "customer", "1"), (1, "orders", "10"), (1, "orders", "11"),
+        (1, "lineitem", "10#1"), (1, "lineitem", "10#2"),
+        (2, "customer", "2"), (2, "orders", "12"), (2, "lineitem", "12#1"),
+    }
+
+
+def test_subject_export_rejects_reserved_columns(spark):
+    import pytest
+    from hdfs_stream_processing_spark.operators.incremental import subject_export
+    from pyspark.sql import functions as F
+
+    bad = spark.createDataFrame([(1, 2)], "_sar_root long, ck long")
+    with pytest.raises(ValueError, match="_sar_root"):
+        subject_export(
+            spark.createDataFrame([(1,)], "k long"),
+            [("t", bad, "ck", None, F.col("ck"))],
+        )
+
+
+def test_subject_export_plan_is_broadcast_only(spark):
+    # zero fact-side exchange: every hop probes via broadcast join
+    from hdfs_stream_processing_spark.operators.incremental import subject_export
+    from hdfs_stream_processing_spark.plans.inspect import physical_plan
+    from pyspark.sql import functions as F
+
+    cust = spark.createDataFrame([(1, "a")], "ck long, name string")
+    orders = spark.createDataFrame([(10, 1)], "ok long, ck long")
+    out = subject_export(
+        spark.createDataFrame([(1,)], "k long"),
+        [
+            ("customer", cust, "ck", "ck", F.col("ck")),
+            ("orders", orders, "ck", None, F.col("ok")),
+        ],
+    )
+    plan = physical_plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
