@@ -319,3 +319,48 @@ def attribution(
         F.sum("_cents").alias("revenue_cents"),
         F.count(F.lit(1)).alias("n_conversions"),
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    terms: int = 8,
+) -> DataFrame:
+    """Exponentially-weighted moving average (α = 1/2) over the last
+    ``terms`` observations of each key's series — the time-series
+    smoothing staple, engineered for engine-exact determinism.
+
+    The textbook EWMA is an infinite recursion (s_t = αx_t +
+    (1−α)s_{t−1}); float recursion is partition-order-fragile and not
+    SQL-portable.  This is the standard truncated form: weight 2^(K−1−k)
+    on the k-th most recent point, normalized over the weights actually
+    present — for α = 1/2 the truncation error is < 2^−K of the oldest
+    contribution.  Numerator and denominator are EXACT integer sums of
+    lag terms (the caller passes integer values, e.g. cents), unrolled
+    as K lag() columns inside one window pass, so the single final
+    division is bit-identical across engines and partitionings.
+
+    Scale: one shuffle (the per-key window); K fixed columns of state,
+    no per-row UDF, whole-stage codegen throughout.
+    """
+    if not (1 <= terms <= 62):
+        raise ValueError("terms must be in [1, 62] (weights are 2^k longs)")
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    v = F.col(value_col)
+    num = None
+    den = None
+    for k in range(terms):
+        weight = 1 << (terms - 1 - k)
+        lagged = v if k == 0 else F.lag(v, k).over(w)
+        term_n = F.coalesce(lagged * F.lit(weight), F.lit(0).cast("long"))
+        term_d = F.when(lagged.isNotNull(), F.lit(weight)).otherwise(F.lit(0)).cast("long")
+        num = term_n if num is None else num + term_n
+        den = term_d if den is None else den + term_d
+    # den = 0 (every frame value null) yields null, never inf/NaN —
+    # double x/0 is IEEE inf in Spark but engine-divergent elsewhere
+    return df.select(
+        "*",
+        F.when(den > 0, num.cast("double") / den.cast("double")).alias("ewma"),
+    )

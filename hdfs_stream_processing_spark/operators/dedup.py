@@ -720,3 +720,101 @@ def jaccard_join_prefix(
             / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double")
         ).alias("jaccard"),
     )
+
+
+def containment_join_prefix(
+    probe: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    t_num: int,
+    t_den: int,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """Asymmetric set-CONTAINMENT join with prefix filtering: all pairs
+    with ``|A∩B| / |A| ≥ t_num/t_den`` for A from ``probe`` and B from
+    ``index`` → ``(id_a, id_b, containment)``.
+
+    Containment is the copy/quote-detection relation Jaccard misses: a
+    short doc wholly embedded in a long one scores near-zero Jaccard
+    (the union is huge) but containment 1.0.  The prefix theorem
+    adapts: at most ``|A| − ⌈t·|A|⌉`` of A's shingles may fall outside
+    B, so A's rarest-first prefix of length ``|A| − ⌈t·|A|⌉ + 1`` must
+    share a shingle with B — candidates come from that PREFIX joined
+    against B's FULL shingle index (B's extra shingles are
+    unconstrained, so B cannot be prefix-pruned — the inherent
+    asymmetry of containment).  Size filter ``t·|A| ≤ |B|`` folds into
+    the join; verification is per-pair ``array_intersect``.  The
+    threshold stays rational end-to-end (⌈t·s⌉ via integer div; final
+    compare ``t_den·|A∩B| ≥ t_num·|A|``) — no float ceil, no false
+    negatives (property-tested against brute force).
+
+    Scale: like :func:`jaccard_join_prefix`, the quadratic stopword
+    buckets never become join keys on the probe side; the index side
+    carries full postings, the standard trade for asymmetric joins
+    (dedup a daily batch against the corpus: probe = batch).
+    """
+    if not (0 < t_num <= t_den):
+        raise ValueError("threshold must satisfy 0 < t_num/t_den <= 1")
+    sha = shingle_rows(probe, id_col, text_col, shingle_n)
+    shb = shingle_rows(index, id_col, text_col, shingle_n)
+    # one consistent global rarity order across both sides (internal
+    # only — candidate generation; the verify is exact regardless)
+    dfreq = (
+        sha.unionByName(shb).groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    )
+    docs_a = (
+        sha.join(dfreq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_df"), F.col("shingle")))
+            ).alias("_toks")
+        )
+        .withColumn("sz", F.size("_toks"))
+        .withColumn(
+            "_plen",
+            F.expr(
+                f"cast(sz - (({t_num}L * sz + {t_den - 1}L) div {t_den}L) + 1 as int)"
+            ),
+        )
+    ).localCheckpoint(eager=False)
+    pref_a = docs_a.select(
+        F.col(id_col).alias("id_a"),
+        F.col("sz").alias("sz_a"),
+        F.explode(F.expr("slice(_toks, 1, _plen)")).alias("_tk"),
+    ).select("id_a", "sz_a", F.col("_tk.shingle").alias("shingle"))
+    sz_b = shb.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz_b"))
+    full_b = shb.join(sz_b, id_col).select(
+        F.col(id_col).alias("id_b"), "sz_b", "shingle"
+    )
+    cand = (
+        pref_a.join(full_b, "shingle")
+        .where(
+            (F.col("id_a") != F.col("id_b"))
+            # |A∩B| ≤ |B|, so containment ≥ t needs t·|A| ≤ |B|
+            & (F.lit(t_den) * F.col("sz_b") >= F.lit(t_num) * F.col("sz_a"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    arr_a = docs_a.select(
+        F.col(id_col).alias("id_a"),
+        F.expr("transform(_toks, x -> x.shingle)").alias("_aa"),
+    )
+    arr_b = shingle_array(index, id_col, text_col, shingle_n).select(
+        F.col(id_col).alias("id_b"), F.col("_sa").alias("_ab")
+    )
+    return (
+        cand.join(arr_a, "id_a")
+        .join(arr_b, "id_b")
+        .withColumn("_n", F.size(F.array_intersect("_aa", "_ab")))
+        .where(F.lit(t_den) * F.col("_n") >= F.lit(t_num) * F.size("_aa"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("_n").cast("double") / F.size("_aa").cast("double")
+            ).alias("containment"),
+        )
+    )

@@ -385,3 +385,50 @@ def tokens_to_ids(
     return pos_tok.join(v, "token", "left").select(
         F.col(id_col), F.col("pos").cast("long").alias("pos"), "token_id"
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by TF-IDF — the
+    classic keyword-extraction / topic-signal pass.
+
+    ``score = tf · ln(N / df)`` is emitted from exact integer operands
+    (tf, df, N are counts; one double expression at the end), and the
+    per-document RANKING is deliberately computed on the exact keys
+    ``(tf DESC, df ASC, token ASC)`` rather than on the float score:
+    for a fixed tf the score is strictly monotone in df, and the token
+    tiebreak totalizes the order — so ranks are engine-portable where a
+    float-ordered rank could flip on a last-ulp ln() divergence.
+
+    Scale: tokenize once, two partial-aggregated shuffles (per-(doc,
+    token) tf, per-token df), the scalar N broadcast, one ranking
+    window keyed by doc.  No UDFs.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    ).where(F.col("token") != "")
+    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        tok.distinct().groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("token").asc()
+    )
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            id_col, "token", "tf", "df", "rank",
+            # rounded to 6 dp: ln() is correct to the last ulp in neither
+            # engine, and the ranking never reads the float (exact keys)
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+                6,
+            ).alias("score"),
+        )
+    )

@@ -6142,3 +6142,210 @@ def q_subject_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ],
     )
+
+
+@query(
+    "scan_text",
+    "SELECT doc_id, text FROM documents",
+)
+def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text source (S-surface): the corpus staged as raw
+    ``doc_id<TAB>text`` lines (the layout a crawler or log shipper
+    lands), read back with the native text source in ONE directory
+    scan and parsed with a bounded split.  The identity oracle proves
+    the text round-trip is lossless.  At 100 TB this is the ingest
+    path for line-delimited corpora — splittable files, no per-file
+    driver work, schema applied at parse time."""
+    (documents,) = prep(spark, sf_dir, "documents")
+    txt_dir = _mkdtemp("hsp_text_src_", sf_dir)
+    key = ("hsp_text_staged_", sf_dir)
+    if key not in _STAGE_CACHE:
+        (
+            documents.select(
+                F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("text"))
+            )
+            .repartition(4)
+            .write.mode("overwrite")
+            .text(txt_dir)
+        )
+        _STAGE_CACHE[key] = txt_dir
+    lines = spark.read.text(txt_dir)
+    parts = F.split(F.col("value"), "\t", 2)
+    return lines.select(
+        parts.getItem(0).cast("long").alias("doc_id"),
+        parts.getItem(1).alias("text"),
+    )
+
+
+@query(
+    "scan_binary",
+    """SELECT source,
+              CAST(length(blob) AS BIGINT) AS n_bytes,
+              md5(blob) AS digest
+       FROM (SELECT source, string_agg(text, chr(10) ORDER BY doc_id) AS blob
+             FROM documents GROUP BY source)""",
+)
+def q_scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file binary source (the multimodal ingest path): one
+    opaque ``.bin`` per source — here the source's docs concatenated,
+    standing in for an image/audio shard — read back with Spark's
+    ``binaryFile`` source as (path, length, content-bytes) and reduced
+    to per-file length + md5.  The oracle recomputes both from the
+    base table, proving the binary round-trip is byte-lossless.  This
+    is how 100 TB of media shards enter the engine: binary columns +
+    typed metadata, decode deferred to mapInPandas
+    (operators/multimodal.py).  Staging collects per-source strings on
+    the driver — bounded by the source count (20), not the corpus."""
+    import os as _os
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    key = ("hsp_bin_staged_", sf_dir)
+    if key in _STAGE_CACHE:
+        bin_dir = _STAGE_CACHE[key]
+    else:
+        bin_dir = _mkdtemp("hsp_bin_src_", sf_dir)
+        shards = (
+            documents.groupBy("source")
+            .agg(
+                F.concat_ws(
+                    "\n", F.array_sort(F.collect_list(F.struct("doc_id", "text")))
+                    .getField("text")
+                ).alias("blob")
+            )
+            .collect()
+        )
+        for row in shards:
+            with open(_os.path.join(bin_dir, f"{row['source']}.bin"), "wb") as f:
+                f.write(row["blob"].encode("utf-8"))
+        _STAGE_CACHE[key] = bin_dir
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(bin_dir)
+    )
+    return files.select(
+        F.regexp_extract(F.col("path"), r"([^/]+)\.bin$", 1).alias("source"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("digest"),
+    )
+
+
+@query(
+    "ewma_smooth",
+    """WITH base AS (
+         SELECT event_id, user_id, ts, value,
+                CAST(round(value * 100.0, 0) AS BIGINT) AS c
+         FROM events),
+       t AS (
+         SELECT event_id, user_id, ts, value,
+                COALESCE(c * 128, 0) + COALESCE(lag(c, 1) OVER w * 64, 0)
+                  + COALESCE(lag(c, 2) OVER w * 32, 0)
+                  + COALESCE(lag(c, 3) OVER w * 16, 0)
+                  + COALESCE(lag(c, 4) OVER w * 8, 0)
+                  + COALESCE(lag(c, 5) OVER w * 4, 0)
+                  + COALESCE(lag(c, 6) OVER w * 2, 0)
+                  + COALESCE(lag(c, 7) OVER w * 1, 0) AS num,
+                CASE WHEN c IS NOT NULL THEN 128 ELSE 0 END
+                  + CASE WHEN lag(c, 1) OVER w IS NOT NULL THEN 64 ELSE 0 END
+                  + CASE WHEN lag(c, 2) OVER w IS NOT NULL THEN 32 ELSE 0 END
+                  + CASE WHEN lag(c, 3) OVER w IS NOT NULL THEN 16 ELSE 0 END
+                  + CASE WHEN lag(c, 4) OVER w IS NOT NULL THEN 8 ELSE 0 END
+                  + CASE WHEN lag(c, 5) OVER w IS NOT NULL THEN 4 ELSE 0 END
+                  + CASE WHEN lag(c, 6) OVER w IS NOT NULL THEN 2 ELSE 0 END
+                  + CASE WHEN lag(c, 7) OVER w IS NOT NULL THEN 1 ELSE 0 END AS den
+         FROM base
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       SELECT event_id, user_id, ts, value,
+              CASE WHEN den > 0
+                   THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS ewma
+       FROM t""",
+)
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing (r7): α=1/2 exponential moving average of each
+    user's value series in exact integer cents — the truncated-horizon
+    form whose numerator/denominator are integer sums of K=8 unrolled
+    lag terms inside ONE window pass, so the single final division is
+    bit-identical across engines (native float-recursive EWMA never
+    is).  One shuffle; the anomaly-scoring / trend-feature staple."""
+    from hdfs_stream_processing_spark.operators.analytics import ewma
+
+    (events,) = prep(spark, sf_dir, "events")
+    base = events.select(
+        "event_id", "user_id", "ts", "value",
+        F.round(F.col("value") * F.lit(100.0), 0).cast("long").alias("c"),
+    )
+    return ewma(base, "user_id", ["ts", "event_id"], "c", terms=8).drop("c")
+
+
+@query(
+    "tfidf_terms",
+    """WITH tok AS (
+         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+         FROM documents),
+       tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+       tf AS (SELECT doc_id, token, count(*) AS tf
+              FROM tok2 GROUP BY doc_id, token),
+       dfreq AS (SELECT token, count(*) AS df
+                 FROM (SELECT DISTINCT doc_id, token FROM tok2)
+                 GROUP BY token),
+       n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+       ranked AS (
+         SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+                row_number() OVER (
+                  PARTITION BY tf.doc_id
+                  ORDER BY tf.tf DESC, dfreq.df ASC, tf.token ASC) AS rank,
+                round(CAST(tf.tf AS DOUBLE)
+                  * ln(CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE)), 6) AS score
+         FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+       SELECT doc_id, token, tf, df, rank, score
+       FROM ranked WHERE rank <= 3""",
+)
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction (r7): the top-3 characteristic terms
+    per document.  Ranking runs on the exact integer keys (tf DESC, df
+    ASC, token ASC) — engine-portable where a float-ordered rank could
+    flip on a last-ulp ln() divergence; the score itself is one double
+    expression over exact counts, identical text in both engines."""
+    from hdfs_stream_processing_spark.operators.text import tfidf_top_terms
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    return tfidf_top_terms(documents, "doc_id", "text", k=3)
+
+
+@query(
+    "containment_join",
+    """WITH ta AS (SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS shingle
+            FROM documents WHERE doc_id > 250 AND doc_id % 5 = 0)),
+       tb AS (SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS shingle
+            FROM documents WHERE doc_id <= 250)),
+       sza AS (SELECT doc_id, COUNT(*) AS sz FROM ta GROUP BY doc_id),
+       inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                        CAST(COUNT(*) AS BIGINT) AS n
+                 FROM ta a JOIN tb b USING (shingle)
+                 GROUP BY 1, 2)
+       SELECT id_a, id_b,
+              CAST(n AS DOUBLE) / CAST(sza.sz AS DOUBLE) AS containment
+       FROM inter JOIN sza ON sza.doc_id = id_a
+       WHERE 5 * n >= 4 * sza.sz""",
+)
+def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (quote/copy-detection) join (r7): every new-batch
+    doc whose unigram set is ≥80% contained in some corpus doc — the
+    asymmetric relation Jaccard misses (a snippet embedded in a long
+    doc has tiny Jaccard but containment ~1).  Candidates from the
+    probe side's rarest-first PREFIX shingles against the corpus's
+    full posting index; exact rational threshold end-to-end.  The
+    oracle is the brute-force all-pairs containment, so the prefix
+    filter's no-false-negative guarantee is verified against ground
+    truth."""
+    from hdfs_stream_processing_spark.operators.dedup import containment_join_prefix
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    docs = documents.select("doc_id", "text")
+    return containment_join_prefix(
+        docs.where((F.col("doc_id") > 250) & (F.col("doc_id") % 5 == 0)),
+        docs.where(F.col("doc_id") <= 250),
+        "doc_id", "text", t_num=4, t_den=5, shingle_n=1,
+    )

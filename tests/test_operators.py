@@ -887,3 +887,58 @@ def test_tokens_to_ids_shuffle_join_fallback_matches_broadcast(spark):
     )
     assert got == want
     assert (2, 1, None) in got  # OOV token 'd' keeps its row, id null
+
+
+def test_ewma_weights_and_partial_horizon(spark):
+    """EWMA with K=3: weights 4,2,1 on the newest..oldest of the last
+    three points, normalized over the weights actually present."""
+    from hdfs_stream_processing_spark.operators.analytics import ewma
+
+    rows = [(1, i, v) for i, v in enumerate([10, 20, 40, None])]
+    df = spark.createDataFrame(rows, "k long, seq long, v long")
+    out = {r["seq"]: r["ewma"] for r in ewma(df, "k", ["seq"], "v", terms=3).collect()}
+    assert out[0] == 10.0                              # 4*10/4
+    assert out[1] == (4 * 20 + 2 * 10) / 6             # two points
+    assert out[2] == (4 * 40 + 2 * 20 + 1 * 10) / 7    # full horizon
+    # null current value: weight 4 drops from num AND den
+    assert out[3] == (2 * 40 + 1 * 20) / 3
+
+
+def test_ewma_null_only_frame_yields_null_not_inf(spark):
+    from hdfs_stream_processing_spark.operators.analytics import ewma
+
+    df = spark.createDataFrame([(1, 0, None)], "k long, seq long, v long")
+    [r] = ewma(df, "k", ["seq"], "v", terms=2).collect()
+    assert r["ewma"] is None
+
+
+def test_ewma_rejects_overflow_horizon(spark):
+    import pytest
+
+    from hdfs_stream_processing_spark.operators.analytics import ewma
+
+    df = spark.createDataFrame([(1, 0, 1)], "k long, seq long, v long")
+    with pytest.raises(ValueError, match="terms"):
+        ewma(df, "k", ["seq"], "v", terms=63)
+
+
+def test_tfidf_ranks_on_exact_keys(spark):
+    """Rank order is (tf DESC, df ASC, token ASC) — never the float
+    score — and rare tokens outrank common ones at equal tf."""
+    from hdfs_stream_processing_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "x x shared rare"),   # x tf=2; shared df=2; rare df=1
+            (2, "shared other"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tfidf_top_terms(df, "doc_id", "text", k=4).collect()
+    d1 = sorted(
+        ((r["rank"], r["token"]) for r in out if r["doc_id"] == 1)
+    )
+    # tf=2 first; then tf=1 terms by df asc (rare df=1 before shared df=2)
+    assert d1 == [(1, "x"), (2, "rare"), (3, "shared")]
+    ubiq = [r for r in out if r["token"] == "shared" and r["doc_id"] == 1][0]
+    assert ubiq["score"] == 0.0  # ln(N/df) = ln(1) = 0 for an every-doc token

@@ -405,3 +405,46 @@ def test_jaccard_prefix_join_equals_brute_force_any_corpus(spark, docs, t):
         if t_den * inter >= t_num * union and inter > 0:
             brute[(a, b)] = round(inter / union, 12)
     assert got == brute
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=8),
+        min_size=1,
+        max_size=6,
+    ),
+    st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=8),
+        min_size=1,
+        max_size=6,
+    ),
+    st.sampled_from([(1, 2), (3, 5), (2, 3), (4, 5), (1, 1)]),
+)
+def test_containment_prefix_join_equals_brute_force(spark, probe, index, t):
+    """The containment prefix filter loses NO pairs for any probe/index
+    corpus and any rational threshold — same theorem family as the
+    Jaccard prefix test, with the asymmetric |A∩B|/|A| relation and the
+    t·|A| ≤ |B| size filter."""
+    from hdfs_stream_processing_spark.operators.dedup import containment_join_prefix
+
+    t_num, t_den = t
+    pa = [(i, " ".join(toks)) for i, toks in enumerate(probe)]
+    ib = [(1000 + i, " ".join(toks)) for i, toks in enumerate(index)]
+    dfa = spark.createDataFrame(pa, ["doc_id", "text"])
+    dfb = spark.createDataFrame(ib, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): round(r["containment"], 12)
+        for r in containment_join_prefix(
+            dfa, dfb, "doc_id", "text", t_num, t_den
+        ).collect()
+    }
+    brute = {}
+    sa = {i: set(toks) for i, toks in enumerate(probe)}
+    sb = {1000 + i: set(toks) for i, toks in enumerate(index)}
+    for a, av in sa.items():
+        for b, bv in sb.items():
+            inter = len(av & bv)
+            if t_den * inter >= t_num * len(av) and inter > 0:
+                brute[(a, b)] = round(inter / len(av), 12)
+    assert got == brute
