@@ -177,6 +177,17 @@ HEADLINE = [
     "parts_supplier_counts",      # Q16: anti-join blacklist + distinct count
     "excess_suppliers",           # Q20: nested semi ladder, agg-then-semi
     "purge_exec",                 # staged purge cascade + atomic swap + audit
+    # round 7 capability additions:
+    "bucketed_join",              # zero-exchange co-located bucketed join
+    "subject_export",             # GDPR SAR: broadcast probe per hop
+    "scan_text",                  # line-oriented text source round-trip
+    "scan_binary",                # binaryFile shard ingest + md5 digest
+    "ewma_smooth",                # K-lag exact-integer EWMA, one window
+    "tfidf_terms",                # tf-idf top-k, exact-key ranking
+    "containment_join",           # prefix-filtered asymmetric containment
+    "triangle_count",             # oriented wedge-close triangle count
+    "wow_change",                 # calendar-aligned period-over-period
+    "chisq_assoc",                # exact-integer chi-square cells
 ]
 
 

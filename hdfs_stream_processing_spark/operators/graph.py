@@ -288,3 +288,48 @@ def bfs_hops(
         visited = visited.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt
     return visited
+
+
+def triangle_count(edges: DataFrame, src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """Global triangle count over an undirected edge list — the
+    community-cohesion / clustering-coefficient primitive.
+
+    Standard oriented-join scheme (each triangle counted exactly once):
+    canonicalize every edge to ``u < v``, then join
+    ``(u,v) ⋈ (v,w) ⋈ (u,w)`` — the orientation ``u < v < w`` makes the
+    three rotations of a triangle one row.  Self-loops drop in
+    canonicalization; duplicate edges collapse via distinct.
+
+    Returns one row ``(n_nodes, n_edges, n_triangles)``.
+
+    Scale: two equi-joins over the oriented edge list.  The classic
+    refinement for skewed degree distributions — orient by (degree, id)
+    instead of raw id so every node's out-degree is O(√m) — is a
+    drop-in change of the canonical order; raw-id orientation keeps the
+    oracle SQL identical and is fine while max-degree² ≪ m.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # (u,v) ⋈ (v,w): wedges centered on the middle vertex; close with (u,w)
+    wedges = e.select(F.col("u"), F.col("v")).join(
+        e.select(F.col("u").alias("v"), F.col("v").alias("w")), "v"
+    )
+    tri = wedges.join(
+        e.select(F.col("u"), F.col("v").alias("w")), ["u", "w"], "left_semi"
+    )
+    nodes = e.select(F.col("u").alias("n")).unionByName(
+        e.select(F.col("v").alias("n"))
+    ).distinct()
+    return (
+        tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+        .crossJoin(F.broadcast(e.agg(F.count(F.lit(1)).alias("n_edges"))))
+        .crossJoin(F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n_nodes"))))
+        .select("n_nodes", "n_edges", "n_triangles")
+    )

@@ -6349,3 +6349,158 @@ def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("doc_id") <= 250),
         "doc_id", "text", t_num=4, t_den=5, shingle_n=1,
     )
+
+
+@query(
+    "triangle_count",
+    """WITH sp AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+       e AS (SELECT DISTINCT a.s AS u, b.s AS v
+             FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s),
+       wedge AS (SELECT e1.u, e1.v, e2.v AS w
+                 FROM e e1 JOIN e e2 ON e1.v = e2.u),
+       tri AS (SELECT wedge.u FROM wedge
+               WHERE EXISTS (SELECT 1 FROM e
+                             WHERE e.u = wedge.u AND e.v = wedge.w)),
+       nodes AS (SELECT u AS n FROM e UNION SELECT v FROM e)
+       SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+              (SELECT count(*) FROM e) AS n_edges,
+              (SELECT count(*) FROM tri) AS n_triangles""",
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting (r7): cohesion of the supplier co-supply graph
+    (edge = two suppliers shipping the same part).  Oriented u<v<w
+    join scheme — each triangle counted once, two equi-joins, no
+    enumeration of rotations; the oracle replays the same orientation
+    as SQL.  Edge degrees track suppliers-per-part, which is constant
+    under data growth, so edges and wedges scale linearly at 100 TB."""
+    from hdfs_stream_processing_spark.operators.graph import triangle_count
+
+    (lineitem,) = prep(spark, sf_dir, "lineitem")
+    sp = lineitem.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    edges = (
+        sp.alias("a")
+        .join(sp.alias("b"), (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("id_a"), F.col("b.s").alias("id_b"))
+    )
+    return triangle_count(edges)
+
+
+@query(
+    "wow_change",
+    """WITH wk AS (
+         SELECT o_orderpriority AS priority,
+                date_trunc('week', o_orderdate) AS week_start,
+                SUM(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) AS cents
+         FROM orders GROUP BY 1, 2),
+       lagged AS (
+         SELECT priority, week_start, cents,
+                lag(cents) OVER (PARTITION BY priority ORDER BY week_start)
+                  AS prev_cents
+         FROM wk)
+       SELECT priority, week_start,
+              CAST(cents AS DOUBLE) / 100.0 AS revenue,
+              CAST(prev_cents AS DOUBLE) / 100.0 AS prev_revenue,
+              CASE WHEN prev_cents > 0
+                   THEN CAST(cents - prev_cents AS DOUBLE)
+                        / CAST(prev_cents AS DOUBLE) END AS wow_change
+       FROM lagged""",
+)
+def q_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue change per order priority (the BI
+    period-over-period staple): calendar-aligned weekly rollup in
+    exact cents, lag to the previous OBSERVED week, one final division
+    of exact integers.  Two shuffles (weekly agg + per-priority
+    window); at 100 TB the rollup partial-aggregates map-side and the
+    window frame is one row per (priority, week)."""
+    (orders,) = prep(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    wk = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("week", F.col("o_orderdate")).alias("week_start"),
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * F.lit(100.0), 0).cast("long")
+        ).alias("cents")
+    )
+    w = Window.partitionBy("priority").orderBy("week_start")
+    lagged = wk.withColumn("prev_cents", F.lag("cents").over(w))
+    return lagged.select(
+        "priority",
+        "week_start",
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
+        (F.col("prev_cents").cast("double") / F.lit(100.0)).alias("prev_revenue"),
+        F.when(
+            F.col("prev_cents") > 0,
+            (F.col("cents") - F.col("prev_cents")).cast("double")
+            / F.col("prev_cents").cast("double"),
+        ).alias("wow_change"),
+    )
+
+
+@query(
+    "chisq_assoc",
+    """WITH cells AS (
+         SELECT event_type, value IS NOT NULL AS has_value,
+                count(*) AS obs
+         FROM events GROUP BY 1, 2),
+       rows_ AS (SELECT event_type, SUM(obs) AS row_tot FROM cells GROUP BY 1),
+       cols_ AS (SELECT has_value, SUM(obs) AS col_tot FROM cells GROUP BY 1),
+       n AS (SELECT SUM(obs) AS n FROM cells),
+       j AS (SELECT c.event_type, c.has_value, c.obs, r.row_tot, co.col_tot, n.n,
+                    CAST(n.n AS HUGEINT) * c.obs
+                      - CAST(r.row_tot AS HUGEINT) * co.col_tot AS d
+             FROM cells c
+             JOIN rows_ r USING (event_type)
+             JOIN cols_ co USING (has_value)
+             CROSS JOIN n)
+       SELECT event_type, has_value, obs, row_tot, col_tot,
+              CAST(CAST(row_tot AS HUGEINT) * col_tot AS DOUBLE)
+                / CAST(n AS DOUBLE) AS expected,
+              CAST(d * d AS DOUBLE)
+                / CAST(CAST(n AS HUGEINT) * row_tot * col_tot AS DOUBLE)
+                AS contrib
+       FROM j""",
+)
+def q_chisq_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event_type and
+    value-presence (the categorical-association staple of data
+    profiling): per-cell observed vs expected counts and the cell's
+    χ² contribution, every operand an exact 128-bit integer until ONE
+    final double division per cell — no float accumulation, no
+    cross-engine summation-order hazard (the scalar χ² is the sum of
+    ``contrib``, left to the reader precisely because a float sum's
+    bits depend on order).  Two tiny aggregates + broadcast joins."""
+    (events,) = prep(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    cells = events.groupBy(
+        "event_type", F.col("value").isNotNull().alias("has_value")
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    rows_ = cells.groupBy("event_type").agg(F.sum("obs").alias("row_tot"))
+    cols_ = cells.groupBy("has_value").agg(F.sum("obs").alias("col_tot"))
+    n = cells.agg(F.sum("obs").alias("n"))
+    j = (
+        cells.join(F.broadcast(rows_), "event_type")
+        .join(F.broadcast(cols_), "has_value")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "d",
+            F.col("n").cast(dec) * F.col("obs")
+            - F.col("row_tot").cast(dec) * F.col("col_tot"),
+        )
+    )
+    return j.select(
+        "event_type", "has_value", "obs", "row_tot", "col_tot",
+        (
+            (F.col("row_tot").cast(dec) * F.col("col_tot")).cast("double")
+            / F.col("n").cast("double")
+        ).alias("expected"),
+        (
+            (F.col("d") * F.col("d")).cast("double")
+            / (
+                F.col("n").cast(dec) * F.col("row_tot") * F.col("col_tot")
+            ).cast("double")
+        ).alias("contrib"),
+    )

@@ -942,3 +942,20 @@ def test_tfidf_ranks_on_exact_keys(spark):
     assert d1 == [(1, "x"), (2, "rare"), (3, "shared")]
     ubiq = [r for r in out if r["token"] == "shared" and r["doc_id"] == 1][0]
     assert ubiq["score"] == 0.0  # ln(N/df) = ln(1) = 0 for an every-doc token
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 minus one edge has 2 triangles; duplicates/self-loops/reversed
+    edges must not change the count."""
+    from hdfs_stream_processing_spark.operators.graph import triangle_count
+
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4),  # K4 minus (3,4)
+        (2, 1),  # reversed duplicate
+        (3, 3),  # self-loop
+        (1, 2),  # exact duplicate
+        (5, 6),  # isolated edge: nodes count, no triangle
+    ]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    [r] = triangle_count(df).collect()
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (6, 6, 2)
