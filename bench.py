@@ -188,6 +188,8 @@ HEADLINE = [
     "triangle_count",             # oriented wedge-close triangle count
     "wow_change",                 # calendar-aligned period-over-period
     "chisq_assoc",                # exact-integer chi-square cells
+    "table_checksum",             # order-free 128-bit content checksum
+    "cluster_coeff",              # per-node ego-density from wedge-close
 ]
 
 

@@ -333,3 +333,60 @@ def triangle_count(edges: DataFrame, src: str = "id_a", dst: str = "id_b") -> Da
         .crossJoin(F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n_nodes"))))
         .select("n_nodes", "n_edges", "n_triangles")
     )
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Local clustering coefficient per node:
+    ``coeff = 2·T(v) / (d(v)·(d(v)−1))`` — how close each node's
+    neighborhood is to a clique (ego-density; the community/fraud-ring
+    feature built on :func:`triangle_count`'s wedge-close scheme).
+
+    Per-node triangle participation comes from the same oriented
+    ``(u,v) ⋈ (v,w) ⋈ (u,w)`` join, but keeping the closed wedge's
+    three vertices (each triangle credits u, v, and w once).  Degrees
+    come from the symmetric view of the canonical edge set.  The final
+    coefficient is one double division of exact integers; nodes with
+    degree < 2 get null (no possible wedge, not a zero).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    closed = (
+        e.select("u", "v")
+        .join(e.select(F.col("u").alias("v"), F.col("v").alias("w")), "v")
+        .join(e.select("u", F.col("v").alias("w")), ["u", "w"], "left_semi")
+    )
+    tri_nodes = (
+        closed.select(F.col("u").alias("node"))
+        .unionByName(closed.select(F.col("v").alias("node")))
+        .unionByName(closed.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        deg.join(tri_nodes, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_tri"),
+            F.when(
+                F.col("degree") >= 2,
+                (F.lit(2) * F.coalesce(F.col("n_tri"), F.lit(0))).cast("double")
+                / (F.col("degree") * (F.col("degree") - F.lit(1))).cast("double"),
+            ).alias("coeff"),
+        )
+    )

@@ -107,3 +107,35 @@ def dq_quarantine(
     return df.withColumn("failed_rules", failed).withColumn(
         "is_valid", F.size(F.col("failed_rules")) == 0
     )
+
+
+def table_checksum(
+    df: DataFrame, table_name: str, cols: list[Column]
+) -> DataFrame:
+    """Order-independent content checksum of a table — the
+    replication / CDC-drift detector: two copies of a table agree iff
+    their ``(n_rows, checksum)`` agree, regardless of row order, file
+    layout, or partitioning.
+
+    Per row: the given column renderings concat with '|' and hash
+    through md5; the first 15 hex chars become a 60-bit integer; the
+    table checksum is the SUM of those integers (accumulated in
+    128-bit decimal — no overflow, and addition is commutative so the
+    result is partition-order-free where a hash-of-sorted-concat would
+    force a global sort).  Emitted as a string: the one cross-engine-
+    stable rendering of a 128-bit value.
+
+    The caller chooses renderings that are engine-exact (integers,
+    strings, cents — never raw doubles or timestamps, whose default
+    string forms differ across engines).
+
+    Scale: one map-side pass + a single scalar aggregate; checksum a
+    100 TB table without moving a row.  Compare per-partition
+    checksums to localize a mismatch.
+    """
+    rendered = F.concat_ws("|", *[c.cast("string") for c in cols])
+    h = F.conv(F.substring(F.md5(rendered), 1, 15), 16, 10).cast("long")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(h.cast("decimal(38,0)")).cast("string").alias("checksum"),
+    ).select(F.lit(table_name).alias("table_name"), "n_rows", "checksum")

@@ -6504,3 +6504,99 @@ def q_chisq_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double")
         ).alias("contrib"),
     )
+
+
+@query(
+    "table_checksum",
+    """WITH c AS (
+         SELECT count(*) AS n_rows,
+                CAST(SUM(('0x' || substr(md5(
+                       CAST(c_custkey AS VARCHAR) || '|' || c_name || '|'
+                       || c_mktsegment || '|'
+                       || CAST(CAST(round(c_acctbal * 100.0, 0) AS BIGINT) AS VARCHAR)
+                     ), 1, 15))::UBIGINT::BIGINT) AS VARCHAR) AS checksum
+         FROM customer),
+       o AS (
+         SELECT count(*) AS n_rows,
+                CAST(SUM(('0x' || substr(md5(
+                       CAST(o_orderkey AS VARCHAR) || '|'
+                       || CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus
+                       || '|' || o_orderpriority || '|'
+                       || CAST(CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS VARCHAR)
+                     ), 1, 15))::UBIGINT::BIGINT) AS VARCHAR) AS checksum
+         FROM orders)
+       SELECT 'customer' AS table_name, n_rows, checksum FROM c
+       UNION ALL
+       SELECT 'orders', n_rows, checksum FROM o""",
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table checksums (r7): the replication/CDC
+    drift detector — md5 each row's engine-exact rendering, take 60
+    bits, SUM in 128-bit decimal.  Commutative addition makes the
+    result independent of row order, partitioning, and file layout (a
+    hash-of-sorted-rows would need a 100 TB global sort; this is one
+    map pass + a scalar agg).  The oracle computes the identical sum in
+    DuckDB: agreement certifies both engines see byte-identical
+    content."""
+    from hdfs_stream_processing_spark.operators.quality import table_checksum
+
+    customer, orders = prep(spark, sf_dir, "customer", "orders")
+    cents = lambda c: F.round(F.col(c) * F.lit(100.0), 0).cast("long")  # noqa: E731
+    cs_c = table_checksum(
+        customer, "customer",
+        [F.col("c_custkey"), F.col("c_name"), F.col("c_mktsegment"),
+         cents("c_acctbal")],
+    )
+    cs_o = table_checksum(
+        orders, "orders",
+        [F.col("o_orderkey"), F.col("o_custkey"), F.col("o_orderstatus"),
+         F.col("o_orderpriority"), cents("o_totalprice")],
+    )
+    return cs_c.unionByName(cs_o)
+
+
+@query(
+    "cluster_coeff",
+    """WITH sp AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+       e AS (SELECT DISTINCT a.s AS u, b.s AS v
+             FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s),
+       deg AS (SELECT node, count(*) AS degree FROM (
+                 SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+               GROUP BY node),
+       closed AS (SELECT e1.u, e1.v, e2.w
+                  FROM e e1
+                  JOIN (SELECT u AS v, v AS w FROM e) e2 USING (v)
+                  WHERE EXISTS (SELECT 1 FROM e
+                                WHERE e.u = e1.u AND e.v = e2.w)),
+       tri AS (SELECT node, count(*) AS n_tri FROM (
+                 SELECT u AS node FROM closed
+                 UNION ALL SELECT v FROM closed
+                 UNION ALL SELECT w FROM closed)
+               GROUP BY node)
+       SELECT deg.node, deg.degree,
+              COALESCE(tri.n_tri, 0) AS n_tri,
+              CASE WHEN deg.degree >= 2
+                   THEN CAST(2 * COALESCE(tri.n_tri, 0) AS DOUBLE)
+                        / CAST(deg.degree * (deg.degree - 1) AS DOUBLE)
+              END AS coeff
+       FROM deg LEFT JOIN tri USING (node)""",
+)
+def q_cluster_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node clustering coefficient (r7): ego-density of every
+    supplier in the co-supply graph — 2T/(d(d−1)) from the same
+    oriented wedge-close join as triangle_count, with each closed
+    triangle crediting its three vertices.  Exact integer counts into
+    one double division; degree<2 nodes are null (undefined), not
+    zero."""
+    from hdfs_stream_processing_spark.operators.graph import clustering_coefficient
+
+    (lineitem,) = prep(spark, sf_dir, "lineitem")
+    sp = lineitem.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    edges = (
+        sp.alias("a")
+        .join(sp.alias("b"), (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("id_a"), F.col("b.s").alias("id_b"))
+    )
+    return clustering_coefficient(edges)

@@ -959,3 +959,39 @@ def test_triangle_count_known_graph(spark):
     df = spark.createDataFrame(edges, ["id_a", "id_b"])
     [r] = triangle_count(df).collect()
     assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (6, 6, 2)
+
+
+def test_clustering_coefficient_known_graph(spark):
+    """Triangle 1-2-3 plus pendant 4 attached to 3: nodes 1,2 have
+    coeff 1.0; node 3 has degree 3 and one triangle -> 1/3; pendant 4
+    has degree 1 -> null (undefined, not zero)."""
+    from hdfs_stream_processing_spark.operators.graph import clustering_coefficient
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], ["id_a", "id_b"]
+    )
+    out = {r["node"]: (r["degree"], r["n_tri"], r["coeff"])
+           for r in clustering_coefficient(df).collect()}
+    assert out[1] == (2, 1, 1.0)
+    assert out[2] == (2, 1, 1.0)
+    assert out[3][0] == 3 and out[3][1] == 1 and abs(out[3][2] - 1 / 3) < 1e-15
+    assert out[4] == (1, 0, None)
+
+
+def test_table_checksum_is_order_invariant_and_content_sensitive(spark):
+    from pyspark.sql import functions as F
+
+    from hdfs_stream_processing_spark.operators.quality import table_checksum
+
+    rows = [(1, "a"), (2, "b"), (3, "c")]
+    cols = lambda: [F.col("k"), F.col("s")]  # noqa: E731
+    a = spark.createDataFrame(rows, "k long, s string")
+    # reversed row order, different partitioning — same checksum
+    b = spark.createDataFrame(rows[::-1], "k long, s string").repartition(7)
+    ca = table_checksum(a, "t", cols()).collect()[0]
+    cb = table_checksum(b, "t", cols()).collect()[0]
+    assert (ca["n_rows"], ca["checksum"]) == (cb["n_rows"], cb["checksum"])
+    # one changed byte -> different checksum, same row count
+    c = spark.createDataFrame([(1, "a"), (2, "b"), (3, "d")], "k long, s string")
+    cc = table_checksum(c, "t", cols()).collect()[0]
+    assert cc["n_rows"] == ca["n_rows"] and cc["checksum"] != ca["checksum"]
