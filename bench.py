@@ -190,6 +190,9 @@ HEADLINE = [
     "chisq_assoc",                # exact-integer chi-square cells
     "table_checksum",             # order-free 128-bit content checksum
     "cluster_coeff",              # per-node ego-density from wedge-close
+    "mad_outliers",               # robust 5xMAD screen, exact percentiles
+    "markov_transitions",         # behavior transition matrix, one window
+    "benford_digits",             # leading-digit fraud/corruption screen
 ]
 
 

@@ -6600,3 +6600,141 @@ def q_cluster_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.s").alias("id_a"), F.col("b.s").alias("id_b"))
     )
     return clustering_coefficient(edges)
+
+
+@query(
+    "mad_outliers",
+    """WITH c AS (SELECT event_type,
+                         CAST(round(value * 100.0, 0) AS BIGINT) AS cents
+                  FROM events WHERE value IS NOT NULL),
+       med AS (SELECT event_type, quantile_cont(cents, 0.5) AS med
+               FROM c GROUP BY event_type),
+       dev AS (SELECT c.event_type, c.cents, med.med,
+                      abs(CAST(c.cents AS DOUBLE) - med.med) AS adev
+               FROM c JOIN med USING (event_type)),
+       mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+               FROM dev GROUP BY event_type)
+       SELECT dev.event_type,
+              count(*) AS n,
+              any_value(dev.med) AS med,
+              any_value(mad.mad) AS mad,
+              SUM(CASE WHEN dev.adev > 5 * mad.mad THEN 1 ELSE 0 END)
+                AS n_outliers
+       FROM dev JOIN mad USING (event_type)
+       GROUP BY dev.event_type""",
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation robust outlier screen (r7): per event
+    type, the median of |x − median| and the count of points beyond
+    5×MAD — the outlier detector a long-tailed 100 TB metric needs
+    where mean/std (anomaly_zscore) are themselves dragged by the tail.
+    Exact integer cents into the interpolated exact percentile (whose
+    cross-engine bit-parity the `percentiles` query already proves);
+    every derived double is the same expression text in both engines.
+    Two percentile shuffles + one broadcast-joined count pass."""
+    (events,) = prep(spark, sf_dir, "events")
+    c = events.where(F.col("value").isNotNull()).select(
+        "event_type",
+        F.round(F.col("value") * F.lit(100.0), 0).cast("long").alias("cents"),
+    )
+    med = c.groupBy("event_type").agg(
+        F.expr("percentile(cents, 0.5)").alias("med")
+    )
+    dev = c.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("cents").cast("double") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.any_value(F.col("med")).alias("med"),
+            F.any_value(F.col("mad")).alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > F.lit(5) * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
+
+
+@query(
+    "markov_transitions",
+    """WITH ordered AS (
+         SELECT user_id, event_type,
+                lag(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev_type
+         FROM events),
+       trans AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+                 FROM ordered WHERE prev_type IS NOT NULL
+                 GROUP BY 1, 2),
+       tot AS (SELECT prev_type, SUM(n) AS n_from FROM trans GROUP BY 1)
+       SELECT trans.prev_type, trans.next_type, trans.n,
+              CAST(trans.n AS DOUBLE) / CAST(tot.n_from AS DOUBLE) AS p
+       FROM trans JOIN tot USING (prev_type)""",
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior (r7):
+    per (previous event type → next event type), the transition count
+    and probability — the session-flow model behind next-action
+    prediction and funnel-leak diagnosis.  One per-user window pass
+    (lag), one partial-aggregated count shuffle, exact counts into one
+    division."""
+    from pyspark.sql import Window
+
+    (events,) = prep(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        events.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = trans.groupBy("prev_type").agg(F.sum("n").alias("n_from"))
+    return trans.join(F.broadcast(tot), "prev_type").select(
+        "prev_type", "next_type", "n",
+        (F.col("n").cast("double") / F.col("n_from").cast("double")).alias("p"),
+    )
+
+
+@query(
+    "benford_digits",
+    """WITH d AS (SELECT substr(CAST(CAST(round(o_totalprice * 100.0, 0)
+                                      AS BIGINT) AS VARCHAR), 1, 1) AS digit
+                  FROM orders WHERE o_totalprice > 0),
+       cnt AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+       tot AS (SELECT SUM(n) AS total FROM cnt)
+       SELECT digit, n,
+              CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+              round(ln(1.0 + 1.0 / CAST(digit AS BIGINT)) / ln(10.0), 6)
+                AS benford_expected
+       FROM cnt CROSS JOIN tot""",
+)
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law digit profile (r7): leading-digit distribution of
+    order totals vs the log expectation — the classic fabricated-data
+    / load-corruption screen a data-quality suite runs over financial
+    columns.  Digit extraction via string head (engine-portable; no
+    float log10 on the value side), share from exact counts, the
+    expected share a rounded identical expression."""
+    (orders,) = prep(spark, sf_dir, "orders")
+    d = orders.where(F.col("o_totalprice") > 0).select(
+        F.substring(
+            F.round(F.col("o_totalprice") * F.lit(100.0), 0)
+            .cast("long").cast("string"),
+            1, 1,
+        ).alias("digit")
+    )
+    cnt = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.agg(F.sum("n").alias("total"))
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "digit", "n",
+        (F.col("n").cast("double") / F.col("total").cast("double")).alias("share"),
+        F.round(
+            F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("long").cast("double"))
+            / F.log(F.lit(10.0)),
+            6,
+        ).alias("benford_expected"),
+    )
