@@ -59,12 +59,14 @@ _VERIFY_FIRST = [
     "priority_lateness", "disjunct_revenue", "min_cost_supplier",
     "important_parts", "parts_supplier_counts", "excess_suppliers",
     "purge_exec",
+    # round-7 capability additions (all local-green, default + vanilla):
+    "bucketed_join", "subject_export", "scan_text", "scan_binary",
+    "ewma_smooth", "tfidf_terms", "containment_join", "triangle_count",
+    "wow_change", "chisq_assoc", "table_checksum", "cluster_coeff",
+    "mad_outliers", "markov_transitions", "benford_digits",
     # padding: long-green §2-core rows (driver-green since r2–r5)
     "multi_join", "top_k", "union_rooms", "sort_by_ts", "group_agg",
-    "window_rank", "json_extract", "regex_extract", "rollup_agg",
-    "cube_agg", "scan_csv", "scan_parquet", "sink_roundtrip",
-    "compaction", "upsert", "to_wire", "revenue_share", "text_ngram",
-    "text_search", "join_semi", "join_anti",
+    "window_rank",
 ]
 
 

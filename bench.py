@@ -193,6 +193,7 @@ HEADLINE = [
     "mad_outliers",               # robust 5xMAD screen, exact percentiles
     "markov_transitions",         # behavior transition matrix, one window
     "benford_digits",             # leading-digit fraud/corruption screen
+    "late_profile",               # watermark-delay planning, chunked scan
 ]
 
 

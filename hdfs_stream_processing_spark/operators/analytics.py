@@ -364,3 +364,78 @@ def ewma(
         "*",
         F.when(den > 0, num.cast("double") / den.cast("double")).alias("ewma"),
     )
+
+
+def lateness_profile(
+    df: DataFrame,
+    arrival_col: str,
+    ts_col: str,
+    delays_sec: list[int],
+    chunk: int = 4096,
+) -> DataFrame:
+    """Watermark-delay planning: for each candidate delay D, how many
+    rows would a watermark of D drop?  ``lateness`` of a row is how far
+    its event time lags the maximum event time that ARRIVED before it
+    (``arrival_col`` is the ingest sequence — a Kafka offset, a file
+    index, here the event id); a row with ``lateness > D`` arrives
+    after a D-delayed watermark has passed it and is dropped by any
+    watermarked stateful operator.  Output: one row per candidate
+    ``(delay_sec, n_late, share)`` — read it as the completeness/
+    latency trade-off curve and pick the smallest D meeting the SLA.
+
+    The running maximum over arrival order is computed as a two-level
+    prefix scan, NOT a global single-partition window: per-chunk
+    running max (window PARTITIONED by chunk — parallel), plus the
+    prefix max over per-chunk maxima (chunk-count-sized, one narrow
+    window).  At 100 TB the wide pass stays fully parallel; the serial
+    pass touches n/chunk rows.
+
+    Exact arithmetic: lateness in integer microseconds
+    (``unix_micros``), shares one final division.
+    """
+    mu = F.unix_micros(F.col(ts_col))
+    base = df.select(
+        F.col(arrival_col).alias("_seq"), mu.alias("_mu"),
+        F.floor(F.col(arrival_col) / F.lit(chunk)).alias("_chunk"),
+    )
+    w_in = (
+        Window.partitionBy("_chunk")
+        .orderBy("_seq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunk_max = base.groupBy("_chunk").agg(F.max("_mu").alias("_cmax"))
+    w_pre = (
+        Window.orderBy("_chunk").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior_chunks = chunk_max.select(
+        "_chunk", F.max("_cmax").over(w_pre).alias("_pmax")
+    )
+    scored = (
+        base.withColumn("_inmax", F.max("_mu").over(w_in))
+        .join(prior_chunks, "_chunk")
+        .withColumn(
+            "_late_us",
+            F.greatest(
+                F.coalesce(F.greatest("_inmax", "_pmax"), F.col("_inmax"),
+                           F.col("_pmax"), F.lit(0)) - F.col("_mu"),
+                F.lit(0),
+            ),
+        )
+    )
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum((F.col("_late_us") > F.lit(d * 1_000_000)).cast("long")).alias(f"_d{d}")
+        for d in delays_sec
+    ]
+    totals = scored.agg(*aggs)
+    per_delay = [
+        totals.select(
+            F.lit(d).cast("long").alias("delay_sec"),
+            F.col(f"_d{d}").alias("n_late"),
+            (F.col(f"_d{d}").cast("double") / F.col("n").cast("double")).alias("share"),
+        )
+        for d in delays_sec
+    ]
+    out = per_delay[0]
+    for p in per_delay[1:]:
+        out = out.unionByName(p)
+    return out

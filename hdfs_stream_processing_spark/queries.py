@@ -6351,11 +6351,61 @@ def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Shared oracle CTE: the top-5 strongest-partner (kNN) supplier graph.
+#: A raw "share a part" projection of a fact table GOES DENSE as data
+#: grows (at sf0.1 every supplier pair already shares a part — the
+#: co-supply graph is COMPLETE, and wedge enumeration on a complete
+#: graph is O(n³): measured OOM at sf1).  Production similarity graphs
+#: cap density by construction: keep each node's k strongest partners
+#: (shared-part count, ties by id), so max degree ≤ 2k at EVERY scale
+#: and wedge volume stays linear in nodes.  Selection runs on exact
+#: integer keys — engine-portable.
+_KNN_EDGE_SQL = """sp AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+                          FROM lineitem),
+       pair AS (SELECT a.s AS u, b.s AS v, count(*) AS w
+                FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+                GROUP BY 1, 2),
+       sym AS (SELECT u, v, w FROM pair UNION ALL SELECT v, u, w FROM pair),
+       knn AS (SELECT u, v FROM (
+                 SELECT u, v,
+                        row_number() OVER (PARTITION BY u
+                                           ORDER BY w DESC, v ASC) AS rn
+                 FROM sym) WHERE rn <= 5),
+       e AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM knn)"""
+
+
+def _cosupply_knn_edges(lineitem: DataFrame, k: int = 5) -> DataFrame:
+    """Top-``k`` strongest co-supply partner edges per supplier (the
+    Spark side of ``_KNN_EDGE_SQL``): pair weights from one
+    partial-aggregated count shuffle over the per-part supplier join,
+    per-node top-k on exact keys (weight DESC, partner ASC), then
+    canonical dedup.  Degree ≤ 2k by construction — the density cap
+    that keeps wedge enumeration linear regardless of how dense the
+    underlying co-occurrence gets."""
+    from pyspark.sql import Window
+
+    sp = lineitem.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    pair = (
+        sp.alias("a")
+        .join(sp.alias("b"), (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    sym = pair.unionByName(
+        pair.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    )
+    wk = Window.partitionBy("u").orderBy(F.col("w").desc(), F.col("v").asc())
+    knn = sym.withColumn("rn", F.row_number().over(wk)).where(F.col("rn") <= k)
+    return knn.select(
+        F.least("u", "v").alias("id_a"), F.greatest("u", "v").alias("id_b")
+    ).distinct()
+
+
 @query(
     "triangle_count",
-    """WITH sp AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
-       e AS (SELECT DISTINCT a.s AS u, b.s AS v
-             FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s),
+    f"""WITH {_KNN_EDGE_SQL},
        wedge AS (SELECT e1.u, e1.v, e2.v AS w
                  FROM e e1 JOIN e e2 ON e1.v = e2.u),
        tri AS (SELECT wedge.u FROM wedge
@@ -6367,24 +6417,16 @@ def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
               (SELECT count(*) FROM tri) AS n_triangles""",
 )
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle counting (r7): cohesion of the supplier co-supply graph
-    (edge = two suppliers shipping the same part).  Oriented u<v<w
-    join scheme — each triangle counted once, two equi-joins, no
-    enumeration of rotations; the oracle replays the same orientation
-    as SQL.  Edge degrees track suppliers-per-part, which is constant
-    under data growth, so edges and wedges scale linearly at 100 TB."""
+    """Triangle counting (r7) over the top-5 strongest-partner supplier
+    graph (see ``_cosupply_knn_edges`` — the kNN density cap that keeps
+    this linear where the raw co-supply projection goes complete).
+    Oriented u<v<w wedge-close scheme — each triangle counted once,
+    two equi-joins, no rotation enumeration; the oracle replays the
+    same selection and orientation in SQL."""
     from hdfs_stream_processing_spark.operators.graph import triangle_count
 
     (lineitem,) = prep(spark, sf_dir, "lineitem")
-    sp = lineitem.select(
-        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct()
-    edges = (
-        sp.alias("a")
-        .join(sp.alias("b"), (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
-        .select(F.col("a.s").alias("id_a"), F.col("b.s").alias("id_b"))
-    )
-    return triangle_count(edges)
+    return triangle_count(_cosupply_knn_edges(lineitem, k=5))
 
 
 @query(
@@ -6557,9 +6599,7 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cluster_coeff",
-    """WITH sp AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
-       e AS (SELECT DISTINCT a.s AS u, b.s AS v
-             FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s),
+    f"""WITH {_KNN_EDGE_SQL},
        deg AS (SELECT node, count(*) AS degree FROM (
                  SELECT u AS node FROM e UNION ALL SELECT v FROM e)
                GROUP BY node),
@@ -6583,23 +6623,15 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_cluster_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node clustering coefficient (r7): ego-density of every
-    supplier in the co-supply graph — 2T/(d(d−1)) from the same
-    oriented wedge-close join as triangle_count, with each closed
-    triangle crediting its three vertices.  Exact integer counts into
-    one double division; degree<2 nodes are null (undefined), not
-    zero."""
+    supplier in the top-5 strongest-partner graph (the kNN density cap
+    — see ``_cosupply_knn_edges``) — 2T/(d(d−1)) from the same oriented
+    wedge-close join as triangle_count, with each closed triangle
+    crediting its three vertices.  Exact integer counts into one double
+    division; degree<2 nodes are null (undefined), not zero."""
     from hdfs_stream_processing_spark.operators.graph import clustering_coefficient
 
     (lineitem,) = prep(spark, sf_dir, "lineitem")
-    sp = lineitem.select(
-        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct()
-    edges = (
-        sp.alias("a")
-        .join(sp.alias("b"), (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
-        .select(F.col("a.s").alias("id_a"), F.col("b.s").alias("id_b"))
-    )
-    return clustering_coefficient(edges)
+    return clustering_coefficient(_cosupply_knn_edges(lineitem, k=5))
 
 
 @query(
@@ -6737,4 +6769,41 @@ def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.log(F.lit(10.0)),
             6,
         ).alias("benford_expected"),
+    )
+
+
+@query(
+    "late_profile",
+    """WITH b AS (SELECT event_id, epoch_us(ts) AS mu FROM events),
+       r AS (SELECT event_id, mu,
+                    max(mu) OVER (ORDER BY event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS pmax
+             FROM b),
+       l AS (SELECT greatest(COALESCE(pmax - mu, 0), 0) AS late_us FROM r)
+       SELECT CAST(d.delay_sec AS BIGINT) AS delay_sec,
+              SUM(CASE WHEN late_us > CAST(d.delay_sec AS BIGINT) * 1000000
+                       THEN 1 ELSE 0 END) AS n_late,
+              CAST(SUM(CASE WHEN late_us > CAST(d.delay_sec AS BIGINT) * 1000000
+                            THEN 1 ELSE 0 END) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) AS share
+       FROM l CROSS JOIN (VALUES (0), (60), (600), (3600)) AS d(delay_sec)
+       GROUP BY d.delay_sec""",
+)
+def q_late_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-delay planning (r7): for candidate delays 0s/1m/10m/1h,
+    how many events would a D-delayed watermark drop?  Lateness = how
+    far each event's time lags the max event time that ARRIVED before
+    it (arrival sequence = event_id, the ingest-offset stand-in).  The
+    running max is a two-level prefix scan — per-chunk windows stay
+    fully parallel, the serial pass touches n/chunk rows — never a
+    global single-partition window.  Exact integer microseconds; the
+    oracle computes the same profile with a direct running-max window.
+    Read the output as the completeness-vs-latency curve and pick the
+    smallest delay meeting the SLA."""
+    from hdfs_stream_processing_spark.operators.analytics import lateness_profile
+
+    (events,) = prep(spark, sf_dir, "events")
+    return lateness_profile(
+        events, "event_id", "ts", delays_sec=[0, 60, 600, 3600]
     )

@@ -995,3 +995,32 @@ def test_table_checksum_is_order_invariant_and_content_sensitive(spark):
     c = spark.createDataFrame([(1, "a"), (2, "b"), (3, "d")], "k long, s string")
     cc = table_checksum(c, "t", cols()).collect()[0]
     assert cc["n_rows"] == ca["n_rows"] and cc["checksum"] != ca["checksum"]
+
+
+def test_lateness_profile_two_level_prefix_equals_direct_scan(spark):
+    """The chunked prefix-max must agree with a direct running max —
+    including across chunk boundaries (chunk=4 forces several)."""
+    import datetime as dt
+
+    from hdfs_stream_processing_spark.operators.analytics import lateness_profile
+
+    base = dt.datetime(2024, 1, 1)
+    # arrival seq 0..9; event times deliberately out of order (minutes)
+    mins = [10, 5, 20, 1, 30, 2, 25, 40, 3, 50]
+    rows = [(i, base + dt.timedelta(minutes=m)) for i, m in enumerate(mins)]
+    df = spark.createDataFrame(rows, "seq long, ts timestamp")
+    out = {
+        r["delay_sec"]: (r["n_late"], r["share"])
+        for r in lateness_profile(
+            df, "seq", "ts", delays_sec=[0, 600, 1800], chunk=4
+        ).collect()
+    }
+    # direct computation: lateness_i = max(ts[<i]) - ts[i]
+    late = []
+    run = None
+    for m in mins:
+        late.append(max(0, (run or m) - m) * 60)  # seconds
+        run = m if run is None else max(run, m)
+    for d in (0, 600, 1800):
+        n = sum(1 for s in late if s > d)
+        assert out[d] == (n, n / len(mins)), (d, out[d], late)

@@ -52,6 +52,15 @@ SLOW = [
     # embedding corpus
     "purge_keys", "corr_matrix", "stream_vocab", "regr_by_group",
     "ann_recall",
+    # round-7 capability additions with a scale story: asymmetric
+    # prefix-filtered containment, the two wedge-close graph metrics on
+    # the top-5-partner kNN graph (the density cap — the RAW co-supply
+    # projection is complete at sf0.1 and OOMs wedge enumeration at
+    # sf1; degree ≤ 2k by construction makes wedges linear in nodes),
+    # corpus-wide tf-idf, the K-lag EWMA window, and the chunked
+    # prefix-scan lateness profile
+    "containment_join", "triangle_count", "cluster_coeff",
+    "tfidf_terms", "ewma_smooth", "late_profile",
 ]
 COPIES = 10
 
