@@ -194,6 +194,8 @@ HEADLINE = [
     "markov_transitions",         # behavior transition matrix, one window
     "benford_digits",             # leading-digit fraud/corruption screen
     "late_profile",               # watermark-delay planning, chunked scan
+    "incr_checksum",              # additive checksum: old + batch delta
+    "stream_checksum",            # checksum maintained by the stream rollup
 ]
 
 

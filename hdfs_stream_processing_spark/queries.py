@@ -6807,3 +6807,109 @@ def q_late_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lateness_profile(
         events, "event_id", "ts", delays_sec=[0, 60, 600, 3600]
     )
+
+
+@query(
+    "incr_checksum",
+    """WITH h AS (
+         SELECT ('0x' || substr(md5(
+                  CAST(doc_id AS VARCHAR) || '|' || source || '|'
+                  || CAST(n_chars AS VARCHAR)
+                ), 1, 15))::UBIGINT::BIGINT AS v
+         FROM documents)
+       SELECT 'documents' AS table_name,
+              count(*) AS n_rows,
+              CAST(SUM(v) AS VARCHAR) AS checksum
+       FROM h""",
+)
+def q_incr_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained table checksum (r7): the corpus
+    checksum is updated from the maintained old value plus the NEW
+    batch's checksum — never rescanning history — because the row-hash
+    SUM is additive: checksum(corpus ∪ batch) = checksum(corpus) +
+    checksum(batch) for disjoint rows.  The Spark side computes
+    old + delta (128-bit decimal addition); the oracle recomputes the
+    FULL checksum from scratch — hash equality proves the incremental
+    maintenance converges to the ground truth, the same contract as
+    incr_rollup/incr_topk.  At 100 TB the nightly integrity stamp
+    costs one pass over the new batch."""
+    from hdfs_stream_processing_spark.operators.quality import table_checksum
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    cols = [F.col("doc_id"), F.col("source"), F.col("n_chars")]
+    corpus = documents.where(F.col("doc_id") <= 250)
+    batch = documents.where(F.col("doc_id") > 250)
+    old = table_checksum(corpus, "documents", cols)
+    delta = table_checksum(batch, "documents", cols)
+    merged = (
+        old.select(
+            "table_name",
+            F.col("n_rows").alias("_n0"),
+            F.col("checksum").cast("decimal(38,0)").alias("_c0"),
+        )
+        .join(
+            delta.select(
+                "table_name",
+                F.col("n_rows").alias("_n1"),
+                F.col("checksum").cast("decimal(38,0)").alias("_c1"),
+            ),
+            "table_name",
+        )
+        .select(
+            "table_name",
+            (F.col("_n0") + F.col("_n1")).alias("n_rows"),
+            (F.col("_c0") + F.col("_c1")).cast("decimal(38,0)").cast("string").alias("checksum"),
+        )
+    )
+    return merged
+
+
+@query(
+    "stream_checksum",
+    """WITH h AS (
+         SELECT ('0x' || substr(md5(
+                  CAST(doc_id AS VARCHAR) || '|' || source || '|'
+                  || CAST(n_chars AS VARCHAR)
+                ), 1, 15))::UBIGINT::BIGINT AS v
+         FROM documents)
+       SELECT 'documents' AS table_name,
+              count(*) AS n_rows,
+              CAST(SUM(v) AS VARCHAR) AS checksum
+       FROM h""",
+)
+def q_stream_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-maintained table checksum (r7): the integrity stamp
+    rides the SAME run_stream_rollup machinery as the exact count
+    tables and the CMS sketch — each micro-batch contributes its
+    row-hash sum (128-bit decimal), sums merge by addition under the
+    batch-id replay guard, and the maintained value must equal the
+    one-shot corpus checksum the oracle computes from scratch.  The
+    replication monitor at 100 TB: per-batch cost is batch-sized, the
+    state is one row per table, and a replayed batch cannot
+    double-count."""
+    from hdfs_stream_processing_spark.sources.io import read_table_version
+    from hdfs_stream_processing_spark.streaming import stream_parquet_source
+    from hdfs_stream_processing_spark.streaming.pipeline import run_stream_rollup
+
+    src_dir, schema = _stage_documents(spark, sf_dir)
+    stream = stream_parquet_source(spark, src_dir, schema, max_files_per_trigger=2)
+
+    def partial(df: DataFrame) -> DataFrame:
+        rendered = F.concat_ws(
+            "|",
+            F.col("doc_id").cast("string"),
+            F.col("source"),
+            F.col("n_chars").cast("string"),
+        )
+        h = F.conv(F.substring(F.md5(rendered), 1, 15), 16, 10).cast("long")
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(h.cast("decimal(38,0)")).alias("v"),
+        ).select(F.lit("documents").alias("table_name"), "n_rows", "v")
+
+    tdir = _mkdtemp("hsp_scksum_")
+    ckpt = _mkdtemp("hsp_scksum_ckpt_")
+    run_stream_rollup(stream, tdir, ckpt, ["table_name"], ["n_rows", "v"], partial)
+    return read_table_version(spark, tdir).select(
+        "table_name", "n_rows", F.col("v").cast("string").alias("checksum")
+    )
