@@ -419,7 +419,7 @@ def tfidf_top_terms(
     return (
         tf.join(dfreq, "token")
         .crossJoin(F.broadcast(n_docs))
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select(
             id_col, "token", "tf", "df", "rank",

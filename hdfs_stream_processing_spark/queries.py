@@ -5393,7 +5393,8 @@ def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dist = F.levenshtein("pfx_a", "pfx_b")
     return pairs.select(
-        "doc_a", "doc_b", dist.alias("prefix_dist"), (dist <= 5).alias("is_dup")
+        "doc_a", "doc_b", dist.cast("long").alias("prefix_dist"),
+        (dist <= 5).alias("is_dup")
     )
 
 
@@ -6433,7 +6434,8 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "wow_change",
     """WITH wk AS (
          SELECT o_orderpriority AS priority,
-                date_trunc('week', o_orderdate) AS week_start,
+                CAST(date_trunc('week', o_orderdate) AS TIMESTAMP)
+                  AS week_start,
                 SUM(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) AS cents
          FROM orders GROUP BY 1, 2),
        lagged AS (
@@ -6488,8 +6490,10 @@ def q_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
          SELECT event_type, value IS NOT NULL AS has_value,
                 count(*) AS obs
          FROM events GROUP BY 1, 2),
-       rows_ AS (SELECT event_type, SUM(obs) AS row_tot FROM cells GROUP BY 1),
-       cols_ AS (SELECT has_value, SUM(obs) AS col_tot FROM cells GROUP BY 1),
+       rows_ AS (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS row_tot
+                 FROM cells GROUP BY 1),
+       cols_ AS (SELECT has_value, CAST(SUM(obs) AS BIGINT) AS col_tot
+                 FROM cells GROUP BY 1),
        n AS (SELECT SUM(obs) AS n FROM cells),
        j AS (SELECT c.event_type, c.has_value, c.obs, r.row_tot, co.col_tot, n.n,
                     CAST(n.n AS HUGEINT) * c.obs
@@ -6650,8 +6654,8 @@ def q_cluster_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
               count(*) AS n,
               any_value(dev.med) AS med,
               any_value(mad.mad) AS mad,
-              SUM(CASE WHEN dev.adev > 5 * mad.mad THEN 1 ELSE 0 END)
-                AS n_outliers
+              CAST(SUM(CASE WHEN dev.adev > 5 * mad.mad THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_outliers
        FROM dev JOIN mad USING (event_type)
        GROUP BY dev.event_type""",
 )
@@ -6782,8 +6786,8 @@ def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM b),
        l AS (SELECT greatest(COALESCE(pmax - mu, 0), 0) AS late_us FROM r)
        SELECT CAST(d.delay_sec AS BIGINT) AS delay_sec,
-              SUM(CASE WHEN late_us > CAST(d.delay_sec AS BIGINT) * 1000000
-                       THEN 1 ELSE 0 END) AS n_late,
+              CAST(SUM(CASE WHEN late_us > CAST(d.delay_sec AS BIGINT) * 1000000
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
               CAST(SUM(CASE WHEN late_us > CAST(d.delay_sec AS BIGINT) * 1000000
                             THEN 1 ELSE 0 END) AS DOUBLE)
                 / CAST(count(*) AS DOUBLE) AS share

@@ -633,8 +633,10 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "priority_lateness",
     """SELECT o_orderpriority,
-              SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS n_late,
-              SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 0 ELSE 1 END) AS n_ontime
+              CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+              CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                            THEN 0 ELSE 1 END) AS BIGINT) AS n_ontime
        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
          AND l_shipdate <  TIMESTAMP '1998-01-01'
