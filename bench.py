@@ -196,6 +196,7 @@ HEADLINE = [
     "late_profile",               # watermark-delay planning, chunked scan
     "incr_checksum",              # additive checksum: old + batch delta
     "stream_checksum",            # checksum maintained by the stream rollup
+    "calendar_rollup",            # zero-filled dense date-spine rollup
 ]
 
 

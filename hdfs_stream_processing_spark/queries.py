@@ -6917,3 +6917,63 @@ def q_stream_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table_version(spark, tdir).select(
         "table_name", "n_rows", F.col("v").cast("string").alias("checksum")
     )
+
+
+@query(
+    "calendar_rollup",
+    """WITH b AS (SELECT min(CAST(o_orderdate AS DATE)) AS d0,
+                         max(CAST(o_orderdate AS DATE)) AS d1 FROM orders),
+       spine AS (SELECT CAST(unnest(generate_series(d0, d1,
+                              INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+       pris AS (SELECT DISTINCT o_orderpriority AS priority FROM orders),
+       daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                        o_orderpriority AS priority,
+                        SUM(CAST(round(o_totalprice * 100.0, 0) AS BIGINT))
+                          AS cents
+                 FROM orders GROUP BY 1, 2)
+       SELECT spine.day, pris.priority,
+              CAST(COALESCE(daily.cents, 0) AS BIGINT) AS cents,
+              CAST(COALESCE(daily.cents, 0) AS DOUBLE) / 100.0 AS revenue
+       FROM spine CROSS JOIN pris
+       LEFT JOIN daily ON daily.day = spine.day
+                      AND daily.priority = pris.priority""",
+)
+def q_calendar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense calendar rollup (r7): daily revenue per priority on a
+    COMPLETE date spine — every calendar day in the span present, zero
+    where no orders landed (the BI-dashboard contract gap-charts need;
+    gapfill_locf/interp carry values forward, this one materializes
+    true zeros).  The spine is sequence() over the min/max bounds (one
+    broadcast row), cross-joined with the tiny priority dim — spine
+    size is calendar-bounded, never data-bounded, so the zero-fill
+    costs the same at 100 TB as at 100 MB; the daily agg partial-
+    aggregates map-side."""
+    (orders,) = prep(spark, sf_dir, "orders")
+    day = F.to_date("o_orderdate")
+    bounds = orders.agg(
+        F.min(day).alias("d0"), F.max(day).alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    pris = orders.select(
+        F.col("o_orderpriority").alias("priority")
+    ).distinct()
+    daily = orders.groupBy(
+        day.alias("day"), F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * F.lit(100.0), 0).cast("long")
+        ).alias("cents")
+    )
+    return (
+        spine.crossJoin(F.broadcast(pris))
+        .join(daily, ["day", "priority"], "left")
+        .select(
+            "day", "priority",
+            F.coalesce(F.col("cents"), F.lit(0)).cast("long").alias("cents"),
+            (
+                F.coalesce(F.col("cents"), F.lit(0)).cast("double") / F.lit(100.0)
+            ).alias("revenue"),
+        )
+    )

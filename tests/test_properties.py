@@ -448,3 +448,33 @@ def test_containment_prefix_join_equals_brute_force(spark, probe, index, t):
             if t_den * inter >= t_num * len(av) and inter > 0:
                 brute[(a, b)] = round(inter / len(av), 12)
     assert got == brute
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=40),
+    st.sampled_from([1, 2, 4, 7]),
+)
+def test_lateness_chunked_prefix_equals_direct_any_sequence(spark, minutes, chunk):
+    """The two-level chunked prefix max must equal the direct running
+    max for EVERY arrival sequence and chunk size — chunk boundaries,
+    single-element chunks, and all-in-order sequences included."""
+    import datetime as dt
+
+    from hdfs_stream_processing_spark.operators.analytics import lateness_profile
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base + dt.timedelta(minutes=m)) for i, m in enumerate(minutes)]
+    df = spark.createDataFrame(rows, "seq long, ts timestamp")
+    delays = [0, 300, 3600]
+    got = {
+        r["delay_sec"]: r["n_late"]
+        for r in lateness_profile(df, "seq", "ts", delays, chunk=chunk).collect()
+    }
+    run = None
+    late = []
+    for m in minutes:
+        late.append(max(0, ((run if run is not None else m) - m)) * 60)
+        run = m if run is None else max(run, m)
+    for d in delays:
+        assert got[d] == sum(1 for s in late if s > d), (chunk, minutes)
