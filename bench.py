@@ -197,6 +197,7 @@ HEADLINE = [
     "incr_checksum",              # additive checksum: old + batch delta
     "stream_checksum",            # checksum maintained by the stream rollup
     "calendar_rollup",            # zero-filled dense date-spine rollup
+    "dedup_keep_quality",         # policy-based dedup survivor selection
 ]
 
 

@@ -24,7 +24,7 @@ computing (the classic iterative-Spark trap).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -390,3 +390,36 @@ def clustering_coefficient(
             ).alias("coeff"),
         )
     )
+
+
+def cluster_representatives_by(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str,
+    order_cols: list,
+) -> DataFrame:
+    """Keep one row per duplicate cluster, chosen by a POLICY instead
+    of the min id: the cluster member ranking first under
+    ``order_cols`` (e.g. ``[F.col("n_chars").desc(), F.col(id).asc()]``
+    = keep the longest duplicate, a standard corpus-curation policy —
+    the min-id variant keeps whichever copy crawled first, which is
+    often the truncated one).  The final order column must totalize
+    (include the id) or the survivor is partition-order arbitrary.
+    Rows not in any cluster pass through untouched.
+
+    One ranking window keyed by component (clusters are small by
+    construction), no extra shuffle beyond the label join.
+    """
+    clustered = df.join(components, on=df[id_col] == components["id"], how="left")
+    # split BEFORE the window: unclustered rows pass through untouched —
+    # ranking them would put every null-component row in ONE window
+    # partition (the classic skew trap)
+    untouched = clustered.where(F.col("component").isNull()).drop("id", "component")
+    w = Window.partitionBy("component").orderBy(*order_cols)
+    survivors = (
+        clustered.where(F.col("component").isNotNull())
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .drop("id", "component", "_rk")
+    )
+    return untouched.unionByName(survivors)

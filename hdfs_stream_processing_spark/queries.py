@@ -6977,3 +6977,52 @@ def q_calendar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+@query(
+    "dedup_keep_quality",
+    f"""{_PAIRS_SQL},
+       edges(u, v) AS (SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+       reach(id, r) AS (
+         SELECT u, u FROM edges
+         UNION
+         SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+       comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+       ranked AS (
+         SELECT d.doc_id, d.lang, d.source, comp.id AS cid,
+                row_number() OVER (PARTITION BY comp.component
+                                   ORDER BY d.n_chars DESC, d.doc_id ASC) AS rk
+         FROM documents d JOIN comp ON d.doc_id = comp.id)
+       SELECT d.doc_id, d.lang, d.source FROM documents d
+       LEFT JOIN comp ON d.doc_id = comp.id
+       WHERE comp.id IS NULL
+       UNION ALL
+       SELECT doc_id, lang, source FROM ranked WHERE rk = 1""",
+)
+def q_dedup_keep_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-based dedup survivor selection (r7): same pairs →
+    components chain as `dedup_keep`, but each cluster keeps its
+    LONGEST member (n_chars DESC, doc_id tiebreak) instead of the min
+    id — the curation policy an LLM corpus actually wants (min-id keeps
+    whichever copy crawled first, often the truncated one).  One
+    ranking window keyed by component; unclustered rows bypass the
+    window entirely (the null-component skew trap)."""
+    from hdfs_stream_processing_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature_wide,
+    )
+    from hdfs_stream_processing_spark.operators.graph import (
+        cluster_representatives_by,
+        connected_components,
+    )
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    sig = minhash_signature_wide(documents, "doc_id", "text", num_hashes=8, shingle_n=2)
+    pairs = lsh_candidate_pairs(sig, "doc_id", num_hashes=8, band_size=2, wide=True)
+    comp = connected_components(pairs)
+    return cluster_representatives_by(
+        documents.select("doc_id", "lang", "source", "n_chars"),
+        comp,
+        "doc_id",
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+    ).drop("n_chars")

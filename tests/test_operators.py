@@ -1024,3 +1024,30 @@ def test_lateness_profile_two_level_prefix_equals_direct_scan(spark):
     for d in (0, 600, 1800):
         n = sum(1 for s in late if s > d)
         assert out[d] == (n, n / len(mins)), (d, out[d], late)
+
+
+def test_cluster_representatives_by_policy_and_bypass(spark):
+    """Survivor = first under the policy order (longest, id tiebreak);
+    unclustered rows pass through without entering the window."""
+    from pyspark.sql import functions as F
+
+    from hdfs_stream_processing_spark.operators.graph import (
+        cluster_representatives_by,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (9, 5)], ["doc_id", "n_chars"]
+    )
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], ["id", "component"]
+    )
+    out = sorted(
+        r["doc_id"]
+        for r in cluster_representatives_by(
+            docs, comp, "doc_id",
+            [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        ).collect()
+    )
+    # cluster {1,2,3}: 2 and 3 tie on n_chars, id tiebreak keeps 2;
+    # 9 unclustered, survives
+    assert out == [2, 9]
