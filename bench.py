@@ -198,6 +198,8 @@ HEADLINE = [
     "stream_checksum",            # checksum maintained by the stream rollup
     "calendar_rollup",            # zero-filled dense date-spine rollup
     "dedup_keep_quality",         # policy-based dedup survivor selection
+    "lm_score",                   # unigram LM scoring in integer micro-nats
+    "psi_drift",                  # PSI drift cells from exact counts
 ]
 
 

@@ -7026,3 +7026,138 @@ def q_dedup_keep_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         [F.col("n_chars").desc(), F.col("doc_id").asc()],
     ).drop("n_chars")
+
+
+@query(
+    "lm_score",
+    """WITH tok AS (SELECT doc_id,
+                           unnest(string_split(lower(text), ' ')) AS token
+                    FROM documents),
+       tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+       corpus_tok AS (SELECT token FROM tok2 WHERE doc_id <= 250),
+       cnt AS (SELECT token, count(*) AS c FROM corpus_tok GROUP BY token),
+       nv AS (SELECT (SELECT count(*) FROM corpus_tok) AS total,
+                     (SELECT count(*) FROM cnt) AS vocab),
+       terms AS (
+         SELECT t.doc_id,
+                CAST(round(ln(CAST(COALESCE(cnt.c, 0) + 1 AS DOUBLE)
+                              / CAST(nv.total + nv.vocab + 1 AS DOUBLE))
+                           * 1000000.0, 0) AS BIGINT) AS micro_nats
+         FROM tok2 t LEFT JOIN cnt USING (token) CROSS JOIN nv)
+       SELECT doc_id,
+              count(*) AS n_tokens,
+              CAST(SUM(micro_nats) AS BIGINT) AS sum_micro_nats,
+              CAST(SUM(micro_nats) AS DOUBLE)
+                / (CAST(count(*) AS DOUBLE) * 1000000.0) AS avg_logprob
+       FROM terms GROUP BY doc_id""",
+)
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring (r7): every document's average
+    token log-probability under the corpus (doc_id ≤ 250) unigram LM
+    with Laplace smoothing — the perplexity-style quality filter LLM
+    pipelines run at ingest (low avg_logprob = gibberish / off-corpus).
+    The engine-portability trick: each token's log-prob is ROUNDED TO
+    INTEGER MICRO-NATS before aggregation, so the per-doc sum is exact
+    integer arithmetic — no float summation order crosses engines, and
+    only the final division is a double.  One count shuffle over the
+    corpus, one broadcast lookup join, one per-doc aggregate."""
+    (documents,) = prep(spark, sf_dir, "documents")
+    tok = documents.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    ).where(F.col("token") != "")
+    corpus_tok = tok.where(F.col("doc_id") <= 250).select("token")
+    cnt = corpus_tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    nv = corpus_tok.agg(F.count(F.lit(1)).alias("total")).crossJoin(
+        cnt.agg(F.count(F.lit(1)).alias("vocab"))
+    )
+    terms = (
+        tok.join(F.broadcast(cnt), "token", "left")
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1)).cast("double")
+                    / (F.col("total") + F.col("vocab") + F.lit(1)).cast("double")
+                )
+                * F.lit(1000000.0),
+                0,
+            ).cast("long").alias("micro_nats"),
+        )
+    )
+    return terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("micro_nats").alias("sum_micro_nats"),
+        (
+            F.sum("micro_nats").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(1000000.0))
+        ).alias("avg_logprob"),
+    )
+
+
+@query(
+    "psi_drift",
+    """WITH c AS (SELECT CAST(round(value * 100.0, 0) AS BIGINT) AS cents,
+                         ts < TIMESTAMP '2024-01-16 00:00:00' AS is_ref
+                  FROM events WHERE value IS NOT NULL),
+       b AS (SELECT min(cents) AS lo, max(cents) AS hi FROM c),
+       binned AS (
+         SELECT CAST(least(((c.cents - b.lo) * 10) // (b.hi - b.lo + 1), 9)
+                     AS BIGINT) AS bin,
+                is_ref
+         FROM c CROSS JOIN b),
+       cells AS (
+         SELECT bin,
+                CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+                CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+         FROM binned GROUP BY bin),
+       tot AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+                      CAST(SUM(n_cur) AS BIGINT) AS t_cur,
+                      CAST(count(*) AS BIGINT) AS k
+               FROM cells)
+       SELECT bin, n_ref, n_cur,
+              round((CAST(n_ref + 1 AS DOUBLE) / CAST(t_ref + k AS DOUBLE)
+                     - CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur + k AS DOUBLE))
+                    * ln((CAST(n_ref + 1 AS DOUBLE) / CAST(t_ref + k AS DOUBLE))
+                         / (CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur + k AS DOUBLE))),
+                    6) AS psi_contrib
+       FROM cells CROSS JOIN tot""",
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift cells (r7): the value
+    distribution of the first half-month (reference) vs the second
+    (current), 10 equi-width bins over the exact global range, Laplace
+    +1 smoothing so empty bins stay finite.  Per-bin
+    (share_ref − share_cur)·ln(share_ref/share_cur) from exact integer
+    counts, rounded once — the model-ops drift gate for training-data
+    refreshes (PSI > 0.2 = retrain); the scalar PSI is the sum of
+    ``psi_contrib``, left to the reader so no float summation order
+    crosses engines (same contract as chisq_assoc).  Two aggregate
+    passes + broadcast bounds."""
+    (events,) = prep(spark, sf_dir, "events")
+    c = events.where(F.col("value").isNotNull()).select(
+        F.round(F.col("value") * F.lit(100.0), 0).cast("long").alias("cents"),
+        (F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")).alias("is_ref"),
+    )
+    b = c.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    binned = c.crossJoin(F.broadcast(b)).select(
+        F.least(
+            F.expr("((cents - lo) * 10) div (hi - lo + 1)"), F.lit(9)
+        ).cast("long").alias("bin"),
+        "is_ref",
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
+    )
+    tot = cells.agg(
+        F.sum("n_ref").alias("t_ref"),
+        F.sum("n_cur").alias("t_cur"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    p = (F.col("n_ref") + 1).cast("double") / (F.col("t_ref") + F.col("k")).cast("double")
+    q = (F.col("n_cur") + 1).cast("double") / (F.col("t_cur") + F.col("k")).cast("double")
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "bin", "n_ref", "n_cur",
+        F.round((p - q) * F.log(p / q), 6).alias("psi_contrib"),
+    )
