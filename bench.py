@@ -200,6 +200,8 @@ HEADLINE = [
     "dedup_keep_quality",         # policy-based dedup survivor selection
     "lm_score",                   # unigram LM scoring in integer micro-nats
     "psi_drift",                  # PSI drift cells from exact counts
+    "interval_peak",              # sweep-line peak interval concurrency
+    "hybrid_rrf",                 # BM25 ∪ vector-cosine RRF fusion
 ]
 
 

@@ -7161,3 +7161,160 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bin", "n_ref", "n_cur",
         F.round((p - q) * F.log(p / q), 6).alias("psi_contrib"),
     )
+
+
+@query(
+    "interval_peak",
+    """WITH ends AS (
+         SELECT l_orderkey, CAST(max(l_shipdate) AS DATE) + 1 AS close_day
+         FROM lineitem GROUP BY l_orderkey),
+       iv AS (
+         SELECT n.n_name, CAST(o.o_orderdate AS DATE) AS open_day, e.close_day
+         FROM orders o
+         JOIN ends e ON o.o_orderkey = e.l_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey),
+       deltas AS (
+         SELECT n_name, open_day AS day, 1 AS net FROM iv
+         UNION ALL
+         SELECT n_name, close_day AS day, -1 AS net FROM iv),
+       net AS (
+         SELECT n_name, day, CAST(SUM(net) AS BIGINT) AS net
+         FROM deltas GROUP BY n_name, day),
+       run AS (
+         SELECT n_name, day,
+                SUM(net) OVER (PARTITION BY n_name ORDER BY day
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+         FROM net),
+       peak AS (SELECT n_name, MAX(running) AS peak FROM run GROUP BY n_name)
+       SELECT r.n_name, CAST(p.peak AS BIGINT) AS peak, MIN(r.day) AS peak_day
+       FROM run r JOIN peak p ON r.n_name = p.n_name AND r.running = p.peak
+       GROUP BY r.n_name, p.peak""",
+)
+def q_interval_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak concurrency (r7): per customer nation, the max
+    number of simultaneously OPEN orders (open = o_orderdate, close =
+    day after the order's last lineitem shipment, end-exclusive) and
+    the first day that peak is reached.  The interval-overlap staple
+    (max concurrent sessions / in-flight shipments / active users)
+    that windowed aggregation alone can't answer.
+
+    Plan shape: lineitem collapses to per-order close days (map-side
+    partial max), one equi-join chain to tag nations (nation
+    broadcast), then :func:`interval_peak` — day-level net deltas via
+    grouped agg, running sum over the calendar-bounded spine.  No
+    window ever sees a data-sized partition; see the operator docstring
+    for the 100 TB argument."""
+    from hdfs_stream_processing_spark.operators.temporal import interval_peak
+
+    orders, lineitem, customer, nation = prep(
+        spark, sf_dir, "orders", "lineitem", "customer", "nation"
+    )
+    ends = lineitem.groupBy("l_orderkey").agg(
+        F.date_add(F.to_date(F.max("l_shipdate")), 1).alias("close_day")
+    )
+    iv = (
+        orders.join(ends, orders.o_orderkey == ends.l_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name"),
+            F.to_date("o_orderdate").alias("open_day"),
+            F.col("close_day"),
+        )
+    )
+    return interval_peak(iv, "n_name", "open_day", "close_day")
+
+
+def _rrf_oracle(terms: list[str], list_n: int, top_n: int, k_rrf: int) -> str:
+    from hdfs_stream_processing_spark.operators.text import bm25_score_expr
+
+    tf_cols = ",\n                ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n                ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(terms))
+    )
+    quant = _QUANT_SQL.format(col="embedding")
+    return f"""
+WITH base AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+     d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+                {tf_cols}
+           FROM base),
+     g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl,
+                {df_cols}
+           FROM d),
+     s AS (SELECT doc_id, {bm25_score_expr(len(terms))} AS score FROM d, g),
+     lex AS (SELECT doc_id, r AS lex_rank FROM (
+               SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r
+               FROM s) WHERE r <= {list_n}),
+     qs AS (SELECT {quant} AS qv FROM embeddings WHERE vec_id = 0),
+     cs AS (SELECT vec_id AS doc_id, {quant} AS cv FROM embeddings WHERE vec_id <> 0),
+     vsc AS (SELECT c.doc_id,
+                    CAST(list_sum(list_transform(list_zip(q.qv, c.cv), p -> p[1] * p[2])) AS DOUBLE)
+                    / (sqrt(CAST(list_sum(list_transform(q.qv, x -> x * x)) AS DOUBLE))
+                       * sqrt(CAST(list_sum(list_transform(c.cv, x -> x * x)) AS DOUBLE))) AS cosine
+             FROM cs c CROSS JOIN qs q),
+     vec AS (SELECT doc_id, r AS vec_rank FROM (
+               SELECT doc_id, CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT) AS r
+               FROM vsc) WHERE r <= {list_n}),
+     fused AS (
+       SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+              COALESCE(1.0 / ({k_rrf} + l.lex_rank), 0.0)
+              + COALESCE(1.0 / ({k_rrf} + v.vec_rank), 0.0) AS rrf
+       FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
+SELECT doc_id, lex_rank, vec_rank, round(rrf, 9) AS rrf, fused_rank FROM (
+  SELECT doc_id, lex_rank, vec_rank, rrf,
+         CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS fused_rank
+  FROM fused)
+WHERE fused_rank <= {top_n}"""
+
+
+@query("hybrid_rrf", _rrf_oracle(_BM25_TERMS, list_n=50, top_n=20, k_rrf=60))
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (r7): fuse a lexical
+    BM25 top-50 (3-term query over documents.text) with a vector
+    top-50 (exact quantized cosine to doc 0's embedding — documents
+    and embeddings are 1:1 on id) as score = Σ 1/(60 + rank), the
+    standard RRF that modern hybrid search (lexical ∪ ANN) ships.
+    Both input rankings are bit-exact across engines (BM25's shared
+    integer-stats expression tree; the quantized-integer cosine), and
+    the fused score is two IEEE doubles added in a fixed order — so
+    even the FUSED ranking is engine-identical.
+
+    Plan shape: the two branches are independent (corpus scanned once
+    each, no shuffle beyond their own top-k windows); the fusion joins
+    two ≤50-row lists — driver-free, broadcast-trivial at any corpus
+    size.  At 100 TB the vector branch is the one you'd swap for the
+    IVF probe (similarity_ivf) — the fusion layer is unchanged."""
+    from pyspark.sql import Window
+
+    from hdfs_stream_processing_spark.operators.similarity import similarity_topk
+    from hdfs_stream_processing_spark.operators.text import bm25_rank
+
+    documents, embeddings = prep(spark, sf_dir, "documents", "embeddings")
+    lex = bm25_rank(documents, "doc_id", "text", _BM25_TERMS, top_n=50).select(
+        "doc_id", F.col("rank").cast("long").alias("lex_rank")
+    )
+    vec = similarity_topk(
+        embeddings, "vec_id", "embedding",
+        queries_filter=F.col("vec_id") == 0, k=50,
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank").cast("long").alias("vec_rank"))
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id", "lex_rank", "vec_rank",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("vec_rank")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    w = Window.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .where(F.col("fused_rank") <= 20)
+        .select(
+            "doc_id", "lex_rank", "vec_rank",
+            F.round("rrf", 9).alias("rrf"), "fused_rank",
+        )
+    )

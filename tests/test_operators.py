@@ -1051,3 +1051,52 @@ def test_cluster_representatives_by_policy_and_bypass(spark):
     # cluster {1,2,3}: 2 and 3 tie on n_chars, id tiebreak keeps 2;
     # 9 unclustered, survives
     assert out == [2, 9]
+
+
+def test_interval_peak_end_exclusive_and_first_day(spark):
+    """Sweep-line semantics: an interval closing on day D does not
+    overlap one opening on day D (end-exclusive); peak is the max
+    concurrency; peak_day is the FIRST day the peak is reached; a
+    brute-force day-by-day count agrees."""
+    import datetime as dt
+
+    from hdfs_stream_processing_spark.operators.temporal import interval_peak
+
+    d = lambda n: dt.date(2024, 1, 1) + dt.timedelta(days=n)
+    # group "a": [0,3) [1,4) [2,5) -> peak 3 on day 2; [3,6) opens the
+    # day [0,3) closes -> still 3 (end-exclusive; would be 4 inclusive)
+    # group "b": [0,2) [5,7) never overlap -> peak 1 on day 0
+    rows = [
+        ("a", d(0), d(3)), ("a", d(1), d(4)), ("a", d(2), d(5)),
+        ("a", d(3), d(6)),
+        ("b", d(0), d(2)), ("b", d(5), d(7)),
+    ]
+    df = spark.createDataFrame(rows, "g string, s date, e date")
+    got = {
+        r["g"]: (r["peak"], r["peak_day"])
+        for r in interval_peak(df, "g", "s", "e").collect()
+    }
+    # brute force: count open intervals per day
+    for g in ("a", "b"):
+        iv = [(s, e) for gg, s, e in rows if gg == g]
+        days = [d(n) for n in range(0, 8)]
+        counts = [(day, sum(1 for s, e in iv if s <= day < e)) for day in days]
+        peak = max(c for _, c in counts)
+        first = min(day for day, c in counts if c == peak)
+        assert got[g] == (peak, first), (g, got[g], counts)
+    assert got["a"][0] == 3  # end-exclusive: NOT 4
+
+
+def test_interval_peak_reserved_column_guard(spark):
+    import datetime as dt
+
+    from hdfs_stream_processing_spark.operators.temporal import interval_peak
+
+    df = spark.createDataFrame(
+        [("a", dt.date(2024, 1, 1), dt.date(2024, 1, 2), 1)],
+        "g string, s date, e date, peak int",
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="reserved"):
+        interval_peak(df, "g", "s", "e")

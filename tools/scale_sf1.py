@@ -61,6 +61,15 @@ SLOW = [
     # prefix-scan lateness profile
     "containment_join", "triangle_count", "cluster_coeff",
     "tfidf_terms", "ewma_smooth", "late_profile",
+    # late round-7: sweep-line peak concurrency (day-net agg is
+    # calendar-bounded — the window never sees data-sized partitions),
+    # hybrid RRF (the vector branch scans the ×10 corpus; fusion layer
+    # is list-sized), unigram LM scoring (×10 token explode against the
+    # bounded copy-0 corpus model), PSI drift cells (×10 events into 10
+    # fixed bins), policy-based dedup survivors (per-copy component
+    # graphs), dense calendar rollup (spine is calendar-bounded)
+    "interval_peak", "hybrid_rrf", "lm_score", "psi_drift",
+    "dedup_keep_quality", "calendar_rollup",
 ]
 COPIES = 10
 
