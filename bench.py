@@ -202,6 +202,9 @@ HEADLINE = [
     "psi_drift",                  # PSI drift cells from exact counts
     "interval_peak",              # sweep-line peak interval concurrency
     "hybrid_rrf",                 # BM25 ∪ vector-cosine RRF fusion
+    "rolling_actives",            # sliding 7-day COUNT DISTINCT via explode
+    "stream_actives",             # maintained (day,user) presence table
+    "golden_record",              # per-attribute survivorship merge
 ]
 
 

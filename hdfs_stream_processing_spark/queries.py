@@ -7318,3 +7318,215 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rrf", 9).alias("rrf"), "fused_rank",
         )
     )
+
+
+@query(
+    "rolling_actives",
+    """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+       b AS (SELECT max(day) AS d1 FROM du),
+       contrib AS (
+         SELECT du.user_id, du.day + CAST(x.x AS INTEGER) AS day
+         FROM du CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS x) x)
+       SELECT c.day, CAST(count(DISTINCT c.user_id) AS BIGINT) AS actives_7d
+       FROM contrib c CROSS JOIN b
+       WHERE c.day <= b.d1
+       GROUP BY c.day""",
+)
+def q_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day (r7) — the sliding
+    COUNT DISTINCT that plain windowed aggregation cannot express
+    (distinct is not decomposable across overlapping windows; a
+    rows-between frame would double-count users active on two days).
+
+    The exact distributed shape: dedup events to (day, user) FIRST
+    (map-side partial distinct — the only pass over the raw table),
+    then explode each daily-active pair into the 7 window days it
+    contributes to and count distinct per window day.  The 7× fanout
+    applies to the DAILY-DISTINCT table (|days| × |users| worst case),
+    never to raw events — at 100 TB of events the exploded table is
+    orders of magnitude smaller than the input.  The approximate path
+    at extreme user counts is per-day HLL registers merged across the
+    7-day window (operators/sketch.py::hll_registers are mergeable by
+    construction); this query keeps the exact contract.  Trailing
+    window days past the data's max day are clipped (one broadcast
+    scalar), so every output day has a full-or-partial-leading window,
+    same rule both engines."""
+    (events,) = prep(spark, sf_dir, "events")
+    du = events.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    bounds = du.agg(F.max("day").alias("d1"))
+    contrib = du.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("x"),
+        "day",
+    ).select("user_id", F.expr("date_add(day, x)").alias("day"))
+    return (
+        contrib.crossJoin(F.broadcast(bounds))
+        .where(F.col("day") <= F.col("d1"))
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").cast("long").alias("actives_7d"))
+    )
+
+
+@query(
+    "stream_actives",
+    """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+       b AS (SELECT max(day) AS d1 FROM du),
+       contrib AS (
+         SELECT du.user_id, du.day + CAST(x.x AS INTEGER) AS day
+         FROM du CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS x) x)
+       SELECT c.day, CAST(count(DISTINCT c.user_id) AS BIGINT) AS actives_7d
+       FROM contrib c CROSS JOIN b
+       WHERE c.day <= b.d1
+       GROUP BY c.day""",
+)
+def q_stream_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-maintained rolling 7-day actives: the (day, user)
+    presence table is additive — each micro-batch contributes its
+    batch-local daily-active counts, merged by addition behind
+    run_stream_rollup's replay guard — so the sliding COUNT DISTINCT
+    stays answerable without ever re-scanning event history.  The
+    on-demand read does the same bounded 7-day explode as the batch
+    query (`rolling_actives`) over the maintained presence table, and
+    must equal the from-scratch answer over the whole corpus.
+
+    Scale: per batch the shuffle is batch-sized; stored state is
+    |days| × |active users| presence rows (grows with coverage, not
+    with event volume); a replayed batch cannot double-create
+    presence.  The extreme-cardinality fallback is per-day HLL
+    registers (mergeable across both batches and window days)."""
+    from hdfs_stream_processing_spark.sources.io import read_table_version
+    from hdfs_stream_processing_spark.streaming import stream_parquet_source
+    from hdfs_stream_processing_spark.streaming.pipeline import run_stream_rollup
+
+    src_dir, schema = _stage_events(spark, sf_dir)
+    stream = stream_parquet_source(spark, src_dir, schema, max_files_per_trigger=2)
+
+    def partial(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.to_date("ts").alias("day"), "user_id")
+            .groupBy("day", "user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    tdir = _mkdtemp("hsp_sact_")
+    ckpt = _mkdtemp("hsp_sact_ckpt_")
+    run_stream_rollup(stream, tdir, ckpt, ["day", "user_id"], ["n"], partial)
+    du = read_table_version(spark, tdir).select("day", "user_id")
+    bounds = du.agg(F.max("day").alias("d1"))
+    contrib = du.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("x"),
+        "day",
+    ).select("user_id", F.expr("date_add(day, x)").alias("day"))
+    return (
+        contrib.crossJoin(F.broadcast(bounds))
+        .where(F.col("day") <= F.col("d1"))
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").cast("long").alias("actives_7d"))
+    )
+
+
+@query(
+    "golden_record",
+    f"""{_PAIRS_SQL},
+       edges(u, v) AS (SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+       reach(id, r) AS (
+         SELECT u, u FROM edges
+         UNION
+         SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+       comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+       m AS (SELECT d.doc_id, d.lang, d.source, d.n_chars, comp.component
+             FROM documents d JOIN comp ON d.doc_id = comp.id),
+       surv AS (SELECT component, doc_id AS survivor_id, n_chars FROM (
+                  SELECT component, doc_id, n_chars,
+                         row_number() OVER (PARTITION BY component
+                                            ORDER BY n_chars DESC, doc_id ASC) AS rk
+                  FROM m) WHERE rk = 1),
+       lc AS (SELECT component, lang, count(*) AS c FROM m GROUP BY component, lang),
+       lp AS (SELECT component, lang FROM (
+                SELECT component, lang,
+                       row_number() OVER (PARTITION BY component
+                                          ORDER BY c DESC, lang ASC) AS rk
+                FROM lc) WHERE rk = 1),
+       sc AS (SELECT component, source, count(*) AS c FROM m GROUP BY component, source),
+       sp AS (SELECT component, source FROM (
+                SELECT component, source,
+                       row_number() OVER (PARTITION BY component
+                                          ORDER BY c DESC, source ASC) AS rk
+                FROM sc) WHERE rk = 1)
+       SELECT s.component AS cluster_id, s.survivor_id, lp.lang, sp.source,
+              CAST(s.n_chars AS BIGINT) AS n_chars
+       FROM surv s JOIN lp ON s.component = lp.component
+                   JOIN sp ON s.component = sp.component
+       UNION ALL
+       SELECT d.doc_id AS cluster_id, d.doc_id AS survivor_id, d.lang,
+              d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+       FROM documents d LEFT JOIN comp ON d.doc_id = comp.id
+       WHERE comp.id IS NULL""",
+)
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MDM-style golden-record survivorship (r7): near-dup clusters
+    (same MinHash-LSH pairs → connected components as dedup_clusters)
+    merge to ONE record with PER-ATTRIBUTE rules — the body comes from
+    the longest member (n_chars DESC, doc_id tiebreak), lang and
+    source are each the cluster's most frequent value (count DESC,
+    value ASC) — unlike dedup_keep_quality, which keeps one member
+    wholesale.  Unclustered rows bypass every window (the
+    null-component skew trap) and pass through as their own golden
+    record.
+
+    Scale: three component-keyed aggregations/windows over the
+    CLUSTERED subset only (near-dup members, a small fraction of the
+    corpus); attribute vote tables are |clusters| × |distinct values|.
+    Nothing touches unclustered corpus rows beyond the pairs
+    anti-join."""
+    from pyspark.sql import Window
+
+    from hdfs_stream_processing_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature_wide,
+    )
+    from hdfs_stream_processing_spark.operators.graph import connected_components
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    docs = documents.select("doc_id", "lang", "source", "n_chars")
+    sig = minhash_signature_wide(documents, "doc_id", "text", num_hashes=8, shingle_n=2)
+    pairs = lsh_candidate_pairs(sig, "doc_id", num_hashes=8, band_size=2, wide=True)
+    comp = connected_components(pairs)
+    m = docs.join(comp, docs.doc_id == comp.id).select(
+        "component", "doc_id", "lang", "source", "n_chars"
+    ).localCheckpoint(eager=False)
+    ws = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    surv = (
+        m.withColumn("rk", F.row_number().over(ws))
+        .where(F.col("rk") == 1)
+        .select("component", F.col("doc_id").alias("survivor_id"), "n_chars")
+    )
+
+    def vote(col: str) -> DataFrame:
+        cnt = m.groupBy("component", col).agg(F.count(F.lit(1)).alias("c"))
+        wv = Window.partitionBy("component").orderBy(
+            F.col("c").desc(), F.col(col).asc()
+        )
+        return (
+            cnt.withColumn("rk", F.row_number().over(wv))
+            .where(F.col("rk") == 1)
+            .select("component", col)
+        )
+
+    golden = (
+        surv.join(vote("lang"), "component")
+        .join(vote("source"), "component")
+        .select(
+            F.col("component").alias("cluster_id"), "survivor_id",
+            "lang", "source", F.col("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+    passthrough = docs.join(comp, docs.doc_id == comp.id, "left_anti").select(
+        F.col("doc_id").alias("cluster_id"),
+        F.col("doc_id").alias("survivor_id"),
+        "lang", "source", F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    return golden.unionByName(passthrough)
