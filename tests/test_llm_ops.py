@@ -910,3 +910,31 @@ def test_embed_quantize_range_and_extremes(spark):
     bad = stats.where((F.col("lo") != -128) | (F.col("hi") != 127)).count()
     assert bad == 0
     assert out.where((F.col("q8") < -128) | (F.col("q8") > 127)).count() == 0
+
+
+def test_connected_components_driver_and_distributed_agree(spark):
+    """The adaptive small-graph path (driver union-find) and the
+    distributed star-contraction loop are the same exact fixpoint —
+    force BOTH paths over the same random-ish graph (self-loops,
+    isolated-by-self-loop vertices, a chain, a clique, duplicate and
+    reversed edges) and require identical labelings."""
+    from hdfs_stream_processing_spark.operators.graph import connected_components
+
+    pairs = (
+        [(i, i + 1) for i in range(0, 12)]          # chain 0..12
+        + [(20, 21), (21, 22), (22, 20), (20, 22)]  # clique w/ dup edge
+        + [(30, 30), (31, 31)]                      # self-loop-only nodes
+        + [(40, 41), (41, 40)]                      # reversed duplicate
+    )
+    edges = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+    via_driver = {
+        r["id"]: r["component"]
+        for r in connected_components(edges).collect()  # default: driver path
+    }
+    via_loop = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, driver_max_edges=0).collect()
+    }
+    assert via_driver == via_loop
+    assert via_driver[12] == 0 and via_driver[22] == 20
+    assert via_driver[30] == 30 and via_driver[41] == 40
