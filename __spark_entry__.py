@@ -64,9 +64,13 @@ _VERIFY_FIRST = [
     "ewma_smooth", "tfidf_terms", "containment_join", "triangle_count",
     "wow_change", "chisq_assoc", "table_checksum", "cluster_coeff",
     "mad_outliers", "markov_transitions", "benford_digits",
-    # padding: long-green §2-core rows (driver-green since r2–r5)
-    "multi_join", "top_k", "union_rooms", "sort_by_ts", "group_agg",
-    "window_rank",
+    # late round-7 registrations (GATE_r07-green in both session
+    # modes) — every slot spends driver attestation on a row that has
+    # none; the remaining six late registrations (incr_checksum,
+    # stream_checksum, late_profile, rolling_actives, stream_actives,
+    # golden_record) rotate in next round:
+    "lm_score", "psi_drift", "calendar_rollup", "dedup_keep_quality",
+    "interval_peak", "hybrid_rrf",
 ]
 
 
