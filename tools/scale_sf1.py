@@ -92,7 +92,7 @@ def build_sf1(spark) -> None:
         os.path.exists(os.path.join(SF1_DIR, f"{t}.parquet", "_SUCCESS"))
         for t in (
             "documents", "events", "lineitem", "orders", "customer",
-            "supplier", "embeddings",
+            "supplier", "embeddings", "nation", "region",
         )
     ):
         return
@@ -159,6 +159,12 @@ def build_sf1(spark) -> None:
         d1.repartition(4).write.mode("overwrite").parquet(
             os.path.join(SF1_DIR, f"{t}.parquet")
         )
+    # nation/region are TRUE dims (customer keeps c_nationkey per copy,
+    # so nations don't multiply with data volume — copy them verbatim)
+    for t in ("nation", "region"):
+        spark.read.parquet(os.path.join(SRC, f"{t}.parquet")).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(SF1_DIR, f"{t}.parquet"))
     emb = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
     emb1 = emb.crossJoin(F.broadcast(copies)).select(
         (F.col("vec_id") + F.col("_copy").cast("long") * 1_000_000).alias("vec_id"),
