@@ -203,6 +203,16 @@ SHUFFLE_BUDGETS = {
     # reduces; the FACT tables never exchange (0 SortMergeJoin — every
     # membership probe is a broadcast left join).
     "purge_keys": 9,
+    # r7 additions: interval_peak = close-day agg + delta net agg +
+    # calendar-spine window + peak agg + peak-day agg (all downstream
+    # frames calendar-bounded); rolling_actives = daily distinct +
+    # bounds + window-day recount; hybrid_rrf = two branch top-k
+    # windows + the 50-row fusion join; golden_record = clustered-
+    # subset survivor window + two vote aggs/windows + passthrough
+    "interval_peak": 5,
+    "rolling_actives": 4,
+    "hybrid_rrf": 4,
+    "golden_record": 7,
 }
 
 

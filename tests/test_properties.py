@@ -478,3 +478,88 @@ def test_lateness_chunked_prefix_equals_direct_any_sequence(spark, minutes, chun
         run = m if run is None else max(run, m)
     for d in delays:
         assert got[d] == sum(1 for s in late if s > d), (chunk, minutes)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(0, 20),           # start day offset
+            st.integers(1, 10),           # duration (end exclusive)
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_interval_peak_matches_brute_force(spark, intervals):
+    """For ANY interval set: peak equals the day-by-day brute-force
+    maximum and peak_day is the first day attaining it (end-exclusive
+    close semantics)."""
+    import datetime as dt
+
+    from hdfs_stream_processing_spark.operators.temporal import interval_peak
+
+    base = dt.date(2024, 1, 1)
+    rows = [
+        (g, base + dt.timedelta(days=s), base + dt.timedelta(days=s + dur))
+        for g, s, dur in intervals
+    ]
+    df = spark.createDataFrame(rows, "g string, s date, e date")
+    got = {
+        r["g"]: (r["peak"], r["peak_day"])
+        for r in interval_peak(df, "g", "s", "e").collect()
+    }
+    for g in {g for g, _, _ in intervals}:
+        iv = [(s, e) for gg, s, e in rows if gg == g]
+        days = sorted({d for s, e in iv for d in (s, e)})
+        # concurrency only changes at delta days; end-of-day counts
+        counts = [(day, sum(1 for s, e in iv if s <= day < e)) for day in days]
+        peak = max(c for _, c in counts)
+        first = min(day for day, c in counts if c == peak)
+        assert got[g] == (peak, first), (g, got[g], counts)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 6)),  # (day, user)
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_rolling_actives_matches_brute_force(spark, pairs):
+    """For ANY (day, user) activity set: the exploded rolling 7-day
+    distinct count equals the brute-force per-day window count, on
+    every day up to the data's max day."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    base = dt.date(2024, 1, 1)
+    rows = [
+        (dt.datetime.combine(base + dt.timedelta(days=d), dt.time(12)), u)
+        for d, u in pairs
+    ]
+    events = spark.createDataFrame(rows, "ts timestamp, user_id bigint")
+    du = events.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    bounds = du.agg(F.max("day").alias("d1"))
+    contrib = du.select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("x"), "day"
+    ).select("user_id", F.expr("date_add(day, x)").alias("day"))
+    got = {
+        r["day"]: r["n"]
+        for r in contrib.crossJoin(F.broadcast(bounds))
+        .where(F.col("day") <= F.col("d1"))
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    act = {}
+    for d, u in pairs:
+        act.setdefault(d, set()).add(u)
+    dmax = max(act)
+    for day in range(0, dmax + 1):
+        expect = len(set().union(*(act.get(x, set()) for x in range(day - 6, day + 1))))
+        key = base + dt.timedelta(days=day)
+        assert got.get(key, 0) == expect, (day, got, act)
