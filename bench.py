@@ -205,6 +205,7 @@ HEADLINE = [
     "rolling_actives",            # sliding 7-day COUNT DISTINCT via explode
     "stream_actives",             # maintained (day,user) presence table
     "golden_record",              # per-attribute survivorship merge
+    "incr_golden",                # component-contraction golden maintenance
 ]
 
 

@@ -7530,3 +7530,191 @@ def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "source", F.col("n_chars").cast("long").alias("n_chars"),
     )
     return golden.unionByName(passthrough)
+
+
+@query(
+    "incr_golden",
+    f"""{_PAIRS_SQL},
+       edges(u, v) AS (SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+       reach(id, r) AS (
+         SELECT u, u FROM edges
+         UNION
+         SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+       comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+       m AS (SELECT d.doc_id, d.lang, d.source, d.n_chars, comp.component
+             FROM documents d JOIN comp ON d.doc_id = comp.id),
+       surv AS (SELECT component, doc_id AS survivor_id, n_chars FROM (
+                  SELECT component, doc_id, n_chars,
+                         row_number() OVER (PARTITION BY component
+                                            ORDER BY n_chars DESC, doc_id ASC) AS rk
+                  FROM m) WHERE rk = 1),
+       lc AS (SELECT component, lang, count(*) AS c FROM m GROUP BY component, lang),
+       lp AS (SELECT component, lang FROM (
+                SELECT component, lang,
+                       row_number() OVER (PARTITION BY component
+                                          ORDER BY c DESC, lang ASC) AS rk
+                FROM lc) WHERE rk = 1),
+       sc AS (SELECT component, source, count(*) AS c FROM m GROUP BY component, source),
+       sp AS (SELECT component, source FROM (
+                SELECT component, source,
+                       row_number() OVER (PARTITION BY component
+                                          ORDER BY c DESC, source ASC) AS rk
+                FROM sc) WHERE rk = 1)
+       SELECT s.component AS cluster_id, s.survivor_id, lp.lang, sp.source,
+              CAST(s.n_chars AS BIGINT) AS n_chars
+       FROM surv s JOIN lp ON s.component = lp.component
+                   JOIN sp ON s.component = sp.component
+       UNION ALL
+       SELECT d.doc_id AS cluster_id, d.doc_id AS survivor_id, d.lang,
+              d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+       FROM documents d LEFT JOIN comp ON d.doc_id = comp.id
+       WHERE comp.id IS NULL""",
+)
+def q_incr_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL golden-record maintenance (r7): the corpus
+    (doc_id ≤ 250) maintains its component labels, golden table, and
+    LSH band table; a new batch (doc_id > 250) arrives and the golden
+    table updates by COMPONENT CONTRACTION — each old cluster is one
+    contracted node, so the connectivity delta is solved on a graph of
+    (batch pairs ∪ cross pairs mapped to old labels), never on corpus
+    edges.  Only clusters actually touched by the batch recompute
+    their survivor/votes (corpus member rows fetched by semi-join
+    point-reads); every untouched golden row carries over byte-for-
+    byte.  CC(contract(CC(A)) ∪ B) = CC(A ∪ B), and each old label is
+    already the min of its members, so merged labels — and therefore
+    the whole output — are IDENTICAL to a full recompute: the oracle
+    is golden_record's full-corpus SQL, verbatim.
+
+    Scale: per load the contracted graph, the affected member set,
+    and every vote table are batch-bounded; corpus bytes are touched
+    by the band equi-join and the affected-member semi-join only."""
+    from pyspark.sql import Window
+
+    from hdfs_stream_processing_spark.operators.dedup import (
+        band_hashes,
+        lsh_candidate_pairs,
+        minhash_signature_wide,
+    )
+    from hdfs_stream_processing_spark.operators.graph import connected_components
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    docs = documents.select("doc_id", "text", "lang", "source", "n_chars")
+    corpus = docs.where(F.col("doc_id") <= 250)
+    batch = docs.where(F.col("doc_id") > 250)
+
+    # ---- maintained state (built here; maintained incrementally in
+    # production exactly like dedup_near_incr's band table) ----
+    corpus_sig = minhash_signature_wide(corpus, "doc_id", "text", 8, 2)
+    corpus_bands = band_hashes(corpus_sig, "doc_id", 8, 2).localCheckpoint(eager=False)
+    corpus_comp = connected_components(
+        lsh_candidate_pairs(corpus_sig, "doc_id", 8, 2, wide=True)
+    ).localCheckpoint(eager=False)
+    g_old = _golden_from_members(
+        corpus.join(corpus_comp, corpus.doc_id == corpus_comp.id)
+        .select("component", "doc_id", "lang", "source", "n_chars"),
+    ).unionByName(
+        corpus.join(corpus_comp, corpus.doc_id == corpus_comp.id, "left_anti").select(
+            F.col("doc_id").alias("cluster_id"),
+            F.col("doc_id").alias("survivor_id"),
+            "lang", "source", F.col("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+
+    # ---- the incremental step ----
+    sig_b = minhash_signature_wide(batch, "doc_id", "text", 8, 2).localCheckpoint(
+        eager=False
+    )
+    batch_pairs = lsh_candidate_pairs(sig_b, "doc_id", 8, 2, wide=True).select(
+        "id_a", "id_b"
+    )
+    cross = (
+        F.broadcast(
+            band_hashes(sig_b, "doc_id", 8, 2).select(
+                F.col("doc_id").alias("id_a"), "band", "band_hash"
+            )
+        )
+        .join(
+            corpus_bands.select(F.col("doc_id").alias("id_b"), "band", "band_hash"),
+            ["band", "band_hash"],
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # corpus side of cross edges contracts to its old label (own id if
+    # the corpus doc was unclustered)
+    lab = corpus_comp.select(F.col("id").alias("id_b"), F.col("component").alias("_lb"))
+    cross_lab = cross.join(lab, "id_b", "left").select(
+        "id_a", F.coalesce(F.col("_lb"), F.col("id_b")).alias("id_b")
+    )
+    mcomp = connected_components(
+        batch_pairs.unionByName(cross_lab)
+    ).localCheckpoint(eager=False)
+    # affected = every contracted node in the delta graph: batch doc
+    # ids and old labels (old label == corpus doc id for singletons)
+    old_of = corpus.join(corpus_comp, corpus.doc_id == corpus_comp.id, "left").select(
+        "doc_id", "lang", "source", "n_chars",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("_old"),
+    )
+    members = (
+        old_of.join(
+            F.broadcast(mcomp.select(F.col("id").alias("_old"), "component")), "_old"
+        )
+        .select("component", "doc_id", "lang", "source", "n_chars")
+        .unionByName(
+            batch.join(
+                F.broadcast(mcomp.select(F.col("id").alias("doc_id"), "component")),
+                "doc_id",
+            ).select("component", "doc_id", "lang", "source", "n_chars")
+        )
+    )
+    recomputed = _golden_from_members(members)
+    carried = g_old.join(
+        F.broadcast(mcomp.select(F.col("id").alias("cluster_id"))),
+        "cluster_id",
+        "left_anti",
+    )
+    untouched_batch = batch.join(
+        F.broadcast(mcomp.select(F.col("id").alias("doc_id"))), "doc_id", "left_anti"
+    ).select(
+        F.col("doc_id").alias("cluster_id"),
+        F.col("doc_id").alias("survivor_id"),
+        "lang", "source", F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    return recomputed.unionByName(carried).unionByName(untouched_batch)
+
+
+def _golden_from_members(m: DataFrame) -> DataFrame:
+    """Survivor + per-attribute votes over a (component, doc_id, lang,
+    source, n_chars) member table — the shared tail of golden_record
+    and incr_golden.  The member table has THREE consumers (survivor
+    window + two vote aggs); checkpoint it so its upstream join chain
+    executes once, not per consumer."""
+    from pyspark.sql import Window
+
+    m = m.localCheckpoint(eager=False)
+    ws = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    surv = (
+        m.withColumn("rk", F.row_number().over(ws))
+        .where(F.col("rk") == 1)
+        .select("component", F.col("doc_id").alias("survivor_id"), "n_chars")
+    )
+
+    def vote(col: str) -> DataFrame:
+        cnt = m.groupBy("component", col).agg(F.count(F.lit(1)).alias("c"))
+        wv = Window.partitionBy("component").orderBy(F.col("c").desc(), F.col(col).asc())
+        return (
+            cnt.withColumn("rk", F.row_number().over(wv))
+            .where(F.col("rk") == 1)
+            .select("component", col)
+        )
+
+    return (
+        surv.join(vote("lang"), "component")
+        .join(vote("source"), "component")
+        .select(
+            F.col("component").alias("cluster_id"), "survivor_id",
+            "lang", "source", F.col("n_chars").cast("long").alias("n_chars"),
+        )
+    )

@@ -70,6 +70,9 @@ SLOW = [
     # graphs), dense calendar rollup (spine is calendar-bounded)
     "interval_peak", "hybrid_rrf", "lm_score", "psi_drift",
     "dedup_keep_quality", "calendar_rollup",
+    # incremental golden maintenance: the delta graph and vote tables
+    # are batch-bounded; corpus touched by band join + member semi-join
+    "incr_golden",
 ]
 COPIES = 10
 
