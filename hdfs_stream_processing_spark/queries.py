@@ -7621,20 +7621,53 @@ def q_incr_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # ---- the incremental step ----
+    new_golden, _, _ = _golden_step(
+        batch,
+        corpus_bands,
+        corpus_comp,
+        corpus.select("doc_id", "lang", "source", "n_chars"),
+        g_old,
+    )
+    return new_golden
+
+
+def _golden_step(
+    batch: DataFrame,
+    bands_old: DataFrame,
+    comp_old: DataFrame,
+    attrs_old: DataFrame,
+    g_old: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One golden-maintenance increment by component contraction (the
+    shared engine of incr_golden and stream_golden).
+
+    Inputs are the maintained state: the corpus LSH band table
+    (doc_id, band, band_hash), component labels (id, component — only
+    docs in ≥1 pair have rows), corpus attributes (doc_id, lang,
+    source, n_chars), and the current golden table.  Returns
+    (new_golden, new_comp, batch_bands) — callers append batch_bands
+    and the batch's attrs to their state.  CC(contract(CC(A)) ∪ B) =
+    CC(A ∪ B) and old labels are member minima, so iterating this step
+    over any batch split of a corpus yields the exact full-recompute
+    golden table at every point."""
+    from hdfs_stream_processing_spark.operators.dedup import (
+        band_hashes,
+        lsh_candidate_pairs,
+        minhash_signature_wide,
+    )
+    from hdfs_stream_processing_spark.operators.graph import connected_components
+
     sig_b = minhash_signature_wide(batch, "doc_id", "text", 8, 2).localCheckpoint(
         eager=False
     )
+    bands_b = band_hashes(sig_b, "doc_id", 8, 2).localCheckpoint(eager=False)
     batch_pairs = lsh_candidate_pairs(sig_b, "doc_id", 8, 2, wide=True).select(
         "id_a", "id_b"
     )
     cross = (
-        F.broadcast(
-            band_hashes(sig_b, "doc_id", 8, 2).select(
-                F.col("doc_id").alias("id_a"), "band", "band_hash"
-            )
-        )
+        F.broadcast(bands_b.select(F.col("doc_id").alias("id_a"), "band", "band_hash"))
         .join(
-            corpus_bands.select(F.col("doc_id").alias("id_b"), "band", "band_hash"),
+            bands_old.select(F.col("doc_id").alias("id_b"), "band", "band_hash"),
             ["band", "band_hash"],
         )
         .select("id_a", "id_b")
@@ -7642,7 +7675,7 @@ def q_incr_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # corpus side of cross edges contracts to its old label (own id if
     # the corpus doc was unclustered)
-    lab = corpus_comp.select(F.col("id").alias("id_b"), F.col("component").alias("_lb"))
+    lab = comp_old.select(F.col("id").alias("id_b"), F.col("component").alias("_lb"))
     cross_lab = cross.join(lab, "id_b", "left").select(
         "id_a", F.coalesce(F.col("_lb"), F.col("id_b")).alias("id_b")
     )
@@ -7651,9 +7684,9 @@ def q_incr_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
     # affected = every contracted node in the delta graph: batch doc
     # ids and old labels (old label == corpus doc id for singletons)
-    old_of = corpus.join(corpus_comp, corpus.doc_id == corpus_comp.id, "left").select(
-        "doc_id", "lang", "source", "n_chars",
-        F.coalesce(F.col("component"), F.col("doc_id")).alias("_old"),
+    old_of = attrs_old.join(comp_old, attrs_old.doc_id == comp_old.id, "left").select(
+        attrs_old.doc_id, "lang", "source", "n_chars",
+        F.coalesce(F.col("component"), attrs_old.doc_id).alias("_old"),
     )
     members = (
         old_of.join(
@@ -7666,6 +7699,7 @@ def q_incr_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_id",
             ).select("component", "doc_id", "lang", "source", "n_chars")
         )
+        .localCheckpoint(eager=False)
     )
     recomputed = _golden_from_members(members)
     carried = g_old.join(
@@ -7680,7 +7714,17 @@ def q_incr_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("survivor_id"),
         "lang", "source", F.col("n_chars").cast("long").alias("n_chars"),
     )
-    return recomputed.unionByName(carried).unionByName(untouched_batch)
+    new_golden = recomputed.unionByName(carried).unionByName(untouched_batch)
+    # relabel: affected clusters' rows are replaced wholesale by the
+    # member rows (same docs, merged label); untouched rows carry over
+    new_comp = comp_old.join(
+        F.broadcast(mcomp.select(F.col("id").alias("component"))),
+        "component",
+        "left_anti",
+    ).select("id", "component").unionByName(
+        members.select(F.col("doc_id").alias("id"), "component")
+    )
+    return new_golden, new_comp, bands_b
 
 
 def _golden_from_members(m: DataFrame) -> DataFrame:
@@ -7718,3 +7762,127 @@ def _golden_from_members(m: DataFrame) -> DataFrame:
             "lang", "source", F.col("n_chars").cast("long").alias("n_chars"),
         )
     )
+
+
+@query(
+    "stream_golden",
+    # the oracle is the same full-recompute golden SQL as golden_record
+    # / incr_golden: the streaming-maintained table must equal it
+    ORACLES["golden_record"],
+)
+def q_stream_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming golden-record maintenance: documents stream in and
+    every micro-batch folds into the maintained golden table via the
+    SAME component-contraction step as `incr_golden`
+    (:func:`_golden_step` — the batch/incremental/streaming triad that
+    scd2_build/scd2_merge/stream_scd2 established, now for MDM
+    survivorship).  Four versioned state tables (bands, component
+    labels, attributes, golden) commit per batch behind a batch-id
+    replay guard; because the step is exact under ANY batch split, the
+    final table must equal the one-shot full-corpus golden build — the
+    oracle is golden_record's SQL verbatim.
+
+    Scale: per batch, the delta graph and vote tables are
+    batch-bounded; state grows with the corpus (bands/labels/attrs),
+    and history is never re-clustered."""
+    from pyspark.sql import types as T
+
+    from hdfs_stream_processing_spark.sources.io import (
+        read_table_version,
+        table_latest_version,
+        write_table_version,
+    )
+    from hdfs_stream_processing_spark.streaming import stream_parquet_source
+    from hdfs_stream_processing_spark.streaming.pipeline import run_foreach_batch
+
+    src_dir, schema = _stage_documents(spark, sf_dir)
+    stream = stream_parquet_source(spark, src_dir, schema, max_files_per_trigger=2)
+    state = {
+        name: _mkdtemp(f"hsp_sgold_{name}_")
+        for name in ("bands", "comp", "attrs", "golden")
+    }
+    ckpt = _mkdtemp("hsp_sgold_ckpt_")
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        golden_apply_batch(batch_df, state, batch_id)
+
+    run_foreach_batch(stream, step, ckpt)
+    return read_table_version(spark, state["golden"]).drop("_batch")
+
+
+_GOLDEN_STATE_DDL = {
+    "golden": (
+        "cluster_id bigint, survivor_id bigint, lang string, "
+        "source string, n_chars bigint"
+    ),
+    "bands": "doc_id bigint, band int, band_hash string",
+    "comp": "id bigint, component bigint",
+    "attrs": "doc_id bigint, lang string, source string, n_chars bigint",
+}
+
+
+def golden_apply_batch(
+    batch_df: DataFrame, state: dict, batch_id: int
+) -> bool:
+    """One streaming golden-maintenance step: fold a document
+    micro-batch into the four maintained state tables (bands, component
+    labels, attributes, golden) via :func:`_golden_step` and commit
+    each as a new immutable snapshot stamped with the batch id.
+
+    Replay contract: golden commits LAST, so its stamp marks the whole
+    batch done (early-return, False).  Commits happen one table at a
+    time, and a crashed batch may have stamped SOME tables — on replay,
+    each table independently resolves to its newest snapshot committed
+    BEFORE this batch (walking past any partial stamp), so the step
+    recomputes from exactly the pre-batch state: the four-table commit
+    is effectively atomic under replay."""
+    from hdfs_stream_processing_spark.sources.io import (
+        read_table_version,
+        table_latest_version,
+        write_table_version,
+    )
+
+    spark = batch_df.sparkSession
+
+    def resolve(name: str) -> DataFrame:
+        v = table_latest_version(spark, state[name])
+        while v:
+            df = read_table_version(spark, state[name], v)
+            b = df.select(F.max("_batch")).first()[0]
+            if b is None or b < batch_id:
+                return df.drop("_batch")
+            v -= 1
+        return spark.createDataFrame([], _GOLDEN_STATE_DDL[name])
+
+    if table_latest_version(spark, state["golden"]) is not None:
+        done = (
+            read_table_version(spark, state["golden"])
+            .select(F.max("_batch"))
+            .first()[0]
+        )
+        if done is not None and done >= batch_id:
+            return False  # golden commits last: this batch fully landed
+    g_old = resolve("golden")
+    bands_old = resolve("bands")
+    comp_old = resolve("comp")
+    attrs_old = resolve("attrs")
+    batch = batch_df.select("doc_id", "text", "lang", "source", "n_chars")
+    new_golden, new_comp, bands_b = _golden_step(
+        batch, bands_old, comp_old, attrs_old, g_old
+    )
+    # materialize the outputs BEFORE committing any state table: all
+    # of them read the old snapshots, and a half-committed state must
+    # never feed its own successor
+    new_golden = new_golden.localCheckpoint()
+    new_comp = new_comp.localCheckpoint()
+    new_bands = bands_old.unionByName(bands_b).localCheckpoint()
+    new_attrs = attrs_old.unionByName(
+        batch.select("doc_id", "lang", "source", "n_chars")
+    ).localCheckpoint()
+    stamp = F.lit(batch_id)
+    write_table_version(spark, new_bands.withColumn("_batch", stamp), state["bands"])
+    write_table_version(spark, new_comp.withColumn("_batch", stamp), state["comp"])
+    write_table_version(spark, new_attrs.withColumn("_batch", stamp), state["attrs"])
+    # golden commits LAST — its stamp marks the whole batch done
+    write_table_version(spark, new_golden.withColumn("_batch", stamp), state["golden"])
+    return True

@@ -744,3 +744,92 @@ def test_stream_rollup_split_invariance_and_replay(spark, tmp_path):
         for r in read_table_version(spark, tdir).drop("_batch").collect()
     }
     assert got == want
+
+
+def test_stream_golden_split_invariance_and_crash_replay(spark, tmp_path):
+    """Streaming golden-record maintenance: folding a document corpus
+    through golden_apply_batch in ANY batch split equals the one-shot
+    full build; a replayed absorbed batch commits nothing; and a batch
+    that CRASHED mid-commit (some state tables stamped, golden not)
+    replays to the identical result — the per-table resolve walks past
+    partial stamps."""
+    from hdfs_stream_processing_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature_wide,
+    )
+    from hdfs_stream_processing_spark.operators.graph import connected_components
+    from hdfs_stream_processing_spark.queries import (
+        _golden_from_members,
+        golden_apply_batch,
+    )
+    from hdfs_stream_processing_spark.sources.io import (
+        read_table_version,
+        table_latest_version,
+        write_table_version,
+    )
+    from pyspark.sql import functions as F
+
+    # near-dup structure: docs 1/2/3 share text (one cluster), 4/5
+    # another, 6 unique; attributes vote differently per member
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta", "en", "web", 36),
+        (2, "alpha beta gamma delta epsilon zeta", "en", "book", 36),
+        (3, "alpha beta gamma delta epsilon zeta eta", "de", "web", 40),
+        (4, "one two three four five six seven", "fr", "web", 34),
+        (5, "one two three four five six seven", "fr", "wiki", 34),
+        (6, "totally unrelated content here now", "en", "web", 35),
+    ]
+    ddl = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    full = spark.createDataFrame(rows, ddl)
+
+    sig = minhash_signature_wide(full, "doc_id", "text", 8, 2)
+    comp = connected_components(lsh_candidate_pairs(sig, "doc_id", 8, 2, wide=True))
+    want = sorted(
+        _golden_from_members(
+            full.join(comp, full.doc_id == comp.id).select(
+                "component", "doc_id", "lang", "source", "n_chars"
+            )
+        )
+        .unionByName(
+            full.join(comp, full.doc_id == comp.id, "left_anti").select(
+                F.col("doc_id").alias("cluster_id"),
+                F.col("doc_id").alias("survivor_id"),
+                "lang", "source", F.col("n_chars").cast("long").alias("n_chars"),
+            )
+        )
+        .collect()
+    )
+
+    def run_split(split, tag):
+        state = {
+            n: str(tmp_path / f"{tag}_{n}") for n in ("bands", "comp", "attrs", "golden")
+        }
+        lo = 0
+        for bid, hi in enumerate(split):
+            batch = spark.createDataFrame(rows[lo:hi], ddl)
+            assert golden_apply_batch(batch, state, bid)
+            lo = hi
+        return state
+
+    for split in ([6], [3, 6], [2, 4, 6], [1, 2, 3, 4, 5, 6]):
+        state = run_split(split, f"s{len(split)}_{split[0]}")
+        got = sorted(read_table_version(spark, state["golden"]).drop("_batch").collect())
+        assert got == want, f"split {split}"
+
+    # replay guard: re-applying an absorbed batch commits nothing
+    state = run_split([3, 6], "replay")
+    v = table_latest_version(spark, state["golden"])
+    assert not golden_apply_batch(spark.createDataFrame(rows[3:6], ddl), state, 1)
+    assert table_latest_version(spark, state["golden"]) == v
+
+    # crash simulation: batch 1 stamped bands/comp/attrs but NOT golden
+    state = run_split([3], "crash")
+    batch1 = spark.createDataFrame(rows[3:6], ddl)
+    for n in ("bands", "comp", "attrs"):
+        junk = read_table_version(spark, state[n]).drop("_batch")
+        write_table_version(
+            spark, junk.withColumn("_batch", F.lit(1)), state[n]
+        )  # wrong content, stamped as batch 1 — must be walked past
+    assert golden_apply_batch(batch1, state, 1)
+    got = sorted(read_table_version(spark, state["golden"]).drop("_batch").collect())
+    assert got == want
