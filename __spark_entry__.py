@@ -35,42 +35,31 @@ def entry(spark: SparkSession) -> DataFrame:
 # order.  Each round rotates this list so every registered query earns a
 # driver-green row in some round (union of CORRECTNESS_r*.json); queries
 # outside the current window pass the identical check locally via
-# tools/check_correctness.py.  Round 7 window (VERDICT r6 #2): the 17
-# late round-6 registrations that landed after the r6 window froze
-# (driver never saw them; all green in GATE_r06.md), the two repaired
-# quarantine queries (r6's only driver-red rows — failed_rules is now a
-# sorted comma-joined string the driver's canonicalizer can hash), new
-# round-7 registrations, then long-green §2-core rows as padding to
-# exactly 50.  With this window the union of driver-green rows across
-# r2–r7 covers every oracled query in the registry.
+# tools/check_correctness.py.  Round 8 window (VERDICT r7 #1): the 8
+# registrations that landed after the r7 window froze (the driver has
+# never seen them; all GATE_r07-green in both session modes) lead, so
+# after this round the union of driver-green rows r2–r8 covers every
+# oracled query in the registry; new round-8 registrations follow; the
+# remainder is long-green §2-core padding to exactly 50.
 # tests/test_registry.py pins len(_VERIFY_FIRST) == 50 so the
 # off-by-one cannot recur.
 _VERIFY_FIRST = [
-    # late round-6 registrations without a driver row (GATE_r06-green):
-    "pagerank", "hll_registers", "hll_by_group", "bloom_prefilter",
-    "fuzzy_pairs", "stream_cms", "sample_weighted", "scan_corrupt",
-    "corr_matrix", "stream_anomaly", "jaccard_join", "regr_by_group",
-    "bfs_reach", "vocab_ids", "attribution", "stream_vocab",
-    "purge_keys",
-    # repaired in round 7 (array column serialized for the driver):
-    "dq_quarantine", "stream_quarantine",
-    # new round-7 registrations (remaining TPC-H shapes + executed purge):
-    "local_volume", "forecast_revenue", "product_profit",
-    "priority_lateness", "disjunct_revenue", "min_cost_supplier",
-    "important_parts", "parts_supplier_counts", "excess_suppliers",
-    "purge_exec",
-    # round-7 capability additions (all local-green, default + vanilla):
-    "bucketed_join", "subject_export", "scan_text", "scan_binary",
-    "ewma_smooth", "tfidf_terms", "containment_join", "triangle_count",
-    "wow_change", "chisq_assoc", "table_checksum", "cluster_coeff",
-    "mad_outliers", "markov_transitions", "benford_digits",
-    # late round-7 registrations (GATE_r07-green in both session
-    # modes) — every slot spends driver attestation on a row that has
-    # none; the remaining six late registrations (incr_checksum,
-    # stream_checksum, late_profile, rolling_actives, stream_actives,
-    # golden_record) rotate in next round:
-    "lm_score", "psi_drift", "calendar_rollup", "dedup_keep_quality",
-    "interval_peak", "hybrid_rrf",
+    # the 8 never-driver-attested rows (GATE_r07-green, both modes):
+    "incr_checksum", "stream_checksum", "late_profile",
+    "rolling_actives", "stream_actives", "golden_record",
+    "incr_golden", "stream_golden",
+    # new round-8 registrations are inserted here as they land:
+    # long-green §2-core padding (driver-green r2–r5) to exactly 50:
+    "multi_join", "scan_parquet", "scan_csv", "top_k", "group_agg",
+    "count_rows", "count_distinct", "rollup_agg", "window_rank",
+    "window_running", "parse_wire", "to_wire", "epoch_to_ts",
+    "json_extract", "case_when", "limit_n", "drop_nulls", "add_lit",
+    "project_exclude", "union_rooms", "sort_by_ts", "join_outer",
+    "join_semi", "join_anti", "set_ops", "except_op", "sink_roundtrip",
+    "compaction", "text_stats", "quality_score", "lang_id",
+    "token_count", "doc_fingerprint", "text_ngram", "dedup_exact",
+    "minhash_sig", "dedup_near", "ngram_jaccard", "simhash",
+    "similarity_topk", "similarity_lsh", "multimodal_meta",
 ]
 
 

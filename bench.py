@@ -332,6 +332,38 @@ def _latest_bench() -> tuple[str, dict] | None:
         return None
 
 
+def build_summary(out: dict, moved: dict, max_movers: int = 8) -> dict:
+    """The short LAST line the driver's tail capture must always parse.
+
+    r4 and r7 both recorded ``parsed: null`` because an unbounded dict
+    (full per-query medians in r4, the 39-entry ``moved_vs_prev`` in r7)
+    pushed the line past the capture buffer.  Everything here is
+    bounded: top-5 slowest medians, top-``max_movers`` movers by |pct|.
+    The full record is persisted to BENCH_LAST.json before printing.
+    tests/test_bench_compare.py pins the bound and a hard line-length
+    ceiling so the overflow cannot recur a third time."""
+    medians = out["queries"]
+    top5 = dict(sorted(medians.items(), key=lambda kv: -kv[1])[:5])
+    top_moved = dict(
+        sorted(moved.items(), key=lambda kv: -abs(kv[1]["pct"]))[:max_movers]
+    )
+    return {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "sf": out["sf"],
+        "n_queries": len(medians),
+        "runs": out["runs"],
+        "queries": top5,
+        "queries_note": "top-5 slowest medians only; full per-query dict in BENCH_LAST.json",
+        "moved_vs_prev": top_moved,
+        "moved_note": f"top-{max_movers} movers by |pct|; full dict in BENCH_LAST.json",
+        "sentinel_sec": out.get("sentinel_sec"),
+        "sentinel_ratio": out.get("sentinel_ratio"),
+        "machine_contended": out.get("machine_contended"),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -401,22 +433,7 @@ def main() -> None:
     # the suite grows (r4 lost its headline total to truncation).  Emit a
     # short LAST line so the summary always survives: total, size, the 5
     # slowest queries, and the regression flags.
-    top5 = dict(sorted(medians.items(), key=lambda kv: -kv[1])[:5])
-    summary = {
-        "metric": out["metric"],
-        "value": total,
-        "unit": "sec",
-        "sf": sf,
-        "n_queries": len(medians),
-        "runs": n_runs,
-        "queries": top5,
-        "queries_note": "top-5 slowest medians only; full per-query dict on the previous line",
-        "moved_vs_prev": moved,
-        "sentinel_sec": out["sentinel_sec"],
-        "sentinel_ratio": out.get("sentinel_ratio"),
-        "machine_contended": out.get("machine_contended"),
-    }
-    print(json.dumps(summary))
+    print(json.dumps(build_summary(out, moved)))
 
 
 if __name__ == "__main__":

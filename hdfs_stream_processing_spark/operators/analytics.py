@@ -348,13 +348,21 @@ def ewma(
     if not (1 <= terms <= 62):
         raise ValueError("terms must be in [1, 62] (weights are 2^k longs)")
     w = Window.partitionBy(key_col).orderBy(*order_cols)
-    v = F.col(value_col)
+    # numerator accumulates in decimal(38,0) — ADVICE r7: a long
+    # numerator silently overflows at |value|·2^terms ≳ 2^63 (billions
+    # of cents near the terms cap); the [1,62] guard only bounds the
+    # weight.  38 digits hold |value| ≤ 10^19 at terms=62 exactly, and
+    # the final cast to double is correctly rounded from either type,
+    # so in-range results are bit-identical to the old long path.
+    v = F.col(value_col).cast("decimal(38,0)")
     num = None
     den = None
     for k in range(terms):
         weight = 1 << (terms - 1 - k)
         lagged = v if k == 0 else F.lag(v, k).over(w)
-        term_n = F.coalesce(lagged * F.lit(weight), F.lit(0).cast("long"))
+        term_n = F.coalesce(
+            lagged * F.lit(weight), F.lit(0).cast("decimal(38,0)")
+        )
         term_d = F.when(lagged.isNotNull(), F.lit(weight)).otherwise(F.lit(0)).cast("long")
         num = term_n if num is None else num + term_n
         den = term_d if den is None else den + term_d

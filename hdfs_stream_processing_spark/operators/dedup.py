@@ -509,6 +509,24 @@ def jaccard_pairs(
     """
     if max_doc_freq is not None and keep_shingles is not None:
         raise ValueError("pass max_doc_freq or keep_shingles, not both")
+    if max_doc_freq is not None and candidates is not None:
+        # ADVICE r7: the candidate pre-filter below must not silently
+        # change max_doc_freq's universe — document frequency is
+        # defined over the FULL input, not the candidate-touched docs.
+        # Compute the allow-list on unfiltered shingle rows first, then
+        # let the narrowed call reuse it via keep_shingles (one extra
+        # shingling pass, only when both options are combined).
+        full_sh = shingle_rows(df, id_col, text_col, shingle_n)
+        keep = (
+            full_sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_doc_freq)
+            .select("shingle")
+        )
+        return jaccard_pairs(
+            df, id_col, text_col, shingle_n,
+            candidates=candidates, keep_shingles=keep,
+        )
     if candidates is not None:
         # only docs that appear in a candidate pair need shingling —
         # the LSH-bounded id set broadcasts, so the corpus-scale doc

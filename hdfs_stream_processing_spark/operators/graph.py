@@ -70,10 +70,11 @@ def connected_components(
     # usually a tiny fraction of its batch, and each distributed
     # star-contraction round costs whole jobs of scheduling overhead
     # (measured: 3.0 s for a 5.3k-edge graph at sf0.1 — the dominant
-    # cost of dedup_near_incr).  Below ``driver_max_edges`` (≈25 MB
-    # collected at the default) solve exactly on the driver with
-    # union-find — the same unique fixpoint (component = min reachable
-    # id), bit-identical output — and broadcast the result back.  The
+    # cost of dedup_near_incr).  Below ``driver_max_edges`` solve
+    # exactly on the driver with numpy union-find (Arrow collect into
+    # flat int64 arrays: ≈8 MB of edges + ≈8 B/vertex state ≈ 25–40 MB
+    # total at the default cap) — the same unique fixpoint (component =
+    # min reachable id), bit-identical output — and ship the result back.  The
     # guard mirrors similarity_topk_np's bounded-collect contract:
     # bigger graphs take the distributed loop automatically, so the
     # 100 TB path never depends on driver memory.
@@ -112,11 +113,36 @@ def connected_components(
 
 def _components_driver(spark, raw: DataFrame, cur: DataFrame) -> DataFrame:
     """Exact driver-side components for bounded edge lists: union-find
-    with path compression, then per-root minimum so ``component`` is
-    the min member id — the same fixpoint the distributed loop reaches."""
-    parent: dict = {}
+    with path compression over NUMPY INDEX ARRAYS, then per-root
+    minimum so ``component`` is the min member id — the same fixpoint
+    the distributed loop reaches.
 
-    def find(x):
+    ADVICE r7: the previous dict-of-Rows implementation cost ~100–300
+    MB of Python object overhead at the 500k-edge cap.  This version
+    collects via Arrow into two int64 columns (16 B/edge → 8 MB at the
+    cap), remaps vertex ids to dense indices with ``np.unique``, and
+    keeps all state in flat int64 arrays (parent ≈ 8 B/vertex) — total
+    driver footprint ≈ 25–40 MB at the cap, matching the sizing claim
+    at the call site.
+    """
+    import numpy as np
+
+    edges_pdf = cur.toPandas()
+    loops_pdf = (
+        raw.where(F.col("u") == F.col("v")).select("u").distinct().toPandas()
+    )
+    eu = edges_pdf["u"].to_numpy()
+    ev = edges_pdf["v"].to_numpy()
+    # vertex universe: both edge endpoints plus self-loop-only vertices.
+    # np.unique returns SORTED ids, so dense index order == id order and
+    # "min member id" == "min member index" — no second remap needed.
+    ids = np.unique(np.concatenate([eu, ev, loops_pdf["u"].to_numpy()]))
+    iu = np.searchsorted(ids, eu)
+    iv = np.searchsorted(ids, ev)
+    n = len(ids)
+    parent = np.arange(n, dtype=np.int64)
+
+    def find(x: int) -> int:
         r = x
         while parent[r] != r:
             r = parent[r]
@@ -124,30 +150,26 @@ def _components_driver(spark, raw: DataFrame, cur: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for u, v in cur.collect():
-        if u not in parent:
-            parent[u] = u
-        if v not in parent:
-            parent[v] = v
-        ru, rv = find(u), find(v)
-        if ru != rv:
-            parent[ru] = rv
-    # self-loop-only vertices are their own component
-    for (u,) in raw.where(F.col("u") == F.col("v")).select("u").distinct().collect():
-        if u not in parent:
-            parent[u] = u
-    comp_min: dict = {}
-    roots = {x: find(x) for x in parent}
-    for x, r in roots.items():
-        m = comp_min.get(r)
-        if m is None or x < m:
-            comp_min[r] = x
+    for a, b in zip(iu.tolist(), iv.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    # final pass: fully compress, then component = min index per root
+    # (vectorized: scanning indices in ascending order, the first time
+    # a root appears IS its minimum member)
+    root = np.array([find(i) for i in range(n)], dtype=np.int64)
+    comp_min = np.full(n, n, dtype=np.int64)
+    np.minimum.at(comp_min, root, np.arange(n, dtype=np.int64))
+    component_ids = ids[comp_min[root]]
     id_type = raw.schema["u"].dataType
     out_schema = T.StructType(
         [T.StructField("id", id_type), T.StructField("component", id_type)]
     )
-    rows = [(x, comp_min[r]) for x, r in roots.items()]
-    return spark.createDataFrame(rows, out_schema)
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame({"id": ids, "component": component_ids}), out_schema
+    )
 
 
 def _star_contraction_loop(

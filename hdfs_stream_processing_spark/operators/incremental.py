@@ -524,8 +524,20 @@ def run_purge(
     plans retained tables via :func:`purge_cascade` (broadcast probes,
     zero fact-side shuffle), writes each to ``<dir>._staged``, then
     publishes every staged directory with the atomic-rename swap the
-    batch sink uses (:func:`~hdfs_stream_processing_spark.sources.io.swap_dirs`)
-    — readers see the old table or the new one, never a half-purged mix.
+    batch sink uses (:func:`~hdfs_stream_processing_spark.sources.io.swap_dirs`).
+
+    Atomicity is PER TABLE, not cascade-wide (ADVICE r7): each swap is
+    one atomic rename, so a reader of any single table sees its old
+    rows or its new rows, never a half-purged mix of that table — but
+    the hops swap sequentially, and a crash between swaps publishes a
+    referentially inconsistent cross-table state (e.g. customers
+    purged, their orders not yet).  The remedy is to re-run
+    ``run_purge`` with the same request list: the cascade is
+    idempotent (re-planning against already-purged hops retains
+    everything untouched and re-stages the unfinished ones), so replay
+    converges to the fully-purged state.  A single cascade-wide
+    version pointer would close even that window at the cost of a
+    custom catalog; out of scope here.
 
     Returns the POST-swap audit: the cascade re-run against the
     published directories, proving ``purged_rows = 0`` for every hop —

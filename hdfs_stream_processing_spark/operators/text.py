@@ -393,13 +393,17 @@ def tfidf_top_terms(
     """Top-``k`` characteristic terms per document by TF-IDF — the
     classic keyword-extraction / topic-signal pass.
 
-    ``score = tf · ln(N / df)`` is emitted from exact integer operands
-    (tf, df, N are counts; one double expression at the end), and the
-    per-document RANKING is deliberately computed on the exact keys
-    ``(tf DESC, df ASC, token ASC)`` rather than on the float score:
-    for a fixed tf the score is strictly monotone in df, and the token
-    tiebreak totalizes the order — so ranks are engine-portable where a
-    float-ordered rank could flip on a last-ulp ln() divergence.
+    ``score = tf · ln(N / df)`` from exact integer operands (tf, df, N
+    are counts; one double expression), rounded to 6 dp, and the
+    per-document RANKING is on that rounded score (DESC) so rank and
+    score always agree — ADVICE r7 flagged the previous tf-primary
+    ordering, under which a ubiquitous high-tf stopword (df=N, score 0)
+    outranked a rare characteristic term.  Terms with ``df = N`` score
+    exactly 0 (they distinguish nothing) and are excluded before
+    ranking.  Ties on the rounded score break by (tf DESC, df ASC,
+    token ASC), which totalizes the order; the 6-dp rounding keeps the
+    sort key engine-portable — a last-ulp ln() divergence moves the
+    6th decimal only within ~1e-15 of a rounding boundary.
 
     Scale: tokenize once, two partial-aggregated shuffles (per-(doc,
     token) tf, per-token df), the scalar N broadcast, one ranking
@@ -414,21 +418,22 @@ def tfidf_top_terms(
     )
     n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
     w = Window.partitionBy(id_col).orderBy(
-        F.col("tf").desc(), F.col("df").asc(), F.col("token").asc()
+        F.col("score").desc(), F.col("tf").desc(),
+        F.col("df").asc(), F.col("token").asc(),
     )
     return (
         tf.join(dfreq, "token")
         .crossJoin(F.broadcast(n_docs))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .select(
-            id_col, "token", "tf", "df", "rank",
-            # rounded to 6 dp: ln() is correct to the last ulp in neither
-            # engine, and the ranking never reads the float (exact keys)
+        .where(F.col("df") < F.col("n_docs"))
+        .withColumn(
+            "score",
             F.round(
                 F.col("tf").cast("double")
                 * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
                 6,
-            ).alias("score"),
+            ),
         )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(id_col, "token", "tf", "df", "rank", "score")
     )

@@ -6290,23 +6290,28 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
                  FROM (SELECT DISTINCT doc_id, token FROM tok2)
                  GROUP BY token),
        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
-       ranked AS (
+       scored AS (
          SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
-                row_number() OVER (
-                  PARTITION BY tf.doc_id
-                  ORDER BY tf.tf DESC, dfreq.df ASC, tf.token ASC) AS rank,
                 round(CAST(tf.tf AS DOUBLE)
                   * ln(CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE)), 6) AS score
-         FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+         FROM tf JOIN dfreq USING (token) CROSS JOIN n
+         WHERE dfreq.df < n.n_docs),
+       ranked AS (
+         SELECT doc_id, token, tf, df, score,
+                row_number() OVER (
+                  PARTITION BY doc_id
+                  ORDER BY score DESC, tf DESC, df ASC, token ASC) AS rank
+         FROM scored)
        SELECT doc_id, token, tf, df, rank, score
        FROM ranked WHERE rank <= 3""",
 )
 def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF keyword extraction (r7): the top-3 characteristic terms
-    per document.  Ranking runs on the exact integer keys (tf DESC, df
-    ASC, token ASC) — engine-portable where a float-ordered rank could
-    flip on a last-ulp ln() divergence; the score itself is one double
-    expression over exact counts, identical text in both engines."""
+    """TF-IDF keyword extraction (r7, ranking fixed r8 per ADVICE):
+    the top-3 characteristic terms per document, ranked by the rounded
+    score itself (so rank and score agree), with zero-score ubiquitous
+    terms (df = N) excluded before ranking.  Ties break on the exact
+    integer keys (tf DESC, df ASC, token ASC); the 6-dp rounding keeps
+    the sort key engine-portable."""
     from hdfs_stream_processing_spark.operators.text import tfidf_top_terms
 
     (documents,) = prep(spark, sf_dir, "documents")

@@ -77,3 +77,36 @@ def test_sentinel_flags_contamination_and_passes_quiet():
     assert quiet["machine_contended"] is False
     first = sentinel_verdict(1.0, {})
     assert first == {"sentinel_sec": 1.0}
+
+
+def test_summary_line_bounded_under_driver_tail_buffer():
+    """r7 regression: the summary line embedded the full 39-entry
+    moved_vs_prev dict and overflowed the driver's 2000-char tail
+    capture (BENCH_r07 parsed:null).  The summary must stay parseable
+    no matter how large the suite or the mover set grows."""
+    from bench import build_summary
+
+    medians = {f"query_name_{i:03d}": 0.123 + i / 1000 for i in range(250)}
+    moved = {
+        f"query_name_{i:03d}": {"prev": 1.0, "now": 1.5, "pct": 50.0 + i}
+        for i in range(60)
+    }
+    out = {
+        "metric": "headline-query wall-clock (noop sink), sum of per-query medians",
+        "value": 133.6,
+        "sf": 0.1,
+        "runs": 7,
+        "queries": medians,
+        "sentinel_sec": 0.123,
+        "sentinel_ratio": 1.01,
+        "machine_contended": False,
+    }
+    summary = build_summary(out, moved)
+    line = json.dumps(summary)
+    assert len(summary["moved_vs_prev"]) <= 8
+    assert len(summary["queries"]) == 5
+    # top movers by |pct| means the LARGEST moves survive truncation
+    assert "query_name_059" in summary["moved_vs_prev"]
+    assert len(line) < 1800, len(line)
+    # and with no movers at all the line still parses
+    assert json.loads(json.dumps(build_summary(out, {})))["moved_vs_prev"] == {}

@@ -1100,3 +1100,43 @@ def test_interval_peak_reserved_column_guard(spark):
 
     with pytest.raises(ValueError, match="reserved"):
         interval_peak(df, "g", "s", "e")
+
+
+def test_jaccard_pairs_max_doc_freq_universe_is_full_input(spark):
+    """ADVICE r7 (dedup.py): combining candidates + max_doc_freq must
+    count document frequency over the FULL input, not just the docs the
+    candidate pre-filter keeps.  Shingle "c" lives in 3 docs (two of
+    them candidates) — with max_doc_freq=2 it must be dropped even
+    though its df over candidate docs alone would be 2."""
+    from hdfs_stream_processing_spark.operators.dedup import jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "c z q")], ["doc_id", "text"]
+    )
+    cand = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    [row] = jaccard_pairs(
+        df, "doc_id", "text", shingle_n=1, min_jaccard=0.0,
+        candidates=cand, max_doc_freq=2,
+    ).collect()
+    # "c" (df=3) dropped from BOTH docs: A'=B'={a,b} → J=1.0 over the
+    # filtered universe; the buggy candidate-local df would keep "c"
+    assert (row["id_a"], row["id_b"]) == (1, 2)
+    assert row["jaccard"] == 1.0
+    assert row["n_inter"] == 2 if "n_inter" in row.asDict() else True
+
+
+def test_ewma_large_magnitudes_do_not_overflow(spark):
+    """ADVICE r7 (analytics.py): value·2^(terms−1) must not wrap a
+    long.  5e18 cents with terms=8 puts the lead term at 6.4e20 —
+    far past 2^63 ≈ 9.2e18 — and must still average exactly."""
+    from hdfs_stream_processing_spark.operators.analytics import ewma
+
+    big = 5_000_000_000_000_000_000  # 5e18, fits a long on its own
+    df = spark.createDataFrame(
+        [(1, 1, big), (1, 2, big)], ["k", "t", "v"]
+    )
+    out = {r["t"]: r["ewma"] for r in ewma(df, "k", ["t"], "v", terms=8).collect()}
+    # every observation equals `big`, so the weighted mean is exactly
+    # big regardless of weights — any overflow shows up as a wild value
+    assert out[1] == float(big)
+    assert out[2] == float(big)
