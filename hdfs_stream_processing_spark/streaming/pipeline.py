@@ -96,10 +96,24 @@ def run_to_parquet(
     return None
 
 
+#: FIFO of live memory-sink table names.  Each ``run_to_memory`` call
+#: registers a temp view over a driver-held MemorySink; without cleanup
+#: a long session (the 162-query bench runs ~40 streaming queries × 7)
+#: retains EVERY past result set on the driver — r7's bench showed this
+#: as broad +15–40% drift on small queries (GC pressure), worst on
+#: ``stream_window_agg`` (+83%).  Dropping the view as soon as a few
+#: newer sinks exist frees the sink rows; the small keep-window lets
+#: callers (tests) hold a couple of results side by side.
+_MEMORY_SINKS: list[str] = []
+_MEMORY_SINKS_KEEP = 8
+
+
 def run_to_memory(df: DataFrame, output_mode: str = "append") -> DataFrame:
     """Drain a streaming DataFrame through a memory sink (availableNow)
     and return the collected table as a batch DataFrame.  Test-only sink
-    — memory tables live on the driver."""
+    — memory tables live on the driver; the last ``_MEMORY_SINKS_KEEP``
+    results stay addressable, older ones are dropped (consume a result
+    before starting more than that many new streams)."""
     name = f"mem_{uuid.uuid4().hex[:12]}"
     q = (
         df.writeStream.format("memory")
@@ -109,7 +123,15 @@ def run_to_memory(df: DataFrame, output_mode: str = "append") -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return df.sparkSession.table(name)
+    spark = df.sparkSession
+    _MEMORY_SINKS.append(name)
+    while len(_MEMORY_SINKS) > _MEMORY_SINKS_KEEP:
+        old = _MEMORY_SINKS.pop(0)
+        try:
+            spark.catalog.dropTempView(old)
+        except Exception:
+            pass  # different session or already gone — nothing retained here
+    return spark.table(name)
 
 
 #: Off-heap state store provider — the one a 100 TB deployment runs.
