@@ -2936,4958 +2936,15 @@ def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ========================================================================
-# §LLM corpus curation (operators/llmdata.py) — chunking, PII redaction,
-# decontamination, mixing, sharding, repetition gates
-# ========================================================================
-
-
-@query(
-    "doc_chunk",
-    """SELECT doc_id,
-              s // 48 AS chunk_id,
-              array_to_string(list_slice(ts, s + 1, s + 64), ' ') AS chunk_text,
-              len(list_slice(ts, s + 1, s + 64)) AS n_tokens
-       FROM (SELECT doc_id, string_split(lower(text), ' ') AS ts,
-                    unnest(generate_series(0, len(string_split(lower(text), ' ')) - 1, 48)) AS s
-             FROM documents)""",
-)
-def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Context-window chunking: 64-token windows every 48 tokens
-    (16-token overlap) — the packing stage before tokenization.  Narrow
-    plan, zero shuffles."""
-    from hdfs_stream_processing_spark.operators.llmdata import chunk_documents
-
-    (documents,) = prep(spark, sf_dir, "documents")
-    return chunk_documents(documents, "doc_id", "text", chunk_size=64, stride=48)
-
-
-# The corpus is synthetic word-soup with no real PII, so the query
-# plants deterministic PII spans (email / IPv4 / 7-digit ref) derived
-# from doc_id, then proves the scrubber removes them and counts them.
-_PII_SYNTH_SQL = (
-    "text || ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.com"
-    " from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 ref 9' ||"
-    " lpad(CAST(doc_id % 1000000 AS VARCHAR), 6, '0')"
-)
-
-
-@query(
-    "pii_redact",
-    f"""WITH synth AS (SELECT doc_id, {_PII_SYNTH_SQL} AS t FROM documents),
-       s1 AS (SELECT doc_id, t,
-                     regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}', '<EMAIL>', 'g') AS t1
-              FROM synth),
-       s2 AS (SELECT *, regexp_replace(t1, '(\\d{{1,3}}\\.){{3}}\\d{{1,3}}', '<IP>', 'g') AS t2 FROM s1)
-       SELECT doc_id,
-              regexp_replace(t2, '\\d{{7,}}', '<NUM>', 'g') AS clean_text,
-              CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}')) AS INT) AS n_email,
-              CAST(len(regexp_extract_all(t1, '(\\d{{1,3}}\\.){{3}}\\d{{1,3}}')) AS INT) AS n_ip,
-              CAST(len(regexp_extract_all(t2, '\\d{{7,}}')) AS INT) AS n_num
-       FROM s2""",
-)
-def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrubbing with per-document audit counts.  The synthetic
-    spans are planted identically on both engines; pattern i is counted
-    on the text remaining after patterns 0..i-1 replaced (so the counts
-    partition the redacted spans), replacements apply in order."""
-    from hdfs_stream_processing_spark.operators.llmdata import redact_pii
-
-    (documents,) = prep(spark, sf_dir, "documents")
-    synth = documents.select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.lit(" contact u"),
-            F.col("doc_id").cast("string"),
-            F.lit("@mail.example.com from 10.0."),
-            (F.col("doc_id") % 256).cast("string"),
-            F.lit(".7 ref 9"),
-            F.lpad((F.col("doc_id") % 1000000).cast("string"), 6, "0"),
-        ).alias("text"),
-    )
-    return redact_pii(synth, "doc_id", "text")
-
-
-@query(
-    "decontaminate",
-    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
-       grams AS (SELECT DISTINCT doc_id,
-                        array_to_string(list_slice(ts, i, i + 7), ' ') AS g
-                 FROM (SELECT doc_id, ts,
-                              unnest(generate_series(1, greatest(len(ts), 8) - 8 + 1)) AS i
-                       FROM toks)),
-       bgrams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
-       hits AS (SELECT g.doc_id, count(*) AS n_hits
-                FROM grams g JOIN bgrams b ON g.g = b.g
-                GROUP BY g.doc_id)
-       SELECT d.doc_id,
-              CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
-              coalesce(h.n_hits, 0) > 0 AS contaminated
-       FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""",
-)
-def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination: 8-gram collision against an eval set
-    (every 50th doc stands in for the benchmark).  The benchmark n-gram
-    set is broadcast; the corpus side never shuffles for the probe."""
-    from hdfs_stream_processing_spark.operators.llmdata import decontaminate
-
-    (documents,) = prep(spark, sf_dir, "documents")
-    benchmark = documents.where(F.col("doc_id") % 50 == 0)
-    return decontaminate(documents, benchmark, "doc_id", "text", n=8)
-
-
-@query(
-    "mix_sources",
-    """SELECT doc_id, source FROM documents
-       WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT::BIGINT % 10000
-             < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
-                           WHEN 'src2' THEN 2500 WHEN 'src3' THEN 0
-                           ELSE 1000 END""",
-)
-def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted data mixture: keep src0 whole, half of src1, a quarter
-    of src2, none of src3, 10% of the rest — membership by md5 bucket of
-    doc_id, so the mixture is identical across engines, runs, and
-    partitionings (and under task retries, unlike rand())."""
-    from hdfs_stream_processing_spark.operators.llmdata import mix_sources
-
-    (documents,) = prep(spark, sf_dir, "documents")
-    return mix_sources(
-        documents.select("doc_id", "source"),
-        "doc_id",
-        "source",
-        {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0},
-        default_weight=0.1,
-    )
-
-
-@query(
-    "shard_assign",
-    """SELECT doc_id, source, shard_id,
-              CAST(row_number() OVER (PARTITION BY shard_id
-                   ORDER BY md5('s0|' || CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS pos
-       FROM (SELECT doc_id, source,
-                    ('0x' || substr(md5('s0|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT::BIGINT % 8 AS shard_id
-             FROM documents)""",
-)
-def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-order global shuffle into 8 shards: shard by seeded md5
-    hash, position by a second hash order within the shard — epoch
-    reshuffles are seed bumps, and the 'random' order is reproducible
-    enough to oracle bit-exactly."""
-    from hdfs_stream_processing_spark.operators.llmdata import shard_assign
-
-    (documents,) = prep(spark, sf_dir, "documents")
-    return shard_assign(documents.select("doc_id", "source"), "doc_id", 8, seed="s0")
-
-
-@query(
-    "repetition_stats",
-    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
-       grams AS (SELECT doc_id, array_to_string(list_slice(ts, i, i + 1), ' ') AS g
-                 FROM (SELECT doc_id, ts,
-                              unnest(generate_series(1, greatest(len(ts), 2) - 1)) AS i
-                       FROM toks)),
-       pg AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
-       a AS (SELECT doc_id, max(c) AS top, CAST(sum(c) AS BIGINT) AS total,
-                    count(*) AS dst FROM pg GROUP BY doc_id)
-       SELECT doc_id, total AS n_ngrams,
-              CAST(top AS DOUBLE) / total AS top_ngram_frac,
-              CAST(dst AS DOUBLE) / total AS distinct_frac,
-              (CAST(top AS DOUBLE) / total <= 0.20
-               AND CAST(dst AS DOUBLE) / total >= 0.30) AS passes_repetition
-       FROM a""",
-)
-def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition gate: top-bigram fraction + distinct
-    bigram ratio per document, two chained hash aggregates (map-side
-    partials, no windows, no self-join)."""
-    from hdfs_stream_processing_spark.operators.llmdata import repetition_stats
-
-    (documents,) = prep(spark, sf_dir, "documents")
-    return repetition_stats(documents, "doc_id", "text", n=2)
-
-
-@query(
-    "curate_corpus",
-    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
-       g2 AS (SELECT doc_id, array_to_string(list_slice(ts, i, i + 1), ' ') AS g
-              FROM (SELECT doc_id, ts,
-                           unnest(generate_series(1, greatest(len(ts), 2) - 1)) AS i
-                    FROM toks)),
-       pg AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
-       rep AS (SELECT doc_id
-               FROM (SELECT doc_id, max(c) AS top, CAST(sum(c) AS BIGINT) AS total,
-                            count(*) AS dst FROM pg GROUP BY doc_id)
-               WHERE CAST(top AS DOUBLE) / total <= 0.20
-                 AND CAST(dst AS DOUBLE) / total >= 0.30),
-       g8 AS (SELECT DISTINCT doc_id, array_to_string(list_slice(ts, i, i + 7), ' ') AS g
-              FROM (SELECT doc_id, ts,
-                           unnest(generate_series(1, greatest(len(ts), 8) - 8 + 1)) AS i
-                    FROM toks)),
-       bg AS (SELECT DISTINCT g FROM g8 WHERE doc_id % 50 = 0),
-       bad AS (SELECT DISTINCT g8.doc_id FROM g8 JOIN bg ON g8.g = bg.g),
-       kept AS (SELECT d.doc_id, d.text, d.source FROM documents d
-                JOIN rep ON d.doc_id = rep.doc_id
-                WHERE d.n_chars >= 100
-                  AND d.doc_id NOT IN (SELECT doc_id FROM bad)),
-       dd AS (SELECT doc_id, source FROM kept
-              QUALIFY row_number() OVER (PARTITION BY md5(lower(text))
-                                         ORDER BY doc_id) = 1),
-       mixed AS (SELECT doc_id, source FROM dd
-                 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT::BIGINT % 10000
-                       < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
-                                     WHEN 'src2' THEN 2500 WHEN 'src3' THEN 0
-                                     ELSE 1000 END)
-       SELECT doc_id, source, shard_id,
-              CAST(row_number() OVER (PARTITION BY shard_id
-                   ORDER BY md5('s0|' || CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS pos
-       FROM (SELECT doc_id, source,
-                    ('0x' || substr(md5('s0|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT::BIGINT % 8 AS shard_id
-             FROM mixed)""",
-)
-def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The LLM flagship: the whole curation funnel as ONE Catalyst plan —
-    length floor + repetition gate + benchmark decontamination + exact
-    dedup (md5 fingerprint, deterministic survivor) + weighted source
-    mixture + seeded shard assignment.  The analogue of
-    ``align_pipeline`` for the LLM surface: five curation stages, one
-    DAG, no intermediate materialization — Catalyst prunes ``documents``
-    to the four columns the funnel touches and every stage's scale story
-    is the one documented on its operator."""
-    from hdfs_stream_processing_spark.operators.dedup import dedup_exact
-    from hdfs_stream_processing_spark.operators.llmdata import (
-        decontaminate,
-        mix_sources,
-        repetition_stats,
-        shard_assign,
-    )
-
-    (documents,) = prep(spark, sf_dir, "documents")
-    rep_ok = (
-        repetition_stats(documents, "doc_id", "text")
-        .where(F.col("passes_repetition"))
-        .select("doc_id")
-    )
-    benchmark = documents.where(F.col("doc_id") % 50 == 0)
-    clean = (
-        decontaminate(documents, benchmark, "doc_id", "text", n=8)
-        .where(~F.col("contaminated"))
-        .select("doc_id")
-    )
-    kept = (
-        documents.where(F.col("n_chars") >= 100)
-        .join(rep_ok, "doc_id")
-        .join(clean, "doc_id")
-        .select("doc_id", "text", "source")
-    )
-    deduped = dedup_exact(
-        kept.withColumn("_fp", F.md5(F.lower(F.col("text")))),
-        ["_fp"],
-        [F.col("doc_id").asc()],
-    ).select("doc_id", "source")
-    mixed = mix_sources(
-        deduped,
-        "doc_id",
-        "source",
-        {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0},
-        default_weight=0.1,
-    )
-    return shard_assign(mixed, "doc_id", 8, seed="s0")
-
-
-@query(
-    "resample_sources",
-    """SELECT doc_id, source, CAST(c AS INT) AS copy
-       FROM (SELECT doc_id, source,
-                    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT::BIGINT % 10000 AS bucket,
-                    CASE source WHEN 'src0' THEN 25000 WHEN 'src1' THEN 10000
-                                WHEN 'src2' THEN 5000 WHEN 'src3' THEN 0
-                                ELSE 10000 END AS wb
-             FROM documents),
-            unnest(generate_series(0, (wb // 10000)
-                   + CASE WHEN bucket < (wb % 10000) THEN 1 ELSE 0 END - 1)) AS u(c)""",
-)
-def q_resample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fractional epoch up-sampling: src0 at weight 2.5 (every doc twice,
-    a deterministic md5-chosen half a third time), src2 half-sampled,
-    src3 dropped — one copies = floor(w) + (bucket < frac(w)) formula for
-    both directions, each emitted row tagged with a dense copy index."""
-    from hdfs_stream_processing_spark.operators.llmdata import resample_sources
-
-    (documents,) = prep(spark, sf_dir, "documents")
-    return resample_sources(
-        documents.select("doc_id", "source"),
-        "doc_id",
-        "source",
-        {"src0": 2.5, "src1": 1.0, "src2": 0.5, "src3": 0.0},
-        default_weight=1.0,
-    )
-
-
-def _stage_documents(spark: SparkSession, sf_dir: str, n_files: int = 4) -> tuple[str, "object"]:
-    """Stage the documents table as a streaming source directory (same
-    file-source + availableNow stand-in contract as ``_stage_events``).
-    Memoized per sf_dir."""
-    key = (sf_dir, "documents")
-    (documents,) = prep(spark, sf_dir, "documents")
-    if key in _STAGE_CACHE:
-        return _STAGE_CACHE[key], documents.schema
-    stage_dir = _mkdtemp("hsp_stream_docsrc_")
-    documents.repartition(n_files).write.mode("overwrite").parquet(stage_dir)
-    _STAGE_CACHE[key] = stage_dir
-    return stage_dir, documents.schema
-
-
-@query(
-    "stream_curate",
-    """WITH redacted AS (
-         SELECT doc_id,
-                regexp_replace(regexp_replace(regexp_replace(text,
-                    '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
-                    '(\\d{1,3}\\.){3}\\d{1,3}', '<IP>', 'g'),
-                    '\\d{7,}', '<NUM>', 'g') AS clean_text
-         FROM documents),
-       gated AS (
-         SELECT doc_id, clean_text FROM redacted
-         WHERE len(string_split(lower(clean_text), ' ')) >= 20)
-       SELECT doc_id,
-              s // 48 AS chunk_id,
-              array_to_string(list_slice(ts, s + 1, s + 64), ' ') AS chunk_text,
-              len(list_slice(ts, s + 1, s + 64)) AS n_tokens
-       FROM (SELECT doc_id, string_split(lower(clean_text), ' ') AS ts,
-                    unnest(generate_series(0, len(string_split(lower(clean_text), ' ')) - 1, 48)) AS s
-             FROM gated)""",
-)
-def q_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming corpus curation (ST1 × N6): file-source stream →
-    PII scrub → token-count gate → context-window chunking → sink,
-    availableNow.  The SAME llmdata operators run unchanged on the
-    unbounded frame — every stage is stateless/narrow, so the streaming
-    plan needs no watermark and no state store, and the batch oracle is
-    the exact semantics of the stream."""
-    from hdfs_stream_processing_spark.operators.llmdata import (
-        chunk_documents,
-        redact_pii,
-    )
-    from hdfs_stream_processing_spark.streaming import (
-        run_to_memory,
-        stream_parquet_source,
-    )
-
-    src_dir, schema = _stage_documents(spark, sf_dir)
-    stream = stream_parquet_source(spark, src_dir, schema)
-    redacted = redact_pii(stream, "doc_id", "text")
-    gated = redacted.where(F.size(F.split(F.lower(F.col("clean_text")), " ")) >= 20)
-    chunks = chunk_documents(gated, "doc_id", "clean_text", chunk_size=64, stride=48)
-    return run_to_memory(chunks)
-
-
-@query(
-    "continuous_rollup",
-    """SELECT date_trunc('hour', ts) AS bucket, event_type,
-              CAST(SUM(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
-              COUNT(*) AS n,
-              CAST(SUM(CAST(round(value * 100.0, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
-       FROM events
-       GROUP BY date_trunc('hour', ts), event_type""",
-)
-def q_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Continuous aggregate: the event stream incrementally maintains an
-    hour × type rollup table across micro-batches (foreachBatch additive
-    merge on exact cents + scoped partition upsert, replay-safe via
-    per-key last_batch).  The stored table must equal the one-shot batch
-    GROUP BY bit-for-bit — partial sums compose exactly because they are
-    integers."""
-    from hdfs_stream_processing_spark.streaming import stream_parquet_source
-    from hdfs_stream_processing_spark.streaming.pipeline import run_continuous_rollup
-
-    src_dir, schema = _stage_events(spark, sf_dir)
-    stream = stream_parquet_source(spark, src_dir, schema, max_files_per_trigger=1)
-    target = _mkdtemp("hsp_rollup_")
-    ckpt = _mkdtemp("hsp_rollup_ckpt_")
-    run_continuous_rollup(stream, target, ckpt)
-    back = spark.read.parquet(target)
-    return back.select(
-        "bucket",
-        F.col("event_type").cast("string"),
-        "sum_cents",
-        "n",
-        (F.col("sum_cents").cast("double") / F.lit(100.0)).alias("sum_value"),
-    )
-
-
-@query(
-    "stream_cdc",
-    """WITH ranked AS (
-         SELECT user_id, ts, event_id, event_type, value,
-                row_number() OVER (PARTITION BY user_id
-                                   ORDER BY ts DESC, event_id DESC) AS rn
-         FROM events)
-       SELECT user_id, ts AS op_ts, event_type, value
-       FROM ranked WHERE rn = 1 AND event_type <> 'error'""",
-)
-def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming CDC (r6): the event log arrives as a change stream —
-    error rows are deletes, everything else upserts — and foreachBatch
-    maintains the per-user snapshot table across micro-batches (merge
-    scoped to touched hash-bucket partitions; content-based latest-wins
-    plus delete tombstones make the result independent of the batch
-    split and idempotent under replay).  The live snapshot must equal
-    the one-shot batch ``cdc_apply`` over the whole log."""
-    from hdfs_stream_processing_spark.streaming import stream_parquet_source
-    from hdfs_stream_processing_spark.streaming.pipeline import (
-        read_cdc_snapshot,
-        run_stream_cdc,
-    )
-
-    src_dir, schema = _stage_events(spark, sf_dir)
-    # 2 files per trigger -> 2 micro-batches: still exercises the
-    # cross-batch merge (pytest covers 1-file batches + replay)
-    stream = stream_parquet_source(spark, src_dir, schema, max_files_per_trigger=2)
-    log = stream.select(
-        "user_id", "ts", "event_id", "event_type", "value",
-        F.when(F.col("event_type") == "error", F.lit("D"))
-        .otherwise(F.lit("U"))
-        .alias("op"),
-        # partition by a STABLE function of the key (contract: a key
-        # never moves partitions), never by a mutable attribute
-        F.pmod(F.hash("user_id"), F.lit(8)).alias("bucket"),
-    )
-    target = _mkdtemp("hsp_cdc_")
-    ckpt = _mkdtemp("hsp_cdc_ckpt_")
-    run_stream_cdc(
-        log, target, ckpt, ["user_id"], ["ts", "event_id"], "op", "bucket"
-    )
-    return read_cdc_snapshot(spark, target).select(
-        "user_id", F.col("ts").alias("op_ts"), "event_type", "value"
-    )
-
-
-@query(
-    "schema_evolution",
-    """SELECT event_id, user_id, value,
-              CASE WHEN event_id % 2 = 1 THEN event_type END AS event_type
-       FROM events""",
-)
-def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Schema evolution on a parquet table (S-surface beyond the
-    reference): files written BEFORE a column existed coexist with
-    files written after — ``mergeSchema`` unions the file schemas and
-    old files surface the new column as NULL.  Even-id rows are staged
-    without ``event_type`` (the 'old' files), odd-id rows with it; the
-    oracle mirrors that split over the base table.  This is the
-    append-only reality of a years-deep lake: adding a column must not
-    require rewriting history."""
-    (events,) = prep(spark, sf_dir, "events")
-    stage = _mkdtemp("hsp_evolve_", memo_key=sf_dir)
-    import os as _os
-
-    if not _os.path.exists(_os.path.join(stage, "_staged")):
-        base = events.select("event_id", "user_id", "value", "event_type")
-        old = base.where(F.col("event_id") % 2 == 0).drop("event_type")
-        new = base.where(F.col("event_id") % 2 == 1)
-        old.write.mode("append").parquet(stage)
-        new.write.mode("append").parquet(stage)
-        open(_os.path.join(stage, "_staged"), "w").close()
-    return spark.read.option("mergeSchema", "true").parquet(stage).select(
-        "event_id", "user_id", "value", "event_type"
-    )
-
-
-@query(
-    "stream_enrich",
-    """SELECT e.event_id, e.user_id, c.c_mktsegment, e.value
-       FROM events e JOIN customer c ON e.user_id = c.c_custkey""",
-)
-def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-static enrichment (ST × J1): the event stream joins the
-    static customer dimension per micro-batch — the broadcast-hash-join
-    lookup every streaming pipeline bolts onto its facts.  No state
-    store and no watermark needed (the static side is re-read per
-    trigger, broadcast under the autoBroadcast threshold); the result
-    must equal the batch join row-for-row."""
-    from hdfs_stream_processing_spark.streaming import (
-        run_to_memory,
-        stream_parquet_source,
-    )
-
-    src_dir, schema = _stage_events(spark, sf_dir)
-    stream = stream_parquet_source(spark, src_dir, schema)
-    (customer,) = prep(spark, sf_dir, "customer")
-    dim = customer.select("c_custkey", "c_mktsegment")
-    enriched = stream.join(
-        F.broadcast(dim), stream["user_id"] == dim["c_custkey"], "inner"
-    ).select("event_id", "user_id", "c_mktsegment", "value")
-    return run_to_memory(enriched)
-
-
-@query(
-    "gapfill_locf",
-    """WITH obs AS (
-         SELECT event_type, date_trunc('hour', ts) AS bucket,
-                CAST(SUM(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_cents
-         FROM events WHERE value > 95.0
-         GROUP BY event_type, date_trunc('hour', ts)),
-       spine AS (
-         SELECT event_type,
-                unnest(generate_series(min(bucket), max(bucket), INTERVAL 1 HOUR)) AS bucket
-         FROM obs GROUP BY event_type)
-       SELECT s.event_type, s.bucket, o.sum_cents,
-              last_value(o.sum_cents IGNORE NULLS) OVER (
-                  PARTITION BY s.event_type ORDER BY s.bucket
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_cents_locf,
-              o.sum_cents IS NULL AS was_gap
-       FROM spine s LEFT JOIN obs o
-         ON s.event_type = o.event_type AND s.bucket = o.bucket""",
-)
-def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hypertable gap filling (time_bucket_gapfill + locf): sparse
-    high-value hourly sums densified to every hour in each type's span,
-    gaps carrying the last observed exact-cents value, imputed points
-    flagged."""
-    from hdfs_stream_processing_spark.operators.temporal import gapfill_locf
-
-    (events,) = prep(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * F.lit(100.0), 0).cast("long")
-    obs = (
-        events.where(F.col("value") > 95.0)
-        .select(F.col("event_type"), F.date_trunc("hour", "ts").alias("bucket"), cents.alias("_c"))
-        .groupBy("event_type", "bucket")
-        .agg(F.sum("_c").alias("sum_cents"))
-    )
-    return gapfill_locf(obs, "event_type", "bucket", "sum_cents", grain="hour")
-
-
-@query(
-    "gapfill_interp",
-    """WITH obs AS (
-         SELECT event_type, date_trunc('hour', ts) AS bucket,
-                CAST(SUM(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_cents
-         FROM events WHERE value > 95.0
-         GROUP BY event_type, date_trunc('hour', ts)),
-       spine AS (
-         SELECT event_type,
-                unnest(generate_series(min(bucket), max(bucket), INTERVAL 1 HOUR)) AS bucket
-         FROM obs GROUP BY event_type),
-       j AS (SELECT s.event_type, s.bucket, o.sum_cents
-             FROM spine s LEFT JOIN obs o
-               ON s.event_type = o.event_type AND s.bucket = o.bucket),
-       f AS (SELECT *,
-               last_value(sum_cents IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
-               last_value(CASE WHEN sum_cents IS NOT NULL THEN bucket END IGNORE NULLS)
-                   OVER (PARTITION BY event_type ORDER BY bucket
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
-               first_value(sum_cents IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket
-                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
-               first_value(CASE WHEN sum_cents IS NOT NULL THEN bucket END IGNORE NULLS)
-                   OVER (PARTITION BY event_type ORDER BY bucket
-                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
-             FROM j)
-       SELECT event_type, bucket, sum_cents,
-              CASE WHEN sum_cents IS NOT NULL THEN CAST(sum_cents AS DOUBLE)
-                   WHEN pv IS NULL THEN CAST(nv AS DOUBLE)
-                   WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
-                   ELSE pv + (nv - pv) * ((epoch_us(bucket) - epoch_us(pb))
-                        / CAST(epoch_us(nb) - epoch_us(pb) AS DOUBLE)) END AS sum_cents_interp,
-              sum_cents IS NULL AS was_gap
-       FROM f""",
-)
-def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hypertable gap filling with linear interpolation: gaps get the
-    straight line between surrounding observations (double fraction
-    first — operation order mirrored in the oracle for IEEE-bit
-    equality), edges fall back to the nearest observation."""
-    from hdfs_stream_processing_spark.operators.temporal import gapfill_interpolate
-
-    (events,) = prep(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * F.lit(100.0), 0).cast("long")
-    obs = (
-        events.where(F.col("value") > 95.0)
-        .select(F.col("event_type"), F.date_trunc("hour", "ts").alias("bucket"), cents.alias("_c"))
-        .groupBy("event_type", "bucket")
-        .agg(F.sum("_c").alias("sum_cents"))
-    )
-    return gapfill_interpolate(obs, "event_type", "bucket", "sum_cents", grain="hour")
 
 
 # ========================================================================
-# §event analytics (operators/analytics.py) — the Kibana-dashboard
-# staples (sessionization, funnels, retention) computed natively
+# The remaining sections live in sibling modules (round-8 split; VERDICT
+# r7 #7).  Import order == original in-file order, so registration order
+# in QUERIES/ORACLES is byte-identical to the monolithic file.
 # ========================================================================
 
-
-@query(
-    "sessionize",
-    """SELECT event_id, user_id, ts,
-              CAST(session_idx AS BIGINT) AS session_idx,
-              CAST(user_id AS VARCHAR) || ':' || CAST(session_idx AS VARCHAR) AS session_id
-       FROM (SELECT event_id, user_id, ts,
-                    SUM(CASE WHEN prev IS NULL OR epoch_us(ts) - prev > 1800000000
-                             THEN 1 ELSE 0 END)
-                        OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
-                        AS session_idx
-             FROM (SELECT event_id, user_id, ts,
-                          lag(epoch_us(ts)) OVER (PARTITION BY user_id
-                                                  ORDER BY ts, event_id) AS prev
-                   FROM events))""",
-)
-def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch sessionization (gaps-and-islands): a >30-min silence starts
-    a new session; event_id tiebreak gives the window a total order so
-    session assignment is partitioning-independent."""
-    from hdfs_stream_processing_spark.operators.analytics import sessionize
-
-    (events,) = prep(spark, sf_dir, "events")
-    out = sessionize(
-        events.select("event_id", "user_id", "ts"),
-        "user_id",
-        "ts",
-        gap_minutes=30,
-        tiebreak_cols=["event_id"],
-    )
-    return out.select(
-        "event_id", "user_id", "ts", "session_idx", "session_id"
-    )
-
-
-@query(
-    "funnel",
-    """WITH s1 AS (SELECT user_id, min(ts) AS t_view FROM events
-                   WHERE event_type = 'view' GROUP BY user_id),
-       s2 AS (SELECT s1.user_id, t_view,
-                     min(CASE WHEN e.ts > s1.t_view THEN e.ts END) AS t_click
-              FROM s1 LEFT JOIN events e
-                ON e.user_id = s1.user_id AND e.event_type = 'click'
-              GROUP BY s1.user_id, t_view),
-       s3 AS (SELECT s2.user_id, t_view, t_click,
-                     min(CASE WHEN e.ts > s2.t_click THEN e.ts END) AS t_purchase
-              FROM s2 LEFT JOIN events e
-                ON e.user_id = s2.user_id AND e.event_type = 'purchase'
-              GROUP BY s2.user_id, t_view, t_click)
-       SELECT user_id, t_view, t_click, t_purchase,
-              CASE WHEN t_purchase IS NOT NULL THEN 3
-                   WHEN t_click IS NOT NULL THEN 2
-                   WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS stage
-       FROM s3""",
-)
-def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered conversion funnel view → click → purchase: each step's
-    earliest event strictly after the previous step, per user; stage =
-    deepest step reached.  Chained aggregates/joins all keyed on
-    user_id — co-partitioned, no self-join blowup."""
-    from hdfs_stream_processing_spark.operators.analytics import funnel_steps
-
-    (events,) = prep(spark, sf_dir, "events")
-    return funnel_steps(
-        events, "user_id", "ts", "event_type", ["view", "click", "purchase"]
-    )
-
-
-@query(
-    "funnel_lag",
-    """WITH s1 AS (SELECT user_id, min(ts) AS t_view FROM events
-                   WHERE event_type = 'view' GROUP BY user_id),
-       s2 AS (SELECT s1.user_id, t_view,
-                     min(CASE WHEN e.ts > s1.t_view THEN e.ts END) AS t_click
-              FROM s1 LEFT JOIN events e
-                ON e.user_id = s1.user_id AND e.event_type = 'click'
-              GROUP BY s1.user_id, t_view),
-       s3 AS (SELECT s2.user_id, t_view, t_click,
-                     min(CASE WHEN e.ts > s2.t_click THEN e.ts END) AS t_purchase
-              FROM s2 LEFT JOIN events e
-                ON e.user_id = s2.user_id AND e.event_type = 'purchase'
-              GROUP BY s2.user_id, t_view, t_click),
-       lags AS (
-         SELECT 'view->click' AS transition,
-                epoch_us(t_click) - epoch_us(t_view) AS gap_us
-         FROM s3 WHERE t_click IS NOT NULL
-         UNION ALL
-         SELECT 'click->purchase' AS transition,
-                epoch_us(t_purchase) - epoch_us(t_click) AS gap_us
-         FROM s3 WHERE t_purchase IS NOT NULL)
-       SELECT transition, COUNT(*) AS n_converted,
-              quantile_cont(gap_us, 0.5) / 1e6 AS p50_s,
-              quantile_cont(gap_us, 0.9) / 1e6 AS p90_s
-       FROM lags GROUP BY transition""",
-)
-def q_funnel_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-to-convert per funnel transition (VERDICT r4 #7): exact
-    p50/p90 of the view→click and click→purchase gaps in seconds, over
-    the same per-user funnel table as `funnel`.  Gaps are exact integer
-    microseconds; percentile interpolation is the engine-portable
-    (n-1)p form proven by the `percentiles` query."""
-    from hdfs_stream_processing_spark.operators.analytics import (
-        funnel_conversion_lags,
-        funnel_steps,
-    )
-
-    (events,) = prep(spark, sf_dir, "events")
-    fun = funnel_steps(events, "user_id", "ts", "event_type", ["view", "click", "purchase"])
-    return funnel_conversion_lags(fun, ["view", "click", "purchase"])
-
-
-@query(
-    "stream_sessionize",
-    """WITH x AS (SELECT user_id, ts, value,
-                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                          > INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS brk
-         FROM events),
-       s AS (SELECT user_id, ts, value,
-                SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
-             FROM x)
-       SELECT user_id,
-              MIN(ts) AS session_start,
-              MAX(ts) + INTERVAL 10 MINUTE AS session_end,
-              COUNT(*) AS n,
-              CAST(SUM(CAST(round(value * 100.0, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
-       FROM s GROUP BY user_id, sess""",
-)
-def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMING sessionization via session_window state (VERDICT r4
-    #7): the event stream arrives in multiple micro-batches
-    (maxFilesPerTrigger), so sessions spanning batch boundaries MERGE in
-    the streaming session-state store; complete-mode availableNow then
-    emits the final session set, which must equal the batch
-    gaps-and-islands derivation — proving the streaming merge loses and
-    fabricates nothing.  10-minute gap (vs session_agg's 5) with the
-    same closed boundary: an event exactly at last+gap still merges."""
-    from hdfs_stream_processing_spark.streaming import (
-        run_to_memory,
-        session_window_agg,
-        stream_parquet_source,
-    )
-
-    src_dir, schema = _stage_events(spark, sf_dir)
-    stream = stream_parquet_source(spark, src_dir, schema, max_files_per_trigger=2)
-    sessions = session_window_agg(
-        stream, ts_col="ts", key_col="user_id", value_col="value",
-        gap="10 minutes", watermark="10 minutes",
-    )
-    with _conf_override(spark, "spark.sql.shuffle.partitions", "8"):
-        return run_to_memory(sessions, output_mode="complete")
-
-
-@query(
-    "retention",
-    """WITH fd AS (SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
-                   FROM events GROUP BY user_id),
-       act AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events)
-       SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day,
-              CAST(datediff('day', cohort_day, d) AS INT) AS day_offset,
-              count(DISTINCT act.user_id) AS n_users
-       FROM act JOIN fd ON act.user_id = fd.user_id
-       GROUP BY cohort_day, datediff('day', cohort_day, d)""",
-)
-def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort retention matrix: users bucketed by first-activity day ×
-    day offset of each active day.  Two hash aggregates + one
-    co-partitioned join; the matrix is days × days no matter the input
-    volume."""
-    from hdfs_stream_processing_spark.operators.analytics import retention_cohorts
-
-    (events,) = prep(spark, sf_dir, "events")
-    return retention_cohorts(events, "user_id", "ts")
-
-
-@query(
-    "anomaly_zscore",
-    """WITH obs AS (
-         SELECT event_type, date_trunc('hour', ts) AS bucket,
-                CAST(SUM(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_cents
-         FROM events GROUP BY event_type, date_trunc('hour', ts)),
-       w AS (SELECT event_type, bucket, sum_cents,
-                    count(sum_cents) OVER win AS n,
-                    CAST(sum(sum_cents) OVER win AS BIGINT) AS s1,
-                    CAST(sum(sum_cents * sum_cents) OVER win AS BIGINT) AS s2
-             FROM obs
-             WINDOW win AS (PARTITION BY event_type ORDER BY bucket
-                            ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
-       m AS (SELECT *, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean FROM w),
-       v2 AS (SELECT *,
-                     sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
-                                   - mean * mean, 0.0)) AS std
-              FROM m)
-       SELECT event_type, bucket, sum_cents,
-              CASE WHEN n >= 2 THEN mean END AS baseline_mean,
-              CASE WHEN n >= 2 AND std > 0.0
-                   THEN (CAST(sum_cents AS DOUBLE) - mean) / std END AS zscore,
-              CASE WHEN n >= 2 AND std > 0.0
-                   THEN abs((CAST(sum_cents AS DOUBLE) - mean) / std) > 3.0
-                   ELSE false END AS is_anomaly
-       FROM v2""",
-)
-def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling z-score anomaly detection on the hourly sensor series:
-    each hour scored against the trailing 24 hours of its type (the
-    point never inflates its own baseline).  Exact-integer rolling sums
-    feed single double expressions, so scores are IEEE-bit-identical in
-    the oracle."""
-    from hdfs_stream_processing_spark.operators.analytics import anomaly_zscore
-
-    (events,) = prep(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * F.lit(100.0), 0).cast("long")
-    obs = (
-        events.select(F.col("event_type"), F.date_trunc("hour", "ts").alias("bucket"), cents.alias("_c"))
-        .groupBy("event_type", "bucket")
-        .agg(F.sum("_c").alias("sum_cents"))
-    )
-    return anomaly_zscore(obs, "event_type", "bucket", "sum_cents", window_rows=24)
-
-
-@query(
-    "large_orders",
-    """WITH big AS (
-         SELECT l_orderkey,
-                CAST(SUM(CAST(round(l_quantity * 100.0, 0) AS BIGINT)) AS BIGINT) AS qty_cents
-         FROM lineitem GROUP BY l_orderkey
-         HAVING SUM(CAST(round(l_quantity * 100.0, 0) AS BIGINT)) > 25000)
-       SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
-              CAST(qty_cents AS DOUBLE) / 100.0 AS total_qty
-       FROM big
-       JOIN orders   ON o_orderkey = big.l_orderkey
-       JOIN customer ON c_custkey = o_custkey""",
-)
-def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape (agg → HAVING → join back to the fact's parents):
-    orders whose summed line quantity exceeds a threshold, with their
-    customer.  The HAVING runs on the aggregated (small) side BEFORE the
-    joins, so only qualifying orderkeys ever reach the join — at scale
-    the filtered agg is broadcast against orders."""
-    lineitem, orders, customer = prep(spark, sf_dir, "lineitem", "orders", "customer")
-    qty_cents = F.round(F.col("l_quantity") * F.lit(100.0), 0).cast("long")
-    big = (
-        lineitem.groupBy("l_orderkey")
-        .agg(F.sum(qty_cents).alias("qty_cents"))
-        .where(F.col("qty_cents") > F.lit(25000))
-    )
-    return (
-        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
-        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
-        .select(
-            "c_name",
-            "o_orderkey",
-            "o_orderdate",
-            "o_totalprice",
-            (F.col("qty_cents").cast("double") / F.lit(100.0)).alias("total_qty"),
-        )
-    )
-
-
-@query(
-    "heavy_hitters",
-    """SELECT source, token, n, CAST(rank AS INT) AS rank
-       FROM (SELECT source, token, count(*) AS n,
-                    row_number() OVER (PARTITION BY source
-                                       ORDER BY count(*) DESC, token) AS rank
-             FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS token
-                   FROM documents)
-             GROUP BY source, token)
-       WHERE rank <= 3""",
-)
-def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact heavy hitters: the 3 most frequent tokens per source with a
-    deterministic total-order rank.  Map-side partial counts do the
-    heavy lifting; the window only sees distinct (source, token)
-    counts."""
-    from hdfs_stream_processing_spark.operators.aggregates import heavy_hitters
-    from hdfs_stream_processing_spark.operators.text import tokens
-
-    (documents,) = prep(spark, sf_dir, "documents")
-    toks = documents.select("source", F.explode(tokens("text")).alias("token"))
-    return heavy_hitters(toks, ["source"], "token", k=3)
-
-
-@query(
-    "ntile_buckets",
-    """SELECT event_id, event_type, value,
-              CAST(ntile(10) OVER (PARTITION BY event_type
-                                   ORDER BY value, event_id) AS INT) AS decile
-       FROM events""",
-)
-def q_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decile assignment per type (NTILE): equal-frequency buckets with
-    an event_id tiebreak so the assignment is a total order —
-    partitioning-independent and engine-exact."""
-    from pyspark.sql import Window
-
-    (events,) = prep(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy(F.col("value"), F.col("event_id"))
-    return events.select(
-        "event_id", "event_type", "value", F.ntile(10).over(w).alias("decile")
-    )
-
-
-@query(
-    "corr_qty_price",
-    """WITH s AS (
-         SELECT l_returnflag,
-                count(*) AS n,
-                CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-                CAST(sum(x * y) AS BIGINT) AS sxy,
-                CAST(sum(x * x) AS BIGINT) AS sxx,
-                CAST(sum(y * y) AS BIGINT) AS syy
-         FROM (SELECT l_returnflag,
-                      CAST(round(l_quantity, 0) AS BIGINT) AS x,
-                      CAST(round(l_extendedprice, 0) AS BIGINT) AS y
-               FROM lineitem)
-         GROUP BY l_returnflag)
-       SELECT l_returnflag, n,
-              CASE WHEN sqrt(greatest(CAST(sxx AS DOUBLE) / n
-                                      - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n), 0.0))
-                        * sqrt(greatest(CAST(syy AS DOUBLE) / n
-                                      - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n), 0.0)) > 0.0
-                   THEN (CAST(sxy AS DOUBLE) / n
-                         - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
-                        / (sqrt(greatest(CAST(sxx AS DOUBLE) / n
-                                      - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n), 0.0))
-                           * sqrt(greatest(CAST(syy AS DOUBLE) / n
-                                      - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n), 0.0)))
-              END AS corr
-       FROM s""",
-)
-def q_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pearson correlation of quantity vs price per return flag from
-    exact integer sufficient statistics — unlike native corr(), whose
-    float partial-state accumulation is partition-order-dependent, this
-    hash-matches the oracle bit-for-bit."""
-    from hdfs_stream_processing_spark.operators.aggregates import corr_exact
-
-    (lineitem,) = prep(spark, sf_dir, "lineitem")
-    x = F.round(F.col("l_quantity"), 0).cast("long")
-    y = F.round(F.col("l_extendedprice"), 0).cast("long")
-    return corr_exact(lineitem, ["l_returnflag"], x, y)
-
-
-# ========================================================================
-# Round 6 (cont.): point-in-time join, sequence packing, incremental
-# dedup, outer stream-stream join
-# ========================================================================
-
-
-@query(
-    "pit_join",
-    """WITH ordered AS (
-         SELECT user_id, ts, event_id, event_type,
-                lag(event_type) OVER w AS prev_type,
-                row_number() OVER w AS rn
-         FROM events WHERE event_type <> 'purchase'
-         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-       vers AS (
-         SELECT user_id, ts, event_id, event_type FROM ordered
-         WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type),
-       dim AS (
-         SELECT user_id, event_type,
-                ts AS valid_from,
-                lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
-         FROM vers)
-       SELECT f.event_id, f.user_id, f.ts, f.value,
-              d.event_type AS dim_type, d.valid_from AS dim_since
-       FROM events f LEFT JOIN dim d
-         ON f.user_id = d.user_id
-        AND f.ts >= d.valid_from
-        AND (d.valid_to IS NULL OR f.ts < d.valid_to)
-       WHERE f.event_type = 'purchase'""",
-)
-def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Point-in-time join (r6): each purchase enriched with the user's
-    SCD2 state AS OF the purchase timestamp — the feature-store lookup
-    that prevents label leakage (a January purchase must see the user's
-    January-era attribute, not the latest).  Dimension = event_type
-    history over non-purchase events; ONE equi-join shuffle, the
-    interval predicate rides as a residual, and disjoint versions mean
-    at most one match per fact."""
-    from hdfs_stream_processing_spark.operators.incremental import (
-        pit_join,
-        scd2_build,
-    )
-
-    (events,) = prep(spark, sf_dir, "events")
-    dim = scd2_build(
-        events.where(F.col("event_type") != "purchase"),
-        ["user_id"], "ts", "event_type", tiebreak_cols=["event_id"],
-    ).select("user_id", "event_type", "valid_from", "valid_to")
-    facts = events.where(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", "value"
-    )
-    return pit_join(facts, dim, ["user_id"], "ts").select(
-        F.col("f.event_id").alias("event_id"),
-        F.col("f.user_id").alias("user_id"),
-        F.col("f.ts").alias("ts"),
-        F.col("f.value").alias("value"),
-        F.col("d.event_type").alias("dim_type"),
-        F.col("d.valid_from").alias("dim_since"),
-    )
-
-
-@query(
-    "seq_pack",
-    """WITH t AS (
-         SELECT doc_id,
-                CAST(floor((length(text) + 3) / 4.0) AS BIGINT) AS n_tok,
-                md5('s0|' || CAST(doc_id AS VARCHAR)) AS ord
-         FROM documents),
-       s AS (
-         SELECT doc_id, n_tok, ord,
-                ('0x' || substr(ord, 1, 8))::UBIGINT::BIGINT % 4 AS shard_id
-         FROM t),
-       c AS (
-         SELECT doc_id, n_tok, shard_id,
-                CAST(row_number() OVER (PARTITION BY shard_id
-                     ORDER BY ord, doc_id) AS INT) AS pos,
-                COALESCE(SUM(n_tok) OVER (PARTITION BY shard_id
-                     ORDER BY ord, doc_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
-         FROM s)
-       SELECT doc_id, n_tok, shard_id, pos,
-              CAST(floor(cum / 2048.0) AS BIGINT) AS seq_id,
-              CAST(cum % 2048 AS BIGINT) AS seq_off
-       FROM c""",
-)
-def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GPT-style sequence packing (r6): the corpus laid out as 2048-token
-    training sequences across 4 shards — concat-and-split in a
-    deterministic seeded order, each document stamped with the shard,
-    sequence id, and in-sequence offset of its first token.  ONE
-    shuffle: the shard exchange is shared by the position window and
-    the running token sum (per-shard prefix sums are the reason to
-    shard FIRST — a global cumulative sum would need a range
-    exchange)."""
-    from hdfs_stream_processing_spark.operators.llmdata import pack_sequences
-    from hdfs_stream_processing_spark.operators.text import token_count
-
-    (documents,) = prep(spark, sf_dir, "documents")
-    toks = token_count(documents, "doc_id", "text").select(
-        "doc_id", F.col("n_tokens_est").alias("n_tok")
-    )
-    return pack_sequences(toks, "doc_id", "n_tok", capacity=2048, n_shards=4, seed="s0")
-
-
-@query(
-    "incr_dedup",
-    """WITH batch AS (
-         SELECT doc_id, source, text FROM documents WHERE doc_id > 250
-         UNION ALL
-         SELECT doc_id + 20000, source, text FROM documents
-         WHERE doc_id BETWEEN 201 AND 300
-         UNION ALL
-         SELECT doc_id + 10000, source, text FROM documents WHERE doc_id <= 100),
-       ex AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id <= 250),
-       fresh AS (
-         SELECT b.doc_id, b.source, md5(b.text) AS h FROM batch b
-         WHERE NOT EXISTS (SELECT 1 FROM ex WHERE ex.h = md5(b.text))),
-       ranked AS (
-         SELECT doc_id, source, h,
-                row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
-         FROM fresh)
-       SELECT doc_id, source, h FROM ranked WHERE rn = 1""",
-)
-def q_incr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental exact dedup (r6): a new crawl batch — fresh docs plus
-    recrawls of already-ingested pages under NEW doc ids — deduped
-    against the existing corpus's content-hash set without touching
-    corpus bytes.  Recrawls of ingested docs drop (anti-join); recrawls
-    colliding within the batch collapse to the min-id survivor.  At
-    100 TB this is THE dedup shape: per-batch work, corpus keys
-    bucketed, history never re-deduplicated."""
-    from hdfs_stream_processing_spark.operators.dedup import dedup_incremental
-
-    (documents,) = prep(spark, sf_dir, "documents")
-    base = documents.select("doc_id", "source", "text")
-    batch = (
-        base.where(F.col("doc_id") > 250)
-        .unionByName(
-            base.where(F.col("doc_id").between(201, 300)).withColumn(
-                "doc_id", F.col("doc_id") + F.lit(20000)
-            )
-        )
-        .unionByName(
-            base.where(F.col("doc_id") <= 100).withColumn(
-                "doc_id", F.col("doc_id") + F.lit(10000)
-            )
-        )
-        .withColumn("h", F.md5(F.col("text")))
-    )
-    existing_keys = (
-        base.where(F.col("doc_id") <= 250).select(F.md5(F.col("text")).alias("h"))
-    )
-    out = dedup_incremental(batch, existing_keys, ["h"], [F.col("doc_id")])
-    return out.select("doc_id", "source", "h")
-
-
-@query(
-    "stream_join_outer",
-    """SELECT l.event_id, r.event_id AS r_event_id, l.user_id,
-              date_diff('microsecond', l.ts, r.ts) AS dt_us
-       FROM (SELECT * FROM events
-             WHERE event_type = 'click'
-               AND ts < TIMESTAMP '2024-01-25 00:00:00') l
-       LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
-         ON l.user_id = r.user_id
-        AND abs(date_diff('microsecond', l.ts, r.ts)) <= 120000000""",
-)
-def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-stream LEFT OUTER interval join (r6): clicks that DID
-    convert within ±120 s pair with their purchase; clicks that never
-    did emit with NULL right columns once the watermark proves no match
-    can arrive — the state store evicts and emits as the stream runs,
-    no daily batch join needed.  The analysis cutoff (clicks before
-    Jan 25) applies AFTER the watermark declaration, so the frontier
-    advances with the full stream and every kept click's eviction
-    bound is provably passed before the finite run ends."""
-    from hdfs_stream_processing_spark.streaming import (
-        run_to_memory,
-        stream_parquet_source,
-    )
-    from hdfs_stream_processing_spark.streaming.pipeline import (
-        stream_stream_interval_join,
-    )
-
-    src_dir, schema = _stage_events(spark, sf_dir)
-    clicks = (
-        stream_parquet_source(spark, src_dir, schema, max_files_per_trigger=2)
-        .where(F.col("event_type") == "click")
-        .select("event_id", "user_id", "ts")
-    )
-    purchases = (
-        stream_parquet_source(spark, src_dir, schema, max_files_per_trigger=2)
-        .where(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("r_id"),
-            F.col("user_id").alias("user_id"),
-            F.col("ts").alias("r_ts"),
-        )
-    )
-    joined = stream_stream_interval_join(
-        clicks,
-        purchases,
-        "user_id",
-        left_ts="ts",
-        right_ts="r_ts",
-        max_gap_seconds=120,
-        watermark="1 minute",
-        how="leftOuter",
-        left_filter=F.col("ts") < F.lit("2024-01-25 00:00:00").cast("timestamp"),
-    )
-    with _conf_override(spark, "spark.sql.shuffle.partitions", "8"):
-        out = run_to_memory(joined)
-    return out.select(
-        "event_id",
-        F.col("r_id").alias("r_event_id"),
-        "user_id",
-        (F.unix_micros(F.col("r_ts")) - F.unix_micros(F.col("ts"))).alias("dt_us"),
-    )
-
-
-@query(
-    "incr_rollup",
-    """SELECT event_type, CAST(ts AS DATE) AS day,
-              COUNT(*) AS n,
-              CAST(SUM(CAST(round(value * 100.0, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value,
-              CAST(SUM(CAST(round(value * 100.0, 0) AS BIGINT)) AS DOUBLE) / 100.0
-                  / COUNT(*) AS avg_value
-       FROM events GROUP BY event_type, CAST(ts AS DATE)""",
-)
-def q_incr_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental aggregate-table maintenance (r6): the daily rollup is
-    maintained by merging the new day's PARTIAL aggregate into the
-    existing table — additive sufficient statistics (count, integer-
-    cent sum) re-aggregate exactly, and avg derives at read time.  The
-    oracle aggregates the whole table from scratch: the merge must be
-    bit-identical.  A day's load touches batch + rollup rows only —
-    history is never rescanned (the batch analog of the streaming
-    continuous_rollup)."""
-    from hdfs_stream_processing_spark.operators.incremental import rollup_merge
-
-    (events,) = prep(spark, sf_dir, "events")
-    cutoff = F.lit("2024-01-25 00:00:00").cast("timestamp")
-
-    def partial(df: DataFrame) -> DataFrame:
-        cents = F.round(F.col("value") * F.lit(100.0), 0).cast("long")
-        return df.groupBy(
-            "event_type", F.col("ts").cast("date").alias("day")
-        ).agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("cents"))
-
-    existing = partial(events.where(F.col("ts") < cutoff))
-    batch = partial(events.where(F.col("ts") >= cutoff))
-    merged = rollup_merge(existing, batch, ["event_type", "day"], ["n", "cents"])
-    return merged.select(
-        "event_type",
-        "day",
-        "n",
-        (F.col("cents").cast("double") / F.lit(100.0)).alias("sum_value"),
-        (F.col("cents").cast("double") / F.lit(100.0) / F.col("n")).alias("avg_value"),
-    )
-
-
-@query(
-    "avg_yearly",
-    """WITH lim AS (
-         SELECT l_partkey,
-                0.2 * (CAST(SUM(CAST(round(l_quantity, 0) AS BIGINT)) AS DOUBLE)
-                       / COUNT(*)) AS qty_lim
-         FROM lineitem GROUP BY l_partkey),
-       brand AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23')
-       SELECT COUNT(*) AS n_small,
-              CAST(SUM(CAST(round(l.l_extendedprice * 100.0, 0) AS BIGINT)) AS DOUBLE)
-                  / 700.0 AS avg_yearly
-       FROM lineitem l
-       JOIN lim ON l.l_partkey = lim.l_partkey
-       JOIN brand ON l.l_partkey = brand.p_partkey
-       WHERE CAST(round(l.l_quantity, 0) AS BIGINT) < lim.qty_lim""",
-)
-def q_avg_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17 shape (correlated-subquery decorrelation): orders whose
-    quantity is under 20% of the part's average — the classic "small
-    lot" revenue probe.  Catalyst's decorrelated plan: ONE per-part
-    aggregate (keyed-small, broadcast back onto the fact scan) + the
-    brand dim broadcast — the 100 TB lineitem is scanned, never
-    shuffled.  Exact arithmetic throughout: integral quantities and
-    integer cents, one final division."""
-    (lineitem, part) = prep(spark, sf_dir, "lineitem", "part")
-    qty = F.round(F.col("l_quantity"), 0).cast("long")
-    lim = (
-        lineitem.groupBy("l_partkey")
-        .agg(
-            (
-                F.lit(0.2)
-                * (F.sum(qty).cast("double") / F.count(F.lit(1)))
-            ).alias("qty_lim")
-        )
-    )
-    brand = part.where(F.col("p_brand") == "Brand#23").select("p_partkey")
-    cents = F.round(F.col("l_extendedprice") * F.lit(100.0), 0).cast("long")
-    small = (
-        lineitem.withColumn("_qty", qty)
-        .join(F.broadcast(lim), "l_partkey")
-        .join(F.broadcast(brand), F.col("l_partkey") == F.col("p_partkey"))
-        .where(F.col("_qty") < F.col("qty_lim"))
-    )
-    return small.agg(
-        F.count(F.lit(1)).alias("n_small"),
-        (F.sum(cents).cast("double") / F.lit(700.0)).alias("avg_yearly"),
-    )
-
-
-@query(
-    "stream_pit",
-    """WITH ordered AS (
-         SELECT user_id, ts, event_id, event_type,
-                lag(event_type) OVER w AS prev_type,
-                row_number() OVER w AS rn
-         FROM events WHERE event_type <> 'purchase'
-         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-       vers AS (
-         SELECT user_id, ts, event_id, event_type FROM ordered
-         WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type),
-       dim AS (
-         SELECT user_id, event_type,
-                ts AS valid_from,
-                lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
-         FROM vers)
-       SELECT f.event_id, f.user_id, f.ts, f.value,
-              d.event_type AS dim_type, d.valid_from AS dim_since
-       FROM events f LEFT JOIN dim d
-         ON f.user_id = d.user_id
-        AND f.ts >= d.valid_from
-        AND (d.valid_to IS NULL OR f.ts < d.valid_to)
-       WHERE f.event_type = 'purchase'""",
-)
-def q_stream_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Point-in-time enrichment ON THE STREAM (r6): the purchase stream
-    left-joins the static SCD2 dimension with the interval residual —
-    stream-static joins are stateless, so each micro-batch enriches
-    map-side against the (broadcastable) dimension; same result as the
-    batch pit_join, proven by the same oracle."""
-    from hdfs_stream_processing_spark.operators.incremental import scd2_build
-    from hdfs_stream_processing_spark.streaming import (
-        run_to_memory,
-        stream_parquet_source,
-    )
-
-    src_dir, schema = _stage_events(spark, sf_dir)
-    (events,) = prep(spark, sf_dir, "events")
-    dim = scd2_build(
-        events.where(F.col("event_type") != "purchase"),
-        ["user_id"], "ts", "event_type", tiebreak_cols=["event_id"],
-    ).select(
-        F.col("user_id").alias("d_user"),
-        F.col("event_type").alias("dim_type"),
-        "valid_from",
-        "valid_to",
-    )
-    facts = (
-        stream_parquet_source(spark, src_dir, schema, max_files_per_trigger=2)
-        .where(F.col("event_type") == "purchase")
-        .select("event_id", "user_id", "ts", "value")
-    )
-    cond = (
-        (F.col("user_id") == F.col("d_user"))
-        & (F.col("ts") >= F.col("valid_from"))
-        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
-    )
-    joined = facts.join(F.broadcast(dim), cond, "left")
-    out = run_to_memory(joined)
-    return out.select(
-        "event_id",
-        "user_id",
-        "ts",
-        "value",
-        "dim_type",
-        F.col("valid_from").alias("dim_since"),
-    )
-
-
-@query(
-    "dedup_near_incr",
-    f"""{_PAIRS_SQL.replace("WITH RECURSIVE", "WITH RECURSIVE").replace("pairs AS", "all_pairs AS")},
-       cross_pairs AS (SELECT id_a AS cid, id_b AS bid FROM all_pairs
-                       WHERE id_a <= 250 AND id_b > 250),
-       wsh AS (SELECT DISTINCT doc_id, w FROM (
-                 SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
-                 FROM documents)),
-       sz AS (SELECT doc_id, COUNT(*) AS sz FROM wsh GROUP BY doc_id),
-       cinter AS (SELECT p.cid, p.bid, COUNT(*) AS n
-                  FROM cross_pairs p
-                  JOIN wsh a ON a.doc_id = p.cid
-                  JOIN wsh b ON b.doc_id = p.bid AND b.w = a.w
-                  GROUP BY 1, 2),
-       cdup AS (SELECT DISTINCT ci.bid FROM cinter ci
-                JOIN sz sa ON sa.doc_id = ci.cid
-                JOIN sz sb ON sb.doc_id = ci.bid
-                WHERE CAST(ci.n AS DOUBLE) / (sa.sz + sb.sz - ci.n) >= 0.5),
-       clean AS (SELECT doc_id, lang, source FROM documents
-                 WHERE doc_id > 250 AND doc_id NOT IN (SELECT bid FROM cdup)),
-       wpairs AS (SELECT id_a, id_b FROM all_pairs
-                  WHERE id_a > 250
-                    AND id_a IN (SELECT doc_id FROM clean)
-                    AND id_b IN (SELECT doc_id FROM clean)),
-       winter AS (SELECT p.id_a, p.id_b, COUNT(*) AS n
-                  FROM wpairs p
-                  JOIN wsh a ON a.doc_id = p.id_a
-                  JOIN wsh b ON b.doc_id = p.id_b AND b.w = a.w
-                  GROUP BY 1, 2),
-       wver AS (SELECT wi.id_a, wi.id_b FROM winter wi
-                JOIN sz sa ON sa.doc_id = wi.id_a
-                JOIN sz sb ON sb.doc_id = wi.id_b
-                WHERE CAST(wi.n AS DOUBLE) / (sa.sz + sb.sz - wi.n) >= 0.5),
-       edges(u, v) AS (SELECT id_a, id_b FROM wver UNION SELECT id_b, id_a FROM wver),
-       reach(id, r) AS (
-         SELECT u, u FROM edges
-         UNION
-         SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
-       comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
-       SELECT c.doc_id, c.lang, c.source FROM clean c
-       LEFT JOIN comp ON c.doc_id = comp.id
-       WHERE comp.id IS NULL OR c.doc_id = comp.component""",
-)
-def q_dedup_near_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental NEAR-dup dedup (r6): the corpus (doc_id ≤ 250)
-    maintains its LSH band table; the new crawl batch (doc_id > 250)
-    joins its bands against it, Jaccard-verifies the candidates
-    touching only candidate corpus docs, drops verified recrawls, then
-    collapses within-batch near-dup clusters to their min-id survivor.
-    History is never re-deduplicated — per-load cost is batch-sized.
-    The oracle replays the whole decision chain (LSH bands, bipartite
-    verify, recursive-CTE components) in SQL."""
-    from hdfs_stream_processing_spark.operators.dedup import (
-        band_hashes,
-        dedup_near_incremental,
-        minhash_signature_wide,
-    )
-
-    (documents,) = prep(spark, sf_dir, "documents")
-    docs = documents.select("doc_id", "text", "lang", "source")
-    corpus = docs.where(F.col("doc_id") <= 250)
-    batch = docs.where(F.col("doc_id") > 250)
-    corpus_bands = band_hashes(
-        minhash_signature_wide(corpus, "doc_id", "text", num_hashes=8, shingle_n=2),
-        "doc_id", num_hashes=8, band_size=2,
-    )
-    # the operator's intermediates (bands, candidate pairs, verify
-    # rows) are batch-bounded — at this batch size 32 reducer waves
-    # per exchange are pure scheduling overhead; size the shuffle to
-    # the workload as any production job conf would
-    with _conf_override(spark, "spark.sql.shuffle.partitions", "8"):
-        out = dedup_near_incremental(
-            batch, corpus, corpus_bands, "doc_id", "text",
-            num_hashes=8, band_size=2, shingle_n=2, min_jaccard=0.5,
-        )
-    return out.select("doc_id", "lang", "source")
-
-
-@query(
-    "scd2_repair",
-    """WITH ordered AS (
-         SELECT user_id, ts, event_id, event_type,
-                lag(event_type) OVER w AS prev_type,
-                row_number() OVER w AS rn
-         FROM events
-         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-       vers AS (
-         SELECT user_id, ts, event_id, event_type FROM ordered
-         WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type)
-       SELECT user_id, event_type,
-              ts AS valid_from,
-              lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
-              lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
-       FROM vers""",
-)
-def q_scd2_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD2 merge with late-arrival repair (r6): the nightly batch is
-    the second half-month PLUS ~1% stragglers from the first half that
-    missed their load.  Keys whose batch time-travels behind their
-    per-key high watermark rebuild from the archive (semi-join point
-    reads); every in-order key takes the cheap incremental merge.  The
-    oracle rebuilds from the full log — repair must make the mixed
-    pipeline exactly equal to a from-scratch build, which plain
-    scd2_merge cannot (a late row can land between changes whose
-    repeats were suppressed without trace)."""
-    from hdfs_stream_processing_spark.operators.incremental import (
-        scd2_build,
-        scd2_repair,
-    )
-
-    (events,) = prep(spark, sf_dir, "events")
-    log = events.select("user_id", "ts", "event_id", "event_type")
-    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
-    in_batch = (F.col("ts") >= cutoff) | (F.col("event_id") % 97 == 0)
-    loaded = log.where(~in_batch)
-    existing = scd2_build(
-        loaded, ["user_id"], "ts", "event_type", tiebreak_cols=["event_id"]
-    )
-    hwm = loaded.groupBy("user_id").agg(F.max("ts").alias("max_ts"))
-    return scd2_repair(
-        existing,
-        log.where(in_batch),
-        log,
-        hwm,
-        ["user_id"], "ts", "event_type", tiebreak_cols=["event_id"],
-    )
-
-
-@query(
-    "incr_topk",
-    """SELECT source, token, n, CAST(rank AS INT) AS rank
-       FROM (SELECT source, token, count(*) AS n,
-                    row_number() OVER (PARTITION BY source
-                                       ORDER BY count(*) DESC, token) AS rank
-             FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS token
-                   FROM documents)
-             GROUP BY source, token)
-       WHERE rank <= 3""",
-)
-def q_incr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental heavy hitters (r6): the per-(source, token) count
-    table is maintained by rollup_merge — each load adds its partial
-    counts, history is never re-tokenized — and the top-k ranking reads
-    the merged count table (groups × distinct tokens, not the corpus).
-    The oracle counts the whole corpus from scratch: the incremental
-    count table must rank identically.  This is how exact top-k
-    survives continuous ingestion at 100 TB; the count table is the
-    only state."""
-    from hdfs_stream_processing_spark.operators.incremental import rollup_merge
-    from pyspark.sql import Window
-
-    (documents,) = prep(spark, sf_dir, "documents")
-
-    def partial(df: DataFrame) -> DataFrame:
-        toks = df.select(
-            "source",
-            F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
-        )
-        return toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n"))
-
-    existing = partial(documents.where(F.col("doc_id") <= 250))
-    batch = partial(documents.where(F.col("doc_id") > 250))
-    counts = rollup_merge(existing, batch, ["source", "token"], ["n"])
-    w = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("token").asc())
-    return counts.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 3)
-
-
-@query(
-    "incr_pack",
-    """WITH t AS (
-         SELECT doc_id,
-                CAST(floor((length(text) + 3) / 4.0) AS BIGINT) AS n_tok,
-                md5('s0|' || CAST(doc_id AS VARCHAR)) AS ord,
-                CASE WHEN doc_id > 250 THEN 1 ELSE 0 END AS is_new
-         FROM documents),
-       s AS (
-         SELECT doc_id, n_tok, ord, is_new,
-                ('0x' || substr(ord, 1, 8))::UBIGINT::BIGINT % 4 AS shard_id
-         FROM t),
-       c AS (
-         SELECT doc_id, n_tok, shard_id, is_new,
-                CAST(row_number() OVER (PARTITION BY shard_id
-                     ORDER BY is_new, ord, doc_id) AS INT) AS pos,
-                COALESCE(SUM(n_tok) OVER (PARTITION BY shard_id
-                     ORDER BY is_new, ord, doc_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
-         FROM s)
-       SELECT doc_id, n_tok, shard_id, pos,
-              CAST(floor(cum / 2048.0) AS BIGINT) AS seq_id,
-              CAST(cum % 2048 AS BIGINT) AS seq_off
-       FROM c WHERE is_new = 1""",
-)
-def q_incr_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental sequence packing (r6): the first 250 docs were packed
-    in an earlier load and a data loader may already have consumed
-    them, so their coordinates are frozen; the new batch extends each
-    shard's token stream from the per-shard cursor (n_docs,
-    total_toks — two additive numbers, maintained like any rollup).
-    The oracle packs the composite order (history first, then batch)
-    from scratch and keeps the batch rows: extension must land every
-    new doc exactly where the full repack would."""
-    from hdfs_stream_processing_spark.operators.llmdata import (
-        pack_extend,
-        pack_sequences,
-    )
-    from hdfs_stream_processing_spark.operators.text import token_count
-
-    (documents,) = prep(spark, sf_dir, "documents")
-    toks = token_count(documents, "doc_id", "text").select(
-        "doc_id", F.col("n_tokens_est").alias("n_tok")
-    )
-    hist = pack_sequences(
-        toks.where(F.col("doc_id") <= 250), "doc_id", "n_tok", 2048, 4, seed="s0"
-    )
-    state = hist.groupBy("shard_id").agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("total_toks")
-    )
-    return pack_extend(
-        state, toks.where(F.col("doc_id") > 250), "doc_id", "n_tok", 2048, 4, seed="s0"
-    )
-
-
-@query(
-    "incr_dedup_vec",
-    f"""WITH q AS (SELECT vec_id, label, {_QUANT_SQL.format(col='embedding')} AS qv
-                   FROM embeddings),
-       c AS (SELECT * FROM q WHERE vec_id < 250),
-       b AS (SELECT * FROM q WHERE vec_id >= 250),
-       drops AS (
-         SELECT DISTINCT b.vec_id FROM b JOIN c ON b.label = c.label
-         WHERE {_DOT_SQL.format(a='b.qv', b='c.qv')}
-               / ({_NORM_SQL.format(a='b.qv')} * {_NORM_SQL.format(a='c.qv')}) >= 0.3
-         UNION
-         SELECT DISTINCT hi.vec_id FROM b hi JOIN b lo
-           ON hi.label = lo.label AND lo.vec_id < hi.vec_id
-         WHERE {_DOT_SQL.format(a='hi.qv', b='lo.qv')}
-               / ({_NORM_SQL.format(a='hi.qv')} * {_NORM_SQL.format(a='lo.qv')}) >= 0.3)
-       SELECT vec_id, label FROM b
-       WHERE vec_id NOT IN (SELECT vec_id FROM drops)""",
-)
-def q_incr_dedup_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-space incremental dedup (r6): new batch vectors drop
-    when cosine-similar (≥ 0.3) to any same-bucket corpus vector or to
-    a lower-id same-bucket batch vector — the vector analog of the
-    exact/near-dup incremental ops, with the label standing in for the
-    production IVF cell.  Exact quantized cosines make the whole
-    decision hashable."""
-    from hdfs_stream_processing_spark.operators.similarity import (
-        embedding_dedup_incremental,
-    )
-
-    (embeddings,) = prep(spark, sf_dir, "embeddings")
-    corpus = embeddings.where(F.col("vec_id") < 250)
-    batch = embeddings.where(F.col("vec_id") >= 250)
-    out = embedding_dedup_incremental(
-        batch, corpus, "vec_id", "label", "embedding", min_cosine=0.3
-    )
-    return out.select("vec_id", "label")
-
-
-@query(
-    "ohlc_bars",
-    """WITH c AS (SELECT date_trunc('hour', ts) AS hour, event_type, ts, event_id,
-                         CAST(round(value * 100.0, 0) AS BIGINT) AS cents
-                  FROM events WHERE value IS NOT NULL),
-       w AS (SELECT *,
-                    row_number() OVER (PARTITION BY hour, event_type
-                                       ORDER BY ts, event_id) AS rf,
-                    row_number() OVER (PARTITION BY hour, event_type
-                                       ORDER BY ts DESC, event_id DESC) AS rl
-             FROM c)
-       SELECT hour, event_type,
-              CAST(MAX(CASE WHEN rf = 1 THEN cents END) AS DOUBLE) / 100.0 AS open,
-              CAST(MAX(cents) AS DOUBLE) / 100.0 AS high,
-              CAST(MIN(cents) AS DOUBLE) / 100.0 AS low,
-              CAST(MAX(CASE WHEN rl = 1 THEN cents END) AS DOUBLE) / 100.0 AS close,
-              COUNT(*) AS n
-       FROM w GROUP BY hour, event_type""",
-)
-def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OHLC downsampling (time-series staple): per hour × type, the
-    opening/closing value by event time (min_by/max_by over a
-    (ts, event_id) struct — a total order, so bars are engine- and
-    partitioning-independent) plus high/low/count.  ONE hash aggregate
-    with map-side partials; integer cents keep every bar exact."""
-    (events,) = prep(spark, sf_dir, "events")
-    e = events.where(F.col("value").isNotNull())
-    cents = F.round(F.col("value") * F.lit(100.0), 0).cast("long")
-    key = F.struct(F.col("ts"), F.col("event_id"))
-    return (
-        e.withColumn("_c", cents)
-        .groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
-        )
-        .agg(
-            (F.min_by(F.col("_c"), key).cast("double") / F.lit(100.0)).alias("open"),
-            (F.max(F.col("_c")).cast("double") / F.lit(100.0)).alias("high"),
-            (F.min(F.col("_c")).cast("double") / F.lit(100.0)).alias("low"),
-            (F.max_by(F.col("_c"), key).cast("double") / F.lit(100.0)).alias("close"),
-            F.count(F.lit(1)).alias("n"),
-        )
-    )
-
-
-@query(
-    "stream_ohlc",
-    """WITH c AS (SELECT date_trunc('hour', ts) AS hour, event_type, ts, event_id,
-                         CAST(round(value * 100.0, 0) AS BIGINT) AS cents
-                  FROM events WHERE value IS NOT NULL),
-       w AS (SELECT *,
-                    row_number() OVER (PARTITION BY hour, event_type
-                                       ORDER BY ts, event_id) AS rf,
-                    row_number() OVER (PARTITION BY hour, event_type
-                                       ORDER BY ts DESC, event_id DESC) AS rl
-             FROM c)
-       SELECT hour, event_type,
-              CAST(MAX(CASE WHEN rf = 1 THEN cents END) AS DOUBLE) / 100.0 AS open,
-              CAST(MAX(cents) AS DOUBLE) / 100.0 AS high,
-              CAST(MIN(cents) AS DOUBLE) / 100.0 AS low,
-              CAST(MAX(CASE WHEN rl = 1 THEN cents END) AS DOUBLE) / 100.0 AS close,
-              COUNT(*) AS n
-       FROM w GROUP BY hour, event_type""",
-)
-def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OHLC bars maintained ON THE STREAM (r6): the same hourly bars as
-    the batch ohlc_bars, built as a watermarked tumbling-window
-    aggregate — min_by/max_by keyed on (ts, event_id) are
-    order-insensitive aggregates, so bars are exact regardless of
-    micro-batch arrival order; the batch query is the oracle."""
-    from hdfs_stream_processing_spark.streaming import (
-        run_to_memory,
-        stream_parquet_source,
-    )
-
-    src_dir, schema = _stage_events(spark, sf_dir)
-    stream = stream_parquet_source(spark, src_dir, schema).where(
-        F.col("value").isNotNull()
-    )
-    cents = F.round(F.col("value") * F.lit(100.0), 0).cast("long")
-    key = F.struct(F.col("ts"), F.col("event_id"))
-    agg = (
-        stream.withColumn("_c", cents)
-        .withWatermark("ts", "10 minutes")
-        .groupBy(F.window(F.col("ts"), "1 hour").alias("win"), F.col("event_type"))
-        .agg(
-            (F.min_by(F.col("_c"), key).cast("double") / F.lit(100.0)).alias("open"),
-            (F.max(F.col("_c")).cast("double") / F.lit(100.0)).alias("high"),
-            (F.min(F.col("_c")).cast("double") / F.lit(100.0)).alias("low"),
-            (F.max_by(F.col("_c"), key).cast("double") / F.lit(100.0)).alias("close"),
-            F.count(F.lit(1)).alias("n"),
-        )
-    )
-    out = run_to_memory(agg, output_mode="complete")
-    return out.select(
-        F.col("win.start").alias("hour"),
-        "event_type",
-        "open",
-        "high",
-        "low",
-        "close",
-        "n",
-    )
-
-
-@query(
-    "stream_daily_rollup",
-    """SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
-              CAST(SUM(CAST(round(value * 100.0, 0) AS BIGINT)) AS DOUBLE) / 100.0
-                  AS sum_value,
-              COUNT(*) AS n,
-              COUNT(DISTINCT date_trunc('hour', ts)) AS n_hours
-       FROM events
-       WHERE value IS NOT NULL AND CAST(ts AS DATE) < DATE '2024-01-30'
-       GROUP BY 1""",
-)
-def q_stream_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CHAINED stateful streaming aggregation (r6): hourly window sums
-    feed a second, daily windowed aggregate in the same query — two
-    state stores, event-time watermark propagated through both (the
-    multi-stateful-operator capability Spark gained in 3.4).  Append
-    mode emits only watermark-closed days, so the stream's final
-    partial day is withheld — the oracle states that contract
-    explicitly by cutting at the last closed day.  At 100 TB this is
-    the cascade shape (raw → hourly → daily) that otherwise needs two
-    jobs and an intermediate table."""
-    from hdfs_stream_processing_spark.streaming import (
-        run_to_memory,
-        stream_parquet_source,
-    )
-
-    src_dir, schema = _stage_events(spark, sf_dir)
-    stream = stream_parquet_source(spark, src_dir, schema).where(
-        F.col("value").isNotNull()
-    )
-    cents = F.round(F.col("value") * F.lit(100.0), 0).cast("long")
-    hourly = (
-        stream.withColumn("_c", cents)
-        .withWatermark("ts", "10 minutes")
-        .groupBy(F.window("ts", "1 hour").alias("hw"))
-        .agg(F.sum("_c").alias("hc"), F.count(F.lit(1)).alias("hn"))
-    )
-    daily = hourly.groupBy(F.window("hw", "1 day").alias("dw")).agg(
-        F.sum("hc").alias("dc"),
-        F.sum("hn").alias("dn"),
-        F.count(F.lit(1)).alias("n_hours"),
-    )
-    with _conf_override(spark, "spark.sql.shuffle.partitions", "8"):
-        out = run_to_memory(daily, output_mode="append")
-    return out.select(
-        F.col("dw.start").alias("day"),
-        (F.col("dc").cast("double") / F.lit(100.0)).alias("sum_value"),
-        F.col("dn").alias("n"),
-        F.col("n_hours"),
-    )
-
-
-@query(
-    "dq_quarantine",
-    """SELECT event_id,
-              array_to_string(list_sort(list_filter([
-                CASE WHEN value < 0 OR value > 95 THEN 'value_in_range' END,
-                CASE WHEN event_type NOT IN ('view','click','purchase','signup','error')
-                     THEN 'event_type_in_domain' END,
-                CASE WHEN props IS NULL THEN 'props_not_null' END,
-                CASE WHEN NOT regexp_matches(props, '^\\{"k": \\d+\\}$')
-                     THEN 'props_json_shape' END
-              ], x -> x IS NOT NULL)), ',') AS failed_rules
-       FROM events
-       WHERE len(list_filter([
-                CASE WHEN value < 0 OR value > 95 THEN 'value_in_range' END,
-                CASE WHEN event_type NOT IN ('view','click','purchase','signup','error')
-                     THEN 'event_type_in_domain' END,
-                CASE WHEN props IS NULL THEN 'props_not_null' END,
-                CASE WHEN NOT regexp_matches(props, '^\\{"k": \\d+\\}$')
-                     THEN 'props_json_shape' END
-              ], x -> x IS NOT NULL)) > 0""",
-)
-def q_dq_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Row-level quarantine (r6): the SAME rule list the dq_checks
-    report aggregates, routed per row — quarantined rows carry the
-    array of rules they violate, so a loader splits one narrow
-    zero-shuffle pass into target + quarantine tables instead of the
-    reference's silent dropna().  Output: the quarantine side with
-    reasons (sorted and comma-joined — the driver's canonicalizer
-    hashes scalar cells only, so the array is serialized to one
-    deterministic string, CORRECTNESS_r06 regression)."""
-    from hdfs_stream_processing_spark.operators.quality import dq_quarantine
-
-    (events,) = prep(spark, sf_dir, "events")
-    out = dq_quarantine(events, [(n, p()) for n, p in _DQ_RULES])
-    return (
-        out.where(~F.col("is_valid"))
-        .select(
-            "event_id",
-            F.array_join(F.array_sort("failed_rules"), ",").alias("failed_rules"),
-        )
-    )
-
-
-@query(
-    "cap_per_source",
-    """SELECT doc_id, source, n_chars FROM (
-         SELECT doc_id, source, n_chars,
-                row_number() OVER (PARTITION BY source
-                                   ORDER BY n_chars DESC, doc_id) AS rn
-         FROM documents)
-       WHERE rn <= 40""",
-)
-def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-domain cap (r6): at most 40 docs per source, longest first
-    with a unique-id tiebreak — the anti-dominance cap every crawl
-    curation applies (RefinedWeb / MassiveWeb cap per domain) so one
-    site cannot swamp the mixture.  One group-key shuffle; survivor
-    set is partitioning-independent by the total order."""
-    from hdfs_stream_processing_spark.operators.llmdata import cap_per_group
-
-    (documents,) = prep(spark, sf_dir, "documents")
-    return cap_per_group(
-        documents.select("doc_id", "source", "n_chars"),
-        ["source"],
-        [F.col("n_chars").desc(), F.col("doc_id").asc()],
-        40,
-    )
-
-
-@query(
-    "stream_quarantine",
-    """SELECT event_id,
-              array_to_string(list_sort(list_filter([
-                CASE WHEN value < 0 OR value > 95 THEN 'value_in_range' END,
-                CASE WHEN event_type NOT IN ('view','click','purchase','signup','error')
-                     THEN 'event_type_in_domain' END,
-                CASE WHEN props IS NULL THEN 'props_not_null' END,
-                CASE WHEN NOT regexp_matches(props, '^\\{"k": \\d+\\}$')
-                     THEN 'props_json_shape' END
-              ], x -> x IS NOT NULL)), ',') AS failed_rules
-       FROM events
-       WHERE len(list_filter([
-                CASE WHEN value < 0 OR value > 95 THEN 'value_in_range' END,
-                CASE WHEN event_type NOT IN ('view','click','purchase','signup','error')
-                     THEN 'event_type_in_domain' END,
-                CASE WHEN props IS NULL THEN 'props_not_null' END,
-                CASE WHEN NOT regexp_matches(props, '^\\{"k": \\d+\\}$')
-                     THEN 'props_json_shape' END
-              ], x -> x IS NOT NULL)) > 0""",
-)
-def q_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Row-level quarantine ON THE STREAM (r6): the identical rule list
-    routes rows as they arrive — stateless narrow projection, no
-    watermark, no state store — so the quarantine table fills
-    continuously instead of after a nightly batch.  Same oracle as the
-    batch dq_quarantine: one rule list, two execution modes (the
-    quality suite's batch/stream symmetry, completed for routing as
-    stream_dq completed it for counting)."""
-    from hdfs_stream_processing_spark.operators.quality import dq_quarantine
-    from hdfs_stream_processing_spark.streaming import (
-        run_to_memory,
-        stream_parquet_source,
-    )
-
-    src_dir, schema = _stage_events(spark, sf_dir)
-    stream = stream_parquet_source(spark, src_dir, schema, max_files_per_trigger=2)
-    routed = dq_quarantine(stream, [(n, p()) for n, p in _DQ_RULES])
-    out = run_to_memory(routed.where(~F.col("is_valid")))
-    return out.select(
-        "event_id",
-        F.array_join(F.array_sort("failed_rules"), ",").alias("failed_rules"),
-    )
-
-
-@query(
-    "merge_upsert",
-    """WITH base AS (
-         SELECT user_id,
-                SUM(COALESCE(CAST(round(value * 100.0, 0) AS BIGINT), 0)) AS cents,
-                SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err
-         FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
-         GROUP BY user_id),
-       src AS (
-         SELECT user_id, cents, n_err FROM base
-         UNION ALL
-         SELECT user_id + 2000, cents, n_err FROM base WHERE user_id < 100),
-       merged AS (
-         SELECT COALESCE(t.c_custkey, s.user_id) AS c_custkey,
-                CASE WHEN t.c_custkey IS NULL
-                     THEN 'new-' || CAST(s.user_id AS VARCHAR)
-                     ELSE t.c_name END AS c_name,
-                CASE WHEN t.c_custkey IS NULL THEN NULL
-                     ELSE t.c_nationkey END AS c_nationkey,
-                CASE WHEN t.c_custkey IS NULL
-                     THEN CAST(s.cents AS DOUBLE) / 100.0
-                     WHEN s.user_id IS NOT NULL
-                     THEN CAST(CAST(round(t.c_acctbal * 100.0, 0) AS BIGINT)
-                               + s.cents AS DOUBLE) / 100.0
-                     ELSE t.c_acctbal END AS c_acctbal,
-                CASE WHEN t.c_custkey IS NULL THEN 'NEW'
-                     ELSE t.c_mktsegment END AS c_mktsegment,
-                (t.c_custkey IS NOT NULL AND s.user_id IS NOT NULL
-                 AND s.n_err >= 3) AS _del
-         FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.user_id)
-       SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-       FROM merged WHERE NOT _del""",
-)
-def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Declarative MERGE INTO (r6): the customer table absorbs a
-    half-month activity batch in one statement — matched customers with
-    ≥ 3 errors DELETE, other matched customers UPDATE their balance by
-    the exact-cents activity total, unseen account ids INSERT as new
-    rows.  One co-partitioned full-outer join (the snapshot_diff
-    shape); the generalized form of cdc_apply for when the target is
-    authoritative and the source is just a day's delta."""
-    from hdfs_stream_processing_spark.operators.incremental import merge_into
-
-    events, customer = prep(spark, sf_dir, "events", "customer")
-    cents = F.coalesce(
-        F.round(F.col("value") * F.lit(100.0), 0).cast("long"), F.lit(0)
-    )
-    base = (
-        events.where(F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp"))
-        .groupBy("user_id")
-        .agg(
-            F.sum(cents).alias("cents"),
-            F.sum(
-                F.when(F.col("event_type") == "error", F.lit(1)).otherwise(F.lit(0))
-            ).alias("n_err"),
-        )
-    )
-    src = base.unionByName(
-        base.where(F.col("user_id") < 100).withColumn(
-            "user_id", F.col("user_id") + F.lit(2000)
-        )
-    ).withColumnRenamed("user_id", "c_custkey")
-    return merge_into(
-        customer,
-        src,
-        ["c_custkey"],
-        update_set={
-            "c_acctbal": (
-                F.round(F.col("t.c_acctbal") * F.lit(100.0), 0).cast("long")
-                + F.col("s.cents")
-            ).cast("double")
-            / F.lit(100.0)
-        },
-        insert_values={
-            "c_custkey": F.col("s.c_custkey"),
-            "c_name": F.concat(
-                F.lit("new-"), F.col("s.c_custkey").cast("string")
-            ),
-            "c_acctbal": F.col("s.cents").cast("double") / F.lit(100.0),
-            "c_mktsegment": F.lit("NEW"),
-        },
-        delete_condition=F.col("s.n_err") >= 3,
-    )
-
-
-@query(
-    "time_travel",
-    """WITH base AS (
-         SELECT user_id,
-                SUM(COALESCE(CAST(round(value * 100.0, 0) AS BIGINT), 0)) AS cents,
-                SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err
-         FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
-         GROUP BY user_id),
-       src AS (
-         SELECT user_id, cents, n_err FROM base
-         UNION ALL
-         SELECT user_id + 2000, cents, n_err FROM base WHERE user_id < 100)
-       SELECT t.c_custkey,
-              CASE WHEN t.c_custkey IS NULL THEN 'added'
-                   WHEN s.n_err >= 3 THEN 'removed'
-                   WHEN s.user_id IS NOT NULL AND s.cents <> 0 THEN 'changed'
-              END AS status,
-              t.c_acctbal AS old_acctbal,
-              CASE WHEN s.n_err >= 3 THEN NULL
-                   WHEN s.user_id IS NOT NULL
-                   THEN CAST(CAST(round(t.c_acctbal * 100.0, 0) AS BIGINT)
-                             + s.cents AS DOUBLE) / 100.0
-              END AS new_acctbal
-       FROM customer t JOIN src s ON t.c_custkey = s.user_id
-       WHERE s.n_err >= 3 OR s.cents <> 0
-       UNION ALL
-       SELECT s.user_id, 'added', NULL, CAST(s.cents AS DOUBLE) / 100.0
-       FROM src s LEFT JOIN customer t ON t.c_custkey = s.user_id
-       WHERE t.c_custkey IS NULL""",
-)
-def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Versioned table + time travel (r6): the customer table commits
-    as snapshot v_n, the MERGE result as v_{n+1} (immutable ``v=``
-    dirs behind an atomically-renamed ``_latest`` pointer — the
-    minimal Iceberg-shaped commit protocol), old snapshots are
-    vacuumed down to the last two, then BOTH versions are read back —
-    the new one through the pointer, the old one by explicit version —
-    and keyed-diffed.  The oracle derives the same diff from the base
-    tables alone, so pointer resolution, snapshot isolation, vacuum
-    safety, and the diff all verify in one query."""
-    from hdfs_stream_processing_spark.operators.incremental import snapshot_diff
-    from hdfs_stream_processing_spark.sources.io import (
-        read_table_version,
-        table_latest_version,
-        vacuum_table_versions,
-        write_table_version,
-    )
-
-    (customer,) = prep(spark, sf_dir, "customer")
-    tdir = _mkdtemp("hsp_versioned_", memo_key=sf_dir)
-    merged = QUERIES["merge_upsert"](spark, sf_dir)
-    write_table_version(spark, customer, tdir)
-    v_new = write_table_version(spark, merged, tdir)
-    vacuum_table_versions(spark, tdir, keep_last=2)
-    old = read_table_version(spark, tdir, version=v_new - 1)  # time travel
-    new = read_table_version(spark, tdir)  # pointer = latest
-    assert table_latest_version(spark, tdir) == v_new
-    diff = snapshot_diff(old, new, ["c_custkey"], ["c_acctbal"])
-    return diff.select(
-        "c_custkey",
-        "status",
-        F.col("old_c_acctbal").alias("old_acctbal"),
-        F.col("new_c_acctbal").alias("new_acctbal"),
-    )
-
-
-# Decision-support (TPC-H-shaped) suite — registers into QUERIES/ORACLES
-# via the shared @query decorator.  Import sits at module end so the
-# decorator and helpers above are defined when the submodule runs.
-from hdfs_stream_processing_spark import queries_dss  # noqa: E402,F401
-
-
-def _stage_events_time_ordered(
-    spark: SparkSession, sf_dir: str, n_files: int = 3
-) -> tuple[str, "T.StructType"]:
-    """Stage the events table as a streaming source whose files arrive
-    in EVENT-TIME order: file i holds a contiguous ts range strictly
-    before file i+1's (cutpoints = exact ts percentiles; events ts is
-    unique in the driver data).  File mtimes are stamped increasing so
-    the file source's oldest-first ordering is deterministic, and
-    ``maxFilesPerTrigger=1`` turns each range into its own micro-batch.
-    This is the staging that satisfies the in-order batch contract of
-    ``scd2_merge``-style incremental maintenance (a real deployment
-    gets the same property from Kafka per-key ordering or time-bucketed
-    landing dirs; stragglers route through scd2_repair)."""
-    import os as _os
-    import time as _time
-
-    from pyspark.sql import types as T  # noqa: F401
-
-    key = ("hsp_stream_ordsrc_", (sf_dir, n_files))
-    (events,) = prep(spark, sf_dir, "events")
-    if key in _STAGE_CACHE:
-        return _STAGE_CACHE[key], events.schema
-    stage_dir = _mkdtemp("hsp_stream_ordsrc_")
-    fracs = [i / n_files for i in range(1, n_files)]
-    (cuts,) = (
-        events.agg(
-            F.expr(
-                "percentile(unix_micros(ts), array("
-                + ",".join(str(f) for f in fracs)
-                + "))"
-            ).alias("c")
-        ).collect()[0]
-    )
-    bounds = [None, *[int(c) for c in cuts], None]
-    base = int(_time.time())
-    stamped: set[str] = set()
-    for i in range(n_files):
-        cond = F.lit(True)
-        if bounds[i] is not None:
-            cond = cond & (F.unix_micros("ts") > F.lit(bounds[i]))
-        if bounds[i + 1] is not None:
-            cond = cond & (F.unix_micros("ts") <= F.lit(bounds[i + 1]))
-        events.where(cond).coalesce(1).write.mode("append").parquet(stage_dir)
-        for f in _os.listdir(stage_dir):
-            p = _os.path.join(stage_dir, f)
-            if f.endswith(".parquet") and p not in stamped:
-                _os.utime(p, (base + i, base + i))
-                stamped.add(p)
-    _STAGE_CACHE[key] = stage_dir
-    return stage_dir, events.schema
-
-
-@query(
-    "stream_scd2",
-    """WITH ordered AS (
-         SELECT user_id, ts, event_id, event_type,
-                lag(event_type) OVER w AS prev_type,
-                row_number() OVER w AS rn
-         FROM events
-         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-       vers AS (
-         SELECT user_id, ts, event_id, event_type FROM ordered
-         WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type)
-       SELECT user_id, event_type,
-              ts AS valid_from,
-              lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
-              lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
-       FROM vers""",
-)
-def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming SCD2 maintenance (r6): the change stream arrives in
-    event-time-ordered micro-batches; the first bootstraps the
-    dimension via scd2_build, each later one folds in via scd2_merge,
-    and every step publishes an immutable snapshot through the
-    versioned-table pointer (readers never see a half-merged
-    dimension; replays skip on the committed batch id).  The live
-    dimension must equal the one-shot scd2_build over the whole log —
-    the same oracle proves batch and stream paths identical."""
-    from hdfs_stream_processing_spark.streaming import stream_parquet_source
-    from hdfs_stream_processing_spark.streaming.pipeline import (
-        read_scd2_snapshot,
-        run_stream_scd2,
-    )
-
-    src_dir, schema = _stage_events_time_ordered(spark, sf_dir, n_files=3)
-    stream = stream_parquet_source(spark, src_dir, schema, max_files_per_trigger=1)
-    log = stream.select("user_id", "ts", "event_id", "event_type")
-    tdir = _mkdtemp("hsp_sscd2_")
-    ckpt = _mkdtemp("hsp_sscd2_ckpt_")
-    run_stream_scd2(
-        log, tdir, ckpt, ["user_id"], "ts", "event_type", tiebreak_cols=["event_id"]
-    )
-    return read_scd2_snapshot(spark, tdir)
-
-
-@query(
-    "kmeans_refine",
-    f"""WITH q AS (SELECT vec_id, {_QUANT_SQL.format(col='embedding')} AS qv
-                   FROM embeddings),
-       cents AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
-                        qv AS cv
-                 FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
-       aff AS (SELECT q.vec_id, q.qv, c.cell,
-                      CAST(list_sum(list_transform(list_zip(q.qv, c.cv), p -> p[1] * p[2])) AS DOUBLE)
-                      / (sqrt(CAST(list_sum(list_transform(q.qv, x -> x * x)) AS DOUBLE))
-                         * sqrt(CAST(list_sum(list_transform(c.cv, x -> x * x)) AS DOUBLE))) AS a
-               FROM q CROSS JOIN cents c),
-       assigned AS (SELECT vec_id, qv, cell FROM (
-         SELECT vec_id, qv, cell,
-                row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell ASC) AS rn
-         FROM aff) WHERE rn = 1),
-       exploded AS (SELECT cell, CAST(generate_subscripts(qv, 1) - 1 AS INT) AS pos,
-                           unnest(qv) AS val
-                    FROM assigned)
-       SELECT CAST(cell AS INT) AS cell, pos,
-              CAST(SUM(val) AS BIGINT) AS sum_q, count(*) AS n
-       FROM exploded GROUP BY cell, pos""",
-)
-def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One exact Lloyd (k-means) iteration, oracle-checked end-to-end:
-    every vector is assigned to its argmax-cosine centroid (the
-    literal-centroid codegen expression — zero shuffle), then the NEW
-    centroid for each cell is recomputed as exact per-dimension integer
-    sums + member count (the caller divides sum_q/n — the only float
-    step, kept out of the hash).  This is precisely the loop body of
-    train_ivf_centroids (rows-only there, as floats); expressing one
-    step over exact quantized ints makes the whole iterative-ML path
-    verifiable against an independent SQL formulation.
-
-    Scale: assignment is per-row codegen; posexplode is narrow
-    (rows × dims, no shuffle); the single exchange keys on
-    (cell, pos) — k × dims groups, partial-aggregated map-side, so the
-    shuffle carries at most cells × dims × partitions rows regardless
-    of corpus size."""
-    from hdfs_stream_processing_spark.operators.similarity import (
-        assign_cells,
-        ivf_init_centroids,
-        quantized,
-    )
-
-    (embeddings,) = prep(spark, sf_dir, "embeddings")
-    cents = ivf_init_centroids(embeddings, "vec_id", "embedding", n_cells=8)
-    q = embeddings.select("vec_id", quantized("embedding").alias("qv"))
-    assigned = assign_cells(q, cents)
-    exploded = assigned.select(
-        "cell", F.posexplode("qv").alias("pos", "val")
-    )
-    return exploded.groupBy(
-        F.col("cell").cast("int").alias("cell"), F.col("pos").cast("int").alias("pos")
-    ).agg(F.sum("val").alias("sum_q"), F.count(F.lit(1)).alias("n"))
-
-
-@query(
-    "embed_quantize",
-    """WITH b AS (SELECT vec_id,
-                        list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS lo,
-                        list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS hi,
-                        embedding
-                 FROM embeddings)
-       SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
-              CAST(round((CAST(unnest(embedding) AS DOUBLE) - lo) / (hi - lo) * 255.0 - 128.0, 0) AS INT) AS q8
-       FROM b WHERE hi > lo""",
-)
-def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-vector min-max int8 quantization of the embedding column —
-    the storage/bandwidth play every 100 TB vector corpus makes (4
-    bytes → 1 byte per component; the (lo, hi) pair per vector is the
-    dequantization key).  Exploded to (vec_id, pos, q8) rows so the
-    hash compare covers every component.
-
-    Bit-exactness: each float32 component is cast to double FIRST in
-    both engines (exact), then one shared double expression tree
-    ((v-lo)/(hi-lo)*255-128, single round) — identical IEEE754 ops in
-    identical order.  Degenerate constant vectors (hi == lo) are
-    excluded in both formulations rather than dividing by zero.
-
-    Scale: narrow per-row work, no shuffle at all — array min/max and
-    the transform run inside whole-stage codegen; at 100 TB this is a
-    pure map over the scan."""
-    (embeddings,) = prep(spark, sf_dir, "embeddings")
-    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    b = embeddings.select(
-        "vec_id",
-        F.array_min(dbl).alias("lo"),
-        F.array_max(dbl).alias("hi"),
-        dbl.alias("emb"),
-    ).where(F.col("hi") > F.col("lo"))
-    exploded = b.select(
-        "vec_id", "lo", "hi", F.posexplode("emb").alias("pos", "val")
-    )
-    q8 = F.round(
-        (F.col("val") - F.col("lo")) / (F.col("hi") - F.col("lo")) * F.lit(255.0)
-        - F.lit(128.0),
-        0,
-    ).cast("int")
-    return exploded.select(
-        "vec_id", F.col("pos").cast("int").alias("pos"), q8.alias("q8")
-    )
-
-
-@query(
-    "stream_topk",
-    """SELECT source, token, n, CAST(rank AS INT) AS rank
-       FROM (SELECT source, token, count(*) AS n,
-                    row_number() OVER (PARTITION BY source
-                                       ORDER BY count(*) DESC, token) AS rank
-             FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS token
-                   FROM documents)
-             GROUP BY source, token)
-       WHERE rank <= 3""",
-)
-def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming exact top-k (r6): the document stream maintains the
-    per-(source, token) count table through run_stream_rollup — each
-    micro-batch contributes its partial counts, every merge commits a
-    versioned snapshot, replays skip on the recorded batch id — and the
-    ranking is a READ over the maintained state (groups × tokens, not
-    the corpus).  Must rank identically to a from-scratch count of the
-    whole corpus (incr_topk's oracle): the batch and stream maintenance
-    paths are provably the same view."""
-    from pyspark.sql import Window
-
-    from hdfs_stream_processing_spark.streaming import stream_parquet_source
-    from hdfs_stream_processing_spark.streaming.pipeline import run_stream_rollup
-    from hdfs_stream_processing_spark.sources.io import read_table_version
-
-    src_dir, schema = _stage_documents(spark, sf_dir)
-    stream = stream_parquet_source(spark, src_dir, schema, max_files_per_trigger=2)
-
-    def partial(df: DataFrame) -> DataFrame:
-        toks = df.select(
-            "source",
-            F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
-        )
-        return toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n"))
-
-    tdir = _mkdtemp("hsp_stopk_")
-    ckpt = _mkdtemp("hsp_stopk_ckpt_")
-    run_stream_rollup(stream, tdir, ckpt, ["source", "token"], ["n"], partial)
-    counts = read_table_version(spark, tdir).drop("_batch")
-    w = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("token").asc())
-    return counts.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 3)
-
-
-from hdfs_stream_processing_spark.operators.sketch import (  # noqa: E402
-    cms_bucket_sql,
-    cms_build,
-    cms_estimate,
-)
-
-_CMS_CELLS_SQL = " UNION ALL ".join(
-    f"SELECT {i} AS row, {cms_bucket_sql('token', i, 256)} AS bucket, n FROM counts"
-    for i in range(4)
-)
-
-
-@query(
-    "cms_topk",
-    f"""WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS token
-                      FROM documents),
-       counts AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
-       cells AS ({_CMS_CELLS_SQL}),
-       sketch AS (SELECT row, bucket, CAST(SUM(n) AS BIGINT) AS total
-                  FROM cells GROUP BY row, bucket),
-       top AS (SELECT token, n FROM counts
-               ORDER BY n DESC, token LIMIT 10),
-       probes AS ({" UNION ALL ".join(
-           f"SELECT token, n, {i} AS row, {cms_bucket_sql('token', i, 256)} AS bucket FROM top"
-           for i in range(4))})
-       SELECT p.token, CAST(p.n AS BIGINT) AS true_n,
-              CAST(MIN(COALESCE(s.total, 0)) AS BIGINT) AS est
-       FROM probes p LEFT JOIN sketch s
-         ON p.row = s.row AND p.bucket = s.bucket
-       GROUP BY p.token, p.n""",
-)
-def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-Min Sketch frequency estimation, oracle-checked bit-exact:
-    the corpus token counts project into a 4×256 integer sketch
-    (md5-derived buckets — deterministic and engine-portable), and the
-    top-10 true heavy hitters are point-estimated back out of it.  The
-    DuckDB oracle REBUILDS the identical sketch in SQL, so the entire
-    construction — hashing, cell sums, min-over-rows estimate — is
-    verified, not just plumbed.  The est ≥ true_n over-estimate
-    invariant is property-tested in tests/test_operators.py.
-
-    Scale: the item shuffle happens once (the exact count aggregate);
-    the sketch is depth × width rows — merged cell-wise it streams and
-    tree-reduces (cms_merge == rollup_merge), and estimation is a
-    broadcast join.  At 100 TB the sketch replaces the unbounded count
-    table wherever approximate frequencies suffice."""
-    (documents,) = prep(spark, sf_dir, "documents")
-    toks = documents.select(
-        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
-    )
-    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
-    sketch = cms_build(counts, "token", "n", depth=4, width=256)
-    top = counts.orderBy(F.col("n").desc(), F.col("token")).limit(10)
-    est = cms_estimate(sketch, top.select("token"), "token", depth=4, width=256)
-    return top.join(est, "token").select(
-        "token", F.col("n").alias("true_n"), "est"
-    )
-
-
-@query(
-    "pagerank",
-    """WITH pairs AS (
-         SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS s,
-                         's' || CAST(l_suppkey AS VARCHAR) AS d
-         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-       edges AS (SELECT s, d FROM pairs UNION ALL SELECT d, s FROM pairs),
-       nodes AS (SELECT DISTINCT s AS node FROM edges),
-       deg AS (SELECT s, count(*) AS dg FROM edges GROUP BY s),
-       r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
-       c1 AS (SELECT e.d AS node, SUM(r0.r // deg.dg) AS inc
-              FROM edges e JOIN r0 ON e.s = r0.node JOIN deg ON e.s = deg.s
-              GROUP BY e.d),
-       r1 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c1.inc, 0)) // 100 AS BIGINT) AS r
-              FROM nodes n LEFT JOIN c1 ON n.node = c1.node),
-       c2 AS (SELECT e.d AS node, SUM(r1.r // deg.dg) AS inc
-              FROM edges e JOIN r1 ON e.s = r1.node JOIN deg ON e.s = deg.s
-              GROUP BY e.d),
-       r2 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c2.inc, 0)) // 100 AS BIGINT) AS r
-              FROM nodes n LEFT JOIN c2 ON n.node = c2.node)
-       SELECT node, r AS rank FROM r2""",
-)
-def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the customer-supplier trade graph (two exact
-    fixed-point iterations): who are the structurally central parties
-    when every distinct customer↔supplier trading relation is an edge?
-    Integer ranks make the iterative sums order-independent, so the
-    oracle — the same two iterations unrolled as SQL CTEs — matches
-    bit-exactly; beyond connected components this is the repo's second
-    iterative graph operator, the standard 2-shuffle Pregel step per
-    round with lineage truncation."""
-    from hdfs_stream_processing_spark.operators.graph import pagerank_exact
-
-    lineitem, orders = prep(spark, sf_dir, "lineitem", "orders")
-    pairs = (
-        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("s"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("d"),
-        )
-        .distinct()
-    )
-    edges = pairs.unionByName(
-        pairs.select(F.col("d").alias("s"), F.col("s").alias("d"))
-    )
-    return pagerank_exact(edges, "s", "d", n_iters=2)
-
-
-@query(
-    "hll_registers",
-    """WITH h AS (SELECT md5(CAST(l_partkey AS VARCHAR)) AS hx FROM lineitem),
-       br AS (SELECT
-                CAST(('0x' || substr(hx, 1, 8))::UBIGINT::BIGINT % 64 AS INT) AS bucket,
-                ('0x' || substr(hx, 9, 12))::UBIGINT::BIGINT AS v
-              FROM h)
-       SELECT bucket,
-              MAX(CASE WHEN v = 0 THEN 49
-                       ELSE CAST(49 - length(bin(v)) AS INT) END) AS max_rho
-       FROM br GROUP BY bucket""",
-)
-def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog with OPEN registers (r6): the native
-    approx_count_distinct sketch is opaque (rows-only check by design);
-    this construction derives buckets and leading-zero ranks from md5 —
-    fully deterministic, so the DuckDB oracle rebuilds the register
-    table bit-exactly and the WHOLE sketch pipeline is verified, with
-    only the final bias division left outside the hash (pytest pins the
-    estimate within the published HLL error bound, and register
-    mergeability across disjoint partitions).
-
-    Scale: one exchange over at most 2^b groups after map-side partial
-    max — the distinct-item shuffle that count_distinct pays never
-    happens; that is the entire point of HLL at 100 TB."""
-    from hdfs_stream_processing_spark.operators.sketch import hll_registers
-
-    (lineitem,) = prep(spark, sf_dir, "lineitem")
-    return hll_registers(lineitem, "l_partkey", b=6)
-
-
-@query(
-    "bloom_prefilter",
-    """SELECT o_orderkey, o_custkey FROM orders
-       WHERE o_custkey IN (SELECT c_custkey FROM customer
-                           WHERE c_mktsegment = 'BUILDING')""",
-)
-def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom-filter membership prefilter (r6): the BUILDING customers'
-    key set becomes a 4096-bit / 3-hash bloom (a few-KB bit table), the
-    orders scan probes it, and only the surviving candidates reach the
-    exact semi-join.  The final result is EXACT — the bloom admits no
-    false negatives, and its false positives die in the residual
-    semi-join — so the plain IN-subquery oracle proves the whole
-    prefilter chain lossless.  FPR and no-false-negative contracts are
-    property-tested in tests/test_operators.py.
-
-    Scale: this is the user-level form of what the runtime bloom join
-    injects automatically (pytest-asserted elsewhere) — ship a KB-sized
-    membership summary instead of broadcasting a 10^8-row key set; the
-    probe is k broadcast semi-joins on bit positions, map-side only."""
-    from hdfs_stream_processing_spark.operators.sketch import (
-        bloom_bits,
-        bloom_probe,
-    )
-
-    orders, customer = prep(spark, sf_dir, "orders", "customer")
-    keys = customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    bits = bloom_bits(keys, "c_custkey", n_bits=4096, k=3)
-    candidates = bloom_probe(orders, "o_custkey", bits, n_bits=4096, k=3)
-    exact = candidates.join(
-        F.broadcast(keys), F.col("o_custkey") == F.col("c_custkey"), "left_semi"
-    )
-    return exact.select("o_orderkey", "o_custkey")
-
-
-@query(
-    "fuzzy_pairs",
-    """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-              levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS prefix_dist,
-              levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 5 AS is_dup
-       FROM documents a JOIN documents b
-         ON a.source = b.source AND a.doc_id < b.doc_id
-        AND abs(length(a.text) - length(b.text)) <= 5
-       WHERE regexp_matches(a.text, '^[ -~]*$')
-         AND regexp_matches(b.text, '^[ -~]*$')""",
-)
-def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance fuzzy dedup (r6): same-source document pairs pass a
-    length-band blocking filter (|Δlen| ≤ 5 — sound, since edit distance
-    ≥ length difference), then score levenshtein on a 40-char prefix.
-    Complements the set-based near-dup family (MinHash/Jaccard/SimHash)
-    with the character-level measure that catches typo-grade edits
-    shingles miss.  Non-ASCII rows are excluded in both engines (Spark
-    counts codepoints, DuckDB bytes — the oracle would diverge on
-    multibyte text; fold with operators.text.ascii_fold first if they
-    must participate).
-
-    Scale: blocking turns the quadratic self-join into per-(source,
-    length-band) blocks — an equi-join on the block key with the band
-    residual, never an all-pairs cross; prefix-bounded levenshtein caps
-    per-pair cost at O(40²)."""
-    (documents,) = prep(spark, sf_dir, "documents")
-    ascii_only = documents.where(F.col("text").rlike("^[ -~]*$"))
-    a = ascii_only.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("source").alias("src_a"),
-        F.substring("text", 1, 40).alias("pfx_a"),
-        F.length("text").alias("len_a"),
-    )
-    b = ascii_only.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("source").alias("src_b"),
-        F.substring("text", 1, 40).alias("pfx_b"),
-        F.length("text").alias("len_b"),
-    )
-    pairs = a.join(
-        b,
-        (F.col("src_a") == F.col("src_b"))
-        & (F.col("doc_a") < F.col("doc_b"))
-        & (F.abs(F.col("len_a") - F.col("len_b")) <= 5),
-    )
-    dist = F.levenshtein("pfx_a", "pfx_b")
-    return pairs.select(
-        "doc_a", "doc_b", dist.cast("long").alias("prefix_dist"),
-        (dist <= 5).alias("is_dup")
-    )
-
-
-@query(
-    "stream_cms",
-    f"""WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS token
-                      FROM documents),
-       counts AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
-       cells AS ({_CMS_CELLS_SQL})
-       SELECT row, bucket, CAST(SUM(n) AS BIGINT) AS total
-       FROM cells GROUP BY row, bucket""",
-)
-def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming Count-Min maintenance (r6): sketch cells are additive,
-    so the SAME run_stream_rollup machinery that maintains exact count
-    tables maintains the sketch — each micro-batch contributes its own
-    per-batch CMS, cells merge by addition, versioned snapshots carry
-    the replay guard.  The maintained sketch must equal the one-shot
-    corpus sketch CELL FOR CELL (the oracle rebuilds it in SQL) — the
-    strongest possible statement of sketch mergeability: not within
-    error bounds, identical.
-
-    Scale: per batch the token shuffle is batch-sized; the stored state
-    is depth × width cells FOREVER, no matter how much data streams
-    through — the whole point of sketch-backed monitoring at 100 TB."""
-    from hdfs_stream_processing_spark.operators.sketch import cms_build
-    from hdfs_stream_processing_spark.sources.io import read_table_version
-    from hdfs_stream_processing_spark.streaming import stream_parquet_source
-    from hdfs_stream_processing_spark.streaming.pipeline import run_stream_rollup
-
-    src_dir, schema = _stage_documents(spark, sf_dir)
-    stream = stream_parquet_source(spark, src_dir, schema, max_files_per_trigger=2)
-
-    def partial(df: DataFrame) -> DataFrame:
-        toks = df.select(
-            F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
-        )
-        counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
-        return cms_build(counts, "token", "n", depth=4, width=256).withColumnRenamed(
-            "total", "n"
-        )
-
-    tdir = _mkdtemp("hsp_scms_")
-    ckpt = _mkdtemp("hsp_scms_ckpt_")
-    run_stream_rollup(stream, tdir, ckpt, ["row", "bucket"], ["n"], partial)
-    return read_table_version(spark, tdir).drop("_batch").select(
-        "row", "bucket", F.col("n").alias("total")
-    )
-
-
-@query(
-    "sample_weighted",
-    """WITH pri AS (
-         SELECT doc_id, source, n_chars,
-                (CAST(n_chars AS DOUBLE) * 4294967296.0)
-                / ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT::BIGINT + 1.0)) AS q
-         FROM documents),
-       ranked AS (
-         SELECT doc_id, source, n_chars,
-                row_number() OVER (PARTITION BY source
-                                   ORDER BY q DESC, doc_id ASC) AS rn
-         FROM pri)
-       SELECT doc_id, source, n_chars FROM ranked WHERE rn <= 5""",
-)
-def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted reproducible sampling (r6): 5 docs per source drawn by
-    PRIORITY SAMPLING (q = weight/u, top-k) — longer documents
-    proportionally likelier, same rows → same sample, and the md5-u /
-    single-division construction makes the ranking bit-identical in any
-    engine (a log-based Efraimidis-Spirakis key is NOT portable: JVM
-    and C libm ln() disagree in the last bit on ~6% of inputs —
-    measured, which is why this scheme exists).  Completes the sampling
-    family: hash (uniform %), stratified (per-group %), weighted
-    (per-group PPS top-k)."""
-    from hdfs_stream_processing_spark.operators.profile import sample_weighted
-
-    (documents,) = prep(spark, sf_dir, "documents")
-    return sample_weighted(
-        documents.select("doc_id", "source", "n_chars"),
-        key="doc_id", weight="n_chars", k=5, strata=["source"],
-    )
-
-
-@query(
-    "hll_by_group",
-    """WITH h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx FROM events),
-       br AS (SELECT event_type,
-                CAST(('0x' || substr(hx, 1, 8))::UBIGINT::BIGINT % 16 AS INT) AS bucket,
-                ('0x' || substr(hx, 9, 12))::UBIGINT::BIGINT AS v
-              FROM h)
-       SELECT event_type, bucket,
-              MAX(CASE WHEN v = 0 THEN 49
-                       ELSE CAST(49 - length(bin(v)) AS INT) END) AS max_rho
-       FROM br GROUP BY event_type, bucket""",
-)
-def q_hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group HLL registers (r6): distinct users per event type as
-    one register table keyed (group, bucket) — the "distinct per day /
-    per segment" pattern where exact countDistinct shuffles every
-    (group, user) pair but the sketch exchanges at most groups × 2^b
-    rows.  Same portable construction as hll_registers, verified
-    bit-exact per group; groupwise estimates derive from the registers
-    exactly as the global one does."""
-    from hdfs_stream_processing_spark.operators.sketch import hll_grouped_registers
-
-    (events,) = prep(spark, sf_dir, "events")
-    return hll_grouped_registers(events, "user_id", ["event_type"], b=4)
-
-
-@query(
-    "scan_corrupt",
-    """SELECT event_id, user_id, value FROM events
-       WHERE event_id % 7 <> 0""",
-)
-def q_scan_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corrupt-record quarantine on a JSON scan (S-surface, operational
-    reality): one line in seven of the staged JSON-lines feed is
-    truncated mid-object; the PERMISSIVE read routes those lines into
-    ``_corrupt_record`` instead of failing the job, and the query
-    returns the cleanly-parsed rows — which must equal the valid subset
-    of the source exactly (doubles survive the JSON round trip via
-    shortest-repr).  The corrupt side is counted and pinned in
-    tests/test_schemas_io.py — quarantine, not silent drop.
-
-    Scale: schema-declared JSON scan (no inference pass), narrow
-    per-line parse; the malformed-line routing is free — this is how a
-    100 TB raw-feed ingest survives the 0.01% of garbage lines every
-    real feed contains."""
-    from pyspark.sql import types as T
-
-    (events,) = prep(spark, sf_dir, "events")
-    stage = _mkdtemp("hsp_corrupt_", memo_key=sf_dir)
-    import os as _os
-
-    if not _os.path.exists(_os.path.join(stage, "_staged")):
-        base = events.select("event_id", "user_id", "value")
-        good = base.where(F.col("event_id") % 7 != 0).select(
-            F.to_json(F.struct("event_id", "user_id", "value")).alias("value")
-        )
-        bad = base.where(F.col("event_id") % 7 == 0).select(
-            F.concat(
-                F.lit('{"event_id": '),
-                F.col("event_id").cast("string"),
-                F.lit(', "user_'),
-            ).alias("value")
-        )
-        good.write.mode("append").text(stage)
-        bad.write.mode("append").text(stage)
-        open(_os.path.join(stage, "_staged"), "w").close()
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("_corrupt_record", T.StringType()),
-        ]
-    )
-    parsed = spark.read.schema(schema).option("mode", "PERMISSIVE").json(stage)
-    return parsed.where(F.col("_corrupt_record").isNull()).select(
-        "event_id", "user_id", "value"
-    )
-
-
-def _corr_pair_sql(a: str, b: str) -> str:
-    """One pair's row of the corr_matrix oracle — the same double
-    expression tree corr_exact/corr_matrix use, over the shared sums."""
-    mean = lambda c: f"(CAST(s_{c} AS DOUBLE) / n)"
-    var = lambda c: f"(CAST(ss_{c} AS DOUBLE) / n - {mean(c)} * {mean(c)})"
-    cov = f"(CAST(p_{a}_{b} AS DOUBLE) / n - {mean(a)} * {mean(b)})"
-    denom = f"(sqrt(greatest({var(a)}, 0.0)) * sqrt(greatest({var(b)}, 0.0)))"
-    return (
-        f"SELECT '{a}' AS col_a, '{b}' AS col_b, n, "
-        f"CASE WHEN {denom} > 0.0 THEN {cov} / {denom} END AS corr FROM s"
-    )
-
-
-@query(
-    "corr_matrix",
-    """WITH base AS (
-         SELECT CAST(round(l_quantity, 0) AS BIGINT) AS qty,
-                CAST(round(l_extendedprice, 0) AS BIGINT) AS price,
-                CAST(round(l_discount * 100.0, 0) AS BIGINT) AS disc,
-                CAST(round(l_tax * 100.0, 0) AS BIGINT) AS tax
-         FROM lineitem),
-       s AS (
-         SELECT count(*) AS n,
-                CAST(sum(qty) AS BIGINT) AS s_qty, CAST(sum(qty*qty) AS BIGINT) AS ss_qty,
-                CAST(sum(price) AS BIGINT) AS s_price, CAST(sum(price*price) AS BIGINT) AS ss_price,
-                CAST(sum(disc) AS BIGINT) AS s_disc, CAST(sum(disc*disc) AS BIGINT) AS ss_disc,
-                CAST(sum(tax) AS BIGINT) AS s_tax, CAST(sum(tax*tax) AS BIGINT) AS ss_tax,
-                CAST(sum(qty*price) AS BIGINT) AS p_qty_price,
-                CAST(sum(qty*disc) AS BIGINT) AS p_qty_disc,
-                CAST(sum(qty*tax) AS BIGINT) AS p_qty_tax,
-                CAST(sum(price*disc) AS BIGINT) AS p_price_disc,
-                CAST(sum(price*tax) AS BIGINT) AS p_price_tax,
-                CAST(sum(disc*tax) AS BIGINT) AS p_disc_tax
-         FROM base)
-       {PAIRS}""".replace("{PAIRS}", " UNION ALL ".join([
-           _corr_pair_sql("qty", "price"), _corr_pair_sql("qty", "disc"),
-           _corr_pair_sql("qty", "tax"), _corr_pair_sql("price", "disc"),
-           _corr_pair_sql("price", "tax"), _corr_pair_sql("disc", "tax"),
-       ])),
-)
-def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full pairwise correlation matrix of four lineitem measures in ONE
-    aggregate pass (r6): all sufficient statistics — n, per-column Σx
-    and Σx², per-pair Σxy — from a single scan + single 1-row exchange,
-    pair rows exploded from that row.  m separate corr() jobs become
-    one; the profiling pattern a 100 TB feature-engineering pass needs.
-    Exact integer sums end in one double expression per pair, so the
-    matrix hash-matches the oracle bit-for-bit (native corr never can)."""
-    from hdfs_stream_processing_spark.operators.aggregates import corr_matrix
-
-    (lineitem,) = prep(spark, sf_dir, "lineitem")
-    return corr_matrix(
-        lineitem,
-        {
-            "qty": F.round(F.col("l_quantity"), 0).cast("long"),
-            "price": F.round(F.col("l_extendedprice"), 0).cast("long"),
-            "disc": F.round(F.col("l_discount") * F.lit(100.0), 0).cast("long"),
-            "tax": F.round(F.col("l_tax") * F.lit(100.0), 0).cast("long"),
-        },
-    )
-
-
-@query(
-    "stream_anomaly",
-    """WITH base AS (
-         SELECT event_type,
-                count(*) AS n,
-                CAST(SUM(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS s1,
-                CAST(SUM(CAST(round(value * 100.0, 0) AS BIGINT)
-                         * CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS s2
-         FROM events GROUP BY event_type),
-       scored AS (
-         SELECT e.event_id, e.event_type, e.value,
-                (CAST(round(e.value * 100.0, 0) AS BIGINT)
-                 - CAST(b.s1 AS DOUBLE) / b.n)
-                / sqrt(greatest(CAST(b.s2 AS DOUBLE) / b.n
-                                - (CAST(b.s1 AS DOUBLE) / b.n)
-                                  * (CAST(b.s1 AS DOUBLE) / b.n), 0.0)) AS zscore
-         FROM events e JOIN base b ON e.event_type = b.event_type)
-       SELECT event_id, event_type, value, zscore,
-              abs(zscore) > 2.5 AS is_anomaly
-       FROM scored""",
-)
-def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming anomaly scoring (r6): the per-type baseline (exact
-    integer n/Σx/Σx² from history) broadcasts onto the live stream and
-    every arriving event is z-scored map-side — the stateless
-    stream-static detection pattern that complements the batch rolling
-    z-score (anomaly_zscore).  A baseline refresh is just a new
-    broadcast; no streaming state at all, so it scales as a pure map
-    over the stream.  Bit-exact: exact sufficient statistics end in one
-    fixed double expression per row — the oracle replays it."""
-    from hdfs_stream_processing_spark.streaming import (
-        run_to_memory,
-        stream_parquet_source,
-    )
-
-    (events,) = prep(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * F.lit(100.0), 0).cast("long")
-    base = events.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(cents).alias("s1"),
-        F.sum(cents * cents).alias("s2"),
-    )
-    src_dir, schema = _stage_events(spark, sf_dir)
-    stream = stream_parquet_source(spark, src_dir, schema)
-    mean = F.col("s1").cast("double") / F.col("n")
-    std = F.sqrt(
-        F.greatest(
-            F.col("s2").cast("double") / F.col("n") - mean * mean, F.lit(0.0)
-        )
-    )
-    scored = (
-        stream.join(F.broadcast(base), "event_type")
-        .withColumn("zscore", (cents - mean) / std)
-        .select(
-            "event_id", "event_type", "value", "zscore",
-            (F.abs(F.col("zscore")) > F.lit(2.5)).alias("is_anomaly"),
-        )
-    )
-    return run_to_memory(scored)
-
-
-# ========================================================================
-# Round 6 (cont.): prefix-filtered similarity join, exact per-group OLS,
-# multi-hop BFS reachability
-# ========================================================================
-
-
-@query(
-    "jaccard_join",
-    """WITH tok AS (SELECT DISTINCT doc_id, shingle FROM (
-            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS shingle
-            FROM documents WHERE doc_id % 5 = 0)),
-       sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
-       inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                        CAST(COUNT(*) AS BIGINT) AS n_inter
-                 FROM tok a JOIN tok b USING (shingle)
-                 WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
-       SELECT id_a, id_b,
-              CAST(n_inter AS DOUBLE)
-                / CAST(sza.sz + szb.sz - n_inter AS DOUBLE) AS jaccard
-       FROM inter
-       JOIN sz sza ON sza.doc_id = id_a
-       JOIN sz szb ON szb.doc_id = id_b
-       WHERE 9 * n_inter >= 8 * (sza.sz + szb.sz - n_inter)""",
-)
-def q_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Prefix-filtered exact similarity join (N3 scale path): all doc
-    pairs with unigram Jaccard ≥ 8/9, candidates generated from
-    rarest-first PREFIX shingles only (PPJoin/AllPairs) instead of the
-    full shared-shingle join — the frequent shingles that would form
-    quadratic join buckets never become join keys.  The oracle is the
-    brute-force all-pairs Jaccard, so the filter's no-false-negative
-    guarantee is verified against ground truth, not assumed.  Scoped
-    to a 20% doc sample: the synthetic corpus is clone-heavy, so the
-    full-corpus RESULT is quadratic in dup-group size (~1M pairs at
-    sf0.1) — a data property, not an algorithm one; the sample keeps
-    the benchmark timing the join, not the output write."""
-    from hdfs_stream_processing_spark.operators.dedup import jaccard_join_prefix
-
-    (documents,) = prep(spark, sf_dir, "documents")
-    return jaccard_join_prefix(
-        documents.where(F.col("doc_id") % 5 == 0),
-        "doc_id", "text", t_num=8, t_den=9, shingle_n=1
-    )
-
-
-@query(
-    "regr_by_group",
-    """WITH s AS (
-         SELECT l_returnflag,
-                count(*) AS n,
-                CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-                CAST(sum(x * y) AS BIGINT) AS sxy,
-                CAST(sum(x * x) AS BIGINT) AS sxx,
-                CAST(sum(y * y) AS BIGINT) AS syy
-         FROM (SELECT l_returnflag,
-                      CAST(round(l_quantity, 0) AS BIGINT) AS x,
-                      CAST(round(l_extendedprice, 0) AS BIGINT) AS y
-               FROM lineitem)
-         GROUP BY l_returnflag),
-       m AS (
-         SELECT l_returnflag, n, sx, sy, syy,
-                CASE WHEN CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) > 0.0
-                     THEN CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
-                          / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
-                END AS slope,
-                CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS s_num,
-                CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS s_den
-         FROM s)
-       SELECT l_returnflag, n, slope,
-              (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
-                / CAST(n AS DOUBLE) AS intercept,
-              CASE WHEN s_den > 0.0
-                        AND CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) > 0.0
-                   THEN (s_num * s_num)
-                        / (s_den * CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))
-              END AS r2
-       FROM m""",
-)
-def q_regr_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group OLS (slope/intercept/R² of price on quantity per
-    return flag) from exact integer sufficient statistics — the
-    portable replacement for regr_slope/regr_intercept, whose float
-    partial-state merges are partition-order-dependent.  One partial-
-    aggregated shuffle carrying six numbers per group."""
-    from hdfs_stream_processing_spark.operators.aggregates import ols_exact
-
-    (lineitem,) = prep(spark, sf_dir, "lineitem")
-    x = F.round(F.col("l_quantity"), 0).cast("long")
-    y = F.round(F.col("l_extendedprice"), 0).cast("long")
-    return ols_exact(lineitem, ["l_returnflag"], x, y)
-
-
-@query(
-    "bfs_reach",
-    """WITH RECURSIVE pairs AS (
-         SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS s,
-                         's' || CAST(l_suppkey AS VARCHAR) AS d
-         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-       edges AS (SELECT s, d FROM pairs UNION ALL SELECT d, s FROM pairs),
-       reach(node, hops) AS (
-         SELECT 's' || CAST(s_suppkey AS VARCHAR), 0
-         FROM supplier WHERE s_nationkey = 1
-         UNION
-         SELECT e.d, r.hops + 1
-         FROM reach r JOIN edges e ON e.s = r.node
-         WHERE r.hops < 3)
-       SELECT node, MIN(hops) AS hops FROM reach GROUP BY node""",
-)
-def q_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-hop blast radius: minimum hop distance from nation 1's
-    suppliers through the customer↔supplier trade graph (frontier BFS
-    — supply-chain contagion / fraud-ring neighborhood).  Each round
-    expands only the new frontier through one equi-join and anti-joins
-    the visited set; exact integer hops, oracle = recursive CTE with
-    UNION dedup + final MIN."""
-    from hdfs_stream_processing_spark.operators.graph import bfs_hops
-
-    lineitem, orders, supplier = prep(spark, sf_dir, "lineitem", "orders", "supplier")
-    pairs = (
-        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("s"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("d"),
-        )
-        .distinct()
-    )
-    edges = pairs.unionByName(
-        pairs.select(F.col("d").alias("s"), F.col("s").alias("d"))
-    )
-    seeds = supplier.where(F.col("s_nationkey") == 1).select(
-        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node")
-    )
-    return bfs_hops(edges, seeds, "s", "d", max_hops=3)
-
-
-@query(
-    "vocab_ids",
-    """WITH tok AS (SELECT doc_id,
-                unnest(string_split(lower(text), ' ')) AS token,
-                unnest(generate_series(0, length(string_split(lower(text), ' ')) - 1)) AS pos
-             FROM documents),
-       vocab AS (SELECT token,
-                row_number() OVER (ORDER BY count(*) DESC, token ASC) - 1 AS token_id
-             FROM tok GROUP BY token)
-       SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos,
-              CAST(v.token_id AS BIGINT) AS token_id
-       FROM tok t LEFT JOIN vocab v USING (token)""",
-)
-def q_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text → token-id sequences (the LLM-preprocessing id-mapping
-    step): the corpus vocabulary is built with frequency-ordered
-    contiguous ids (count DESC, token ASC — a total order, so the SAME
-    id assignment in both engines), then every document maps to
-    (doc_id, pos, token_id) rows, order- and duplicate-preserving.
-    Corpus side never shuffles: posexplode → broadcast vocab lookup."""
-    from hdfs_stream_processing_spark.operators.text import (
-        build_vocab,
-        tokens_to_ids,
-    )
-
-    (documents,) = prep(spark, sf_dir, "documents")
-    vocab = build_vocab(documents, "text")
-    return tokens_to_ids(documents, "doc_id", "text", vocab)
-
-
-@query(
-    "attribution",
-    """WITH e AS (SELECT user_id, ts, event_id, event_type,
-                COALESCE(CAST(round(value * 100.0, 0) AS BIGINT), 0) AS cents
-             FROM events),
-       lab AS (SELECT *,
-                first_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
-                  OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ft,
-                last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
-                  OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
-             FROM e),
-       conv AS (SELECT COALESCE(ft, 'direct') AS ft, COALESCE(lt, 'direct') AS lt, cents
-             FROM lab WHERE event_type = 'purchase'),
-       unp AS (SELECT 'first_touch' AS model, ft AS channel, cents FROM conv
-               UNION ALL
-               SELECT 'last_touch' AS model, lt AS channel, cents FROM conv)
-       SELECT model, channel,
-              CAST(SUM(cents) AS BIGINT) AS revenue_cents,
-              COUNT(*) AS n_conversions
-       FROM unp GROUP BY model, channel""",
-)
-def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-touch / last-touch revenue attribution over the event log:
-    each purchase's exact cents go to the user's first (resp. last)
-    non-purchase event type before it, 'direct' when none.  Both models
-    from ONE user-keyed window pass + one tiny aggregate — never a
-    self-join of the log."""
-    from hdfs_stream_processing_spark.operators.analytics import attribution
-
-    (events,) = prep(spark, sf_dir, "events")
-    cents = F.coalesce(
-        F.round(F.col("value") * 100.0, 0).cast("long"), F.lit(0)
-    )
-    return attribution(
-        events, "user_id", "ts", "event_type", cents,
-        conversion="purchase", tiebreak_cols=["event_id"],
-    )
-
-
-@query(
-    "stream_vocab",
-    """WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS token
-                     FROM documents),
-       counts AS (SELECT token, count(*) AS freq FROM toks GROUP BY token)
-       SELECT CAST(row_number() OVER (ORDER BY freq DESC, token ASC) - 1
-                   AS BIGINT) AS token_id,
-              token, CAST(freq AS BIGINT) AS freq""" + """
-       FROM counts""",
-)
-def q_stream_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming vocabulary maintenance: per-token counts are additive,
-    so the SAME run_stream_rollup machinery that maintains count tables
-    and sketches maintains the corpus vocabulary as documents stream in
-    — each micro-batch contributes its batch-local token counts, merged
-    by addition behind the replay guard.  Ranking the maintained table
-    (freq DESC, token ASC) must yield EXACTLY the batch-built vocab of
-    the whole corpus: the tokenizer's id table stays current without
-    ever re-scanning history.
-
-    Scale: per batch the token shuffle is batch-sized; stored state is
-    the vocabulary itself.  The ranking read is vocab-sized — done on
-    demand, not per batch."""
-    from pyspark.sql import Window
-
-    from hdfs_stream_processing_spark.sources.io import read_table_version
-    from hdfs_stream_processing_spark.streaming import stream_parquet_source
-    from hdfs_stream_processing_spark.streaming.pipeline import run_stream_rollup
-
-    src_dir, schema = _stage_documents(spark, sf_dir)
-    stream = stream_parquet_source(spark, src_dir, schema, max_files_per_trigger=2)
-
-    def partial(df: DataFrame) -> DataFrame:
-        return (
-            df.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"))
-            .groupBy("token")
-            .agg(F.count(F.lit(1)).alias("freq"))
-        )
-
-    tdir = _mkdtemp("hsp_svocab_")
-    ckpt = _mkdtemp("hsp_svocab_ckpt_")
-    run_stream_rollup(stream, tdir, ckpt, ["token"], ["freq"], partial)
-    counts = read_table_version(spark, tdir).drop("_batch")
-    w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
-    return counts.select(
-        (F.row_number().over(w) - F.lit(1)).cast("long").alias("token_id"),
-        "token",
-        F.col("freq").cast("long").alias("freq"),
-    )
-
-
-@query(
-    "purge_keys",
-    """WITH req AS (SELECT c_custkey AS k FROM customer
-                    WHERE c_custkey % 97 = 0),
-       po AS (SELECT o_orderkey FROM orders
-              WHERE o_custkey IN (SELECT k FROM req))
-       SELECT 'customer' AS table_name,
-              (SELECT count(*) FROM customer
-                WHERE c_custkey IN (SELECT k FROM req)) AS purged_rows,
-              (SELECT count(*) FROM customer
-                WHERE c_custkey NOT IN (SELECT k FROM req)) AS retained_rows
-       UNION ALL
-       SELECT 'orders',
-              (SELECT count(*) FROM orders
-                WHERE o_custkey IN (SELECT k FROM req)),
-              (SELECT count(*) FROM orders
-                WHERE o_custkey NOT IN (SELECT k FROM req))
-       UNION ALL
-       SELECT 'lineitem',
-              (SELECT count(*) FROM lineitem
-                WHERE l_orderkey IN (SELECT o_orderkey FROM po)),
-              (SELECT count(*) FROM lineitem
-                WHERE l_orderkey NOT IN (SELECT o_orderkey FROM po))""",
-)
-def q_purge_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Right-to-be-forgotten delete propagation: a deletion-request list
-    (every 97th customer) cascades customer → orders → lineitem, and the
-    audit reports purged/retained row counts per table — the compliance
-    evidence a lake must produce for each erasure batch.  Every
-    membership probe is a broadcast left join marking fact rows in one
-    map-side pass; the fan-out key sets scale with the request list,
-    never the fact tables."""
-    from hdfs_stream_processing_spark.operators.incremental import purge_cascade
-
-    customer, orders, lineitem = prep(spark, sf_dir, "customer", "orders", "lineitem")
-    requests = customer.where(F.col("c_custkey") % 97 == 0).select("c_custkey")
-    audit, _ = purge_cascade(
-        requests,
-        [
-            ("customer", customer, "c_custkey", "c_custkey"),
-            ("orders", orders, "o_custkey", "o_orderkey"),
-            ("lineitem", lineitem, "l_orderkey", None),
-        ],
-    )
-    return audit
-
-
-@query(
-    "purge_exec",
-    """WITH req AS (SELECT c_custkey AS k FROM customer
-                    WHERE c_custkey % 97 = 0),
-       po AS (SELECT o_orderkey FROM orders
-              WHERE o_custkey IN (SELECT k FROM req))
-       SELECT 'customer' AS table_name,
-              CAST(0 AS BIGINT) AS purged_rows,
-              (SELECT count(*) FROM customer
-                WHERE c_custkey NOT IN (SELECT k FROM req)) AS retained_rows
-       UNION ALL
-       SELECT 'orders', CAST(0 AS BIGINT),
-              (SELECT count(*) FROM orders
-                WHERE o_custkey NOT IN (SELECT k FROM req))
-       UNION ALL
-       SELECT 'lineitem', CAST(0 AS BIGINT),
-              (SELECT count(*) FROM lineitem
-                WHERE l_orderkey NOT IN (SELECT o_orderkey FROM po))""",
-)
-def q_purge_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Purge cascade EXECUTED (r7): copies of customer/orders/lineitem
-    are staged as live parquet directories, the same request list as
-    `purge_keys` cascades through :func:`run_purge` — retained tables
-    written to staging, published via atomic rename, audit re-run
-    against the published result.  The returned POST-swap audit must
-    show zero purged rows with the retained counts the oracle derives
-    from the base tables: proof the deletion landed on disk and a
-    replay would be a no-op.  Closes the gap the reference leaves open
-    (its sink is append-only; spark_streaming/convert-to-minio.py:125
-    can only ever add rows)."""
-    import os
-
-    from hdfs_stream_processing_spark.operators.incremental import run_purge
-
-    customer, orders, lineitem = prep(spark, sf_dir, "customer", "orders", "lineitem")
-    base = _mkdtemp("hsp_purge_live_")  # fresh dirs per run: re-purgeable
-    dirs = {}
-    for name, df in (("customer", customer), ("orders", orders), ("lineitem", lineitem)):
-        d = os.path.join(base, name)
-        df.write.mode("overwrite").parquet(d)
-        dirs[name] = d
-    requests = customer.where(F.col("c_custkey") % 97 == 0).select("c_custkey")
-    return run_purge(
-        spark,
-        requests,
-        [
-            ("customer", dirs["customer"], "c_custkey", "c_custkey"),
-            ("orders", dirs["orders"], "o_custkey", "o_orderkey"),
-            ("lineitem", dirs["lineitem"], "l_orderkey", None),
-        ],
-    )
-
-
-# ---------------------------------------------------------------------------
-# Round 7 additions: bucketed co-location, subject export (SAR), text/binary
-# file sources, windowed EWMA, TF-IDF, containment join.
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "bucketed_join",
-    """SELECT o_orderpriority,
-              count(*) AS n_items,
-              CAST(SUM(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT))
-                   AS DOUBLE) / 100.0 AS revenue
-       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-       GROUP BY o_orderpriority""",
-)
-def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed co-located join (the 100 TB shuffle-elimination play):
-    lineitem and orders are written ONCE as external bucketed tables —
-    identically hash-bucketed and sorted by the join key — and every
-    subsequent join between them plans with ZERO exchanges (asserted in
-    tests/test_layout_bucketed.py with broadcast disabled: SortMergeJoin,
-    no Exchange on either side).  The shuffle is paid at write time and
-    amortized over every downstream join/agg on the key — vs the
-    reference re-shuffling its alignment join on every run
-    (utils/spark_transforming.py:96-141).  The oracle proves the
-    bucketed round-trip + join is value-lossless."""
-    from hdfs_stream_processing_spark.sources.io import write_bucketed
-
-    lineitem, orders = prep(spark, sf_dir, "lineitem", "orders")
-    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/").split("/")[-1])
-    tl, to = f"hsp_bkt_lineitem_{tag}", f"hsp_bkt_orders_{tag}"
-    # external tables under the repo scratch dir (the session warehouse
-    # follows the host process CWD — not ours to write to); catalog
-    # registration is session-scoped, so re-register per session but
-    # reuse the memoized directory
-    if not spark.catalog.tableExists(tl):
-        write_bucketed(
-            lineitem.select("l_orderkey", "l_extendedprice"),
-            tl, ["l_orderkey"], num_buckets=8, sort_cols=["l_orderkey"],
-            path=_mkdtemp("hsp_bkt_l_", (sf_dir, "lineitem")),
-        )
-    if not spark.catalog.tableExists(to):
-        write_bucketed(
-            orders.select("o_orderkey", "o_orderpriority"),
-            to, ["o_orderkey"], num_buckets=8, sort_cols=["o_orderkey"],
-            path=_mkdtemp("hsp_bkt_o_", (sf_dir, "orders")),
-        )
-    li, od = spark.table(tl), spark.table(to)
-    joined = li.join(od, li["l_orderkey"] == od["o_orderkey"])
-    return joined.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_items"),
-        (
-            F.sum(F.round(F.col("l_extendedprice") * F.lit(100.0), 0).cast("long"))
-            .cast("double") / F.lit(100.0)
-        ).alias("revenue"),
-    )
-
-
-@query(
-    "subject_export",
-    """WITH req AS (SELECT c_custkey AS root FROM customer
-                    WHERE c_custkey % 97 = 0),
-       cust AS (SELECT root AS subject_key, 'customer' AS table_name,
-                       CAST(c_custkey AS VARCHAR) AS record_key
-                FROM req JOIN customer ON c_custkey = root),
-       ords AS (SELECT root, o_orderkey
-                FROM req JOIN orders ON o_custkey = root),
-       ordx AS (SELECT root AS subject_key, 'orders' AS table_name,
-                       CAST(o_orderkey AS VARCHAR) AS record_key
-                FROM ords),
-       linx AS (SELECT DISTINCT root AS subject_key, 'lineitem' AS table_name,
-                       CAST(l_orderkey AS VARCHAR) || '#'
-                         || CAST(l_linenumber AS VARCHAR) AS record_key
-                FROM ords JOIN lineitem ON l_orderkey = o_orderkey)
-       SELECT * FROM cust
-       UNION ALL SELECT * FROM ordx
-       UNION ALL SELECT * FROM linx""",
-)
-def q_subject_export(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Subject-access-request export (r7): the SAME subject list the
-    purge queries forget, but read-side — every customer / orders /
-    lineitem record belonging to each subject, attributed to its
-    subject (GDPR Art. 15 data portability; the compliance pair to
-    `purge_keys`/`purge_exec` Art. 17).  Broadcast-probe per hop, zero
-    fact-side shuffle — at 100 TB the export touches each fact table in
-    one map-side pass."""
-    from hdfs_stream_processing_spark.operators.incremental import subject_export
-
-    customer, orders, lineitem = prep(spark, sf_dir, "customer", "orders", "lineitem")
-    requests = customer.where(F.col("c_custkey") % 97 == 0).select("c_custkey")
-    return subject_export(
-        requests,
-        [
-            ("customer", customer, "c_custkey", "c_custkey", F.col("c_custkey")),
-            ("orders", orders, "o_custkey", "o_orderkey", F.col("o_orderkey")),
-            (
-                "lineitem", lineitem, "l_orderkey", None,
-                F.concat(
-                    F.col("l_orderkey").cast("string"),
-                    F.lit("#"),
-                    F.col("l_linenumber").cast("string"),
-                ),
-            ),
-        ],
-    )
-
-
-@query(
-    "scan_text",
-    "SELECT doc_id, text FROM documents",
-)
-def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Line-oriented text source (S-surface): the corpus staged as raw
-    ``doc_id<TAB>text`` lines (the layout a crawler or log shipper
-    lands), read back with the native text source in ONE directory
-    scan and parsed with a bounded split.  The identity oracle proves
-    the text round-trip is lossless.  At 100 TB this is the ingest
-    path for line-delimited corpora — splittable files, no per-file
-    driver work, schema applied at parse time."""
-    (documents,) = prep(spark, sf_dir, "documents")
-    txt_dir = _mkdtemp("hsp_text_src_", sf_dir)
-    key = ("hsp_text_staged_", sf_dir)
-    if key not in _STAGE_CACHE:
-        (
-            documents.select(
-                F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("text"))
-            )
-            .repartition(4)
-            .write.mode("overwrite")
-            .text(txt_dir)
-        )
-        _STAGE_CACHE[key] = txt_dir
-    lines = spark.read.text(txt_dir)
-    parts = F.split(F.col("value"), "\t", 2)
-    return lines.select(
-        parts.getItem(0).cast("long").alias("doc_id"),
-        parts.getItem(1).alias("text"),
-    )
-
-
-@query(
-    "scan_binary",
-    """SELECT source,
-              CAST(length(blob) AS BIGINT) AS n_bytes,
-              md5(blob) AS digest
-       FROM (SELECT source, string_agg(text, chr(10) ORDER BY doc_id) AS blob
-             FROM documents GROUP BY source)""",
-)
-def q_scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whole-file binary source (the multimodal ingest path): one
-    opaque ``.bin`` per source — here the source's docs concatenated,
-    standing in for an image/audio shard — read back with Spark's
-    ``binaryFile`` source as (path, length, content-bytes) and reduced
-    to per-file length + md5.  The oracle recomputes both from the
-    base table, proving the binary round-trip is byte-lossless.  This
-    is how 100 TB of media shards enter the engine: binary columns +
-    typed metadata, decode deferred to mapInPandas
-    (operators/multimodal.py).  Staging collects per-source strings on
-    the driver — bounded by the source count (20), not the corpus."""
-    import os as _os
-
-    (documents,) = prep(spark, sf_dir, "documents")
-    key = ("hsp_bin_staged_", sf_dir)
-    if key in _STAGE_CACHE:
-        bin_dir = _STAGE_CACHE[key]
-    else:
-        bin_dir = _mkdtemp("hsp_bin_src_", sf_dir)
-        shards = (
-            documents.groupBy("source")
-            .agg(
-                F.concat_ws(
-                    "\n", F.array_sort(F.collect_list(F.struct("doc_id", "text")))
-                    .getField("text")
-                ).alias("blob")
-            )
-            .collect()
-        )
-        for row in shards:
-            with open(_os.path.join(bin_dir, f"{row['source']}.bin"), "wb") as f:
-                f.write(row["blob"].encode("utf-8"))
-        _STAGE_CACHE[key] = bin_dir
-    files = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.bin")
-        .load(bin_dir)
-    )
-    return files.select(
-        F.regexp_extract(F.col("path"), r"([^/]+)\.bin$", 1).alias("source"),
-        F.col("length").alias("n_bytes"),
-        F.md5(F.col("content")).alias("digest"),
-    )
-
-
-@query(
-    "ewma_smooth",
-    """WITH base AS (
-         SELECT event_id, user_id, ts, value,
-                CAST(round(value * 100.0, 0) AS BIGINT) AS c
-         FROM events),
-       t AS (
-         SELECT event_id, user_id, ts, value,
-                COALESCE(c * 128, 0) + COALESCE(lag(c, 1) OVER w * 64, 0)
-                  + COALESCE(lag(c, 2) OVER w * 32, 0)
-                  + COALESCE(lag(c, 3) OVER w * 16, 0)
-                  + COALESCE(lag(c, 4) OVER w * 8, 0)
-                  + COALESCE(lag(c, 5) OVER w * 4, 0)
-                  + COALESCE(lag(c, 6) OVER w * 2, 0)
-                  + COALESCE(lag(c, 7) OVER w * 1, 0) AS num,
-                CASE WHEN c IS NOT NULL THEN 128 ELSE 0 END
-                  + CASE WHEN lag(c, 1) OVER w IS NOT NULL THEN 64 ELSE 0 END
-                  + CASE WHEN lag(c, 2) OVER w IS NOT NULL THEN 32 ELSE 0 END
-                  + CASE WHEN lag(c, 3) OVER w IS NOT NULL THEN 16 ELSE 0 END
-                  + CASE WHEN lag(c, 4) OVER w IS NOT NULL THEN 8 ELSE 0 END
-                  + CASE WHEN lag(c, 5) OVER w IS NOT NULL THEN 4 ELSE 0 END
-                  + CASE WHEN lag(c, 6) OVER w IS NOT NULL THEN 2 ELSE 0 END
-                  + CASE WHEN lag(c, 7) OVER w IS NOT NULL THEN 1 ELSE 0 END AS den
-         FROM base
-         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-       SELECT event_id, user_id, ts, value,
-              CASE WHEN den > 0
-                   THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS ewma
-       FROM t""",
-)
-def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EWMA smoothing (r7): α=1/2 exponential moving average of each
-    user's value series in exact integer cents — the truncated-horizon
-    form whose numerator/denominator are integer sums of K=8 unrolled
-    lag terms inside ONE window pass, so the single final division is
-    bit-identical across engines (native float-recursive EWMA never
-    is).  One shuffle; the anomaly-scoring / trend-feature staple."""
-    from hdfs_stream_processing_spark.operators.analytics import ewma
-
-    (events,) = prep(spark, sf_dir, "events")
-    base = events.select(
-        "event_id", "user_id", "ts", "value",
-        F.round(F.col("value") * F.lit(100.0), 0).cast("long").alias("c"),
-    )
-    return ewma(base, "user_id", ["ts", "event_id"], "c", terms=8).drop("c")
-
-
-@query(
-    "tfidf_terms",
-    """WITH tok AS (
-         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
-         FROM documents),
-       tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
-       tf AS (SELECT doc_id, token, count(*) AS tf
-              FROM tok2 GROUP BY doc_id, token),
-       dfreq AS (SELECT token, count(*) AS df
-                 FROM (SELECT DISTINCT doc_id, token FROM tok2)
-                 GROUP BY token),
-       n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
-       scored AS (
-         SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
-                round(CAST(tf.tf AS DOUBLE)
-                  * ln(CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE)), 6) AS score
-         FROM tf JOIN dfreq USING (token) CROSS JOIN n
-         WHERE dfreq.df < n.n_docs),
-       ranked AS (
-         SELECT doc_id, token, tf, df, score,
-                row_number() OVER (
-                  PARTITION BY doc_id
-                  ORDER BY score DESC, tf DESC, df ASC, token ASC) AS rank
-         FROM scored)
-       SELECT doc_id, token, tf, df, rank, score
-       FROM ranked WHERE rank <= 3""",
-)
-def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF keyword extraction (r7, ranking fixed r8 per ADVICE):
-    the top-3 characteristic terms per document, ranked by the rounded
-    score itself (so rank and score agree), with zero-score ubiquitous
-    terms (df = N) excluded before ranking.  Ties break on the exact
-    integer keys (tf DESC, df ASC, token ASC); the 6-dp rounding keeps
-    the sort key engine-portable."""
-    from hdfs_stream_processing_spark.operators.text import tfidf_top_terms
-
-    (documents,) = prep(spark, sf_dir, "documents")
-    return tfidf_top_terms(documents, "doc_id", "text", k=3)
-
-
-@query(
-    "containment_join",
-    """WITH ta AS (SELECT DISTINCT doc_id, shingle FROM (
-            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS shingle
-            FROM documents WHERE doc_id > 250 AND doc_id % 5 = 0)),
-       tb AS (SELECT DISTINCT doc_id, shingle FROM (
-            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS shingle
-            FROM documents WHERE doc_id <= 250)),
-       sza AS (SELECT doc_id, COUNT(*) AS sz FROM ta GROUP BY doc_id),
-       inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                        CAST(COUNT(*) AS BIGINT) AS n
-                 FROM ta a JOIN tb b USING (shingle)
-                 GROUP BY 1, 2)
-       SELECT id_a, id_b,
-              CAST(n AS DOUBLE) / CAST(sza.sz AS DOUBLE) AS containment
-       FROM inter JOIN sza ON sza.doc_id = id_a
-       WHERE 5 * n >= 4 * sza.sz""",
-)
-def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Containment (quote/copy-detection) join (r7): every new-batch
-    doc whose unigram set is ≥80% contained in some corpus doc — the
-    asymmetric relation Jaccard misses (a snippet embedded in a long
-    doc has tiny Jaccard but containment ~1).  Candidates from the
-    probe side's rarest-first PREFIX shingles against the corpus's
-    full posting index; exact rational threshold end-to-end.  The
-    oracle is the brute-force all-pairs containment, so the prefix
-    filter's no-false-negative guarantee is verified against ground
-    truth."""
-    from hdfs_stream_processing_spark.operators.dedup import containment_join_prefix
-
-    (documents,) = prep(spark, sf_dir, "documents")
-    docs = documents.select("doc_id", "text")
-    return containment_join_prefix(
-        docs.where((F.col("doc_id") > 250) & (F.col("doc_id") % 5 == 0)),
-        docs.where(F.col("doc_id") <= 250),
-        "doc_id", "text", t_num=4, t_den=5, shingle_n=1,
-    )
-
-
-#: Shared oracle CTE: the top-5 strongest-partner (kNN) supplier graph.
-#: A raw "share a part" projection of a fact table GOES DENSE as data
-#: grows (at sf0.1 every supplier pair already shares a part — the
-#: co-supply graph is COMPLETE, and wedge enumeration on a complete
-#: graph is O(n³): measured OOM at sf1).  Production similarity graphs
-#: cap density by construction: keep each node's k strongest partners
-#: (shared-part count, ties by id), so max degree ≤ 2k at EVERY scale
-#: and wedge volume stays linear in nodes.  Selection runs on exact
-#: integer keys — engine-portable.
-_KNN_EDGE_SQL = """sp AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
-                          FROM lineitem),
-       pair AS (SELECT a.s AS u, b.s AS v, count(*) AS w
-                FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
-                GROUP BY 1, 2),
-       sym AS (SELECT u, v, w FROM pair UNION ALL SELECT v, u, w FROM pair),
-       knn AS (SELECT u, v FROM (
-                 SELECT u, v,
-                        row_number() OVER (PARTITION BY u
-                                           ORDER BY w DESC, v ASC) AS rn
-                 FROM sym) WHERE rn <= 5),
-       e AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM knn)"""
-
-
-def _cosupply_knn_edges(lineitem: DataFrame, k: int = 5) -> DataFrame:
-    """Top-``k`` strongest co-supply partner edges per supplier (the
-    Spark side of ``_KNN_EDGE_SQL``): pair weights from one
-    partial-aggregated count shuffle over the per-part supplier join,
-    per-node top-k on exact keys (weight DESC, partner ASC), then
-    canonical dedup.  Degree ≤ 2k by construction — the density cap
-    that keeps wedge enumeration linear regardless of how dense the
-    underlying co-occurrence gets."""
-    from pyspark.sql import Window
-
-    sp = lineitem.select(
-        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct()
-    pair = (
-        sp.alias("a")
-        .join(sp.alias("b"), (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
-        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    sym = pair.unionByName(
-        pair.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
-    )
-    wk = Window.partitionBy("u").orderBy(F.col("w").desc(), F.col("v").asc())
-    knn = sym.withColumn("rn", F.row_number().over(wk)).where(F.col("rn") <= k)
-    return knn.select(
-        F.least("u", "v").alias("id_a"), F.greatest("u", "v").alias("id_b")
-    ).distinct()
-
-
-@query(
-    "triangle_count",
-    f"""WITH {_KNN_EDGE_SQL},
-       wedge AS (SELECT e1.u, e1.v, e2.v AS w
-                 FROM e e1 JOIN e e2 ON e1.v = e2.u),
-       tri AS (SELECT wedge.u FROM wedge
-               WHERE EXISTS (SELECT 1 FROM e
-                             WHERE e.u = wedge.u AND e.v = wedge.w)),
-       nodes AS (SELECT u AS n FROM e UNION SELECT v FROM e)
-       SELECT (SELECT count(*) FROM nodes) AS n_nodes,
-              (SELECT count(*) FROM e) AS n_edges,
-              (SELECT count(*) FROM tri) AS n_triangles""",
-)
-def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle counting (r7) over the top-5 strongest-partner supplier
-    graph (see ``_cosupply_knn_edges`` — the kNN density cap that keeps
-    this linear where the raw co-supply projection goes complete).
-    Oriented u<v<w wedge-close scheme — each triangle counted once,
-    two equi-joins, no rotation enumeration; the oracle replays the
-    same selection and orientation in SQL."""
-    from hdfs_stream_processing_spark.operators.graph import triangle_count
-
-    (lineitem,) = prep(spark, sf_dir, "lineitem")
-    return triangle_count(_cosupply_knn_edges(lineitem, k=5))
-
-
-@query(
-    "wow_change",
-    """WITH wk AS (
-         SELECT o_orderpriority AS priority,
-                CAST(date_trunc('week', o_orderdate) AS TIMESTAMP)
-                  AS week_start,
-                SUM(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) AS cents
-         FROM orders GROUP BY 1, 2),
-       lagged AS (
-         SELECT priority, week_start, cents,
-                lag(cents) OVER (PARTITION BY priority ORDER BY week_start)
-                  AS prev_cents
-         FROM wk)
-       SELECT priority, week_start,
-              CAST(cents AS DOUBLE) / 100.0 AS revenue,
-              CAST(prev_cents AS DOUBLE) / 100.0 AS prev_revenue,
-              CASE WHEN prev_cents > 0
-                   THEN CAST(cents - prev_cents AS DOUBLE)
-                        / CAST(prev_cents AS DOUBLE) END AS wow_change
-       FROM lagged""",
-)
-def q_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Week-over-week revenue change per order priority (the BI
-    period-over-period staple): calendar-aligned weekly rollup in
-    exact cents, lag to the previous OBSERVED week, one final division
-    of exact integers.  Two shuffles (weekly agg + per-priority
-    window); at 100 TB the rollup partial-aggregates map-side and the
-    window frame is one row per (priority, week)."""
-    (orders,) = prep(spark, sf_dir, "orders")
-    from pyspark.sql import Window
-
-    wk = orders.groupBy(
-        F.col("o_orderpriority").alias("priority"),
-        F.date_trunc("week", F.col("o_orderdate")).alias("week_start"),
-    ).agg(
-        F.sum(
-            F.round(F.col("o_totalprice") * F.lit(100.0), 0).cast("long")
-        ).alias("cents")
-    )
-    w = Window.partitionBy("priority").orderBy("week_start")
-    lagged = wk.withColumn("prev_cents", F.lag("cents").over(w))
-    return lagged.select(
-        "priority",
-        "week_start",
-        (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
-        (F.col("prev_cents").cast("double") / F.lit(100.0)).alias("prev_revenue"),
-        F.when(
-            F.col("prev_cents") > 0,
-            (F.col("cents") - F.col("prev_cents")).cast("double")
-            / F.col("prev_cents").cast("double"),
-        ).alias("wow_change"),
-    )
-
-
-@query(
-    "chisq_assoc",
-    """WITH cells AS (
-         SELECT event_type, value IS NOT NULL AS has_value,
-                count(*) AS obs
-         FROM events GROUP BY 1, 2),
-       rows_ AS (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS row_tot
-                 FROM cells GROUP BY 1),
-       cols_ AS (SELECT has_value, CAST(SUM(obs) AS BIGINT) AS col_tot
-                 FROM cells GROUP BY 1),
-       n AS (SELECT SUM(obs) AS n FROM cells),
-       j AS (SELECT c.event_type, c.has_value, c.obs, r.row_tot, co.col_tot, n.n,
-                    CAST(n.n AS HUGEINT) * c.obs
-                      - CAST(r.row_tot AS HUGEINT) * co.col_tot AS d
-             FROM cells c
-             JOIN rows_ r USING (event_type)
-             JOIN cols_ co USING (has_value)
-             CROSS JOIN n)
-       SELECT event_type, has_value, obs, row_tot, col_tot,
-              CAST(CAST(row_tot AS HUGEINT) * col_tot AS DOUBLE)
-                / CAST(n AS DOUBLE) AS expected,
-              CAST(d * d AS DOUBLE)
-                / CAST(CAST(n AS HUGEINT) * row_tot * col_tot AS DOUBLE)
-                AS contrib
-       FROM j""",
-)
-def q_chisq_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chi-square test of independence between event_type and
-    value-presence (the categorical-association staple of data
-    profiling): per-cell observed vs expected counts and the cell's
-    χ² contribution, every operand an exact 128-bit integer until ONE
-    final double division per cell — no float accumulation, no
-    cross-engine summation-order hazard (the scalar χ² is the sum of
-    ``contrib``, left to the reader precisely because a float sum's
-    bits depend on order).  Two tiny aggregates + broadcast joins."""
-    (events,) = prep(spark, sf_dir, "events")
-    dec = "decimal(38,0)"
-    cells = events.groupBy(
-        "event_type", F.col("value").isNotNull().alias("has_value")
-    ).agg(F.count(F.lit(1)).alias("obs"))
-    rows_ = cells.groupBy("event_type").agg(F.sum("obs").alias("row_tot"))
-    cols_ = cells.groupBy("has_value").agg(F.sum("obs").alias("col_tot"))
-    n = cells.agg(F.sum("obs").alias("n"))
-    j = (
-        cells.join(F.broadcast(rows_), "event_type")
-        .join(F.broadcast(cols_), "has_value")
-        .crossJoin(F.broadcast(n))
-        .withColumn(
-            "d",
-            F.col("n").cast(dec) * F.col("obs")
-            - F.col("row_tot").cast(dec) * F.col("col_tot"),
-        )
-    )
-    return j.select(
-        "event_type", "has_value", "obs", "row_tot", "col_tot",
-        (
-            (F.col("row_tot").cast(dec) * F.col("col_tot")).cast("double")
-            / F.col("n").cast("double")
-        ).alias("expected"),
-        (
-            (F.col("d") * F.col("d")).cast("double")
-            / (
-                F.col("n").cast(dec) * F.col("row_tot") * F.col("col_tot")
-            ).cast("double")
-        ).alias("contrib"),
-    )
-
-
-@query(
-    "table_checksum",
-    """WITH c AS (
-         SELECT count(*) AS n_rows,
-                CAST(SUM(('0x' || substr(md5(
-                       CAST(c_custkey AS VARCHAR) || '|' || c_name || '|'
-                       || c_mktsegment || '|'
-                       || CAST(CAST(round(c_acctbal * 100.0, 0) AS BIGINT) AS VARCHAR)
-                     ), 1, 15))::UBIGINT::BIGINT) AS VARCHAR) AS checksum
-         FROM customer),
-       o AS (
-         SELECT count(*) AS n_rows,
-                CAST(SUM(('0x' || substr(md5(
-                       CAST(o_orderkey AS VARCHAR) || '|'
-                       || CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus
-                       || '|' || o_orderpriority || '|'
-                       || CAST(CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS VARCHAR)
-                     ), 1, 15))::UBIGINT::BIGINT) AS VARCHAR) AS checksum
-         FROM orders)
-       SELECT 'customer' AS table_name, n_rows, checksum FROM c
-       UNION ALL
-       SELECT 'orders', n_rows, checksum FROM o""",
-)
-def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-independent table checksums (r7): the replication/CDC
-    drift detector — md5 each row's engine-exact rendering, take 60
-    bits, SUM in 128-bit decimal.  Commutative addition makes the
-    result independent of row order, partitioning, and file layout (a
-    hash-of-sorted-rows would need a 100 TB global sort; this is one
-    map pass + a scalar agg).  The oracle computes the identical sum in
-    DuckDB: agreement certifies both engines see byte-identical
-    content."""
-    from hdfs_stream_processing_spark.operators.quality import table_checksum
-
-    customer, orders = prep(spark, sf_dir, "customer", "orders")
-    cents = lambda c: F.round(F.col(c) * F.lit(100.0), 0).cast("long")  # noqa: E731
-    cs_c = table_checksum(
-        customer, "customer",
-        [F.col("c_custkey"), F.col("c_name"), F.col("c_mktsegment"),
-         cents("c_acctbal")],
-    )
-    cs_o = table_checksum(
-        orders, "orders",
-        [F.col("o_orderkey"), F.col("o_custkey"), F.col("o_orderstatus"),
-         F.col("o_orderpriority"), cents("o_totalprice")],
-    )
-    return cs_c.unionByName(cs_o)
-
-
-@query(
-    "cluster_coeff",
-    f"""WITH {_KNN_EDGE_SQL},
-       deg AS (SELECT node, count(*) AS degree FROM (
-                 SELECT u AS node FROM e UNION ALL SELECT v FROM e)
-               GROUP BY node),
-       closed AS (SELECT e1.u, e1.v, e2.w
-                  FROM e e1
-                  JOIN (SELECT u AS v, v AS w FROM e) e2 USING (v)
-                  WHERE EXISTS (SELECT 1 FROM e
-                                WHERE e.u = e1.u AND e.v = e2.w)),
-       tri AS (SELECT node, count(*) AS n_tri FROM (
-                 SELECT u AS node FROM closed
-                 UNION ALL SELECT v FROM closed
-                 UNION ALL SELECT w FROM closed)
-               GROUP BY node)
-       SELECT deg.node, deg.degree,
-              COALESCE(tri.n_tri, 0) AS n_tri,
-              CASE WHEN deg.degree >= 2
-                   THEN CAST(2 * COALESCE(tri.n_tri, 0) AS DOUBLE)
-                        / CAST(deg.degree * (deg.degree - 1) AS DOUBLE)
-              END AS coeff
-       FROM deg LEFT JOIN tri USING (node)""",
-)
-def q_cluster_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-node clustering coefficient (r7): ego-density of every
-    supplier in the top-5 strongest-partner graph (the kNN density cap
-    — see ``_cosupply_knn_edges``) — 2T/(d(d−1)) from the same oriented
-    wedge-close join as triangle_count, with each closed triangle
-    crediting its three vertices.  Exact integer counts into one double
-    division; degree<2 nodes are null (undefined), not zero."""
-    from hdfs_stream_processing_spark.operators.graph import clustering_coefficient
-
-    (lineitem,) = prep(spark, sf_dir, "lineitem")
-    return clustering_coefficient(_cosupply_knn_edges(lineitem, k=5))
-
-
-@query(
-    "mad_outliers",
-    """WITH c AS (SELECT event_type,
-                         CAST(round(value * 100.0, 0) AS BIGINT) AS cents
-                  FROM events WHERE value IS NOT NULL),
-       med AS (SELECT event_type, quantile_cont(cents, 0.5) AS med
-               FROM c GROUP BY event_type),
-       dev AS (SELECT c.event_type, c.cents, med.med,
-                      abs(CAST(c.cents AS DOUBLE) - med.med) AS adev
-               FROM c JOIN med USING (event_type)),
-       mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
-               FROM dev GROUP BY event_type)
-       SELECT dev.event_type,
-              count(*) AS n,
-              any_value(dev.med) AS med,
-              any_value(mad.mad) AS mad,
-              CAST(SUM(CASE WHEN dev.adev > 5 * mad.mad THEN 1 ELSE 0 END)
-                   AS BIGINT) AS n_outliers
-       FROM dev JOIN mad USING (event_type)
-       GROUP BY dev.event_type""",
-)
-def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Median-absolute-deviation robust outlier screen (r7): per event
-    type, the median of |x − median| and the count of points beyond
-    5×MAD — the outlier detector a long-tailed 100 TB metric needs
-    where mean/std (anomaly_zscore) are themselves dragged by the tail.
-    Exact integer cents into the interpolated exact percentile (whose
-    cross-engine bit-parity the `percentiles` query already proves);
-    every derived double is the same expression text in both engines.
-    Two percentile shuffles + one broadcast-joined count pass."""
-    (events,) = prep(spark, sf_dir, "events")
-    c = events.where(F.col("value").isNotNull()).select(
-        "event_type",
-        F.round(F.col("value") * F.lit(100.0), 0).cast("long").alias("cents"),
-    )
-    med = c.groupBy("event_type").agg(
-        F.expr("percentile(cents, 0.5)").alias("med")
-    )
-    dev = c.join(F.broadcast(med), "event_type").withColumn(
-        "adev", F.abs(F.col("cents").cast("double") - F.col("med"))
-    )
-    mad = dev.groupBy("event_type").agg(
-        F.expr("percentile(adev, 0.5)").alias("mad")
-    )
-    return (
-        dev.join(F.broadcast(mad), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.any_value(F.col("med")).alias("med"),
-            F.any_value(F.col("mad")).alias("mad"),
-            F.sum(
-                F.when(F.col("adev") > F.lit(5) * F.col("mad"), 1).otherwise(0)
-            ).alias("n_outliers"),
-        )
-    )
-
-
-@query(
-    "markov_transitions",
-    """WITH ordered AS (
-         SELECT user_id, event_type,
-                lag(event_type) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id) AS prev_type
-         FROM events),
-       trans AS (SELECT prev_type, event_type AS next_type, count(*) AS n
-                 FROM ordered WHERE prev_type IS NOT NULL
-                 GROUP BY 1, 2),
-       tot AS (SELECT prev_type, SUM(n) AS n_from FROM trans GROUP BY 1)
-       SELECT trans.prev_type, trans.next_type, trans.n,
-              CAST(trans.n AS DOUBLE) / CAST(tot.n_from AS DOUBLE) AS p
-       FROM trans JOIN tot USING (prev_type)""",
-)
-def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-order Markov transition matrix of user behavior (r7):
-    per (previous event type → next event type), the transition count
-    and probability — the session-flow model behind next-action
-    prediction and funnel-leak diagnosis.  One per-user window pass
-    (lag), one partial-aggregated count shuffle, exact counts into one
-    division."""
-    from pyspark.sql import Window
-
-    (events,) = prep(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    trans = (
-        events.withColumn("prev_type", F.lag("event_type").over(w))
-        .where(F.col("prev_type").isNotNull())
-        .groupBy("prev_type", F.col("event_type").alias("next_type"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    tot = trans.groupBy("prev_type").agg(F.sum("n").alias("n_from"))
-    return trans.join(F.broadcast(tot), "prev_type").select(
-        "prev_type", "next_type", "n",
-        (F.col("n").cast("double") / F.col("n_from").cast("double")).alias("p"),
-    )
-
-
-@query(
-    "benford_digits",
-    """WITH d AS (SELECT substr(CAST(CAST(round(o_totalprice * 100.0, 0)
-                                      AS BIGINT) AS VARCHAR), 1, 1) AS digit
-                  FROM orders WHERE o_totalprice > 0),
-       cnt AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
-       tot AS (SELECT SUM(n) AS total FROM cnt)
-       SELECT digit, n,
-              CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share,
-              round(ln(1.0 + 1.0 / CAST(digit AS BIGINT)) / ln(10.0), 6)
-                AS benford_expected
-       FROM cnt CROSS JOIN tot""",
-)
-def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benford's-law digit profile (r7): leading-digit distribution of
-    order totals vs the log expectation — the classic fabricated-data
-    / load-corruption screen a data-quality suite runs over financial
-    columns.  Digit extraction via string head (engine-portable; no
-    float log10 on the value side), share from exact counts, the
-    expected share a rounded identical expression."""
-    (orders,) = prep(spark, sf_dir, "orders")
-    d = orders.where(F.col("o_totalprice") > 0).select(
-        F.substring(
-            F.round(F.col("o_totalprice") * F.lit(100.0), 0)
-            .cast("long").cast("string"),
-            1, 1,
-        ).alias("digit")
-    )
-    cnt = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
-    tot = cnt.agg(F.sum("n").alias("total"))
-    return cnt.crossJoin(F.broadcast(tot)).select(
-        "digit", "n",
-        (F.col("n").cast("double") / F.col("total").cast("double")).alias("share"),
-        F.round(
-            F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("long").cast("double"))
-            / F.log(F.lit(10.0)),
-            6,
-        ).alias("benford_expected"),
-    )
-
-
-@query(
-    "late_profile",
-    """WITH b AS (SELECT event_id, epoch_us(ts) AS mu FROM events),
-       r AS (SELECT event_id, mu,
-                    max(mu) OVER (ORDER BY event_id
-                                  ROWS BETWEEN UNBOUNDED PRECEDING
-                                  AND 1 PRECEDING) AS pmax
-             FROM b),
-       l AS (SELECT greatest(COALESCE(pmax - mu, 0), 0) AS late_us FROM r)
-       SELECT CAST(d.delay_sec AS BIGINT) AS delay_sec,
-              CAST(SUM(CASE WHEN late_us > CAST(d.delay_sec AS BIGINT) * 1000000
-                            THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
-              CAST(SUM(CASE WHEN late_us > CAST(d.delay_sec AS BIGINT) * 1000000
-                            THEN 1 ELSE 0 END) AS DOUBLE)
-                / CAST(count(*) AS DOUBLE) AS share
-       FROM l CROSS JOIN (VALUES (0), (60), (600), (3600)) AS d(delay_sec)
-       GROUP BY d.delay_sec""",
-)
-def q_late_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermark-delay planning (r7): for candidate delays 0s/1m/10m/1h,
-    how many events would a D-delayed watermark drop?  Lateness = how
-    far each event's time lags the max event time that ARRIVED before
-    it (arrival sequence = event_id, the ingest-offset stand-in).  The
-    running max is a two-level prefix scan — per-chunk windows stay
-    fully parallel, the serial pass touches n/chunk rows — never a
-    global single-partition window.  Exact integer microseconds; the
-    oracle computes the same profile with a direct running-max window.
-    Read the output as the completeness-vs-latency curve and pick the
-    smallest delay meeting the SLA."""
-    from hdfs_stream_processing_spark.operators.analytics import lateness_profile
-
-    (events,) = prep(spark, sf_dir, "events")
-    return lateness_profile(
-        events, "event_id", "ts", delays_sec=[0, 60, 600, 3600]
-    )
-
-
-@query(
-    "incr_checksum",
-    """WITH h AS (
-         SELECT ('0x' || substr(md5(
-                  CAST(doc_id AS VARCHAR) || '|' || source || '|'
-                  || CAST(n_chars AS VARCHAR)
-                ), 1, 15))::UBIGINT::BIGINT AS v
-         FROM documents)
-       SELECT 'documents' AS table_name,
-              count(*) AS n_rows,
-              CAST(SUM(v) AS VARCHAR) AS checksum
-       FROM h""",
-)
-def q_incr_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incrementally-maintained table checksum (r7): the corpus
-    checksum is updated from the maintained old value plus the NEW
-    batch's checksum — never rescanning history — because the row-hash
-    SUM is additive: checksum(corpus ∪ batch) = checksum(corpus) +
-    checksum(batch) for disjoint rows.  The Spark side computes
-    old + delta (128-bit decimal addition); the oracle recomputes the
-    FULL checksum from scratch — hash equality proves the incremental
-    maintenance converges to the ground truth, the same contract as
-    incr_rollup/incr_topk.  At 100 TB the nightly integrity stamp
-    costs one pass over the new batch."""
-    from hdfs_stream_processing_spark.operators.quality import table_checksum
-
-    (documents,) = prep(spark, sf_dir, "documents")
-    cols = [F.col("doc_id"), F.col("source"), F.col("n_chars")]
-    corpus = documents.where(F.col("doc_id") <= 250)
-    batch = documents.where(F.col("doc_id") > 250)
-    old = table_checksum(corpus, "documents", cols)
-    delta = table_checksum(batch, "documents", cols)
-    merged = (
-        old.select(
-            "table_name",
-            F.col("n_rows").alias("_n0"),
-            F.col("checksum").cast("decimal(38,0)").alias("_c0"),
-        )
-        .join(
-            delta.select(
-                "table_name",
-                F.col("n_rows").alias("_n1"),
-                F.col("checksum").cast("decimal(38,0)").alias("_c1"),
-            ),
-            "table_name",
-        )
-        .select(
-            "table_name",
-            (F.col("_n0") + F.col("_n1")).alias("n_rows"),
-            (F.col("_c0") + F.col("_c1")).cast("decimal(38,0)").cast("string").alias("checksum"),
-        )
-    )
-    return merged
-
-
-@query(
-    "stream_checksum",
-    """WITH h AS (
-         SELECT ('0x' || substr(md5(
-                  CAST(doc_id AS VARCHAR) || '|' || source || '|'
-                  || CAST(n_chars AS VARCHAR)
-                ), 1, 15))::UBIGINT::BIGINT AS v
-         FROM documents)
-       SELECT 'documents' AS table_name,
-              count(*) AS n_rows,
-              CAST(SUM(v) AS VARCHAR) AS checksum
-       FROM h""",
-)
-def q_stream_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming-maintained table checksum (r7): the integrity stamp
-    rides the SAME run_stream_rollup machinery as the exact count
-    tables and the CMS sketch — each micro-batch contributes its
-    row-hash sum (128-bit decimal), sums merge by addition under the
-    batch-id replay guard, and the maintained value must equal the
-    one-shot corpus checksum the oracle computes from scratch.  The
-    replication monitor at 100 TB: per-batch cost is batch-sized, the
-    state is one row per table, and a replayed batch cannot
-    double-count."""
-    from hdfs_stream_processing_spark.sources.io import read_table_version
-    from hdfs_stream_processing_spark.streaming import stream_parquet_source
-    from hdfs_stream_processing_spark.streaming.pipeline import run_stream_rollup
-
-    src_dir, schema = _stage_documents(spark, sf_dir)
-    stream = stream_parquet_source(spark, src_dir, schema, max_files_per_trigger=2)
-
-    def partial(df: DataFrame) -> DataFrame:
-        rendered = F.concat_ws(
-            "|",
-            F.col("doc_id").cast("string"),
-            F.col("source"),
-            F.col("n_chars").cast("string"),
-        )
-        h = F.conv(F.substring(F.md5(rendered), 1, 15), 16, 10).cast("long")
-        return df.agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(h.cast("decimal(38,0)")).alias("v"),
-        ).select(F.lit("documents").alias("table_name"), "n_rows", "v")
-
-    tdir = _mkdtemp("hsp_scksum_")
-    ckpt = _mkdtemp("hsp_scksum_ckpt_")
-    run_stream_rollup(stream, tdir, ckpt, ["table_name"], ["n_rows", "v"], partial)
-    return read_table_version(spark, tdir).select(
-        "table_name", "n_rows", F.col("v").cast("string").alias("checksum")
-    )
-
-
-@query(
-    "calendar_rollup",
-    """WITH b AS (SELECT min(CAST(o_orderdate AS DATE)) AS d0,
-                         max(CAST(o_orderdate AS DATE)) AS d1 FROM orders),
-       spine AS (SELECT CAST(unnest(generate_series(d0, d1,
-                              INTERVAL 1 DAY)) AS DATE) AS day FROM b),
-       pris AS (SELECT DISTINCT o_orderpriority AS priority FROM orders),
-       daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
-                        o_orderpriority AS priority,
-                        SUM(CAST(round(o_totalprice * 100.0, 0) AS BIGINT))
-                          AS cents
-                 FROM orders GROUP BY 1, 2)
-       SELECT spine.day, pris.priority,
-              CAST(COALESCE(daily.cents, 0) AS BIGINT) AS cents,
-              CAST(COALESCE(daily.cents, 0) AS DOUBLE) / 100.0 AS revenue
-       FROM spine CROSS JOIN pris
-       LEFT JOIN daily ON daily.day = spine.day
-                      AND daily.priority = pris.priority""",
-)
-def q_calendar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dense calendar rollup (r7): daily revenue per priority on a
-    COMPLETE date spine — every calendar day in the span present, zero
-    where no orders landed (the BI-dashboard contract gap-charts need;
-    gapfill_locf/interp carry values forward, this one materializes
-    true zeros).  The spine is sequence() over the min/max bounds (one
-    broadcast row), cross-joined with the tiny priority dim — spine
-    size is calendar-bounded, never data-bounded, so the zero-fill
-    costs the same at 100 TB as at 100 MB; the daily agg partial-
-    aggregates map-side."""
-    (orders,) = prep(spark, sf_dir, "orders")
-    day = F.to_date("o_orderdate")
-    bounds = orders.agg(
-        F.min(day).alias("d0"), F.max(day).alias("d1")
-    )
-    spine = bounds.select(
-        F.explode(F.sequence("d0", "d1")).alias("day")
-    )
-    pris = orders.select(
-        F.col("o_orderpriority").alias("priority")
-    ).distinct()
-    daily = orders.groupBy(
-        day.alias("day"), F.col("o_orderpriority").alias("priority")
-    ).agg(
-        F.sum(
-            F.round(F.col("o_totalprice") * F.lit(100.0), 0).cast("long")
-        ).alias("cents")
-    )
-    return (
-        spine.crossJoin(F.broadcast(pris))
-        .join(daily, ["day", "priority"], "left")
-        .select(
-            "day", "priority",
-            F.coalesce(F.col("cents"), F.lit(0)).cast("long").alias("cents"),
-            (
-                F.coalesce(F.col("cents"), F.lit(0)).cast("double") / F.lit(100.0)
-            ).alias("revenue"),
-        )
-    )
-
-
-@query(
-    "dedup_keep_quality",
-    f"""{_PAIRS_SQL},
-       edges(u, v) AS (SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
-       reach(id, r) AS (
-         SELECT u, u FROM edges
-         UNION
-         SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
-       comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
-       ranked AS (
-         SELECT d.doc_id, d.lang, d.source, comp.id AS cid,
-                row_number() OVER (PARTITION BY comp.component
-                                   ORDER BY d.n_chars DESC, d.doc_id ASC) AS rk
-         FROM documents d JOIN comp ON d.doc_id = comp.id)
-       SELECT d.doc_id, d.lang, d.source FROM documents d
-       LEFT JOIN comp ON d.doc_id = comp.id
-       WHERE comp.id IS NULL
-       UNION ALL
-       SELECT doc_id, lang, source FROM ranked WHERE rk = 1""",
-)
-def q_dedup_keep_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Policy-based dedup survivor selection (r7): same pairs →
-    components chain as `dedup_keep`, but each cluster keeps its
-    LONGEST member (n_chars DESC, doc_id tiebreak) instead of the min
-    id — the curation policy an LLM corpus actually wants (min-id keeps
-    whichever copy crawled first, often the truncated one).  One
-    ranking window keyed by component; unclustered rows bypass the
-    window entirely (the null-component skew trap)."""
-    from hdfs_stream_processing_spark.operators.dedup import (
-        lsh_candidate_pairs,
-        minhash_signature_wide,
-    )
-    from hdfs_stream_processing_spark.operators.graph import (
-        cluster_representatives_by,
-        connected_components,
-    )
-
-    (documents,) = prep(spark, sf_dir, "documents")
-    sig = minhash_signature_wide(documents, "doc_id", "text", num_hashes=8, shingle_n=2)
-    pairs = lsh_candidate_pairs(sig, "doc_id", num_hashes=8, band_size=2, wide=True)
-    comp = connected_components(pairs)
-    return cluster_representatives_by(
-        documents.select("doc_id", "lang", "source", "n_chars"),
-        comp,
-        "doc_id",
-        [F.col("n_chars").desc(), F.col("doc_id").asc()],
-    ).drop("n_chars")
-
-
-@query(
-    "lm_score",
-    """WITH tok AS (SELECT doc_id,
-                           unnest(string_split(lower(text), ' ')) AS token
-                    FROM documents),
-       tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
-       corpus_tok AS (SELECT token FROM tok2 WHERE doc_id <= 250),
-       cnt AS (SELECT token, count(*) AS c FROM corpus_tok GROUP BY token),
-       nv AS (SELECT (SELECT count(*) FROM corpus_tok) AS total,
-                     (SELECT count(*) FROM cnt) AS vocab),
-       terms AS (
-         SELECT t.doc_id,
-                CAST(round(ln(CAST(COALESCE(cnt.c, 0) + 1 AS DOUBLE)
-                              / CAST(nv.total + nv.vocab + 1 AS DOUBLE))
-                           * 1000000.0, 0) AS BIGINT) AS micro_nats
-         FROM tok2 t LEFT JOIN cnt USING (token) CROSS JOIN nv)
-       SELECT doc_id,
-              count(*) AS n_tokens,
-              CAST(SUM(micro_nats) AS BIGINT) AS sum_micro_nats,
-              CAST(SUM(micro_nats) AS DOUBLE)
-                / (CAST(count(*) AS DOUBLE) * 1000000.0) AS avg_logprob
-       FROM terms GROUP BY doc_id""",
-)
-def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unigram language-model scoring (r7): every document's average
-    token log-probability under the corpus (doc_id ≤ 250) unigram LM
-    with Laplace smoothing — the perplexity-style quality filter LLM
-    pipelines run at ingest (low avg_logprob = gibberish / off-corpus).
-    The engine-portability trick: each token's log-prob is ROUNDED TO
-    INTEGER MICRO-NATS before aggregation, so the per-doc sum is exact
-    integer arithmetic — no float summation order crosses engines, and
-    only the final division is a double.  One count shuffle over the
-    corpus, one broadcast lookup join, one per-doc aggregate."""
-    (documents,) = prep(spark, sf_dir, "documents")
-    tok = documents.select(
-        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
-    ).where(F.col("token") != "")
-    corpus_tok = tok.where(F.col("doc_id") <= 250).select("token")
-    cnt = corpus_tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    nv = corpus_tok.agg(F.count(F.lit(1)).alias("total")).crossJoin(
-        cnt.agg(F.count(F.lit(1)).alias("vocab"))
-    )
-    terms = (
-        tok.join(F.broadcast(cnt), "token", "left")
-        .crossJoin(F.broadcast(nv))
-        .select(
-            "doc_id",
-            F.round(
-                F.log(
-                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1)).cast("double")
-                    / (F.col("total") + F.col("vocab") + F.lit(1)).cast("double")
-                )
-                * F.lit(1000000.0),
-                0,
-            ).cast("long").alias("micro_nats"),
-        )
-    )
-    return terms.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.sum("micro_nats").alias("sum_micro_nats"),
-        (
-            F.sum("micro_nats").cast("double")
-            / (F.count(F.lit(1)).cast("double") * F.lit(1000000.0))
-        ).alias("avg_logprob"),
-    )
-
-
-@query(
-    "psi_drift",
-    """WITH c AS (SELECT CAST(round(value * 100.0, 0) AS BIGINT) AS cents,
-                         ts < TIMESTAMP '2024-01-16 00:00:00' AS is_ref
-                  FROM events WHERE value IS NOT NULL),
-       b AS (SELECT min(cents) AS lo, max(cents) AS hi FROM c),
-       binned AS (
-         SELECT CAST(least(((c.cents - b.lo) * 10) // (b.hi - b.lo + 1), 9)
-                     AS BIGINT) AS bin,
-                is_ref
-         FROM c CROSS JOIN b),
-       cells AS (
-         SELECT bin,
-                CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
-                CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
-         FROM binned GROUP BY bin),
-       tot AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
-                      CAST(SUM(n_cur) AS BIGINT) AS t_cur,
-                      CAST(count(*) AS BIGINT) AS k
-               FROM cells)
-       SELECT bin, n_ref, n_cur,
-              round((CAST(n_ref + 1 AS DOUBLE) / CAST(t_ref + k AS DOUBLE)
-                     - CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur + k AS DOUBLE))
-                    * ln((CAST(n_ref + 1 AS DOUBLE) / CAST(t_ref + k AS DOUBLE))
-                         / (CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur + k AS DOUBLE))),
-                    6) AS psi_contrib
-       FROM cells CROSS JOIN tot""",
-)
-def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Population-stability-index drift cells (r7): the value
-    distribution of the first half-month (reference) vs the second
-    (current), 10 equi-width bins over the exact global range, Laplace
-    +1 smoothing so empty bins stay finite.  Per-bin
-    (share_ref − share_cur)·ln(share_ref/share_cur) from exact integer
-    counts, rounded once — the model-ops drift gate for training-data
-    refreshes (PSI > 0.2 = retrain); the scalar PSI is the sum of
-    ``psi_contrib``, left to the reader so no float summation order
-    crosses engines (same contract as chisq_assoc).  Two aggregate
-    passes + broadcast bounds."""
-    (events,) = prep(spark, sf_dir, "events")
-    c = events.where(F.col("value").isNotNull()).select(
-        F.round(F.col("value") * F.lit(100.0), 0).cast("long").alias("cents"),
-        (F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")).alias("is_ref"),
-    )
-    b = c.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
-    binned = c.crossJoin(F.broadcast(b)).select(
-        F.least(
-            F.expr("((cents - lo) * 10) div (hi - lo + 1)"), F.lit(9)
-        ).cast("long").alias("bin"),
-        "is_ref",
-    )
-    cells = binned.groupBy("bin").agg(
-        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
-        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
-    )
-    tot = cells.agg(
-        F.sum("n_ref").alias("t_ref"),
-        F.sum("n_cur").alias("t_cur"),
-        F.count(F.lit(1)).alias("k"),
-    )
-    p = (F.col("n_ref") + 1).cast("double") / (F.col("t_ref") + F.col("k")).cast("double")
-    q = (F.col("n_cur") + 1).cast("double") / (F.col("t_cur") + F.col("k")).cast("double")
-    return cells.crossJoin(F.broadcast(tot)).select(
-        "bin", "n_ref", "n_cur",
-        F.round((p - q) * F.log(p / q), 6).alias("psi_contrib"),
-    )
-
-
-@query(
-    "interval_peak",
-    """WITH ends AS (
-         SELECT l_orderkey, CAST(max(l_shipdate) AS DATE) + 1 AS close_day
-         FROM lineitem GROUP BY l_orderkey),
-       iv AS (
-         SELECT n.n_name, CAST(o.o_orderdate AS DATE) AS open_day, e.close_day
-         FROM orders o
-         JOIN ends e ON o.o_orderkey = e.l_orderkey
-         JOIN customer c ON o.o_custkey = c.c_custkey
-         JOIN nation n ON c.c_nationkey = n.n_nationkey),
-       deltas AS (
-         SELECT n_name, open_day AS day, 1 AS net FROM iv
-         UNION ALL
-         SELECT n_name, close_day AS day, -1 AS net FROM iv),
-       net AS (
-         SELECT n_name, day, CAST(SUM(net) AS BIGINT) AS net
-         FROM deltas GROUP BY n_name, day),
-       run AS (
-         SELECT n_name, day,
-                SUM(net) OVER (PARTITION BY n_name ORDER BY day
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
-         FROM net),
-       peak AS (SELECT n_name, MAX(running) AS peak FROM run GROUP BY n_name)
-       SELECT r.n_name, CAST(p.peak AS BIGINT) AS peak, MIN(r.day) AS peak_day
-       FROM run r JOIN peak p ON r.n_name = p.n_name AND r.running = p.peak
-       GROUP BY r.n_name, p.peak""",
-)
-def q_interval_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sweep-line peak concurrency (r7): per customer nation, the max
-    number of simultaneously OPEN orders (open = o_orderdate, close =
-    day after the order's last lineitem shipment, end-exclusive) and
-    the first day that peak is reached.  The interval-overlap staple
-    (max concurrent sessions / in-flight shipments / active users)
-    that windowed aggregation alone can't answer.
-
-    Plan shape: lineitem collapses to per-order close days (map-side
-    partial max), one equi-join chain to tag nations (nation
-    broadcast), then :func:`interval_peak` — day-level net deltas via
-    grouped agg, running sum over the calendar-bounded spine.  No
-    window ever sees a data-sized partition; see the operator docstring
-    for the 100 TB argument."""
-    from hdfs_stream_processing_spark.operators.temporal import interval_peak
-
-    orders, lineitem, customer, nation = prep(
-        spark, sf_dir, "orders", "lineitem", "customer", "nation"
-    )
-    ends = lineitem.groupBy("l_orderkey").agg(
-        F.date_add(F.to_date(F.max("l_shipdate")), 1).alias("close_day")
-    )
-    iv = (
-        orders.join(ends, orders.o_orderkey == ends.l_orderkey)
-        .join(customer, orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
-        .select(
-            F.col("n_name"),
-            F.to_date("o_orderdate").alias("open_day"),
-            F.col("close_day"),
-        )
-    )
-    return interval_peak(iv, "n_name", "open_day", "close_day")
-
-
-def _rrf_oracle(terms: list[str], list_n: int, top_n: int, k_rrf: int) -> str:
-    from hdfs_stream_processing_spark.operators.text import bm25_score_expr
-
-    tf_cols = ",\n                ".join(
-        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf{i}"
-        for i, t in enumerate(terms)
-    )
-    df_cols = ",\n                ".join(
-        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
-        for i in range(len(terms))
-    )
-    quant = _QUANT_SQL.format(col="embedding")
-    return f"""
-WITH base AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-     d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
-                {tf_cols}
-           FROM base),
-     g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl,
-                {df_cols}
-           FROM d),
-     s AS (SELECT doc_id, {bm25_score_expr(len(terms))} AS score FROM d, g),
-     lex AS (SELECT doc_id, r AS lex_rank FROM (
-               SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r
-               FROM s) WHERE r <= {list_n}),
-     qs AS (SELECT {quant} AS qv FROM embeddings WHERE vec_id = 0),
-     cs AS (SELECT vec_id AS doc_id, {quant} AS cv FROM embeddings WHERE vec_id <> 0),
-     vsc AS (SELECT c.doc_id,
-                    CAST(list_sum(list_transform(list_zip(q.qv, c.cv), p -> p[1] * p[2])) AS DOUBLE)
-                    / (sqrt(CAST(list_sum(list_transform(q.qv, x -> x * x)) AS DOUBLE))
-                       * sqrt(CAST(list_sum(list_transform(c.cv, x -> x * x)) AS DOUBLE))) AS cosine
-             FROM cs c CROSS JOIN qs q),
-     vec AS (SELECT doc_id, r AS vec_rank FROM (
-               SELECT doc_id, CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT) AS r
-               FROM vsc) WHERE r <= {list_n}),
-     fused AS (
-       SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
-              COALESCE(1.0 / ({k_rrf} + l.lex_rank), 0.0)
-              + COALESCE(1.0 / ({k_rrf} + v.vec_rank), 0.0) AS rrf
-       FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
-SELECT doc_id, lex_rank, vec_rank, round(rrf, 9) AS rrf, fused_rank FROM (
-  SELECT doc_id, lex_rank, vec_rank, rrf,
-         CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS fused_rank
-  FROM fused)
-WHERE fused_rank <= {top_n}"""
-
-
-@query("hybrid_rrf", _rrf_oracle(_BM25_TERMS, list_n=50, top_n=20, k_rrf=60))
-def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid retrieval via reciprocal-rank fusion (r7): fuse a lexical
-    BM25 top-50 (3-term query over documents.text) with a vector
-    top-50 (exact quantized cosine to doc 0's embedding — documents
-    and embeddings are 1:1 on id) as score = Σ 1/(60 + rank), the
-    standard RRF that modern hybrid search (lexical ∪ ANN) ships.
-    Both input rankings are bit-exact across engines (BM25's shared
-    integer-stats expression tree; the quantized-integer cosine), and
-    the fused score is two IEEE doubles added in a fixed order — so
-    even the FUSED ranking is engine-identical.
-
-    Plan shape: the two branches are independent (corpus scanned once
-    each, no shuffle beyond their own top-k windows); the fusion joins
-    two ≤50-row lists — driver-free, broadcast-trivial at any corpus
-    size.  At 100 TB the vector branch is the one you'd swap for the
-    IVF probe (similarity_ivf) — the fusion layer is unchanged."""
-    from pyspark.sql import Window
-
-    from hdfs_stream_processing_spark.operators.similarity import similarity_topk
-    from hdfs_stream_processing_spark.operators.text import bm25_rank
-
-    documents, embeddings = prep(spark, sf_dir, "documents", "embeddings")
-    lex = bm25_rank(documents, "doc_id", "text", _BM25_TERMS, top_n=50).select(
-        "doc_id", F.col("rank").cast("long").alias("lex_rank")
-    )
-    vec = similarity_topk(
-        embeddings, "vec_id", "embedding",
-        queries_filter=F.col("vec_id") == 0, k=50,
-    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank").cast("long").alias("vec_rank"))
-    fused = lex.join(vec, "doc_id", "full_outer").select(
-        "doc_id", "lex_rank", "vec_rank",
-        (
-            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("lex_rank")), F.lit(0.0))
-            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("vec_rank")), F.lit(0.0))
-        ).alias("rrf"),
-    )
-    w = Window.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
-    return (
-        fused.withColumn("fused_rank", F.row_number().over(w))
-        .where(F.col("fused_rank") <= 20)
-        .select(
-            "doc_id", "lex_rank", "vec_rank",
-            F.round("rrf", 9).alias("rrf"), "fused_rank",
-        )
-    )
-
-
-@query(
-    "rolling_actives",
-    """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
-       b AS (SELECT max(day) AS d1 FROM du),
-       contrib AS (
-         SELECT du.user_id, du.day + CAST(x.x AS INTEGER) AS day
-         FROM du CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS x) x)
-       SELECT c.day, CAST(count(DISTINCT c.user_id) AS BIGINT) AS actives_7d
-       FROM contrib c CROSS JOIN b
-       WHERE c.day <= b.d1
-       GROUP BY c.day""",
-)
-def q_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling 7-day distinct active users per day (r7) — the sliding
-    COUNT DISTINCT that plain windowed aggregation cannot express
-    (distinct is not decomposable across overlapping windows; a
-    rows-between frame would double-count users active on two days).
-
-    The exact distributed shape: dedup events to (day, user) FIRST
-    (map-side partial distinct — the only pass over the raw table),
-    then explode each daily-active pair into the 7 window days it
-    contributes to and count distinct per window day.  The 7× fanout
-    applies to the DAILY-DISTINCT table (|days| × |users| worst case),
-    never to raw events — at 100 TB of events the exploded table is
-    orders of magnitude smaller than the input.  The approximate path
-    at extreme user counts is per-day HLL registers merged across the
-    7-day window (operators/sketch.py::hll_registers are mergeable by
-    construction); this query keeps the exact contract.  Trailing
-    window days past the data's max day are clipped (one broadcast
-    scalar), so every output day has a full-or-partial-leading window,
-    same rule both engines."""
-    (events,) = prep(spark, sf_dir, "events")
-    du = events.select(F.to_date("ts").alias("day"), "user_id").distinct()
-    bounds = du.agg(F.max("day").alias("d1"))
-    contrib = du.select(
-        "user_id",
-        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("x"),
-        "day",
-    ).select("user_id", F.expr("date_add(day, x)").alias("day"))
-    return (
-        contrib.crossJoin(F.broadcast(bounds))
-        .where(F.col("day") <= F.col("d1"))
-        .groupBy("day")
-        .agg(F.count_distinct("user_id").cast("long").alias("actives_7d"))
-    )
-
-
-@query(
-    "stream_actives",
-    """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
-       b AS (SELECT max(day) AS d1 FROM du),
-       contrib AS (
-         SELECT du.user_id, du.day + CAST(x.x AS INTEGER) AS day
-         FROM du CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS x) x)
-       SELECT c.day, CAST(count(DISTINCT c.user_id) AS BIGINT) AS actives_7d
-       FROM contrib c CROSS JOIN b
-       WHERE c.day <= b.d1
-       GROUP BY c.day""",
-)
-def q_stream_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming-maintained rolling 7-day actives: the (day, user)
-    presence table is additive — each micro-batch contributes its
-    batch-local daily-active counts, merged by addition behind
-    run_stream_rollup's replay guard — so the sliding COUNT DISTINCT
-    stays answerable without ever re-scanning event history.  The
-    on-demand read does the same bounded 7-day explode as the batch
-    query (`rolling_actives`) over the maintained presence table, and
-    must equal the from-scratch answer over the whole corpus.
-
-    Scale: per batch the shuffle is batch-sized; stored state is
-    |days| × |active users| presence rows (grows with coverage, not
-    with event volume); a replayed batch cannot double-create
-    presence.  The extreme-cardinality fallback is per-day HLL
-    registers (mergeable across both batches and window days)."""
-    from hdfs_stream_processing_spark.sources.io import read_table_version
-    from hdfs_stream_processing_spark.streaming import stream_parquet_source
-    from hdfs_stream_processing_spark.streaming.pipeline import run_stream_rollup
-
-    src_dir, schema = _stage_events(spark, sf_dir)
-    stream = stream_parquet_source(spark, src_dir, schema, max_files_per_trigger=2)
-
-    def partial(df: DataFrame) -> DataFrame:
-        return (
-            df.select(F.to_date("ts").alias("day"), "user_id")
-            .groupBy("day", "user_id")
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
-
-    tdir = _mkdtemp("hsp_sact_")
-    ckpt = _mkdtemp("hsp_sact_ckpt_")
-    run_stream_rollup(stream, tdir, ckpt, ["day", "user_id"], ["n"], partial)
-    du = read_table_version(spark, tdir).select("day", "user_id")
-    bounds = du.agg(F.max("day").alias("d1"))
-    contrib = du.select(
-        "user_id",
-        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("x"),
-        "day",
-    ).select("user_id", F.expr("date_add(day, x)").alias("day"))
-    return (
-        contrib.crossJoin(F.broadcast(bounds))
-        .where(F.col("day") <= F.col("d1"))
-        .groupBy("day")
-        .agg(F.count_distinct("user_id").cast("long").alias("actives_7d"))
-    )
-
-
-@query(
-    "golden_record",
-    f"""{_PAIRS_SQL},
-       edges(u, v) AS (SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
-       reach(id, r) AS (
-         SELECT u, u FROM edges
-         UNION
-         SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
-       comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
-       m AS (SELECT d.doc_id, d.lang, d.source, d.n_chars, comp.component
-             FROM documents d JOIN comp ON d.doc_id = comp.id),
-       surv AS (SELECT component, doc_id AS survivor_id, n_chars FROM (
-                  SELECT component, doc_id, n_chars,
-                         row_number() OVER (PARTITION BY component
-                                            ORDER BY n_chars DESC, doc_id ASC) AS rk
-                  FROM m) WHERE rk = 1),
-       lc AS (SELECT component, lang, count(*) AS c FROM m GROUP BY component, lang),
-       lp AS (SELECT component, lang FROM (
-                SELECT component, lang,
-                       row_number() OVER (PARTITION BY component
-                                          ORDER BY c DESC, lang ASC) AS rk
-                FROM lc) WHERE rk = 1),
-       sc AS (SELECT component, source, count(*) AS c FROM m GROUP BY component, source),
-       sp AS (SELECT component, source FROM (
-                SELECT component, source,
-                       row_number() OVER (PARTITION BY component
-                                          ORDER BY c DESC, source ASC) AS rk
-                FROM sc) WHERE rk = 1)
-       SELECT s.component AS cluster_id, s.survivor_id, lp.lang, sp.source,
-              CAST(s.n_chars AS BIGINT) AS n_chars
-       FROM surv s JOIN lp ON s.component = lp.component
-                   JOIN sp ON s.component = sp.component
-       UNION ALL
-       SELECT d.doc_id AS cluster_id, d.doc_id AS survivor_id, d.lang,
-              d.source, CAST(d.n_chars AS BIGINT) AS n_chars
-       FROM documents d LEFT JOIN comp ON d.doc_id = comp.id
-       WHERE comp.id IS NULL""",
-)
-def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MDM-style golden-record survivorship (r7): near-dup clusters
-    (same MinHash-LSH pairs → connected components as dedup_clusters)
-    merge to ONE record with PER-ATTRIBUTE rules — the body comes from
-    the longest member (n_chars DESC, doc_id tiebreak), lang and
-    source are each the cluster's most frequent value (count DESC,
-    value ASC) — unlike dedup_keep_quality, which keeps one member
-    wholesale.  Unclustered rows bypass every window (the
-    null-component skew trap) and pass through as their own golden
-    record.
-
-    Scale: three component-keyed aggregations/windows over the
-    CLUSTERED subset only (near-dup members, a small fraction of the
-    corpus); attribute vote tables are |clusters| × |distinct values|.
-    Nothing touches unclustered corpus rows beyond the pairs
-    anti-join."""
-    from pyspark.sql import Window
-
-    from hdfs_stream_processing_spark.operators.dedup import (
-        lsh_candidate_pairs,
-        minhash_signature_wide,
-    )
-    from hdfs_stream_processing_spark.operators.graph import connected_components
-
-    (documents,) = prep(spark, sf_dir, "documents")
-    docs = documents.select("doc_id", "lang", "source", "n_chars")
-    sig = minhash_signature_wide(documents, "doc_id", "text", num_hashes=8, shingle_n=2)
-    pairs = lsh_candidate_pairs(sig, "doc_id", num_hashes=8, band_size=2, wide=True)
-    comp = connected_components(pairs)
-    m = docs.join(comp, docs.doc_id == comp.id).select(
-        "component", "doc_id", "lang", "source", "n_chars"
-    ).localCheckpoint(eager=False)
-    ws = Window.partitionBy("component").orderBy(
-        F.col("n_chars").desc(), F.col("doc_id").asc()
-    )
-    surv = (
-        m.withColumn("rk", F.row_number().over(ws))
-        .where(F.col("rk") == 1)
-        .select("component", F.col("doc_id").alias("survivor_id"), "n_chars")
-    )
-
-    def vote(col: str) -> DataFrame:
-        cnt = m.groupBy("component", col).agg(F.count(F.lit(1)).alias("c"))
-        wv = Window.partitionBy("component").orderBy(
-            F.col("c").desc(), F.col(col).asc()
-        )
-        return (
-            cnt.withColumn("rk", F.row_number().over(wv))
-            .where(F.col("rk") == 1)
-            .select("component", col)
-        )
-
-    golden = (
-        surv.join(vote("lang"), "component")
-        .join(vote("source"), "component")
-        .select(
-            F.col("component").alias("cluster_id"), "survivor_id",
-            "lang", "source", F.col("n_chars").cast("long").alias("n_chars"),
-        )
-    )
-    passthrough = docs.join(comp, docs.doc_id == comp.id, "left_anti").select(
-        F.col("doc_id").alias("cluster_id"),
-        F.col("doc_id").alias("survivor_id"),
-        "lang", "source", F.col("n_chars").cast("long").alias("n_chars"),
-    )
-    return golden.unionByName(passthrough)
-
-
-@query(
-    "incr_golden",
-    f"""{_PAIRS_SQL},
-       edges(u, v) AS (SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
-       reach(id, r) AS (
-         SELECT u, u FROM edges
-         UNION
-         SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
-       comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
-       m AS (SELECT d.doc_id, d.lang, d.source, d.n_chars, comp.component
-             FROM documents d JOIN comp ON d.doc_id = comp.id),
-       surv AS (SELECT component, doc_id AS survivor_id, n_chars FROM (
-                  SELECT component, doc_id, n_chars,
-                         row_number() OVER (PARTITION BY component
-                                            ORDER BY n_chars DESC, doc_id ASC) AS rk
-                  FROM m) WHERE rk = 1),
-       lc AS (SELECT component, lang, count(*) AS c FROM m GROUP BY component, lang),
-       lp AS (SELECT component, lang FROM (
-                SELECT component, lang,
-                       row_number() OVER (PARTITION BY component
-                                          ORDER BY c DESC, lang ASC) AS rk
-                FROM lc) WHERE rk = 1),
-       sc AS (SELECT component, source, count(*) AS c FROM m GROUP BY component, source),
-       sp AS (SELECT component, source FROM (
-                SELECT component, source,
-                       row_number() OVER (PARTITION BY component
-                                          ORDER BY c DESC, source ASC) AS rk
-                FROM sc) WHERE rk = 1)
-       SELECT s.component AS cluster_id, s.survivor_id, lp.lang, sp.source,
-              CAST(s.n_chars AS BIGINT) AS n_chars
-       FROM surv s JOIN lp ON s.component = lp.component
-                   JOIN sp ON s.component = sp.component
-       UNION ALL
-       SELECT d.doc_id AS cluster_id, d.doc_id AS survivor_id, d.lang,
-              d.source, CAST(d.n_chars AS BIGINT) AS n_chars
-       FROM documents d LEFT JOIN comp ON d.doc_id = comp.id
-       WHERE comp.id IS NULL""",
-)
-def q_incr_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INCREMENTAL golden-record maintenance (r7): the corpus
-    (doc_id ≤ 250) maintains its component labels, golden table, and
-    LSH band table; a new batch (doc_id > 250) arrives and the golden
-    table updates by COMPONENT CONTRACTION — each old cluster is one
-    contracted node, so the connectivity delta is solved on a graph of
-    (batch pairs ∪ cross pairs mapped to old labels), never on corpus
-    edges.  Only clusters actually touched by the batch recompute
-    their survivor/votes (corpus member rows fetched by semi-join
-    point-reads); every untouched golden row carries over byte-for-
-    byte.  CC(contract(CC(A)) ∪ B) = CC(A ∪ B), and each old label is
-    already the min of its members, so merged labels — and therefore
-    the whole output — are IDENTICAL to a full recompute: the oracle
-    is golden_record's full-corpus SQL, verbatim.
-
-    Scale: per load the contracted graph, the affected member set,
-    and every vote table are batch-bounded; corpus bytes are touched
-    by the band equi-join and the affected-member semi-join only."""
-    from pyspark.sql import Window
-
-    from hdfs_stream_processing_spark.operators.dedup import (
-        band_hashes,
-        lsh_candidate_pairs,
-        minhash_signature_wide,
-    )
-    from hdfs_stream_processing_spark.operators.graph import connected_components
-
-    (documents,) = prep(spark, sf_dir, "documents")
-    docs = documents.select("doc_id", "text", "lang", "source", "n_chars")
-    corpus = docs.where(F.col("doc_id") <= 250)
-    batch = docs.where(F.col("doc_id") > 250)
-
-    # ---- maintained state (built here; maintained incrementally in
-    # production exactly like dedup_near_incr's band table) ----
-    corpus_sig = minhash_signature_wide(corpus, "doc_id", "text", 8, 2)
-    corpus_bands = band_hashes(corpus_sig, "doc_id", 8, 2).localCheckpoint(eager=False)
-    corpus_comp = connected_components(
-        lsh_candidate_pairs(corpus_sig, "doc_id", 8, 2, wide=True)
-    ).localCheckpoint(eager=False)
-    g_old = _golden_from_members(
-        corpus.join(corpus_comp, corpus.doc_id == corpus_comp.id)
-        .select("component", "doc_id", "lang", "source", "n_chars"),
-    ).unionByName(
-        corpus.join(corpus_comp, corpus.doc_id == corpus_comp.id, "left_anti").select(
-            F.col("doc_id").alias("cluster_id"),
-            F.col("doc_id").alias("survivor_id"),
-            "lang", "source", F.col("n_chars").cast("long").alias("n_chars"),
-        )
-    )
-
-    # ---- the incremental step ----
-    new_golden, _, _ = _golden_step(
-        batch,
-        corpus_bands,
-        corpus_comp,
-        corpus.select("doc_id", "lang", "source", "n_chars"),
-        g_old,
-    )
-    return new_golden
-
-
-def _golden_step(
-    batch: DataFrame,
-    bands_old: DataFrame,
-    comp_old: DataFrame,
-    attrs_old: DataFrame,
-    g_old: DataFrame,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """One golden-maintenance increment by component contraction (the
-    shared engine of incr_golden and stream_golden).
-
-    Inputs are the maintained state: the corpus LSH band table
-    (doc_id, band, band_hash), component labels (id, component — only
-    docs in ≥1 pair have rows), corpus attributes (doc_id, lang,
-    source, n_chars), and the current golden table.  Returns
-    (new_golden, new_comp, batch_bands) — callers append batch_bands
-    and the batch's attrs to their state.  CC(contract(CC(A)) ∪ B) =
-    CC(A ∪ B) and old labels are member minima, so iterating this step
-    over any batch split of a corpus yields the exact full-recompute
-    golden table at every point."""
-    from hdfs_stream_processing_spark.operators.dedup import (
-        band_hashes,
-        lsh_candidate_pairs,
-        minhash_signature_wide,
-    )
-    from hdfs_stream_processing_spark.operators.graph import connected_components
-
-    sig_b = minhash_signature_wide(batch, "doc_id", "text", 8, 2).localCheckpoint(
-        eager=False
-    )
-    bands_b = band_hashes(sig_b, "doc_id", 8, 2).localCheckpoint(eager=False)
-    batch_pairs = lsh_candidate_pairs(sig_b, "doc_id", 8, 2, wide=True).select(
-        "id_a", "id_b"
-    )
-    cross = (
-        F.broadcast(bands_b.select(F.col("doc_id").alias("id_a"), "band", "band_hash"))
-        .join(
-            bands_old.select(F.col("doc_id").alias("id_b"), "band", "band_hash"),
-            ["band", "band_hash"],
-        )
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    # corpus side of cross edges contracts to its old label (own id if
-    # the corpus doc was unclustered)
-    lab = comp_old.select(F.col("id").alias("id_b"), F.col("component").alias("_lb"))
-    cross_lab = cross.join(lab, "id_b", "left").select(
-        "id_a", F.coalesce(F.col("_lb"), F.col("id_b")).alias("id_b")
-    )
-    mcomp = connected_components(
-        batch_pairs.unionByName(cross_lab)
-    ).localCheckpoint(eager=False)
-    # affected = every contracted node in the delta graph: batch doc
-    # ids and old labels (old label == corpus doc id for singletons)
-    old_of = attrs_old.join(comp_old, attrs_old.doc_id == comp_old.id, "left").select(
-        attrs_old.doc_id, "lang", "source", "n_chars",
-        F.coalesce(F.col("component"), attrs_old.doc_id).alias("_old"),
-    )
-    members = (
-        old_of.join(
-            F.broadcast(mcomp.select(F.col("id").alias("_old"), "component")), "_old"
-        )
-        .select("component", "doc_id", "lang", "source", "n_chars")
-        .unionByName(
-            batch.join(
-                F.broadcast(mcomp.select(F.col("id").alias("doc_id"), "component")),
-                "doc_id",
-            ).select("component", "doc_id", "lang", "source", "n_chars")
-        )
-        .localCheckpoint(eager=False)
-    )
-    recomputed = _golden_from_members(members)
-    carried = g_old.join(
-        F.broadcast(mcomp.select(F.col("id").alias("cluster_id"))),
-        "cluster_id",
-        "left_anti",
-    )
-    untouched_batch = batch.join(
-        F.broadcast(mcomp.select(F.col("id").alias("doc_id"))), "doc_id", "left_anti"
-    ).select(
-        F.col("doc_id").alias("cluster_id"),
-        F.col("doc_id").alias("survivor_id"),
-        "lang", "source", F.col("n_chars").cast("long").alias("n_chars"),
-    )
-    new_golden = recomputed.unionByName(carried).unionByName(untouched_batch)
-    # relabel: affected clusters' rows are replaced wholesale by the
-    # member rows (same docs, merged label); untouched rows carry over
-    new_comp = comp_old.join(
-        F.broadcast(mcomp.select(F.col("id").alias("component"))),
-        "component",
-        "left_anti",
-    ).select("id", "component").unionByName(
-        members.select(F.col("doc_id").alias("id"), "component")
-    )
-    return new_golden, new_comp, bands_b
-
-
-def _golden_from_members(m: DataFrame) -> DataFrame:
-    """Survivor + per-attribute votes over a (component, doc_id, lang,
-    source, n_chars) member table — the shared tail of golden_record
-    and incr_golden.  The member table has THREE consumers (survivor
-    window + two vote aggs); checkpoint it so its upstream join chain
-    executes once, not per consumer."""
-    from pyspark.sql import Window
-
-    m = m.localCheckpoint(eager=False)
-    ws = Window.partitionBy("component").orderBy(
-        F.col("n_chars").desc(), F.col("doc_id").asc()
-    )
-    surv = (
-        m.withColumn("rk", F.row_number().over(ws))
-        .where(F.col("rk") == 1)
-        .select("component", F.col("doc_id").alias("survivor_id"), "n_chars")
-    )
-
-    def vote(col: str) -> DataFrame:
-        cnt = m.groupBy("component", col).agg(F.count(F.lit(1)).alias("c"))
-        wv = Window.partitionBy("component").orderBy(F.col("c").desc(), F.col(col).asc())
-        return (
-            cnt.withColumn("rk", F.row_number().over(wv))
-            .where(F.col("rk") == 1)
-            .select("component", col)
-        )
-
-    return (
-        surv.join(vote("lang"), "component")
-        .join(vote("source"), "component")
-        .select(
-            F.col("component").alias("cluster_id"), "survivor_id",
-            "lang", "source", F.col("n_chars").cast("long").alias("n_chars"),
-        )
-    )
-
-
-@query(
-    "stream_golden",
-    # the oracle is the same full-recompute golden SQL as golden_record
-    # / incr_golden: the streaming-maintained table must equal it
-    ORACLES["golden_record"],
-)
-def q_stream_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming golden-record maintenance: documents stream in and
-    every micro-batch folds into the maintained golden table via the
-    SAME component-contraction step as `incr_golden`
-    (:func:`_golden_step` — the batch/incremental/streaming triad that
-    scd2_build/scd2_merge/stream_scd2 established, now for MDM
-    survivorship).  Four versioned state tables (bands, component
-    labels, attributes, golden) commit per batch behind a batch-id
-    replay guard; because the step is exact under ANY batch split, the
-    final table must equal the one-shot full-corpus golden build — the
-    oracle is golden_record's SQL verbatim.
-
-    Scale: per batch, the delta graph and vote tables are
-    batch-bounded; state grows with the corpus (bands/labels/attrs),
-    and history is never re-clustered."""
-    from pyspark.sql import types as T
-
-    from hdfs_stream_processing_spark.sources.io import (
-        read_table_version,
-        table_latest_version,
-        write_table_version,
-    )
-    from hdfs_stream_processing_spark.streaming import stream_parquet_source
-    from hdfs_stream_processing_spark.streaming.pipeline import run_foreach_batch
-
-    src_dir, schema = _stage_documents(spark, sf_dir)
-    stream = stream_parquet_source(spark, src_dir, schema, max_files_per_trigger=2)
-    state = {
-        name: _mkdtemp(f"hsp_sgold_{name}_")
-        for name in ("bands", "comp", "attrs", "golden")
-    }
-    ckpt = _mkdtemp("hsp_sgold_ckpt_")
-
-    def step(batch_df: DataFrame, batch_id: int) -> None:
-        golden_apply_batch(batch_df, state, batch_id)
-
-    run_foreach_batch(stream, step, ckpt)
-    return read_table_version(spark, state["golden"]).drop("_batch")
-
-
-_GOLDEN_STATE_DDL = {
-    "golden": (
-        "cluster_id bigint, survivor_id bigint, lang string, "
-        "source string, n_chars bigint"
-    ),
-    "bands": "doc_id bigint, band int, band_hash string",
-    "comp": "id bigint, component bigint",
-    "attrs": "doc_id bigint, lang string, source string, n_chars bigint",
-}
-
-
-def golden_apply_batch(
-    batch_df: DataFrame, state: dict, batch_id: int
-) -> bool:
-    """One streaming golden-maintenance step: fold a document
-    micro-batch into the four maintained state tables (bands, component
-    labels, attributes, golden) via :func:`_golden_step` and commit
-    each as a new immutable snapshot stamped with the batch id.
-
-    Replay contract: golden commits LAST, so its stamp marks the whole
-    batch done (early-return, False).  Commits happen one table at a
-    time, and a crashed batch may have stamped SOME tables — on replay,
-    each table independently resolves to its newest snapshot committed
-    BEFORE this batch (walking past any partial stamp), so the step
-    recomputes from exactly the pre-batch state: the four-table commit
-    is effectively atomic under replay."""
-    from hdfs_stream_processing_spark.sources.io import (
-        read_table_version,
-        table_latest_version,
-        write_table_version,
-    )
-
-    spark = batch_df.sparkSession
-
-    def resolve(name: str) -> DataFrame:
-        v = table_latest_version(spark, state[name])
-        while v:
-            df = read_table_version(spark, state[name], v)
-            b = df.select(F.max("_batch")).first()[0]
-            if b is None or b < batch_id:
-                return df.drop("_batch")
-            v -= 1
-        return spark.createDataFrame([], _GOLDEN_STATE_DDL[name])
-
-    if table_latest_version(spark, state["golden"]) is not None:
-        done = (
-            read_table_version(spark, state["golden"])
-            .select(F.max("_batch"))
-            .first()[0]
-        )
-        if done is not None and done >= batch_id:
-            return False  # golden commits last: this batch fully landed
-    g_old = resolve("golden")
-    bands_old = resolve("bands")
-    comp_old = resolve("comp")
-    attrs_old = resolve("attrs")
-    batch = batch_df.select("doc_id", "text", "lang", "source", "n_chars")
-    new_golden, new_comp, bands_b = _golden_step(
-        batch, bands_old, comp_old, attrs_old, g_old
-    )
-    # materialize the outputs BEFORE committing any state table: all
-    # of them read the old snapshots, and a half-committed state must
-    # never feed its own successor
-    new_golden = new_golden.localCheckpoint()
-    new_comp = new_comp.localCheckpoint()
-    new_bands = bands_old.unionByName(bands_b).localCheckpoint()
-    new_attrs = attrs_old.unionByName(
-        batch.select("doc_id", "lang", "source", "n_chars")
-    ).localCheckpoint()
-    stamp = F.lit(batch_id)
-    write_table_version(spark, new_bands.withColumn("_batch", stamp), state["bands"])
-    write_table_version(spark, new_comp.withColumn("_batch", stamp), state["comp"])
-    write_table_version(spark, new_attrs.withColumn("_batch", stamp), state["attrs"])
-    # golden commits LAST — its stamp marks the whole batch done
-    write_table_version(spark, new_golden.withColumn("_batch", stamp), state["golden"])
-    return True
+from hdfs_stream_processing_spark import queries_llmdata  # noqa: E402,F401
+from hdfs_stream_processing_spark import queries_analytics  # noqa: E402,F401
+from hdfs_stream_processing_spark import queries_incremental  # noqa: E402,F401
+from hdfs_stream_processing_spark import queries_advanced  # noqa: E402,F401

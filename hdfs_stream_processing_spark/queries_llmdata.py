@@ -1,0 +1,607 @@
+"""LLM corpus curation queries: chunking, PII redaction, decontamination,
+source mixing, sharding, packing.
+
+Split out of ``queries.py`` (round 8, VERDICT r7 #7 — no file > ~3k
+LoC); registration order and the ``QUERIES``/``ORACLES`` registries are
+unchanged: this module registers via the shared ``@query`` decorator
+when ``queries.py`` imports it at its original position.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import functions as F
+
+from hdfs_stream_processing_spark.queries import (  # noqa: F401
+    TS_FMT_DUCK,
+    TS_FMT_SPARK,
+    _conf_override,
+    _STAGE_CACHE,
+    _mkdtemp,
+    _stage_events,
+    cents_avg,
+    cents_sum,
+    prep,
+    query,
+    sql_cents_avg,
+    sql_cents_sum,
+    sql_fold,
+)
+
+# §LLM corpus curation (operators/llmdata.py) — chunking, PII redaction,
+# decontamination, mixing, sharding, repetition gates
+# ========================================================================
+
+
+@query(
+    "doc_chunk",
+    """SELECT doc_id,
+              s // 48 AS chunk_id,
+              array_to_string(list_slice(ts, s + 1, s + 64), ' ') AS chunk_text,
+              len(list_slice(ts, s + 1, s + 64)) AS n_tokens
+       FROM (SELECT doc_id, string_split(lower(text), ' ') AS ts,
+                    unnest(generate_series(0, len(string_split(lower(text), ' ')) - 1, 48)) AS s
+             FROM documents)""",
+)
+def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 64-token windows every 48 tokens
+    (16-token overlap) — the packing stage before tokenization.  Narrow
+    plan, zero shuffles."""
+    from hdfs_stream_processing_spark.operators.llmdata import chunk_documents
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    return chunk_documents(documents, "doc_id", "text", chunk_size=64, stride=48)
+
+
+# The corpus is synthetic word-soup with no real PII, so the query
+# plants deterministic PII spans (email / IPv4 / 7-digit ref) derived
+# from doc_id, then proves the scrubber removes them and counts them.
+_PII_SYNTH_SQL = (
+    "text || ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.com"
+    " from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 ref 9' ||"
+    " lpad(CAST(doc_id % 1000000 AS VARCHAR), 6, '0')"
+)
+
+
+@query(
+    "pii_redact",
+    f"""WITH synth AS (SELECT doc_id, {_PII_SYNTH_SQL} AS t FROM documents),
+       s1 AS (SELECT doc_id, t,
+                     regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}', '<EMAIL>', 'g') AS t1
+              FROM synth),
+       s2 AS (SELECT *, regexp_replace(t1, '(\\d{{1,3}}\\.){{3}}\\d{{1,3}}', '<IP>', 'g') AS t2 FROM s1)
+       SELECT doc_id,
+              regexp_replace(t2, '\\d{{7,}}', '<NUM>', 'g') AS clean_text,
+              CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}')) AS INT) AS n_email,
+              CAST(len(regexp_extract_all(t1, '(\\d{{1,3}}\\.){{3}}\\d{{1,3}}')) AS INT) AS n_ip,
+              CAST(len(regexp_extract_all(t2, '\\d{{7,}}')) AS INT) AS n_num
+       FROM s2""",
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing with per-document audit counts.  The synthetic
+    spans are planted identically on both engines; pattern i is counted
+    on the text remaining after patterns 0..i-1 replaced (so the counts
+    partition the redacted spans), replacements apply in order."""
+    from hdfs_stream_processing_spark.operators.llmdata import redact_pii
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    synth = documents.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 ref 9"),
+            F.lpad((F.col("doc_id") % 1000000).cast("string"), 6, "0"),
+        ).alias("text"),
+    )
+    return redact_pii(synth, "doc_id", "text")
+
+
+@query(
+    "decontaminate",
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+       grams AS (SELECT DISTINCT doc_id,
+                        array_to_string(list_slice(ts, i, i + 7), ' ') AS g
+                 FROM (SELECT doc_id, ts,
+                              unnest(generate_series(1, greatest(len(ts), 8) - 8 + 1)) AS i
+                       FROM toks)),
+       bgrams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+       hits AS (SELECT g.doc_id, count(*) AS n_hits
+                FROM grams g JOIN bgrams b ON g.g = b.g
+                GROUP BY g.doc_id)
+       SELECT d.doc_id,
+              CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+              coalesce(h.n_hits, 0) > 0 AS contaminated
+       FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: 8-gram collision against an eval set
+    (every 50th doc stands in for the benchmark).  The benchmark n-gram
+    set is broadcast; the corpus side never shuffles for the probe."""
+    from hdfs_stream_processing_spark.operators.llmdata import decontaminate
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    benchmark = documents.where(F.col("doc_id") % 50 == 0)
+    return decontaminate(documents, benchmark, "doc_id", "text", n=8)
+
+
+@query(
+    "mix_sources",
+    """SELECT doc_id, source FROM documents
+       WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT::BIGINT % 10000
+             < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+                           WHEN 'src2' THEN 2500 WHEN 'src3' THEN 0
+                           ELSE 1000 END""",
+)
+def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted data mixture: keep src0 whole, half of src1, a quarter
+    of src2, none of src3, 10% of the rest — membership by md5 bucket of
+    doc_id, so the mixture is identical across engines, runs, and
+    partitionings (and under task retries, unlike rand())."""
+    from hdfs_stream_processing_spark.operators.llmdata import mix_sources
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    return mix_sources(
+        documents.select("doc_id", "source"),
+        "doc_id",
+        "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0},
+        default_weight=0.1,
+    )
+
+
+@query(
+    "shard_assign",
+    """SELECT doc_id, source, shard_id,
+              CAST(row_number() OVER (PARTITION BY shard_id
+                   ORDER BY md5('s0|' || CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS pos
+       FROM (SELECT doc_id, source,
+                    ('0x' || substr(md5('s0|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT::BIGINT % 8 AS shard_id
+             FROM documents)""",
+)
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-order global shuffle into 8 shards: shard by seeded md5
+    hash, position by a second hash order within the shard — epoch
+    reshuffles are seed bumps, and the 'random' order is reproducible
+    enough to oracle bit-exactly."""
+    from hdfs_stream_processing_spark.operators.llmdata import shard_assign
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    return shard_assign(documents.select("doc_id", "source"), "doc_id", 8, seed="s0")
+
+
+@query(
+    "repetition_stats",
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+       grams AS (SELECT doc_id, array_to_string(list_slice(ts, i, i + 1), ' ') AS g
+                 FROM (SELECT doc_id, ts,
+                              unnest(generate_series(1, greatest(len(ts), 2) - 1)) AS i
+                       FROM toks)),
+       pg AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+       a AS (SELECT doc_id, max(c) AS top, CAST(sum(c) AS BIGINT) AS total,
+                    count(*) AS dst FROM pg GROUP BY doc_id)
+       SELECT doc_id, total AS n_ngrams,
+              CAST(top AS DOUBLE) / total AS top_ngram_frac,
+              CAST(dst AS DOUBLE) / total AS distinct_frac,
+              (CAST(top AS DOUBLE) / total <= 0.20
+               AND CAST(dst AS DOUBLE) / total >= 0.30) AS passes_repetition
+       FROM a""",
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate: top-bigram fraction + distinct
+    bigram ratio per document, two chained hash aggregates (map-side
+    partials, no windows, no self-join)."""
+    from hdfs_stream_processing_spark.operators.llmdata import repetition_stats
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    return repetition_stats(documents, "doc_id", "text", n=2)
+
+
+@query(
+    "curate_corpus",
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+       g2 AS (SELECT doc_id, array_to_string(list_slice(ts, i, i + 1), ' ') AS g
+              FROM (SELECT doc_id, ts,
+                           unnest(generate_series(1, greatest(len(ts), 2) - 1)) AS i
+                    FROM toks)),
+       pg AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+       rep AS (SELECT doc_id
+               FROM (SELECT doc_id, max(c) AS top, CAST(sum(c) AS BIGINT) AS total,
+                            count(*) AS dst FROM pg GROUP BY doc_id)
+               WHERE CAST(top AS DOUBLE) / total <= 0.20
+                 AND CAST(dst AS DOUBLE) / total >= 0.30),
+       g8 AS (SELECT DISTINCT doc_id, array_to_string(list_slice(ts, i, i + 7), ' ') AS g
+              FROM (SELECT doc_id, ts,
+                           unnest(generate_series(1, greatest(len(ts), 8) - 8 + 1)) AS i
+                    FROM toks)),
+       bg AS (SELECT DISTINCT g FROM g8 WHERE doc_id % 50 = 0),
+       bad AS (SELECT DISTINCT g8.doc_id FROM g8 JOIN bg ON g8.g = bg.g),
+       kept AS (SELECT d.doc_id, d.text, d.source FROM documents d
+                JOIN rep ON d.doc_id = rep.doc_id
+                WHERE d.n_chars >= 100
+                  AND d.doc_id NOT IN (SELECT doc_id FROM bad)),
+       dd AS (SELECT doc_id, source FROM kept
+              QUALIFY row_number() OVER (PARTITION BY md5(lower(text))
+                                         ORDER BY doc_id) = 1),
+       mixed AS (SELECT doc_id, source FROM dd
+                 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT::BIGINT % 10000
+                       < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+                                     WHEN 'src2' THEN 2500 WHEN 'src3' THEN 0
+                                     ELSE 1000 END)
+       SELECT doc_id, source, shard_id,
+              CAST(row_number() OVER (PARTITION BY shard_id
+                   ORDER BY md5('s0|' || CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS pos
+       FROM (SELECT doc_id, source,
+                    ('0x' || substr(md5('s0|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT::BIGINT % 8 AS shard_id
+             FROM mixed)""",
+)
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM flagship: the whole curation funnel as ONE Catalyst plan —
+    length floor + repetition gate + benchmark decontamination + exact
+    dedup (md5 fingerprint, deterministic survivor) + weighted source
+    mixture + seeded shard assignment.  The analogue of
+    ``align_pipeline`` for the LLM surface: five curation stages, one
+    DAG, no intermediate materialization — Catalyst prunes ``documents``
+    to the four columns the funnel touches and every stage's scale story
+    is the one documented on its operator."""
+    from hdfs_stream_processing_spark.operators.dedup import dedup_exact
+    from hdfs_stream_processing_spark.operators.llmdata import (
+        decontaminate,
+        mix_sources,
+        repetition_stats,
+        shard_assign,
+    )
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    rep_ok = (
+        repetition_stats(documents, "doc_id", "text")
+        .where(F.col("passes_repetition"))
+        .select("doc_id")
+    )
+    benchmark = documents.where(F.col("doc_id") % 50 == 0)
+    clean = (
+        decontaminate(documents, benchmark, "doc_id", "text", n=8)
+        .where(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    kept = (
+        documents.where(F.col("n_chars") >= 100)
+        .join(rep_ok, "doc_id")
+        .join(clean, "doc_id")
+        .select("doc_id", "text", "source")
+    )
+    deduped = dedup_exact(
+        kept.withColumn("_fp", F.md5(F.lower(F.col("text")))),
+        ["_fp"],
+        [F.col("doc_id").asc()],
+    ).select("doc_id", "source")
+    mixed = mix_sources(
+        deduped,
+        "doc_id",
+        "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0},
+        default_weight=0.1,
+    )
+    return shard_assign(mixed, "doc_id", 8, seed="s0")
+
+
+@query(
+    "resample_sources",
+    """SELECT doc_id, source, CAST(c AS INT) AS copy
+       FROM (SELECT doc_id, source,
+                    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT::BIGINT % 10000 AS bucket,
+                    CASE source WHEN 'src0' THEN 25000 WHEN 'src1' THEN 10000
+                                WHEN 'src2' THEN 5000 WHEN 'src3' THEN 0
+                                ELSE 10000 END AS wb
+             FROM documents),
+            unnest(generate_series(0, (wb // 10000)
+                   + CASE WHEN bucket < (wb % 10000) THEN 1 ELSE 0 END - 1)) AS u(c)""",
+)
+def q_resample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional epoch up-sampling: src0 at weight 2.5 (every doc twice,
+    a deterministic md5-chosen half a third time), src2 half-sampled,
+    src3 dropped — one copies = floor(w) + (bucket < frac(w)) formula for
+    both directions, each emitted row tagged with a dense copy index."""
+    from hdfs_stream_processing_spark.operators.llmdata import resample_sources
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    return resample_sources(
+        documents.select("doc_id", "source"),
+        "doc_id",
+        "source",
+        {"src0": 2.5, "src1": 1.0, "src2": 0.5, "src3": 0.0},
+        default_weight=1.0,
+    )
+
+
+def _stage_documents(spark: SparkSession, sf_dir: str, n_files: int = 4) -> tuple[str, "object"]:
+    """Stage the documents table as a streaming source directory (same
+    file-source + availableNow stand-in contract as ``_stage_events``).
+    Memoized per sf_dir."""
+    key = (sf_dir, "documents")
+    (documents,) = prep(spark, sf_dir, "documents")
+    if key in _STAGE_CACHE:
+        return _STAGE_CACHE[key], documents.schema
+    stage_dir = _mkdtemp("hsp_stream_docsrc_")
+    documents.repartition(n_files).write.mode("overwrite").parquet(stage_dir)
+    _STAGE_CACHE[key] = stage_dir
+    return stage_dir, documents.schema
+
+
+@query(
+    "stream_curate",
+    """WITH redacted AS (
+         SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(text,
+                    '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+                    '(\\d{1,3}\\.){3}\\d{1,3}', '<IP>', 'g'),
+                    '\\d{7,}', '<NUM>', 'g') AS clean_text
+         FROM documents),
+       gated AS (
+         SELECT doc_id, clean_text FROM redacted
+         WHERE len(string_split(lower(clean_text), ' ')) >= 20)
+       SELECT doc_id,
+              s // 48 AS chunk_id,
+              array_to_string(list_slice(ts, s + 1, s + 64), ' ') AS chunk_text,
+              len(list_slice(ts, s + 1, s + 64)) AS n_tokens
+       FROM (SELECT doc_id, string_split(lower(clean_text), ' ') AS ts,
+                    unnest(generate_series(0, len(string_split(lower(clean_text), ' ')) - 1, 48)) AS s
+             FROM gated)""",
+)
+def q_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus curation (ST1 × N6): file-source stream →
+    PII scrub → token-count gate → context-window chunking → sink,
+    availableNow.  The SAME llmdata operators run unchanged on the
+    unbounded frame — every stage is stateless/narrow, so the streaming
+    plan needs no watermark and no state store, and the batch oracle is
+    the exact semantics of the stream."""
+    from hdfs_stream_processing_spark.operators.llmdata import (
+        chunk_documents,
+        redact_pii,
+    )
+    from hdfs_stream_processing_spark.streaming import (
+        run_to_memory,
+        stream_parquet_source,
+    )
+
+    src_dir, schema = _stage_documents(spark, sf_dir)
+    stream = stream_parquet_source(spark, src_dir, schema)
+    redacted = redact_pii(stream, "doc_id", "text")
+    gated = redacted.where(F.size(F.split(F.lower(F.col("clean_text")), " ")) >= 20)
+    chunks = chunk_documents(gated, "doc_id", "clean_text", chunk_size=64, stride=48)
+    return run_to_memory(chunks)
+
+
+@query(
+    "continuous_rollup",
+    """SELECT date_trunc('hour', ts) AS bucket, event_type,
+              CAST(SUM(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(round(value * 100.0, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+       FROM events
+       GROUP BY date_trunc('hour', ts), event_type""",
+)
+def q_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate: the event stream incrementally maintains an
+    hour × type rollup table across micro-batches (foreachBatch additive
+    merge on exact cents + scoped partition upsert, replay-safe via
+    per-key last_batch).  The stored table must equal the one-shot batch
+    GROUP BY bit-for-bit — partial sums compose exactly because they are
+    integers."""
+    from hdfs_stream_processing_spark.streaming import stream_parquet_source
+    from hdfs_stream_processing_spark.streaming.pipeline import run_continuous_rollup
+
+    src_dir, schema = _stage_events(spark, sf_dir)
+    stream = stream_parquet_source(spark, src_dir, schema, max_files_per_trigger=1)
+    target = _mkdtemp("hsp_rollup_")
+    ckpt = _mkdtemp("hsp_rollup_ckpt_")
+    run_continuous_rollup(stream, target, ckpt)
+    back = spark.read.parquet(target)
+    return back.select(
+        "bucket",
+        F.col("event_type").cast("string"),
+        "sum_cents",
+        "n",
+        (F.col("sum_cents").cast("double") / F.lit(100.0)).alias("sum_value"),
+    )
+
+
+@query(
+    "stream_cdc",
+    """WITH ranked AS (
+         SELECT user_id, ts, event_id, event_type, value,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+         FROM events)
+       SELECT user_id, ts AS op_ts, event_type, value
+       FROM ranked WHERE rn = 1 AND event_type <> 'error'""",
+)
+def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC (r6): the event log arrives as a change stream —
+    error rows are deletes, everything else upserts — and foreachBatch
+    maintains the per-user snapshot table across micro-batches (merge
+    scoped to touched hash-bucket partitions; content-based latest-wins
+    plus delete tombstones make the result independent of the batch
+    split and idempotent under replay).  The live snapshot must equal
+    the one-shot batch ``cdc_apply`` over the whole log."""
+    from hdfs_stream_processing_spark.streaming import stream_parquet_source
+    from hdfs_stream_processing_spark.streaming.pipeline import (
+        read_cdc_snapshot,
+        run_stream_cdc,
+    )
+
+    src_dir, schema = _stage_events(spark, sf_dir)
+    # 2 files per trigger -> 2 micro-batches: still exercises the
+    # cross-batch merge (pytest covers 1-file batches + replay)
+    stream = stream_parquet_source(spark, src_dir, schema, max_files_per_trigger=2)
+    log = stream.select(
+        "user_id", "ts", "event_id", "event_type", "value",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        # partition by a STABLE function of the key (contract: a key
+        # never moves partitions), never by a mutable attribute
+        F.pmod(F.hash("user_id"), F.lit(8)).alias("bucket"),
+    )
+    target = _mkdtemp("hsp_cdc_")
+    ckpt = _mkdtemp("hsp_cdc_ckpt_")
+    run_stream_cdc(
+        log, target, ckpt, ["user_id"], ["ts", "event_id"], "op", "bucket"
+    )
+    return read_cdc_snapshot(spark, target).select(
+        "user_id", F.col("ts").alias("op_ts"), "event_type", "value"
+    )
+
+
+@query(
+    "schema_evolution",
+    """SELECT event_id, user_id, value,
+              CASE WHEN event_id % 2 = 1 THEN event_type END AS event_type
+       FROM events""",
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a parquet table (S-surface beyond the
+    reference): files written BEFORE a column existed coexist with
+    files written after — ``mergeSchema`` unions the file schemas and
+    old files surface the new column as NULL.  Even-id rows are staged
+    without ``event_type`` (the 'old' files), odd-id rows with it; the
+    oracle mirrors that split over the base table.  This is the
+    append-only reality of a years-deep lake: adding a column must not
+    require rewriting history."""
+    (events,) = prep(spark, sf_dir, "events")
+    stage = _mkdtemp("hsp_evolve_", memo_key=sf_dir)
+    import os as _os
+
+    if not _os.path.exists(_os.path.join(stage, "_staged")):
+        base = events.select("event_id", "user_id", "value", "event_type")
+        old = base.where(F.col("event_id") % 2 == 0).drop("event_type")
+        new = base.where(F.col("event_id") % 2 == 1)
+        old.write.mode("append").parquet(stage)
+        new.write.mode("append").parquet(stage)
+        open(_os.path.join(stage, "_staged"), "w").close()
+    return spark.read.option("mergeSchema", "true").parquet(stage).select(
+        "event_id", "user_id", "value", "event_type"
+    )
+
+
+@query(
+    "stream_enrich",
+    """SELECT e.event_id, e.user_id, c.c_mktsegment, e.value
+       FROM events e JOIN customer c ON e.user_id = c.c_custkey""",
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (ST × J1): the event stream joins the
+    static customer dimension per micro-batch — the broadcast-hash-join
+    lookup every streaming pipeline bolts onto its facts.  No state
+    store and no watermark needed (the static side is re-read per
+    trigger, broadcast under the autoBroadcast threshold); the result
+    must equal the batch join row-for-row."""
+    from hdfs_stream_processing_spark.streaming import (
+        run_to_memory,
+        stream_parquet_source,
+    )
+
+    src_dir, schema = _stage_events(spark, sf_dir)
+    stream = stream_parquet_source(spark, src_dir, schema)
+    (customer,) = prep(spark, sf_dir, "customer")
+    dim = customer.select("c_custkey", "c_mktsegment")
+    enriched = stream.join(
+        F.broadcast(dim), stream["user_id"] == dim["c_custkey"], "inner"
+    ).select("event_id", "user_id", "c_mktsegment", "value")
+    return run_to_memory(enriched)
+
+
+@query(
+    "gapfill_locf",
+    """WITH obs AS (
+         SELECT event_type, date_trunc('hour', ts) AS bucket,
+                CAST(SUM(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM events WHERE value > 95.0
+         GROUP BY event_type, date_trunc('hour', ts)),
+       spine AS (
+         SELECT event_type,
+                unnest(generate_series(min(bucket), max(bucket), INTERVAL 1 HOUR)) AS bucket
+         FROM obs GROUP BY event_type)
+       SELECT s.event_type, s.bucket, o.sum_cents,
+              last_value(o.sum_cents IGNORE NULLS) OVER (
+                  PARTITION BY s.event_type ORDER BY s.bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_cents_locf,
+              o.sum_cents IS NULL AS was_gap
+       FROM spine s LEFT JOIN obs o
+         ON s.event_type = o.event_type AND s.bucket = o.bucket""",
+)
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable gap filling (time_bucket_gapfill + locf): sparse
+    high-value hourly sums densified to every hour in each type's span,
+    gaps carrying the last observed exact-cents value, imputed points
+    flagged."""
+    from hdfs_stream_processing_spark.operators.temporal import gapfill_locf
+
+    (events,) = prep(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * F.lit(100.0), 0).cast("long")
+    obs = (
+        events.where(F.col("value") > 95.0)
+        .select(F.col("event_type"), F.date_trunc("hour", "ts").alias("bucket"), cents.alias("_c"))
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("_c").alias("sum_cents"))
+    )
+    return gapfill_locf(obs, "event_type", "bucket", "sum_cents", grain="hour")
+
+
+@query(
+    "gapfill_interp",
+    """WITH obs AS (
+         SELECT event_type, date_trunc('hour', ts) AS bucket,
+                CAST(SUM(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM events WHERE value > 95.0
+         GROUP BY event_type, date_trunc('hour', ts)),
+       spine AS (
+         SELECT event_type,
+                unnest(generate_series(min(bucket), max(bucket), INTERVAL 1 HOUR)) AS bucket
+         FROM obs GROUP BY event_type),
+       j AS (SELECT s.event_type, s.bucket, o.sum_cents
+             FROM spine s LEFT JOIN obs o
+               ON s.event_type = o.event_type AND s.bucket = o.bucket),
+       f AS (SELECT *,
+               last_value(sum_cents IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               last_value(CASE WHEN sum_cents IS NOT NULL THEN bucket END IGNORE NULLS)
+                   OVER (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+               first_value(sum_cents IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               first_value(CASE WHEN sum_cents IS NOT NULL THEN bucket END IGNORE NULLS)
+                   OVER (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+             FROM j)
+       SELECT event_type, bucket, sum_cents,
+              CASE WHEN sum_cents IS NOT NULL THEN CAST(sum_cents AS DOUBLE)
+                   WHEN pv IS NULL THEN CAST(nv AS DOUBLE)
+                   WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
+                   ELSE pv + (nv - pv) * ((epoch_us(bucket) - epoch_us(pb))
+                        / CAST(epoch_us(nb) - epoch_us(pb) AS DOUBLE)) END AS sum_cents_interp,
+              sum_cents IS NULL AS was_gap
+       FROM f""",
+)
+def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable gap filling with linear interpolation: gaps get the
+    straight line between surrounding observations (double fraction
+    first — operation order mirrored in the oracle for IEEE-bit
+    equality), edges fall back to the nearest observation."""
+    from hdfs_stream_processing_spark.operators.temporal import gapfill_interpolate
+
+    (events,) = prep(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * F.lit(100.0), 0).cast("long")
+    obs = (
+        events.where(F.col("value") > 95.0)
+        .select(F.col("event_type"), F.date_trunc("hour", "ts").alias("bucket"), cents.alias("_c"))
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("_c").alias("sum_cents"))
+    )
+    return gapfill_interpolate(obs, "event_type", "bucket", "sum_cents", grain="hour")
+
+
+# ========================================================================

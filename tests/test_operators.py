@@ -923,13 +923,14 @@ def test_ewma_rejects_overflow_horizon(spark):
 
 
 def test_tfidf_ranks_on_exact_keys(spark):
-    """Rank order is (tf DESC, df ASC, token ASC) — never the float
-    score — and rare tokens outrank common ones at equal tf."""
+    """Rank order is rounded score DESC (ADVICE r7): a high-tf ubiquitous
+    term (df=N, score 0) is excluded outright, and rank agrees with score."""
+    import math
     from hdfs_stream_processing_spark.operators.text import tfidf_top_terms
 
     df = spark.createDataFrame(
         [
-            (1, "x x shared rare"),   # x tf=2; shared df=2; rare df=1
+            (1, "x x shared rare"),   # x tf=2; shared df=2=N; rare df=1
             (2, "shared other"),
         ],
         ["doc_id", "text"],
@@ -938,10 +939,17 @@ def test_tfidf_ranks_on_exact_keys(spark):
     d1 = sorted(
         ((r["rank"], r["token"]) for r in out if r["doc_id"] == 1)
     )
-    # tf=2 first; then tf=1 terms by df asc (rare df=1 before shared df=2)
-    assert d1 == [(1, "x"), (2, "rare"), (3, "shared")]
-    ubiq = [r for r in out if r["token"] == "shared" and r["doc_id"] == 1][0]
-    assert ubiq["score"] == 0.0  # ln(N/df) = ln(1) = 0 for an every-doc token
+    # 'shared' (df=N, score 0) is excluded; x: 2·ln2 beats rare: 1·ln2
+    assert d1 == [(1, "x"), (2, "rare")]
+    assert not [r for r in out if r["token"] == "shared"]
+    by_tok = {r["token"]: r for r in out if r["doc_id"] == 1}
+    assert by_tok["x"]["score"] == round(2 * math.log(2), 6)
+    assert by_tok["rare"]["score"] == round(math.log(2), 6)
+    # rank order and score order agree within the document
+    ranked = sorted((r["rank"], r["score"]) for r in out if r["doc_id"] == 1)
+    assert [s for _, s in ranked] == sorted(
+        (s for _, s in ranked), reverse=True
+    )
 
 
 def test_triangle_count_known_graph(spark):

@@ -758,7 +758,7 @@ def test_stream_golden_split_invariance_and_crash_replay(spark, tmp_path):
         minhash_signature_wide,
     )
     from hdfs_stream_processing_spark.operators.graph import connected_components
-    from hdfs_stream_processing_spark.queries import (
+    from hdfs_stream_processing_spark.queries_advanced import (
         _golden_from_members,
         golden_apply_batch,
     )
