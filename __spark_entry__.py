@@ -48,7 +48,10 @@ _VERIFY_FIRST = [
     "incr_checksum", "stream_checksum", "late_profile",
     "rolling_actives", "stream_actives", "golden_record",
     "incr_golden", "stream_golden",
-    # new round-8 registrations are inserted here as they land:
+    # new round-8 registrations, inserted as they land:
+    "chunk_dedup", "entropy_profile", "bigram_lm", "token_zipf",
+    "incr_join", "incr_retract", "basket_rules", "rfm_segments",
+    "hll_intersect",
     # long-green §2-core padding (driver-green r2–r5) to exactly 50:
     "multi_join", "scan_parquet", "scan_csv", "top_k", "group_agg",
     "count_rows", "count_distinct", "rollup_agg", "window_rank",
@@ -57,9 +60,7 @@ _VERIFY_FIRST = [
     "project_exclude", "union_rooms", "sort_by_ts", "join_outer",
     "join_semi", "join_anti", "set_ops", "except_op", "sink_roundtrip",
     "compaction", "text_stats", "quality_score", "lang_id",
-    "token_count", "doc_fingerprint", "text_ngram", "dedup_exact",
-    "minhash_sig", "dedup_near", "ngram_jaccard", "simhash",
-    "similarity_topk", "similarity_lsh", "multimodal_meta",
+    "token_count", "doc_fingerprint",
 ]
 
 

@@ -225,6 +225,11 @@ HEADLINE = [
     "pii_redact", "mix_sources", "resample_sources",
     "stream_dedup", "stream_dedup_wm", "stream_stateful",
     "stream_quarantine", "stream_golden",
+    # round 8: boilerplate/entropy/LM/zipf text ops, IVM delta join and
+    # retraction merge, basket rules, RFM, HLL intersection contract
+    "chunk_dedup", "entropy_profile", "bigram_lm", "token_zipf",
+    "incr_join", "incr_retract", "basket_rules", "rfm_segments",
+    "hll_intersect",
 ]
 
 

@@ -447,3 +447,70 @@ def lateness_profile(
     for p in per_delay[1:]:
         out = out.unionByName(p)
     return out
+
+
+def basket_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+    max_items_per_basket: int | None = None,
+) -> DataFrame:
+    """Market-basket co-occurrence mining: for every UNORDERED item pair
+    bought together in at least ``min_pair_count`` baskets, the classic
+    association measures — support, confidence (a→b), and lift — from
+    exact integer counts (n_baskets, c_a, c_b, c_ab), each a single
+    rounded double division so any engine reproduces the bits.
+
+    lift > 1 means the pair co-occurs more than independence predicts —
+    the "customers who bought X also bought Y" signal.
+
+    Scale: the pair generator is a self-equi-join ON THE BASKET KEY of
+    the per-basket DISTINCT item list, so cost is Σ C(k_i, 2) — bounded
+    by basket width, never |items|².  ``max_items_per_basket`` drops
+    mega-baskets (bots, wholesale accounts) before the join, the
+    standard guard at crawl scale.  Item frequencies broadcast (item
+    vocabulary ≪ transactions).
+    """
+    b, i = F.col(basket_col), F.col(item_col)
+    items = df.select(b.alias("_b"), i.alias("_i")).distinct()
+    if max_items_per_basket is not None:
+        width = items.groupBy("_b").agg(F.count(F.lit(1)).alias("_w"))
+        items = items.join(
+            width.where(F.col("_w") <= max_items_per_basket).select("_b"), "_b"
+        )
+    n_baskets = items.select("_b").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    freq = items.groupBy("_i").agg(F.count(F.lit(1)).alias("_c"))
+    a = items.select(F.col("_b"), F.col("_i").alias("item_a"))
+    c = items.select(F.col("_b"), F.col("_i").alias("item_b"))
+    pairs = (
+        a.join(c, "_b")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .where(F.col("pair_count") >= F.lit(min_pair_count))
+    )
+    fa = freq.select(F.col("_i").alias("item_a"), F.col("_c").alias("_ca"))
+    fb = freq.select(F.col("_i").alias("item_b"), F.col("_c").alias("_cb"))
+    dbl = lambda col: col.cast("double")  # noqa: E731
+    return (
+        pairs.join(F.broadcast(fa), "item_a")
+        .join(F.broadcast(fb), "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "pair_count",
+            F.col("_ca").alias("count_a"),
+            F.col("_cb").alias("count_b"),
+            F.round(dbl(F.col("pair_count")) / dbl(F.col("n_baskets")), 6).alias("support"),
+            F.round(dbl(F.col("pair_count")) / dbl(F.col("_ca")), 6).alias("confidence"),
+            F.round(
+                dbl(F.col("pair_count") * F.col("n_baskets"))
+                / dbl(F.col("_ca") * F.col("_cb")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -24,7 +24,9 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "agg_retract_merge",
     "cdc_apply",
+    "delta_join",
     "merge_into",
     "pit_join",
     "rollup_merge",
@@ -634,3 +636,88 @@ def subject_export(
                 .localCheckpoint()
             )
     return reduce(DataFrame.unionByName, outs)
+
+
+def delta_join(
+    view_old: DataFrame,
+    left_old: DataFrame,
+    left_delta: DataFrame,
+    right_old: DataFrame,
+    right_delta: DataFrame,
+    on: str | list[str],
+) -> DataFrame:
+    """Incremental view maintenance for an inner equi-join: given the
+    materialized old view ``V = L_old ⋈ R_old`` and insert-only deltas
+    on both sides, the new view is
+
+        ``V ∪ (ΔL ⋈ R_old) ∪ (L_old ⋈ ΔR) ∪ (ΔL ⋈ ΔR)``
+
+    — the classic delta rule (ΔV of a join distributes over union).
+    The point at 100 TB: the old view is READ, never recomputed; the
+    three delta terms each touch one batch-sized side, so a daily load
+    costs O(|Δ| · join fan-out), not O(|history|).
+
+    Caller contract: deltas are INSERT-only (updates/deletes need the
+    retraction path, :func:`agg_retract_merge`), and ``L_old``/``ΔL``
+    (resp. R) are disjoint on ``on`` rows — exactly the new-batch
+    split every warehouse load has.
+
+    Scale: ΔL ⋈ R_old and L_old ⋈ ΔR broadcast the delta side when
+    it is batch-small (AQE decides); the union is plan-level only —
+    no extra exchange beyond the joins themselves.
+    """
+    parts = [
+        view_old,
+        left_delta.join(right_old, on),
+        left_old.join(right_delta, on),
+        left_delta.join(right_delta, on),
+    ]
+    from functools import reduce
+
+    return reduce(DataFrame.unionByName, parts)
+
+
+def agg_retract_merge(
+    existing: DataFrame,
+    cdc: DataFrame,
+    keys: list[str],
+    count_col: str,
+    sum_col: str,
+    op_col: str = "op",
+    new_val: str = "new_val",
+    old_val: str = "old_val",
+) -> DataFrame:
+    """Maintain a grouped (count, sum) aggregate table under a CDC batch
+    WITH RETRACTIONS: inserts add ``(+1, +new)``, updates add
+    ``(0, new − old)``, deletes add ``(−1, −old)`` — the signed-delta
+    algebra streaming engines call retraction and warehouses call
+    incremental view maintenance with deletes.  ``rollup_merge`` covers
+    the insert-only case; this is the general one: the aggregate stays
+    exact under any mix of I/U/D without ever rescanning history.
+
+    ``cdc`` carries ``op_col`` ∈ {'I','U','D'}, the group keys the row
+    belongs to, ``new_val`` (I, U) and ``old_val`` (U, D).  Groups whose
+    maintained count reaches 0 drop out, matching a full recompute.
+
+    Scale: the CDC batch maps to signed deltas row-wise (narrow), then
+    one union + one hash agg on the group key — identical cost shape to
+    ``rollup_merge``; both sides partial-aggregate before the exchange.
+    """
+    op = F.col(op_col)
+    d_n = (
+        F.when(op == "I", F.lit(1))
+        .when(op == "D", F.lit(-1))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    d_sum = (
+        F.when(op == "I", F.col(new_val))
+        .when(op == "D", -F.col(old_val))
+        .otherwise(F.col(new_val) - F.col(old_val))
+        .cast("long")
+    )
+    deltas = cdc.select(
+        *keys, d_n.alias(count_col), d_sum.alias(sum_col)
+    )
+    merged = rollup_merge(existing, deltas, keys, [count_col, sum_col])
+    return merged.where(F.col(count_col) > 0)

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from hdfs_stream_processing_spark.operators.text import tokens
 
 __all__ = [
+    "boilerplate_chunks",
     "cap_per_group",
     "chunk_documents",
     "redact_pii",
@@ -516,4 +517,49 @@ def cap_per_group(
         df.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= n)
         .drop("_rn")
+    )
+
+
+def boilerplate_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 4,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document boilerplate detection: chunk every document into
+    non-overlapping ``chunk_size``-token windows, and flag a chunk VALUE
+    as boilerplate when it occurs in at least ``min_docs`` DISTINCT
+    documents (RefinedWeb / Falcon run exactly this pass at line
+    granularity — "exact line deduplication across the corpus"; this
+    corpus has no newlines, so the unit is the fixed-size token chunk).
+    Returns one row per document: total chunks/tokens, boilerplate
+    chunks, and the token count that survives dropping them — the
+    retention report a curation run reviews before committing the drop.
+
+    Scale: the chunk explode is narrow; the document-frequency count and
+    the instance↔frequency join both hash-partition on the chunk CONTENT
+    key, so the work distributes by content (no skew beyond genuinely
+    viral boilerplate, which is the thing being measured) and nothing is
+    ever collected or broadcast — corpus-sized both sides, exactly how
+    line-dedup runs at 100 TB.
+    """
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2 (1 would flag everything)")
+    chunks = chunk_documents(
+        df, id_col, text_col, chunk_size=chunk_size, stride=chunk_size
+    ).select(id_col, "chunk_text", "n_tokens")
+    docfreq = chunks.groupBy("chunk_text").agg(
+        F.count_distinct(id_col).alias("_nd")
+    )
+    marked = chunks.join(docfreq, "chunk_text").withColumn(
+        "_boiler", F.col("_nd") >= F.lit(min_docs)
+    )
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("_boiler").cast("long")).alias("n_boiler_chunks"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum(
+            F.when(~F.col("_boiler"), F.col("n_tokens")).otherwise(F.lit(0))
+        ).alias("kept_tokens"),
     )

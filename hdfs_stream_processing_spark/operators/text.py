@@ -437,3 +437,48 @@ def tfidf_top_terms(
         .where(F.col("rank") <= k)
         .select(id_col, "token", "tf", "df", "rank", "score")
     )
+
+
+def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (nats) —
+    the diversity signal quality filters pair with repetition gates:
+    near-zero entropy is template spam / keyword stuffing, whatever the
+    n-gram stats say.
+
+    ``H = ln(n) − (Σ c·ln(c)) / n`` over per-token counts ``c``.  The
+    engine-portability trick (same as the LM scorers): every ``ln`` is
+    rounded to integer MICRO-NATS first, so both sums are exact integer
+    arithmetic in any engine, and only the final two-step double
+    expression crosses to float — bit-identical on Spark and DuckDB.
+
+    Scale: one (doc, token) count aggregate and one per-doc aggregate,
+    both map-side partial; no joins, no windows, no broadcast.
+    """
+    per_tok = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_t"))
+        .where(F.col("_t") != "")
+        .groupBy(id_col, "_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    micro_ln_c = F.round(
+        F.log(F.col("_c").cast("double")) * F.lit(1000000.0), 0
+    ).cast("long")
+    agg = per_tok.groupBy(id_col).agg(
+        F.sum("_c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("_c") * micro_ln_c).alias("_sum_c_ln_c"),
+    )
+    micro_ln_n = F.round(
+        F.log(F.col("n_tokens").cast("double")) * F.lit(1000000.0), 0
+    ).cast("long")
+    entropy = F.round(
+        (
+            micro_ln_n.cast("double")
+            - F.col("_sum_c_ln_c").cast("double") / F.col("n_tokens").cast("double")
+        )
+        / F.lit(1000000.0),
+        6,
+    )
+    return agg.select(
+        id_col, "n_tokens", "n_distinct", entropy.alias("entropy_nats")
+    )

@@ -377,3 +377,147 @@ def q_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ========================================================================
+
+# Round 8: market-basket association rules, RFM segmentation, HLL set
+# intersection with an error contract
+# ========================================================================
+
+
+@query(
+    "basket_rules",
+    """WITH li AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+       nb AS (SELECT COUNT(DISTINCT b) AS n_baskets FROM li),
+       f AS (SELECT i, COUNT(*) AS c FROM li GROUP BY i),
+       p AS (SELECT a.i AS item_a, c.i AS item_b, COUNT(*) AS pair_count
+             FROM li a JOIN li c ON a.b = c.b AND a.i < c.i
+             GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+       SELECT item_a, item_b, pair_count,
+              fa.c AS count_a, fb.c AS count_b,
+              round(CAST(pair_count AS DOUBLE) / CAST(nb.n_baskets AS DOUBLE), 6)
+                  AS support,
+              round(CAST(pair_count AS DOUBLE) / CAST(fa.c AS DOUBLE), 6)
+                  AS confidence,
+              round(CAST(pair_count * nb.n_baskets AS DOUBLE)
+                    / CAST(fa.c * fb.c AS DOUBLE), 6) AS lift
+       FROM p
+       JOIN f fa ON fa.i = item_a
+       JOIN f fb ON fb.i = item_b
+       CROSS JOIN nb""",
+)
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order line items
+    (operators/analytics.py::basket_pairs): part pairs co-ordered in
+    >= 2 orders with exact-integer support/confidence/lift.  The pair
+    join is keyed on the ORDER (Σ C(k,2) work, basket-width bounded),
+    item frequencies broadcast."""
+    from hdfs_stream_processing_spark.operators.analytics import basket_pairs
+
+    (lineitem,) = prep(spark, sf_dir, "lineitem")
+    return basket_pairs(lineitem, "l_orderkey", "l_partkey", min_pair_count=2)
+
+
+@query(
+    "rfm_segments",
+    """WITH m AS (SELECT o_custkey AS c_custkey,
+                         date_diff('day', MAX(o_orderdate),
+                                   (SELECT MAX(o_orderdate) FROM orders))
+                             AS recency_days,
+                         COUNT(*) AS frequency,
+                         CAST(SUM(CAST(round(o_totalprice * 100.0, 0) AS BIGINT))
+                              AS BIGINT) AS monetary_cents
+                  FROM orders GROUP BY o_custkey),
+       t AS (SELECT *,
+                    ntile(4) OVER (ORDER BY recency_days ASC, c_custkey) AS r,
+                    ntile(4) OVER (ORDER BY frequency DESC, c_custkey) AS f,
+                    ntile(4) OVER (ORDER BY monetary_cents DESC, c_custkey) AS mq
+             FROM m)
+       SELECT c_custkey, recency_days, frequency, monetary_cents,
+              r, f, mq,
+              'r' || CAST(r AS VARCHAR) || 'f' || CAST(f AS VARCHAR)
+                  || 'm' || CAST(mq AS VARCHAR) AS segment
+       FROM t""",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per customer, recency (days since
+    their last order, against the table's max date), frequency (order
+    count), monetary (integer-cent revenue), each quartiled by ntile
+    under a TOTAL order (metric, custkey) so the quartile assignment is
+    engine- and partition-independent; the segment label concatenates
+    the three quartiles.  One grouped aggregate; the three ntile
+    windows run on the customer-level table (|customers| rows, not
+    |orders|) — global windows over a pre-aggregated, key-bounded
+    input, the same contract as token_zipf's ranking."""
+    from pyspark.sql import Window
+
+    (orders,) = prep(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * F.lit(100.0), 0).cast("long")
+    maxd = orders.agg(F.max("o_orderdate").alias("_maxd"))
+    m = (
+        orders.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max("o_orderdate").alias("_last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(cents).alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "c_custkey",
+            F.datediff(F.col("_maxd"), F.col("_last")).cast("long").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    r = F.ntile(4).over(Window.orderBy(F.col("recency_days").asc(), F.col("c_custkey")))
+    f = F.ntile(4).over(Window.orderBy(F.col("frequency").desc(), F.col("c_custkey")))
+    mq = F.ntile(4).over(Window.orderBy(F.col("monetary_cents").desc(), F.col("c_custkey")))
+    t = m.select("*", r.alias("r"), f.alias("f"), mq.alias("mq"))
+    return t.select(
+        "c_custkey", "recency_days", "frequency", "monetary_cents",
+        "r", "f", "mq",
+        F.concat(
+            F.lit("r"), F.col("r").cast("string"),
+            F.lit("f"), F.col("f").cast("string"),
+            F.lit("m"), F.col("mq").cast("string"),
+        ).alias("segment"),
+    )
+
+
+@query(
+    "hll_intersect",
+    """SELECT CAST((SELECT COUNT(DISTINCT a.user_id)
+                    FROM events a
+                    WHERE a.event_type = 'click'
+                      AND EXISTS (SELECT 1 FROM events b
+                                  WHERE b.event_type = 'purchase'
+                                    AND b.user_id = a.user_id))
+              AS BIGINT) AS n_exact,
+              TRUE AS within_bound""",
+)
+def q_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set-operation contract, hash-checked (the approx_distinct_ok
+    pattern): |click ∩ purchase| users estimated by HLL
+    inclusion-exclusion — est(A) + est(B) − est(A∪B), three fixed-size
+    sketches, no distinct shuffle — versus the exact semi-join count.
+    Intersection inherits the union's error on a smaller denominator,
+    so the bound is 15% (looser than the 5% single-set rsd), and the
+    query emits within_bound = (|est − exact| / exact <= 0.15); the
+    oracle supplies the exact side plus literal TRUE."""
+    (events,) = prep(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select("user_id")
+    buys = events.where(F.col("event_type") == "purchase").select("user_id")
+    est = (
+        clicks.agg(F.approx_count_distinct("user_id", rsd=0.05).alias("_a"))
+        .crossJoin(buys.agg(F.approx_count_distinct("user_id", rsd=0.05).alias("_b")))
+        .crossJoin(
+            clicks.unionByName(buys).agg(
+                F.approx_count_distinct("user_id", rsd=0.05).alias("_ab")
+            )
+        )
+    )
+    exact = clicks.join(buys, "user_id", "left_semi").agg(
+        F.count_distinct("user_id").cast("long").alias("n_exact")
+    )
+    out = exact.crossJoin(F.broadcast(est))
+    inter = (F.col("_a") + F.col("_b") - F.col("_ab")).cast("double")
+    rel_err = F.abs(inter - F.col("n_exact").cast("double")) / F.col("n_exact").cast("double")
+    return out.select("n_exact", (rel_err <= F.lit(0.15)).alias("within_bound"))

@@ -1856,3 +1856,114 @@ def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ========================================================================
+
+# Round 8: incremental view maintenance — delta join (insert-only both
+# sides) and grouped-aggregate maintenance under CDC retractions
+# ========================================================================
+
+
+def _stage_enriched_view(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the OLD orders⋈customer view (both sides minus their
+    incoming deltas) to parquet once per sf_dir — the fixture for
+    ``incr_join``: maintenance must READ this, never recompute it."""
+    key = (sf_dir, "enriched_view_old")
+    if key in _STAGE_CACHE:
+        return _STAGE_CACHE[key]
+    orders, customer = prep(spark, sf_dir, "orders", "customer")
+    o_old = orders.where(F.col("o_orderkey") % 7 != 0)
+    c_old = customer.where(F.col("c_custkey") % 5 != 0)
+    cents = F.round(F.col("o_totalprice") * F.lit(100.0), 0).cast("long")
+    view = (
+        o_old.withColumn("price_cents", cents)
+        .select("o_orderkey", F.col("o_custkey").alias("c_custkey"), "price_cents")
+        .join(c_old.select("c_custkey", "c_name", "c_mktsegment"), "c_custkey")
+    )
+    out = _mkdtemp("hsp_view_old_")
+    view.write.mode("overwrite").parquet(out)
+    _STAGE_CACHE[key] = out
+    return out
+
+
+@query(
+    "incr_join",
+    """SELECT o_custkey AS c_custkey, o_orderkey,
+              CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS price_cents,
+              c_name, c_mktsegment
+       FROM orders JOIN customer ON o_custkey = c_custkey""",
+)
+def q_incr_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a materialized JOIN view
+    (operators/incremental.py::delta_join): the old orders⋈customer
+    view is a parquet table on disk; a new order batch (ΔO = orderkey
+    % 7 == 0) and a new customer batch (ΔC = custkey % 5 == 0) arrive,
+    and the new view is V ∪ ΔO⋈C_old ∪ O_old⋈ΔC ∪ ΔO⋈ΔC — history is
+    read back, never re-joined.  The oracle is the full from-scratch
+    join: the delta algebra must reproduce it row-for-row."""
+    from hdfs_stream_processing_spark.operators.incremental import delta_join
+
+    view_dir = _stage_enriched_view(spark, sf_dir)
+    view_old = spark.read.parquet(view_dir)
+    orders, customer = prep(spark, sf_dir, "orders", "customer")
+    cents = F.round(F.col("o_totalprice") * F.lit(100.0), 0).cast("long")
+    o = orders.withColumn("price_cents", cents).select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey"), "price_cents"
+    )
+    c = customer.select("c_custkey", "c_name", "c_mktsegment")
+    return delta_join(
+        view_old,
+        o.where(F.col("o_orderkey") % 7 != 0),
+        o.where(F.col("o_orderkey") % 7 == 0),
+        c.where(F.col("c_custkey") % 5 != 0),
+        c.where(F.col("c_custkey") % 5 == 0),
+        "c_custkey",
+    ).select("c_custkey", "o_orderkey", "price_cents", "c_name", "c_mktsegment")
+
+
+@query(
+    "incr_retract",
+    """WITH final AS (
+         SELECT o_orderpriority,
+                CAST(round(o_totalprice * 100.0, 0) AS BIGINT)
+                  + CASE WHEN o_orderkey % 10 = 8 THEN 1000 ELSE 0 END AS cents
+         FROM orders WHERE o_orderkey % 10 <> 9)
+       SELECT o_orderpriority, COUNT(*) AS n,
+              CAST(SUM(cents) AS BIGINT) AS sum_cents,
+              CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0
+                  AS avg_price
+       FROM final GROUP BY o_orderpriority""",
+)
+def q_incr_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate maintenance under CDC WITH RETRACTIONS
+    (operators/incremental.py::agg_retract_merge): yesterday's
+    per-priority (count, cents) table absorbs a change batch — inserts
+    (orderkey%10==7, rows new to the table), updates (%10==8, price
+    +$10: delta = new−old), deletes (%10==9: −1, −old) — via signed
+    deltas, never rescanning history.  The oracle recomputes the final
+    state from scratch; the retraction algebra must match it exactly,
+    including the derived average."""
+    from hdfs_stream_processing_spark.operators.incremental import agg_retract_merge
+
+    (orders,) = prep(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * F.lit(100.0), 0).cast("long")
+    d = F.col("o_orderkey") % 10
+    base = orders.where(d != 7).select("o_orderpriority", cents.alias("_c"))
+    existing = base.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("_c").alias("sum_cents")
+    )
+    cdc = orders.where(d.isin(7, 8, 9)).select(
+        "o_orderpriority",
+        F.when(d == 7, F.lit("I")).when(d == 8, F.lit("U")).otherwise(F.lit("D")).alias("op"),
+        F.when(d == 7, cents).when(d == 8, cents + F.lit(1000)).alias("new_val"),
+        F.when(d != 7, cents).alias("old_val"),
+    )
+    merged = agg_retract_merge(
+        existing, cdc, ["o_orderpriority"], "n", "sum_cents",
+        op_col="op", new_val="new_val", old_val="old_val",
+    )
+    return merged.select(
+        "o_orderpriority", "n", "sum_cents",
+        (
+            F.col("sum_cents").cast("double") / F.col("n").cast("double")
+            / F.lit(100.0)
+        ).alias("avg_price"),
+    )

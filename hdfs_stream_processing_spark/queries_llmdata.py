@@ -605,3 +605,249 @@ def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ========================================================================
+
+# Round 8: cross-doc boilerplate chunks, per-doc token entropy, bigram
+# LM scoring, corpus Zipf profile
+# ========================================================================
+
+
+@query(
+    "chunk_dedup",
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+       c AS (SELECT doc_id,
+                    array_to_string(list_slice(ts, s + 1, s + 4), ' ') AS chunk_text,
+                    len(list_slice(ts, s + 1, s + 4)) AS n_tokens
+             FROM (SELECT doc_id, ts,
+                          unnest(generate_series(0, len(ts) - 1, 4)) AS s
+                   FROM t)),
+       d AS (SELECT chunk_text, COUNT(DISTINCT doc_id) AS nd
+             FROM c GROUP BY chunk_text)
+       SELECT doc_id,
+              COUNT(*) AS n_chunks,
+              CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_boiler_chunks,
+              CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+              CAST(SUM(CASE WHEN nd >= 2 THEN 0 ELSE n_tokens END) AS BIGINT)
+                  AS kept_tokens
+       FROM c JOIN d USING (chunk_text)
+       GROUP BY doc_id""",
+)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate removal report (RefinedWeb-style exact
+    line dedup, at 4-token chunk granularity since this corpus has no
+    newlines): a chunk value seen in >= 2 distinct documents is
+    boilerplate; per document, how many chunks/tokens survive dropping
+    it.  Both the doc-frequency count and the marking join partition on
+    the chunk CONTENT hash — corpus-scale on both sides, no broadcast,
+    no collect."""
+    from hdfs_stream_processing_spark.operators.llmdata import boilerplate_chunks
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    return boilerplate_chunks(
+        documents, "doc_id", "text", chunk_size=4, min_docs=2
+    )
+
+
+@query(
+    "entropy_profile",
+    """WITH tok AS (SELECT doc_id,
+                           unnest(string_split(lower(text), ' ')) AS t
+                    FROM documents),
+       pt AS (SELECT doc_id, t, COUNT(*) AS c
+              FROM tok WHERE t <> '' GROUP BY doc_id, t),
+       agg AS (SELECT doc_id,
+                      CAST(SUM(c) AS BIGINT) AS n_tokens,
+                      COUNT(*) AS n_distinct,
+                      CAST(SUM(c * CAST(round(ln(CAST(c AS DOUBLE))
+                                              * 1000000.0, 0) AS BIGINT))
+                           AS BIGINT) AS s
+               FROM pt GROUP BY doc_id)
+       SELECT doc_id, n_tokens, n_distinct,
+              round((CAST(CAST(round(ln(CAST(n_tokens AS DOUBLE))
+                                     * 1000000.0, 0) AS BIGINT) AS DOUBLE)
+                     - CAST(s AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                    / 1000000.0, 6) AS entropy_nats
+       FROM agg""",
+)
+def q_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution entropy (operators/text.py::
+    token_entropy): the diversity quality signal — near-zero entropy is
+    template spam regardless of the repetition gates.  All logs rounded
+    to integer micro-nats before exact integer aggregation; two map-side
+    partial aggregates, zero joins."""
+    from hdfs_stream_processing_spark.operators.text import token_entropy
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    return token_entropy(documents, "doc_id", "text")
+
+
+@query(
+    "bigram_lm",
+    """WITH t AS (SELECT doc_id,
+                         list_filter(string_split(lower(text), ' '),
+                                     x -> x <> '') AS ts
+                  FROM documents),
+       b AS (SELECT doc_id, ts[i] AS w1, ts[i] || ' ' || ts[i + 1] AS bg
+             FROM (SELECT doc_id, ts,
+                          unnest(generate_series(1, len(ts) - 1)) AS i
+                   FROM t WHERE len(ts) >= 2)),
+       c2 AS (SELECT bg, COUNT(*) AS c2 FROM b WHERE doc_id <= 250 GROUP BY bg),
+       c1 AS (SELECT w1, COUNT(*) AS c1 FROM b WHERE doc_id <= 250 GROUP BY w1),
+       v AS (SELECT COUNT(DISTINCT x) AS vocab
+             FROM (SELECT unnest(ts) AS x FROM t WHERE doc_id <= 250)),
+       terms AS (
+         SELECT b.doc_id,
+                CAST(round(ln(CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE)
+                              / CAST(COALESCE(c1.c1, 0) + v.vocab AS DOUBLE))
+                           * 1000000.0, 0) AS BIGINT) AS micro_nats
+         FROM b LEFT JOIN c2 USING (bg) LEFT JOIN c1 USING (w1) CROSS JOIN v)
+       SELECT doc_id,
+              COUNT(*) AS n_bigrams,
+              CAST(SUM(micro_nats) AS BIGINT) AS sum_micro_nats,
+              CAST(SUM(micro_nats) AS DOUBLE)
+                / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS avg_logprob
+       FROM terms GROUP BY doc_id""",
+)
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring with Laplace smoothing: every
+    document's average bigram log-probability under the corpus
+    (doc_id <= 250) bigram LM — the higher-order companion to the
+    unigram ``lm_score`` (same micro-nat integer trick, so sums are
+    exact in any engine).  ``P(w2|w1) = (c(w1 w2)+1) / (c(w1·)+V)``
+    with prefix counts from the same bigram table and V the corpus
+    vocabulary.  Two corpus count aggregates, two broadcast lookup
+    joins (bigram table is vocab-squared-bounded — MBs even at 100 TB
+    corpus; were it not, the bg join hash-partitions on content),
+    one per-doc aggregate."""
+    (documents,) = prep(spark, sf_dir, "documents")
+    t = documents.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("_ts"),
+    )
+    b = (
+        t.where(F.size("_ts") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_ts) - 1),"
+                    " i -> struct(_ts[i-1] AS w1,"
+                    " concat(_ts[i-1], ' ', _ts[i]) AS bg))"
+                )
+            ).alias("_p"),
+        )
+        .select("doc_id", F.col("_p.w1").alias("w1"), F.col("_p.bg").alias("bg"))
+    )
+    corpus = b.where(F.col("doc_id") <= 250)
+    c2 = corpus.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = corpus.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = (
+        t.where(F.col("doc_id") <= 250)
+        .select(F.explode("_ts").alias("x"))
+        .agg(F.count_distinct("x").alias("vocab"))
+    )
+    terms = (
+        b.join(F.broadcast(c2), "bg", "left")
+        .join(F.broadcast(c1), "w1", "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1)).cast("double")
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("vocab")).cast(
+                        "double"
+                    )
+                )
+                * F.lit(1000000.0),
+                0,
+            ).cast("long").alias("micro_nats"),
+        )
+    )
+    return terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("micro_nats").cast("long").alias("sum_micro_nats"),
+        (
+            F.sum("micro_nats").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(1000000.0))
+        ).alias("avg_logprob"),
+    )
+
+
+@query(
+    "token_zipf",
+    """WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS t
+                    FROM documents),
+       cnt AS (SELECT t AS token, COUNT(*) AS freq
+               FROM tok WHERE t <> '' GROUP BY t),
+       ranked AS (SELECT token, freq,
+                         CAST(row_number() OVER (ORDER BY freq DESC, token)
+                              AS BIGINT) AS rank
+                  FROM cnt
+                  QUALIFY rank <= 100),
+       xy AS (SELECT rank, token, freq,
+                     CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000.0, 0)
+                          AS BIGINT) AS x,
+                     CAST(round(ln(CAST(freq AS DOUBLE)) * 1000000.0, 0)
+                          AS BIGINT) AS y
+              FROM ranked),
+       s AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+                    CAST(SUM(y) AS BIGINT) AS sy,
+                    CAST(SUM(x * y) AS BIGINT) AS sxy,
+                    CAST(SUM(x * x) AS BIGINT) AS sxx
+             FROM xy)
+       SELECT xy.rank, xy.token, xy.freq,
+              round(CAST(s.n * s.sxy - s.sx * s.sy AS DOUBLE)
+                    / CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE), 6)
+                  AS zipf_slope
+       FROM xy CROSS JOIN s""",
+)
+def q_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rank-frequency profile with a fitted Zipf exponent: the
+    top-100 tokens by frequency (total order: freq desc, token) each
+    carry the OLS slope of ln(freq) on ln(rank) — the classic corpus
+    health check (natural language sits near −1; a flat or cliff-shaped
+    slope means template spam or a truncated vocabulary).  The log
+    coordinates are rounded to integer micro-nats so all four OLS sums
+    are exact integers; only the final slope division is a double.
+    One count aggregate; the ranking window runs on the ALREADY
+    AGGREGATED vocab-sized table (bounded, single partition is fine),
+    and the slope scalar broadcasts back onto 100 rows."""
+    from pyspark.sql import Window
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    cnt = (
+        documents.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("t")
+        )
+        .where(F.col("t") != "")
+        .groupBy(F.col("t").alias("token"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("token"))
+    ranked = (
+        cnt.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 100)
+    )
+    micro = lambda c: F.round(  # noqa: E731
+        F.log(c.cast("double")) * F.lit(1000000.0), 0
+    ).cast("long")
+    xy = ranked.select(
+        "rank", "token", "freq",
+        micro(F.col("rank")).alias("x"), micro(F.col("freq")).alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    slope = F.round(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+        6,
+    )
+    return xy.crossJoin(F.broadcast(s)).select(
+        "rank", "token", "freq", slope.alias("zipf_slope")
+    )

@@ -1148,3 +1148,115 @@ def test_ewma_large_magnitudes_do_not_overflow(spark):
     # big regardless of weights — any overflow shows up as a wild value
     assert out[1] == float(big)
     assert out[2] == float(big)
+
+
+# ---- round 8: boilerplate chunks, entropy, IVM delta join / retraction,
+# ---- basket rules
+
+
+def test_boilerplate_chunks_flags_cross_doc_only(spark):
+    """A chunk value repeated WITHIN one document is not boilerplate;
+    the same value across two documents is.  Token accounting must
+    split exactly into kept + dropped."""
+    from hdfs_stream_processing_spark.operators.llmdata import boilerplate_chunks
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b x y"),   # chunks (size 2): 'a b','a b','x y'
+            (2, "x y q r"),       # chunks: 'x y','q r'
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in
+           boilerplate_chunks(df, "doc_id", "text", chunk_size=2).collect()}
+    # 'a b' appears twice but only in doc 1 -> NOT boilerplate;
+    # 'x y' appears in both docs -> boilerplate.
+    assert out[1]["n_chunks"] == 3 and out[1]["n_boiler_chunks"] == 1
+    assert out[1]["n_tokens"] == 6 and out[1]["kept_tokens"] == 4
+    assert out[2]["n_chunks"] == 2 and out[2]["n_boiler_chunks"] == 1
+    assert out[2]["kept_tokens"] == 2
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="min_docs"):
+        boilerplate_chunks(df, "doc_id", "text", min_docs=1)
+
+
+def test_token_entropy_known_distributions(spark):
+    """Constant text has zero entropy; a uniform 4-token doc has ln(4)."""
+    import math
+    from hdfs_stream_processing_spark.operators.text import token_entropy
+
+    df = spark.createDataFrame(
+        [(1, "w w w w"), (2, "a b c d")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in token_entropy(df, "doc_id", "text").collect()}
+    assert out[1]["entropy_nats"] == 0.0
+    assert out[1]["n_distinct"] == 1
+    assert abs(out[2]["entropy_nats"] - math.log(4)) < 1e-5
+    assert out[2]["n_tokens"] == 4
+
+
+def test_delta_join_matches_full_recompute(spark):
+    """V_old ∪ ΔL⋈R_old ∪ L_old⋈ΔR ∪ ΔL⋈ΔR == full L⋈R on any
+    insert-only split — including delta-delta matches."""
+    from hdfs_stream_processing_spark.operators.incremental import delta_join
+
+    L = spark.createDataFrame([(k, f"l{k}") for k in range(10)], ["k", "lv"])
+    R = spark.createDataFrame([(k % 5, f"r{k}") for k in range(10)], ["k", "rv"])
+    dl = L.where(F.col("k") % 3 == 0)
+    lo = L.where(F.col("k") % 3 != 0)
+    dr = R.where(F.col("rv").isin("r7", "r8"))
+    ro = R.where(~F.col("rv").isin("r7", "r8"))
+    v_old = lo.join(ro, "k")
+    got = sorted(
+        map(tuple, delta_join(v_old, lo, dl, ro, dr, "k").collect())
+    )
+    want = sorted(map(tuple, L.join(R, "k").collect()))
+    assert got == want and len(want) > 0
+
+
+def test_agg_retract_merge_known_deltas(spark):
+    """Insert adds (+1,+v); update adds (0, new−old); delete subtracts;
+    a group retracted to n=0 disappears (matches a recompute)."""
+    from hdfs_stream_processing_spark.operators.incremental import (
+        agg_retract_merge,
+    )
+
+    existing = spark.createDataFrame(
+        [("a", 2, 100), ("b", 1, 50)], ["g", "n", "s"]
+    )
+    cdc = spark.createDataFrame(
+        [
+            ("a", "I", 30, None),    # a: n 2->3, s 100->130
+            ("a", "U", 25, 10),      # a: s +15
+            ("b", "D", None, 50),    # b: n 1->0 -> dropped
+        ],
+        "g string, op string, new_val long, old_val long",
+    )
+    out = {r["g"]: (r["n"], r["s"]) for r in
+           agg_retract_merge(existing, cdc, ["g"], "n", "s").collect()}
+    assert out == {"a": (3, 145)}
+
+
+def test_basket_pairs_counts_and_guard(spark):
+    """Pair counts are per-basket-distinct; lift is exact; the
+    max_items_per_basket guard drops mega-baskets before pairing."""
+    from hdfs_stream_processing_spark.operators.analytics import basket_pairs
+
+    rows = [
+        (1, "x"), (1, "y"), (1, "x"),      # duplicate x collapses
+        (2, "x"), (2, "y"),
+        (3, "x"), (3, "z"),
+        (4, "m"), (4, "n"), (4, "o"),      # width-3 basket
+    ]
+    df = spark.createDataFrame(rows, ["b", "i"])
+    out = {(r["item_a"], r["item_b"]): r for r in
+           basket_pairs(df, "b", "i", min_pair_count=2).collect()}
+    assert list(out) == [("x", "y")]
+    r = out[("x", "y")]
+    # n_baskets=4, c_x=3, c_y=2, c_xy=2: lift = 4*2/(3*2)
+    assert r["pair_count"] == 2 and r["count_a"] == 3 and r["count_b"] == 2
+    assert r["lift"] == round(8 / 6, 6)
+    guarded = basket_pairs(
+        df, "b", "i", min_pair_count=1, max_items_per_basket=2
+    ).collect()
+    assert not [r for r in guarded if r["item_a"] in ("m", "n")]

@@ -79,6 +79,12 @@ SLOW = [
     # purge cascade (staged rewrite → atomic swap → re-audit; write-heavy
     # by design so the factor measures rewrite volume, not plan blowup)
     "golden_record", "stream_golden", "purge_exec",
+    # round-8 additions with a scale story: cross-doc boilerplate
+    # chunks (content-key join, ×10 corpus both sides), bigram LM (×10
+    # bigram explode against the bounded copy-0 model), basket pairs
+    # (basket-keyed self-join, Σ C(k,2) work), delta-join maintenance
+    # (batch-sized deltas against a ×10 materialized view)
+    "chunk_dedup", "bigram_lm", "basket_rules", "incr_join",
 ]
 COPIES = 10
 
