@@ -229,7 +229,8 @@ HEADLINE = [
     # retraction merge, basket rules, RFM, HLL intersection contract
     "chunk_dedup", "entropy_profile", "bigram_lm", "token_zipf",
     "incr_join", "incr_retract", "basket_rules", "rfm_segments",
-    "hll_intersect",
+    "hll_intersect", "minhash_recall", "winsorize_prices",
+    "stream_retract",
 ]
 
 

@@ -469,8 +469,11 @@ def basket_pairs(
     the per-basket DISTINCT item list, so cost is Σ C(k_i, 2) — bounded
     by basket width, never |items|².  ``max_items_per_basket`` drops
     mega-baskets (bots, wholesale accounts) before the join, the
-    standard guard at crawl scale.  Item frequencies broadcast (item
-    vocabulary ≪ transactions).
+    standard guard at crawl scale; when it fires, n_baskets and the
+    item frequencies count the FILTERED universe, so support/
+    confidence/lift stay mutually consistent (dropped baskets exist
+    nowhere in the math).  Item frequencies broadcast (item vocabulary
+    ≪ transactions).
     """
     b, i = F.col(basket_col), F.col(item_col)
     items = df.select(b.alias("_b"), i.alias("_i")).distinct()
@@ -513,4 +516,61 @@ def basket_pairs(
                 6,
             ).alias("lift"),
         )
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str | Column,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+    out_col: str = "winsorized",
+) -> DataFrame:
+    """Per-group winsorization: clip values to the [lo_q, hi_q]
+    order-statistic bounds — the standard outlier treatment before
+    training statistical models on heavy-tailed business data (a fat-
+    finger price shouldn't move the mean).
+
+    The bounds are DISCRETE order statistics (the ``floor(q·(n−1))+1``-th
+    smallest value), not interpolated percentiles: an order statistic is
+    an exact value from the data, so any engine that sorts the same
+    multiset picks the identical bound — interpolation crosses engines
+    only if both multiply/add in the same order, a portability trap the
+    exact-integer house rules forbid.
+
+    Scale: one rank window + one count per group (both shuffle on the
+    group key, the partitioning the caller's pipeline already has), and
+    the per-group bounds table — group-cardinality-sized — broadcasts
+    back onto the rows.  No global sort, no collect.
+    """
+    if not 0.0 <= lo_q < hi_q <= 1.0:
+        raise ValueError("need 0 <= lo_q < hi_q <= 1")
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    base = df.withColumn("_v", v)
+    w = Window.partitionBy(*group_cols).orderBy(F.col("_v"))
+    ranked = base.withColumn("_rn", F.row_number().over(w))
+    n = base.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_n"))
+    k_lo = (F.floor(F.lit(lo_q) * (F.col("_n") - 1)) + 1).cast("long")
+    k_hi = (F.floor(F.lit(hi_q) * (F.col("_n") - 1)) + 1).cast("long")
+    bounds = (
+        ranked.join(F.broadcast(n), group_cols)
+        .where((F.col("_rn") == k_lo) | (F.col("_rn") == k_hi))
+        .groupBy(*group_cols)
+        .agg(
+            F.min(F.when(F.col("_rn") == k_lo, F.col("_v"))).alias("_lo"),
+            F.max(F.when(F.col("_rn") == k_hi, F.col("_v"))).alias("_hi"),
+        )
+    )
+    return (
+        base.join(F.broadcast(bounds), group_cols)
+        .withColumn(
+            out_col,
+            F.when(F.col("_v") < F.col("_lo"), F.col("_lo"))
+            .when(F.col("_v") > F.col("_hi"), F.col("_hi"))
+            .otherwise(F.col("_v")),
+        )
+        .withColumnRenamed("_lo", "lo_bound")
+        .withColumnRenamed("_hi", "hi_bound")
+        .drop("_rn")
     )

@@ -2243,3 +2243,83 @@ def golden_apply_batch(
     # golden commits LAST — its stamp marks the whole batch done
     write_table_version(spark, new_golden.withColumn("_batch", stamp), state["golden"])
     return True
+
+# Round 8: MinHash-LSH recall contract, winsorization
+# ========================================================================
+
+
+@query(
+    "minhash_recall",
+    """WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+       sh AS (SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id, unnest(string_split(lower(text), ' ')) AS shingle
+                FROM sub)),
+       sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                        CAST(COUNT(*) AS BIGINT) AS n_inter
+                 FROM sh a JOIN sh b USING (shingle)
+                 WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+       truth AS (SELECT id_a, id_b FROM inter
+                 JOIN sz sa ON sa.doc_id = id_a
+                 JOIN sz sb ON sb.doc_id = id_b
+                 WHERE 9 * n_inter >= 8 * (sa.sz + sb.sz - n_inter)),
+       hashed AS (SELECT doc_id, seed,
+                         ('0x' || substr(md5(CAST(CAST(floor(seed / 4) AS INT) AS VARCHAR)
+                                             || ':' || shingle),
+                                         1 + CAST(seed % 4 AS INT) * 8, 8))::UBIGINT::BIGINT AS h
+                  FROM sh, generate_series(0, 15) g(seed)),
+       sig AS (SELECT doc_id, seed, MIN(h) AS minhash
+               FROM hashed GROUP BY doc_id, seed),
+       band_sig AS (SELECT doc_id, CAST(floor(seed / 2.0) AS INT) AS band,
+                           md5(array_to_string(list_sort(list(minhash)), ',')) AS band_hash
+                    FROM sig GROUP BY doc_id, CAST(floor(seed / 2.0) AS INT)),
+       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM band_sig a JOIN band_sig b USING (band, band_hash)
+                WHERE a.doc_id < b.doc_id),
+       hit AS (SELECT t.id_a, t.id_b FROM truth t
+               WHERE EXISTS (SELECT 1 FROM cand c
+                             WHERE c.id_a = t.id_a AND c.id_b = t.id_b)),
+       s AS (SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+                    (SELECT COUNT(*) FROM hit) AS n_hit)
+       SELECT CAST(n_true AS BIGINT) AS n_true_pairs,
+              CAST(n_hit AS BIGINT) AS n_hit_pairs,
+              round(CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE), 6) AS recall,
+              CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE) >= 0.9 AS within_bound
+       FROM s""",
+)
+def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH recall contract, FULLY hash-checked (the text-dedup
+    analog of ann_recall — and stronger: because the md5-derived hash
+    family is engine-portable, the oracle recomputes the ENTIRE LSH in
+    SQL, so n_hit and recall are value-checked, not just bounded):
+    ground truth = exact unigram Jaccard >= 8/9 pairs on the 20% doc
+    sample (brute force in the oracle, prefix-filtered join here —
+    same no-false-negative answer); candidates = 16 minhashes in 8
+    bands of 2.  For J >= 8/9 the per-band hit rate is J^2 ~ 0.79, so
+    a true pair escapes all 8 bands with probability (1-J^2)^8 < 4e-6
+    — the measured recall must clear 0.9 (it is 1.0 on this corpus)."""
+    from hdfs_stream_processing_spark.operators.dedup import (
+        jaccard_join_prefix,
+        lsh_candidate_pairs,
+        minhash_signature_wide,
+    )
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    sub = documents.where(F.col("doc_id") % 5 == 0)
+    truth = jaccard_join_prefix(
+        sub, "doc_id", "text", t_num=8, t_den=9, shingle_n=1
+    ).select("id_a", "id_b")
+    sig = minhash_signature_wide(sub, "doc_id", "text", num_hashes=16, shingle_n=1)
+    cand = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, band_size=2, wide=True)
+    n_true = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
+    n_hit = truth.join(cand, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit_pairs")
+    )
+    out = n_true.crossJoin(F.broadcast(n_hit))
+    ratio = F.col("n_hit_pairs").cast("double") / F.col("n_true_pairs").cast("double")
+    return out.select(
+        "n_true_pairs",
+        "n_hit_pairs",
+        F.round(ratio, 6).alias("recall"),
+        (ratio >= F.lit(0.9)).alias("within_bound"),
+    )

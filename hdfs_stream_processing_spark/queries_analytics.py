@@ -521,3 +521,60 @@ def q_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = (F.col("_a") + F.col("_b") - F.col("_ab")).cast("double")
     rel_err = F.abs(inter - F.col("n_exact").cast("double")) / F.col("n_exact").cast("double")
     return out.select("n_exact", (rel_err <= F.lit(0.15)).alias("within_bound"))
+
+
+@query(
+    "winsorize_prices",
+    """WITH x AS (SELECT l_returnflag AS g,
+                         CAST(round(l_extendedprice * 100.0, 0) AS BIGINT) AS v
+                  FROM lineitem),
+       n AS (SELECT g, COUNT(*) AS n FROM x GROUP BY g),
+       r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn
+             FROM x),
+       b AS (SELECT r.g,
+                    MIN(CASE WHEN rn = CAST(floor(0.05 * (n - 1)) AS BIGINT) + 1
+                             THEN v END) AS lo,
+                    MAX(CASE WHEN rn = CAST(floor(0.95 * (n - 1)) AS BIGINT) + 1
+                             THEN v END) AS hi
+             FROM r JOIN n USING (g) GROUP BY r.g),
+       c AS (SELECT x.g, x.v, b.lo, b.hi,
+                    CASE WHEN v < lo THEN lo WHEN v > hi THEN hi ELSE v END AS w
+             FROM x JOIN b USING (g))
+       SELECT g AS l_returnflag,
+              COUNT(*) AS n,
+              MIN(lo) AS lo_cents, MIN(hi) AS hi_cents,
+              CAST(SUM(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+              CAST(SUM(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+              CAST(SUM(w) AS BIGINT) AS sum_winsorized_cents,
+              CAST(SUM(w) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0
+                  AS avg_winsorized
+       FROM c GROUP BY g""",
+)
+def q_winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization report (operators/analytics.py::
+    winsorize): extended prices clipped at the exact p05/p95 ORDER
+    STATISTICS per return flag (discrete k-th smallest, never
+    interpolated — an order statistic is a value from the data, so any
+    engine picks the identical bound), with clip counts and the
+    post-clip mean.  One rank window + one count per group; the
+    group-sized bounds table broadcasts back onto the rows."""
+    from hdfs_stream_processing_spark.operators.analytics import winsorize
+
+    (lineitem,) = prep(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * F.lit(100.0), 0).cast("long")
+    w = winsorize(
+        lineitem.select(F.col("l_returnflag"), cents.alias("_cents")),
+        ["l_returnflag"], "_cents", lo_q=0.05, hi_q=0.95,
+    )
+    return w.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("lo_bound").alias("lo_cents"),
+        F.min("hi_bound").alias("hi_cents"),
+        F.sum((F.col("_v") < F.col("lo_bound")).cast("long")).alias("n_clip_lo"),
+        F.sum((F.col("_v") > F.col("hi_bound")).cast("long")).alias("n_clip_hi"),
+        F.sum("winsorized").alias("sum_winsorized_cents"),
+        (
+            F.sum("winsorized").cast("double") / F.count(F.lit(1)).cast("double")
+            / F.lit(100.0)
+        ).alias("avg_winsorized"),
+    )

@@ -1967,3 +1967,94 @@ def q_incr_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100.0)
         ).alias("avg_price"),
     )
+
+
+def _stage_cdc_orders(spark: SparkSession, sf_dir: str) -> tuple[str, "object"]:
+    """Stage the orders CDC log as a streaming source: the base state
+    as inserts plus the change batch (inserts %10==7 are already in the
+    table rows; updates %10==8 add $10; deletes %10==9) — one parquet
+    dir, several files so availableNow delivers multiple micro-batches.
+    Memoized per sf_dir."""
+    key = (sf_dir, "cdc_orders")
+    if key in _STAGE_CACHE:
+        return _STAGE_CACHE[key]
+    (orders,) = prep(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * F.lit(100.0), 0).cast("long")
+    d = F.col("o_orderkey") % 10
+    base = orders.where(d != 7).select(
+        "o_orderpriority",
+        F.lit("I").alias("op"),
+        cents.alias("new_val"),
+        F.lit(None).cast("long").alias("old_val"),
+    )
+    changes = orders.where(d.isin(7, 8, 9)).select(
+        "o_orderpriority",
+        F.when(d == 7, F.lit("I")).when(d == 8, F.lit("U")).otherwise(F.lit("D")).alias("op"),
+        F.when(d == 7, cents).when(d == 8, cents + F.lit(1000)).alias("new_val"),
+        F.when(d != 7, cents).alias("old_val"),
+    )
+    log = base.unionByName(changes)
+    stage_dir = _mkdtemp("hsp_cdc_src_")
+    log.repartition(4).write.mode("overwrite").parquet(stage_dir)
+    out = (stage_dir, log.schema)
+    _STAGE_CACHE[key] = out
+    return out
+
+
+@query(
+    "stream_retract",
+    """WITH final AS (
+         SELECT o_orderpriority,
+                CAST(round(o_totalprice * 100.0, 0) AS BIGINT)
+                  + CASE WHEN o_orderkey % 10 = 8 THEN 1000 ELSE 0 END AS cents
+         FROM orders WHERE o_orderkey % 10 <> 9)
+       SELECT o_orderpriority, COUNT(*) AS n,
+              CAST(SUM(cents) AS BIGINT) AS sum_cents,
+              CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0
+                  AS avg_price
+       FROM final GROUP BY o_orderpriority""",
+)
+def q_stream_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING aggregate maintenance under CDC retractions: the same
+    signed-delta algebra as incr_retract, but the change log arrives as
+    a STREAM in multiple micro-batches (availableNow) and each batch's
+    deltas fold into the versioned rollup table under the batch-id
+    replay guard.  Signed deltas make the retraction ADDITIVE — I/U/D
+    order across micro-batches cannot matter, which is exactly why the
+    signed form is the streaming-safe one.  Groups retracted to n = 0
+    drop at read time; the result must equal the oracle's full
+    recompute of the final state."""
+    from hdfs_stream_processing_spark.sources.io import read_table_version
+    from hdfs_stream_processing_spark.streaming import stream_parquet_source
+    from hdfs_stream_processing_spark.streaming.pipeline import run_stream_rollup
+
+    src_dir, schema = _stage_cdc_orders(spark, sf_dir)
+    stream = stream_parquet_source(spark, src_dir, schema, max_files_per_trigger=2)
+
+    def partial(df: DataFrame) -> DataFrame:
+        op = F.col("op")
+        d_n = (
+            F.when(op == "I", F.lit(1)).when(op == "D", F.lit(-1)).otherwise(F.lit(0))
+        ).cast("long")
+        d_sum = (
+            F.when(op == "I", F.col("new_val"))
+            .when(op == "D", -F.col("old_val"))
+            .otherwise(F.col("new_val") - F.col("old_val"))
+        ).cast("long")
+        return df.groupBy("o_orderpriority").agg(
+            F.sum(d_n).alias("n"), F.sum(d_sum).alias("sum_cents")
+        )
+
+    tdir = _mkdtemp("hsp_sretract_")
+    ckpt = _mkdtemp("hsp_sretract_ckpt_")
+    run_stream_rollup(
+        stream, tdir, ckpt, ["o_orderpriority"], ["n", "sum_cents"], partial
+    )
+    state = read_table_version(spark, tdir).where(F.col("n") > 0)
+    return state.select(
+        "o_orderpriority", "n", "sum_cents",
+        (
+            F.col("sum_cents").cast("double") / F.col("n").cast("double")
+            / F.lit(100.0)
+        ).alias("avg_price"),
+    )

@@ -1260,3 +1260,22 @@ def test_basket_pairs_counts_and_guard(spark):
         df, "b", "i", min_pair_count=1, max_items_per_basket=2
     ).collect()
     assert not [r for r in guarded if r["item_a"] in ("m", "n")]
+
+
+def test_winsorize_bounds_and_clip(spark):
+    """Bounds are the exact floor(q*(n-1))+1-th order statistics; values
+    outside clip TO the bound, inside pass through unchanged."""
+    import pytest as _pytest
+    from hdfs_stream_processing_spark.operators.analytics import winsorize
+
+    # group g: values 0..20 -> n=21, k_lo = floor(.05*20)+1 = 2 (value 1),
+    # k_hi = floor(.95*20)+1 = 20 (value 19)
+    df = spark.createDataFrame([("g", v) for v in range(21)], ["g", "v"])
+    out = winsorize(df, ["g"], "v", lo_q=0.05, hi_q=0.95)
+    rows = {r["_v"]: r for r in out.collect()}
+    assert rows[0]["lo_bound"] == 1 and rows[0]["hi_bound"] == 19
+    assert rows[0]["winsorized"] == 1      # clipped up
+    assert rows[20]["winsorized"] == 19    # clipped down
+    assert rows[10]["winsorized"] == 10    # untouched
+    with _pytest.raises(ValueError, match="lo_q"):
+        winsorize(df, ["g"], "v", lo_q=0.9, hi_q=0.1)
