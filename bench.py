@@ -230,7 +230,7 @@ HEADLINE = [
     "chunk_dedup", "entropy_profile", "bigram_lm", "token_zipf",
     "incr_join", "incr_retract", "basket_rules", "rfm_segments",
     "hll_intersect", "minhash_recall", "winsorize_prices",
-    "stream_retract",
+    "stream_retract", "attribution_linear", "cohort_ltv",
 ]
 
 

@@ -347,7 +347,13 @@ def train_ivf_centroids(
     Empty cells keep their previous centroid.
     """
     cents = ivf_init_centroids(embeddings, id_col, vec_col, n_cells)
-    q = embeddings.select(F.col(id_col).alias("_id"), quantized(vec_col).alias("qv"))
+    # spread rows before the argmax expression (see ivf_topk): every
+    # Lloyd iteration evaluates the n_cells × dims affinity per row, and
+    # a single-split parquet table would pin all of it to one task.
+    n_parts = embeddings.sparkSession.sparkContext.defaultParallelism
+    q = embeddings.repartition(n_parts, F.col(id_col)).select(
+        F.col(id_col).alias("_id"), quantized(vec_col).alias("qv")
+    )
     for _ in range(n_iters):
         assigned = assign_cells(q, cents, id_col="_id")
         means = (
@@ -432,7 +438,16 @@ def ivf_topk(
     """
     if centroids is None:
         centroids = train_ivf_centroids(embeddings, id_col, vec_col, n_cells, n_iters)
-    q = embeddings.select(F.col(id_col), quantized(vec_col).alias("qv"))
+    # explicit partition COUNT before the per-row affinity expressions:
+    # the embedding table is tiny BY BYTES (one parquet split), but the
+    # literal-centroid argmax is ~n_cells × dims work per row and falls
+    # back to interpreted eval past the codegen size limit — without
+    # this the whole assign/probe/re-rank chain runs on ONE task (same
+    # rationale and AQE exemption as minhash_signature_wide).
+    n_parts = embeddings.sparkSession.sparkContext.defaultParallelism
+    q = embeddings.repartition(n_parts, F.col(id_col)).select(
+        F.col(id_col), quantized(vec_col).alias("qv")
+    )
     corpus = assign_cells(
         q, centroids, id_col=id_col, max_literal_cells=max_literal_cells
     ).select(F.col(id_col).alias("neighbor_id"), F.col("qv").alias("nv"), "cell")

@@ -164,7 +164,13 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     of the document's char bigrams that appear in that language's
     profile; CASE over the scores.  One narrow pass, exact-int ratios.
     """
-    with_bg = df.select(
+    # spread rows first: the profile scan is ~|bigrams|·|profile| work
+    # per row (compute-amplified far past the table's byte size), and a
+    # single-split parquet input would otherwise run every document on
+    # one task; explicit COUNT is AQE-coalesce-exempt (the same
+    # rationale as minhash_signature_wide).
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    with_bg = df.repartition(n_parts, F.col(id_col)).select(
         F.col(id_col), char_bigrams(F.lower(F.col(text_col))).alias("_bg")
     )
     n_bg = F.size(F.col("_bg"))
@@ -175,8 +181,15 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.filter(F.col("_bg"), lambda b: F.array_contains(arr, b))
         ).cast("double") / n_bg.cast("double")
 
-    en, fr, de, es = ratio("en"), ratio("fr"), ratio("de"), ratio("es")
-    return with_bg.select(
+    # materialize each ratio ONCE in a projection before the CASE: the
+    # when-chain references every score up to four times, and the array
+    # scans are too big for codegen CSE to be guaranteed
+    scored = with_bg.select(
+        F.col(id_col),
+        *[ratio(lang).alias(f"_{lang}") for lang in ("en", "fr", "de", "es")],
+    )
+    en, fr, de, es = (F.col(f"_{lang}") for lang in ("en", "fr", "de", "es"))
+    return scored.select(
         F.col(id_col),
         F.when((en >= fr) & (en >= de) & (en >= es) & (en > 0), "en")
         .when((fr >= de) & (fr >= es) & (fr > 0), "fr")

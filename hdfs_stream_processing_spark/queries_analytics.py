@@ -578,3 +578,163 @@ def q_winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100.0)
         ).alias("avg_winsorized"),
     )
+
+
+@query(
+    "attribution_linear",
+    """WITH e AS (SELECT user_id, ts, event_id, event_type,
+                         COALESCE(CAST(round(value * 100.0, 0) AS BIGINT), 0) AS cents
+                  FROM events),
+       lab AS (SELECT *,
+                 SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n_touch,
+                 SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS c_view,
+                 SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS c_click,
+                 SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS c_signup,
+                 SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS c_error
+               FROM e),
+       conv AS (SELECT * FROM lab
+                WHERE event_type = 'purchase' AND COALESCE(n_touch, 0) > 0),
+       unp AS (
+         SELECT 'view' AS channel, (cents * 1000000 * c_view) // n_touch AS micro,
+                CASE WHEN c_view > 0 THEN 1 ELSE 0 END AS touched FROM conv
+         UNION ALL
+         SELECT 'click', (cents * 1000000 * c_click) // n_touch,
+                CASE WHEN c_click > 0 THEN 1 ELSE 0 END FROM conv
+         UNION ALL
+         SELECT 'signup', (cents * 1000000 * c_signup) // n_touch,
+                CASE WHEN c_signup > 0 THEN 1 ELSE 0 END FROM conv
+         UNION ALL
+         SELECT 'error', (cents * 1000000 * c_error) // n_touch,
+                CASE WHEN c_error > 0 THEN 1 ELSE 0 END FROM conv)
+       SELECT channel,
+              CAST(SUM(micro) AS BIGINT) AS revenue_micro_cents,
+              CAST(SUM(touched) AS BIGINT) AS n_conversions_touched
+       FROM unp GROUP BY channel""",
+)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution (completes the attribution family
+    next to first/last-touch): each purchase's cents split equally
+    across every prior touch EVENT, so a channel earns
+    cents·(its touches)/(all touches) per conversion.  Exact integer
+    contract: shares are integer micro-cents via floor division —
+    identical in any engine, no float summation.  The channel
+    vocabulary is enumerable (4 types), so per-channel prior counts are
+    four conditional sums in ONE user-keyed window pass — never a
+    touches×purchases self-join (which would grow quadratically in
+    events-per-user)."""
+    from pyspark.sql import Window
+
+    (events,) = prep(spark, sf_dir, "events")
+    cents = F.coalesce(
+        F.round(F.col("value") * F.lit(100.0), 0).cast("long"), F.lit(0)
+    )
+    e = events.select("user_id", "ts", "event_id", "event_type", cents.alias("cents"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cnt = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).over(w)  # noqa: E731
+    lab = e.select(
+        "*",
+        cnt(F.col("event_type") != "purchase").alias("n_touch"),
+        *[
+            cnt(F.col("event_type") == ch).alias(f"c_{ch}")
+            for ch in ("view", "click", "signup", "error")
+        ],
+    )
+    conv = lab.where(
+        (F.col("event_type") == "purchase") & (F.coalesce(F.col("n_touch"), F.lit(0)) > 0)
+    )
+    # one stack() explode instead of a 4-way self-union: the union form
+    # re-evaluates the window lineage once per branch (4 extra
+    # exchanges); stacking unpivots the four channel columns in a
+    # single narrow pass over ONE window result
+    stack = ", ".join(
+        f"'{ch}', (cents * 1000000 * c_{ch}) DIV n_touch,"
+        f" CASE WHEN c_{ch} > 0 THEN 1 ELSE 0 END"
+        for ch in ("view", "click", "signup", "error")
+    )
+    unp = conv.selectExpr(
+        f"stack(4, {stack}) AS (channel, micro, touched)"
+    )
+    return unp.groupBy("channel").agg(
+        F.sum("micro").cast("long").alias("revenue_micro_cents"),
+        F.sum("touched").cast("long").alias("n_conversions_touched"),
+    )
+
+
+@query(
+    "cohort_ltv",
+    """WITH o AS (SELECT o_custkey,
+                         CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS cents,
+                         year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m
+                  FROM orders),
+       first AS (SELECT o_custkey, MIN(m) AS m0 FROM o GROUP BY o_custkey),
+       sized AS (SELECT m0, COUNT(*) AS cohort_size FROM first GROUP BY m0),
+       rev AS (SELECT f.m0, o.m - f.m0 AS age_months,
+                      CAST(SUM(cents) AS BIGINT) AS revenue_cents
+               FROM o JOIN first f USING (o_custkey)
+               GROUP BY f.m0, o.m - f.m0),
+       cum AS (SELECT m0, age_months, revenue_cents,
+                      CAST(SUM(revenue_cents) OVER (PARTITION BY m0
+                           ORDER BY age_months) AS BIGINT) AS cum_revenue_cents
+               FROM rev)
+       SELECT CAST(m0 // 12 AS BIGINT) AS cohort_year,
+              CAST(m0 % 12 + 1 AS BIGINT) AS cohort_month,
+              CAST(age_months AS BIGINT) AS age_months,
+              cohort_size AS n_customers,
+              revenue_cents, cum_revenue_cents,
+              CAST(cum_revenue_cents AS DOUBLE) / CAST(cohort_size AS DOUBLE)
+                  / 100.0 AS cum_ltv_per_customer
+       FROM cum JOIN sized USING (m0)""",
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: customers cohorted by first-order
+    month, revenue accumulated by cohort age — the LTV curve every
+    subscription/retention dashboard draws.  Months are exact integers
+    (year·12+month, never fractional months_between), money is integer
+    cents, and the cumulative window is per-cohort (calendar-bounded
+    partitions).  Two grouped aggregates + one first-order broadcast
+    join + one small window — the orders fact is scanned once per
+    aggregate, never self-joined."""
+    from pyspark.sql import Window
+
+    (orders,) = prep(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * F.lit(100.0), 0).cast("long")
+    m = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).cast("long")
+    o = orders.select("o_custkey", cents.alias("cents"), m.alias("m"))
+    first = o.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    sized = first.groupBy("m0").agg(F.count(F.lit(1)).alias("n_customers"))
+    rev = (
+        o.join(first, "o_custkey")
+        .groupBy("m0", (F.col("m") - F.col("m0")).alias("age_months"))
+        .agg(F.sum("cents").cast("long").alias("revenue_cents"))
+    )
+    wc = Window.partitionBy("m0").orderBy("age_months")
+    cum = rev.withColumn(
+        "cum_revenue_cents", F.sum("revenue_cents").over(wc).cast("long")
+    )
+    out = cum.join(F.broadcast(sized), "m0")
+    return out.select(
+        F.expr("m0 DIV 12").cast("long").alias("cohort_year"),
+        (F.col("m0") % 12 + 1).cast("long").alias("cohort_month"),
+        F.col("age_months").cast("long"),
+        "n_customers",
+        "revenue_cents",
+        "cum_revenue_cents",
+        (
+            F.col("cum_revenue_cents").cast("double")
+            / F.col("n_customers").cast("double") / F.lit(100.0)
+        ).alias("cum_ltv_per_customer"),
+    )

@@ -117,7 +117,9 @@ SHUFFLE_BUDGETS = {
     "dedup_near": 3,       # repartition + min-agg + candidate distinct
     "asof_join": 1,        # the single window partitioning
     "ivf_assign": 0,       # literal-centroid argmax: pure codegen map
-    "similarity_ivf": 2,   # cell join + final top-k window (r2: was 5 + SMJ)
+    "similarity_ivf": 3,   # row-spread repartition (r8: single-split input
+                           # pinned the affinity expressions to one task)
+                           # + cell join + final top-k window
     # textual count: the distinct-shingle subtree is referenced 5× (df-cutoff
     # agg, semi-join, sizes, both join sides) and each reference prints its
     # exchange; at runtime Spark's ReuseExchange materializes it ONCE and the
@@ -153,7 +155,8 @@ SHUFFLE_BUDGETS = {
     "scd2_merge": 7,
     "scd2_multi": 1,       # same one-shuffle window plan as scd2_build
     "grouping_sets": 1,    # one Expand + partial/final hash agg
-    "ann_recall": 5,       # exact window + ivf cell join/window + overlap join/agg
+    "ann_recall": 6,       # exact window + ivf cell join/window + overlap
+                           # join/agg + the r8 row-spread repartition
     "dedup_clusters": 1,   # loop rounds checkpointed; one final label agg
     "pit_join": 1,         # scd2 window; version join broadcasts
     "seq_pack": 1,         # the shard exchange, shared by pos + prefix sum
