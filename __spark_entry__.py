@@ -53,14 +53,14 @@ _VERIFY_FIRST = [
     "incr_join", "incr_retract", "basket_rules", "rfm_segments",
     "hll_intersect", "minhash_recall", "winsorize_prices",
     "stream_retract", "attribution_linear", "cohort_ltv",
+    "oov_rate", "stream_chunk_dedup",
     # long-green §2-core padding (driver-green r2–r5) to exactly 50:
     "multi_join", "scan_parquet", "scan_csv", "top_k", "group_agg",
     "count_rows", "count_distinct", "rollup_agg", "window_rank",
     "window_running", "parse_wire", "to_wire", "epoch_to_ts",
     "json_extract", "case_when", "limit_n", "drop_nulls", "add_lit",
     "project_exclude", "union_rooms", "sort_by_ts", "join_outer",
-    "join_semi", "join_anti", "set_ops", "except_op", "sink_roundtrip",
-    "compaction",
+    "join_semi", "join_anti", "set_ops", "except_op",
 ]
 
 

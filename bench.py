@@ -231,6 +231,7 @@ HEADLINE = [
     "incr_join", "incr_retract", "basket_rules", "rfm_segments",
     "hll_intersect", "minhash_recall", "winsorize_prices",
     "stream_retract", "attribution_linear", "cohort_ltv",
+    "oov_rate", "stream_chunk_dedup",
 ]
 
 

@@ -851,3 +851,110 @@ def q_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return xy.crossJoin(F.broadcast(s)).select(
         "rank", "token", "freq", slope.alias("zipf_slope")
     )
+
+
+@query(
+    "oov_rate",
+    """WITH tok AS (SELECT doc_id,
+                           unnest(string_split(lower(text), ' ')) AS t
+                    FROM documents),
+       tok2 AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+       vocab AS (SELECT DISTINCT t FROM tok2 WHERE doc_id <= 250)
+       SELECT doc_id,
+              COUNT(*) AS n_tokens,
+              CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_oov,
+              round(CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+       FROM tok2 LEFT JOIN vocab v USING (t)
+       GROUP BY doc_id""",
+)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the train-half
+    (doc_id <= 250) vocabulary — the coverage check run before freezing
+    a tokenizer: a doc whose tokens the vocab can't express inflates
+    OOV/byte-fallback rates at training time.  Broadcast vocab lookup
+    (vocabularies are MBs at any corpus size), one per-doc aggregate,
+    no shuffle on the corpus side beyond the count."""
+    (documents,) = prep(spark, sf_dir, "documents")
+    tok = documents.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("t")
+    ).where(F.col("t") != "")
+    vocab = tok.where(F.col("doc_id") <= 250).select("t").distinct()
+    j = tok.join(F.broadcast(vocab.withColumn("_in", F.lit(1))), "t", "left")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).cast("long").alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("oov_rate"),
+    )
+
+
+@query(
+    "stream_chunk_dedup",
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+       c AS (SELECT doc_id,
+                    array_to_string(list_slice(ts, s + 1, s + 4), ' ') AS chunk_text,
+                    len(list_slice(ts, s + 1, s + 4)) AS n_tokens
+             FROM (SELECT doc_id, ts,
+                          unnest(generate_series(0, len(ts) - 1, 4)) AS s
+                   FROM t)),
+       d AS (SELECT chunk_text, COUNT(DISTINCT doc_id) AS nd
+             FROM c GROUP BY chunk_text)
+       SELECT doc_id,
+              COUNT(*) AS n_chunks,
+              CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_boiler_chunks,
+              CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+              CAST(SUM(CASE WHEN nd >= 2 THEN 0 ELSE n_tokens END) AS BIGINT)
+                  AS kept_tokens
+       FROM c JOIN d USING (chunk_text)
+       GROUP BY doc_id""",
+)
+def q_stream_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING boilerplate-frequency maintenance: the cross-document
+    chunk document-frequency table rides the same replay-guarded stream
+    rollup as the vocabulary — each micro-batch contributes its
+    batch-local per-chunk DISTINCT-doc count, and the sum across
+    batches is exact because a document arrives whole in exactly one
+    micro-batch (file-per-doc-set source; re-chunking a doc across
+    batches would need the near-dup band-table path instead).  The
+    final per-doc retention report joins the batch chunk table to the
+    MAINTAINED frequency table and must equal the one-shot chunk_dedup
+    computation."""
+    from hdfs_stream_processing_spark.operators.llmdata import chunk_documents
+    from hdfs_stream_processing_spark.sources.io import read_table_version
+    from hdfs_stream_processing_spark.streaming import stream_parquet_source
+    from hdfs_stream_processing_spark.streaming.pipeline import run_stream_rollup
+
+    src_dir, schema = _stage_documents(spark, sf_dir)
+    stream = stream_parquet_source(spark, src_dir, schema, max_files_per_trigger=2)
+
+    def partial(df: DataFrame) -> DataFrame:
+        ch = chunk_documents(df, "doc_id", "text", chunk_size=4, stride=4)
+        return ch.groupBy("chunk_text").agg(
+            F.count_distinct("doc_id").alias("nd")
+        )
+
+    tdir = _mkdtemp("hsp_schunk_")
+    ckpt = _mkdtemp("hsp_schunk_ckpt_")
+    run_stream_rollup(stream, tdir, ckpt, ["chunk_text"], ["nd"], partial)
+    docfreq = read_table_version(spark, tdir).drop("_batch")
+    (documents,) = prep(spark, sf_dir, "documents")
+    chunks = chunk_documents(
+        documents, "doc_id", "text", chunk_size=4, stride=4
+    ).select("doc_id", "chunk_text", "n_tokens")
+    marked = chunks.join(docfreq, "chunk_text").withColumn(
+        "_boiler", F.col("nd") >= F.lit(2)
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("_boiler").cast("long")).alias("n_boiler_chunks"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum(
+            F.when(~F.col("_boiler"), F.col("n_tokens")).otherwise(F.lit(0))
+        ).alias("kept_tokens"),
+    )

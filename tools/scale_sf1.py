@@ -85,6 +85,13 @@ SLOW = [
     # (basket-keyed self-join, Σ C(k,2) work), delta-join maintenance
     # (batch-sized deltas against a ×10 materialized view)
     "chunk_dedup", "bigram_lm", "basket_rules", "incr_join",
+    # late round-8: full-LSH recall contract (truth join + 16-hash
+    # banding over the ×10 sample), order-statistic winsorization
+    # (rank window per group), streaming retraction rollup and
+    # streaming chunk-frequency maintenance (batch-bounded per-batch
+    # work against ×10 micro-batch volume)
+    "minhash_recall", "winsorize_prices", "stream_retract",
+    "stream_chunk_dedup",
 ]
 COPIES = 10
 
