@@ -98,6 +98,23 @@ COPIES = 10
 # Persistent per-query footnotes: documented output-growth causes that
 # must survive regeneration (VERDICT r6 — "keep the footnote honest").
 FOOTNOTES = {
+    "minhash_recall": (
+        "† minhash_recall's sf1 TRUE-PAIR set is ~30× the sf0.1 set (46.3k →\n"
+        "~1.39M pairs — the identical sample, threshold, and shingle\n"
+        "definition as jaccard_join, whose 30× output growth is documented\n"
+        "above: cross-copy clones are genuine ≥8/9 near-dups, so clone\n"
+        "groups merge and the truth set grows quadratically in group size).\n"
+        "The LSH candidate join grows the same way (clone groups share\n"
+        "bands).  31.5× time at ~30× true work is flat per-pair — the\n"
+        "growth is the answer being measured, not the algorithm."
+    ),
+    "winsorize_prices": (
+        "† winsorize_prices groups by l_returnflag (3 groups), so the rank\n"
+        "window runs 3 data-sized partitions; 4.2× at ×10 rows is the\n"
+        "sort's n·log n plus fixed overhead.  Real deployments winsorize\n"
+        "within finer groups (or pre-aggregate value histograms); the\n"
+        "operator itself shuffles only on the group key."
+    ),
     "jaccard_join": (
         "† jaccard_join's sf1 OUTPUT is 30× the sf0.1 output (46.3k → 1.39M\n"
         "pairs): the single per-copy prefix token leaves unigram shingles shared\n"
