@@ -525,6 +525,7 @@ def jaccard_pairs(
         )
         return jaccard_pairs(
             df, id_col, text_col, shingle_n,
+            min_jaccard=min_jaccard,
             candidates=candidates, keep_shingles=keep,
         )
     if candidates is not None:

@@ -1133,6 +1133,31 @@ def test_jaccard_pairs_max_doc_freq_universe_is_full_input(spark):
     assert row["n_inter"] == 2 if "n_inter" in row.asDict() else True
 
 
+def test_jaccard_pairs_max_doc_freq_forwards_min_jaccard(spark):
+    """ADVICE r8 (dedup.py:526): the candidates+max_doc_freq path
+    recursed into jaccard_pairs WITHOUT forwarding min_jaccard, so a
+    non-default threshold silently became 0.5.  Docs 1/2 share "a" of
+    filtered universe {a,b,x,y} → J=0.25: min_jaccard=0.0 must emit
+    it, min_jaccard=0.8 must not."""
+    from hdfs_stream_processing_spark.operators.dedup import jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b x s"), (2, "a y s"), (3, "s q")], ["doc_id", "text"]
+    )
+    cand = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    # "s" (df=3) is dropped; A'={a,b,x}, B'={a,y} → J = 1/4 = 0.25
+    [row] = jaccard_pairs(
+        df, "doc_id", "text", shingle_n=1, min_jaccard=0.0,
+        candidates=cand, max_doc_freq=2,
+    ).collect()
+    assert (row["id_a"], row["id_b"]) == (1, 2)
+    assert abs(row["jaccard"] - 0.25) < 1e-12
+    assert not jaccard_pairs(
+        df, "doc_id", "text", shingle_n=1, min_jaccard=0.8,
+        candidates=cand, max_doc_freq=2,
+    ).collect()
+
+
 def test_ewma_large_magnitudes_do_not_overflow(spark):
     """ADVICE r7 (analytics.py): value·2^(terms−1) must not wrap a
     long.  5e18 cents with terms=8 puts the lead term at 6.4e20 —
