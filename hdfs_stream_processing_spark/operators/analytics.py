@@ -532,6 +532,12 @@ def winsorize(
     training statistical models on heavy-tailed business data (a fat-
     finger price shouldn't move the mean).
 
+    Output = the input columns plus ``lo_bound`` / ``hi_bound`` /
+    ``out_col`` (names reserved — a collision raises rather than
+    silently overwriting caller data).  When ``value_col`` is a Column
+    expression, re-derive the raw value from the input columns; the
+    internal working column is not exposed.
+
     The bounds are DISCRETE order statistics (the ``floor(q·(n−1))+1``-th
     smallest value), not interpolated percentiles: an order statistic is
     an exact value from the data, so any engine that sorts the same
@@ -546,6 +552,9 @@ def winsorize(
     """
     if not 0.0 <= lo_q < hi_q <= 1.0:
         raise ValueError("need 0 <= lo_q < hi_q <= 1")
+    for reserved in ("_v", "lo_bound", "hi_bound", out_col):
+        if reserved in df.columns:
+            raise ValueError(f"column name {reserved!r} is reserved")
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     base = df.withColumn("_v", v)
     w = Window.partitionBy(*group_cols).orderBy(F.col("_v"))
@@ -572,5 +581,7 @@ def winsorize(
         )
         .withColumnRenamed("_lo", "lo_bound")
         .withColumnRenamed("_hi", "hi_bound")
-        .drop("_rn")
+        # ADVICE r8: _v is internal working state — the caller's named
+        # value column (still present on base) is the public surface
+        .drop("_v")
     )

@@ -416,7 +416,16 @@ def tfidf_top_terms(
     ranking.  Ties on the rounded score break by (tf DESC, df ASC,
     token ASC), which totalizes the order; the 6-dp rounding keeps the
     sort key engine-portable — a last-ulp ln() divergence moves the
-    6th decimal only within ~1e-15 of a rounding boundary.
+    6th decimal only within ~1e-15 of a rounding boundary.  ADVICE r8:
+    that residual flip risk is ACCEPTED, not fixable exactly — a
+    score-consistent ordering cannot be re-expressed over monotone
+    integer keys (``tf·ln(N/df)`` compares products against a
+    transcendental; no lexicographic (tf, df) order agrees with it),
+    so the alternatives are this rounded-double key or the old integer
+    key whose ranking disagreed with the published score.  Both the
+    sf0.01 and sf0.1 gate corpora sit ≥1e-10 from every 6-dp boundary
+    (measured min 3.0e-10, pinned in tests/test_operators.py) — ≥500×
+    the worst-case cross-engine ulp of any score in those corpora.
 
     Scale: tokenize once, two partial-aggregated shuffles (per-(doc,
     token) tf, per-token df), the scalar N broadcast, one ranking

@@ -563,15 +563,15 @@ def q_winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lineitem,) = prep(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * F.lit(100.0), 0).cast("long")
     w = winsorize(
-        lineitem.select(F.col("l_returnflag"), cents.alias("_cents")),
-        ["l_returnflag"], "_cents", lo_q=0.05, hi_q=0.95,
+        lineitem.select(F.col("l_returnflag"), cents.alias("cents")),
+        ["l_returnflag"], "cents", lo_q=0.05, hi_q=0.95,
     )
     return w.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("lo_bound").alias("lo_cents"),
         F.min("hi_bound").alias("hi_cents"),
-        F.sum((F.col("_v") < F.col("lo_bound")).cast("long")).alias("n_clip_lo"),
-        F.sum((F.col("_v") > F.col("hi_bound")).cast("long")).alias("n_clip_hi"),
+        F.sum((F.col("cents") < F.col("lo_bound")).cast("long")).alias("n_clip_lo"),
+        F.sum((F.col("cents") > F.col("hi_bound")).cast("long")).alias("n_clip_hi"),
         F.sum("winsorized").alias("sum_winsorized_cents"),
         (
             F.sum("winsorized").cast("double") / F.count(F.lit(1)).cast("double")

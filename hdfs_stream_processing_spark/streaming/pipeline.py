@@ -22,6 +22,7 @@ tumbling-window aggregation, and streaming deduplication keyed on event id
 from __future__ import annotations
 
 import uuid
+import weakref
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -104,7 +105,13 @@ def run_to_parquet(
 #: ``stream_window_agg`` (+83%).  Dropping the view as soon as a few
 #: newer sinks exist frees the sink rows; the small keep-window lets
 #: callers (tests) hold a couple of results side by side.
-_MEMORY_SINKS: list[str] = []
+#: ADVICE r8: keyed per owning session (weakly, so a closed session's
+#: list vanishes with it) — memory-sink temp views are session-scoped,
+#: and a shared FIFO let one session's registrations evict another's
+#: views early.  Names leave the FIFO only after their drop succeeds.
+_MEMORY_SINKS: "weakref.WeakKeyDictionary[SparkSession, list[str]]" = (
+    weakref.WeakKeyDictionary()
+)
 _MEMORY_SINKS_KEEP = 8
 
 
@@ -124,13 +131,16 @@ def run_to_memory(df: DataFrame, output_mode: str = "append") -> DataFrame:
     )
     q.awaitTermination()
     spark = df.sparkSession
-    _MEMORY_SINKS.append(name)
-    while len(_MEMORY_SINKS) > _MEMORY_SINKS_KEEP:
-        old = _MEMORY_SINKS.pop(0)
+    sinks = _MEMORY_SINKS.setdefault(spark, [])
+    sinks.append(name)
+    while len(sinks) > _MEMORY_SINKS_KEEP:
         try:
-            spark.catalog.dropTempView(old)
+            # False (already gone) still frees the slot; only an actual
+            # failure keeps the name queued so a later call retries
+            spark.catalog.dropTempView(sinks[0])
         except Exception:
-            pass  # different session or already gone — nothing retained here
+            break
+        sinks.pop(0)
     return spark.table(name)
 
 

@@ -952,6 +952,37 @@ def test_tfidf_ranks_on_exact_keys(spark):
     )
 
 
+def test_tfidf_scores_clear_of_rounding_boundaries(spark):
+    """ADVICE r8 (text.py): the accepted residual risk of ranking on a
+    6-dp-rounded double is a score within ~1e-15 of a rounding
+    boundary flipping across engines.  Verify the gate corpora stay far
+    from that cliff: over EVERY scored (doc, token) pair at sf0.01 and
+    sf0.1 (rank membership depends on all candidates, not just top-k),
+    the unrounded score's distance to the nearest x.xxxxx5 boundary is
+    ≥ 1e-10 (measured minimum 3.0e-10 at sf0.1) — ≥500× the worst-case
+    cross-engine ulp of any score in the corpus."""
+    from hdfs_stream_processing_spark.operators.text import tfidf_top_terms
+
+    for sf_dir in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        docs = load_table(spark, sf_dir, "documents")
+        all_pairs = tfidf_top_terms(docs, "doc_id", "text", k=1 << 40)
+        n_docs = docs.select(F.countDistinct("doc_id")).collect()[0][0]
+        exact = (
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+        )
+        frac = (exact * 1e6) % 1.0
+        [row] = (
+            all_pairs.select(
+                (F.abs(frac - 0.5) * 1e-6).alias("margin")
+            )
+            .agg(F.min("margin").alias("m"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        assert row["n"] > 0
+        assert row["m"] >= 1e-10, f"{sf_dir}: margin {row['m']}"
+
+
 def test_triangle_count_known_graph(spark):
     """K4 minus one edge has 2 triangles; duplicates/self-loops/reversed
     edges must not change the count."""
@@ -1297,10 +1328,13 @@ def test_winsorize_bounds_and_clip(spark):
     # k_hi = floor(.95*20)+1 = 20 (value 19)
     df = spark.createDataFrame([("g", v) for v in range(21)], ["g", "v"])
     out = winsorize(df, ["g"], "v", lo_q=0.05, hi_q=0.95)
-    rows = {r["_v"]: r for r in out.collect()}
+    assert "_v" not in out.columns  # ADVICE r8: working column stays internal
+    rows = {r["v"]: r for r in out.collect()}
     assert rows[0]["lo_bound"] == 1 and rows[0]["hi_bound"] == 19
     assert rows[0]["winsorized"] == 1      # clipped up
     assert rows[20]["winsorized"] == 19    # clipped down
     assert rows[10]["winsorized"] == 10    # untouched
     with _pytest.raises(ValueError, match="lo_q"):
         winsorize(df, ["g"], "v", lo_q=0.9, hi_q=0.1)
+    with _pytest.raises(ValueError, match="reserved"):
+        winsorize(df.withColumn("lo_bound", F.lit(1)), ["g"], "v")
