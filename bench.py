@@ -13,6 +13,16 @@ rounds 1-3 reported), ``spread`` carries min/max, and ``moved_vs_prev``
 auto-flags queries whose best run moved >15% against the most recent
 ``BENCH_r*.json`` (min-vs-min, like for like) so a real regression can't
 hide behind sub-second scheduling noise again.
+
+Sentinel gate (VERDICT r8 #1): the machine-contention sentinel runs
+BEFORE and AFTER the sweep and is compared against ``sentinel_best`` —
+the quietest sentinel ever recorded, carried forward in
+BENCH_LAST.json.  A pre-sweep failure cools down and retries
+($SPARK_GRAFT_BENCH_RETRIES × $SPARK_GRAFT_BENCH_COOLDOWN s); a sweep
+whose worse sentinel still exceeds SENTINEL_TOL × best is printed but
+REFUSED as the BENCH_LAST.json compare baseline (both r8 end-of-round
+sweeps were contended and poisoned the record).  ``--only q1 q2 ...``
+times a subset for re-attestation and never writes BENCH_LAST.json.
 """
 
 from __future__ import annotations
@@ -320,17 +330,48 @@ def measure_sentinel(spark, n_runs: int = 5) -> float:
     return round(statistics.median(runs), 3)
 
 
-def sentinel_verdict(now: float, prev_data: dict, threshold: float = 0.15) -> dict:
-    """Compare this run's sentinel to the previous record's.  ratio>1+t
-    → the machine is slower than last round and uniform query drift is
-    contamination, not regression."""
+#: Contention tolerance for the sentinel gate (VERDICT r8 #1): the
+#: sweep is trusted only when the slower of the pre/post sentinels is
+#: within this factor of the best (quietest) sentinel ever recorded.
+SENTINEL_TOL = 1.25
+
+
+def sentinel_verdict(
+    now: float,
+    prev_data: dict,
+    post: float | None = None,
+    tol: float = SENTINEL_TOL,
+) -> dict:
+    """Gate verdict for a sweep (VERDICT r8 #1: both end-of-round r8
+    sweeps ran contended and poisoned the per-query record — the gate
+    must live in the WRITER, not in post-hoc analysis).
+
+    The baseline is ``sentinel_best`` — the minimum sentinel across
+    history (carried forward in BENCH_LAST.json) and this run.  A
+    contended previous round therefore cannot launder a hot box into
+    the baseline: the quietest machine ever seen is the reference.
+    The gated quantity is the WORSE of the pre- and post-sweep
+    sentinels, so a box that heats up mid-sweep still fails."""
+    observed = [now] + ([post] if post is not None else [])
+    candidates = list(observed)
+    for k in ("sentinel_best", "sentinel_sec"):
+        v = prev_data.get(k)
+        if isinstance(v, (int, float)) and v > 0:
+            candidates.append(float(v))
+    best = min(candidates)
+    ratio = round(max(observed) / best, 3)
+    out = {
+        "sentinel_sec": now,
+        "sentinel_best": round(best, 3),
+        "sentinel_ratio": ratio,
+        "machine_contended": bool(ratio > tol),
+        "sentinel_gate": "pass" if ratio <= tol else "fail",
+    }
+    if post is not None:
+        out["sentinel_post"] = post
     prev = prev_data.get("sentinel_sec")
-    out = {"sentinel_sec": now}
     if isinstance(prev, (int, float)) and prev > 0:
-        ratio = round(now / prev, 3)
         out["sentinel_prev"] = prev
-        out["sentinel_ratio"] = ratio
-        out["machine_contended"] = bool(abs(ratio - 1.0) > threshold)
     return out
 
 
@@ -387,6 +428,8 @@ def build_summary(out: dict, moved: dict, max_movers: int = 8) -> dict:
         "sentinel_sec": out.get("sentinel_sec"),
         "sentinel_ratio": out.get("sentinel_ratio"),
         "machine_contended": out.get("machine_contended"),
+        "sentinel_gate": out.get("sentinel_gate"),
+        "last_written": out.get("last_written"),
     }
 
 
@@ -395,6 +438,15 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "7")))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    # subset re-attest mode (VERDICT r8 #1): `bench.py --only q1 q2 ...`
+    # times just those queries and NEVER overwrites BENCH_LAST.json —
+    # the full-sweep record stays the only compare baseline
+    subset: list[str] | None = None
+    if len(sys.argv) > 1 and sys.argv[1] == "--only":
+        subset = sys.argv[2:]
+        unknown = [q for q in subset if q not in Q.QUERIES]
+        if unknown:
+            raise SystemExit(f"unknown queries: {unknown}")
 
     spark = get_spark(app_name="hsp-bench", cpus=cpus)
     # warm up: JVM, codegen, parquet footers/file index for every table —
@@ -405,12 +457,29 @@ def main() -> None:
     for t in TABLE_NAMES:
         load_table(spark, sf_dir, t).count()
 
+    prev = _latest_bench()
+    prev_data = prev[1] if prev else {}
+
+    # pre-sweep gate with retries (VERDICT r8 #1): refuse to start a
+    # sweep on a box already hotter than SENTINEL_TOL × the best-known
+    # sentinel; cool down and re-probe instead of recording noise
+    retries = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "2")))
+    cooldown = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "60")))
     sentinel = measure_sentinel(spark)
+    for _ in range(retries):
+        if sentinel_verdict(sentinel, prev_data)["sentinel_gate"] == "pass":
+            break
+        print(
+            json.dumps({"sentinel_retry": sentinel, "cooldown_sec": cooldown}),
+            file=sys.stderr,
+        )
+        time.sleep(cooldown)
+        sentinel = measure_sentinel(spark)
 
     medians: dict[str, float] = {}
     mins: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
-    for name in HEADLINE:
+    for name in subset if subset is not None else HEADLINE:
         fn = Q.QUERIES[name]
         # one unrecorded warm-up execution per query: the first run of a
         # plan pays Janino/codegen compilation and file-index first-touch
@@ -428,11 +497,14 @@ def main() -> None:
         mins[name] = round(min(runs), 3)
         spread[name] = {"min": round(min(runs), 3), "max": round(max(runs), 3)}
 
+    # post-sweep sentinel: a box that heats up DURING the sweep (both r8
+    # sweeps did) fails the gate even if it started quiet
+    sentinel_post = measure_sentinel(spark)
+
     # >15% round-over-round moves, best-vs-best (rounds 1-3 reported min)
     moved: dict[str, dict[str, float]] = {}
-    prev = _latest_bench()
     if prev is not None:
-        moved = compare_to_prev(mins, prev[1])
+        moved = compare_to_prev(mins, prev_data)
 
     total = round(sum(medians.values()), 3)
     out = {
@@ -446,14 +518,25 @@ def main() -> None:
         "queries_min": mins,
         "spread": spread,
     }
-    out.update(sentinel_verdict(sentinel, prev[1] if prev else {}))
+    if subset is not None:
+        out["subset"] = subset
+    out.update(sentinel_verdict(sentinel, prev_data, post=sentinel_post))
     if prev is not None:
         out["moved_vs_prev"] = moved
         out["prev"] = prev[0]
-    # persist the full record BEFORE printing: the driver's tail capture
-    # truncates, and the next run's compare baseline must not depend on it
-    with open(LAST_PATH, "w") as f:
-        json.dump(out, f)
+    # persist the full record BEFORE printing (the driver's tail capture
+    # truncates) — but ONLY when the gate passes on a full sweep: a
+    # contended record must not become the next round's compare
+    # baseline, and a subset run must not shadow the full record
+    # (VERDICT r8 #1).  SPARK_GRAFT_BENCH_FORCE=1 overrides for a box
+    # that never quiets down.
+    force = os.environ.get("SPARK_GRAFT_BENCH_FORCE") == "1"
+    out["last_written"] = subset is None and (
+        out["sentinel_gate"] == "pass" or force
+    )
+    if out["last_written"]:
+        with open(LAST_PATH, "w") as f:
+            json.dump(out, f)
     print(json.dumps(out))
     # The full line above can exceed the driver's tail-capture buffer as
     # the suite grows (r4 lost its headline total to truncation).  Emit a

@@ -66,17 +66,33 @@ def test_latest_bench_prefers_full_fidelity_record():
 
 
 def test_sentinel_flags_contamination_and_passes_quiet():
-    """VERDICT r6 #3: the machine-contention sentinel must flag a
-    loaded box (ratio drift >15%) and stay quiet within noise, and be
-    absent when no previous sentinel exists (first run / old shapes)."""
+    """VERDICT r6 #3 + r8 #1: the sentinel gate must flag a loaded box
+    (vs the BEST-known sentinel, not merely the previous one), stay
+    quiet within noise, and fail when the box heats up mid-sweep."""
     from bench import sentinel_verdict
 
     hot = sentinel_verdict(2.0, {"sentinel_sec": 1.0})
     assert hot["machine_contended"] is True and hot["sentinel_ratio"] == 2.0
+    assert hot["sentinel_gate"] == "fail"
     quiet = sentinel_verdict(1.05, {"sentinel_sec": 1.0})
     assert quiet["machine_contended"] is False
+    assert quiet["sentinel_gate"] == "pass"
+    # first run: no history — gate self-passes, best seeds from this run
     first = sentinel_verdict(1.0, {})
-    assert first == {"sentinel_sec": 1.0}
+    assert first["sentinel_gate"] == "pass" and first["sentinel_best"] == 1.0
+    # a contended PREVIOUS round cannot launder a hot baseline: best is
+    # the min across history, so 1.3 vs best 1.0 fails even though the
+    # immediately-previous (contended) sentinel was 1.4
+    prev = {"sentinel_sec": 1.4, "sentinel_best": 1.0}
+    assert sentinel_verdict(1.3, prev)["sentinel_gate"] == "fail"
+    assert sentinel_verdict(1.1, prev)["sentinel_gate"] == "pass"
+    # post-sweep heat-up fails the gate even after a quiet start
+    mid_heat = sentinel_verdict(1.0, {"sentinel_sec": 1.0}, post=1.6)
+    assert mid_heat["sentinel_gate"] == "fail"
+    assert mid_heat["sentinel_post"] == 1.6
+    # a faster-than-ever run lowers the carried-forward best
+    faster = sentinel_verdict(0.8, {"sentinel_sec": 1.0, "sentinel_best": 1.0})
+    assert faster["sentinel_gate"] == "pass" and faster["sentinel_best"] == 0.8
 
 
 def test_summary_line_bounded_under_driver_tail_buffer():
