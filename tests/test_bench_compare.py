@@ -86,10 +86,26 @@ def test_sentinel_flags_contamination_and_passes_quiet():
     prev = {"sentinel_sec": 1.4, "sentinel_best": 1.0}
     assert sentinel_verdict(1.3, prev)["sentinel_gate"] == "fail"
     assert sentinel_verdict(1.1, prev)["sentinel_gate"] == "pass"
-    # post-sweep heat-up fails the gate even after a quiet start
+    # post-sweep heat-up fails the gate even after a quiet start, even
+    # with no post history (the pre best bounds it)
     mid_heat = sentinel_verdict(1.0, {"sentinel_sec": 1.0}, post=1.6)
     assert mid_heat["sentinel_gate"] == "fail"
     assert mid_heat["sentinel_post"] == 1.6
+    # pre and post baselines are like-for-like: a post sentinel far
+    # BELOW the pre best (deep JVM warm-up, measured ~1.5× faster)
+    # must not fail the gate nor poison the pre baseline
+    warm = sentinel_verdict(
+        1.0, {"sentinel_sec": 1.0, "sentinel_best": 1.0, "sentinel_post_best": 0.65},
+        post=0.66,
+    )
+    assert warm["sentinel_gate"] == "pass"
+    assert warm["sentinel_best"] == 1.0 and warm["sentinel_post_best"] == 0.65
+    # ...and a later cold start against that history still passes: the
+    # pooled-best design this replaces would have failed it at 1.0/0.65
+    cold = sentinel_verdict(
+        1.05, {"sentinel_sec": 1.0, "sentinel_best": 1.0, "sentinel_post_best": 0.65}
+    )
+    assert cold["sentinel_gate"] == "pass"
     # a faster-than-ever run lowers the carried-forward best
     faster = sentinel_verdict(0.8, {"sentinel_sec": 1.0, "sentinel_best": 1.0})
     assert faster["sentinel_gate"] == "pass" and faster["sentinel_best"] == 0.8
