@@ -244,7 +244,7 @@ HEADLINE = [
     "oov_rate", "stream_chunk_dedup",
     # round 9: real BMP decode/resize (last stubs closed), BPE
     # tokenizer-training steps, streaming IVF maintenance
-    "image_decode", "image_resize",
+    "image_decode", "image_resize", "bpe_merge", "bpe_apply",
 ]
 
 

@@ -504,3 +504,100 @@ def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return agg.select(
         id_col, "n_tokens", "n_distinct", entropy.alias("entropy_nats")
     )
+
+
+# ── BPE tokenizer training (round 9, VERDICT r8 #4) ─────────────────────
+# Symbol sequences travel as a delimited string representation
+# ``<s1><s2>...<sN>``: every symbol is wrapped in its own <> pair, so a
+# merge of (a, b) is the plain substring replace ``<a><b>`` → ``<ab>``
+# — left-to-right non-overlapping, exactly BPE's greedy application
+# order, with no false matches (a symbol can only match whole, the
+# delimiters are unambiguous) and no shared-boundary overlap (adjacent
+# occurrences share no characters).  All built-ins, SQL-oracle-able.
+
+
+def bpe_init(col: Column | str) -> Column:
+    """Character-level starting segmentation of a word: ``hello`` →
+    ``<h><e><l><l><o>``.  Callers must restrict words to an alphabet
+    excluding ``<``/``>`` (the queries pin ``^[a-z]+$``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, "(.)", "<$1>")
+
+
+def bpe_symbols(col: Column | str) -> Column:
+    """The symbol array of a representation string."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit("<([^>]*)>"), 1)
+
+
+def bpe_pair_counts(
+    words: DataFrame, rep_col: str = "rep", freq_col: str = "freq"
+) -> DataFrame:
+    """Adjacent-symbol pair counts over the whole corpus — the hash
+    aggregation at the heart of every BPE training iteration.
+
+    Input is the word-frequency table (words deduped, ``freq`` = corpus
+    occurrences): pair positions explode per DISTINCT word (bounded by
+    vocabulary size × word length, NOT corpus token count) and weight
+    by ``freq`` — the standard trick that makes BPE training linear in
+    the vocabulary rather than the corpus.  One shuffle (the pair
+    groupBy), partial-aggregated map-side.
+    """
+    syms = bpe_symbols(rep_col)
+    # single-symbol words carry no pairs — and must be filtered BEFORE
+    # the explode: Spark's sequence(1, 0) is the DESCENDING [1, 0],
+    # not empty, so an unguarded explode indexes past the array
+    pos = words.where(F.size(syms) >= 2).select(
+        F.col(freq_col).alias("_f"),
+        syms.alias("_s"),
+        F.explode(F.sequence(F.lit(1), F.size(syms) - 1)).alias("_i"),
+    )
+    return (
+        pos.select(
+            F.element_at("_s", F.col("_i")).alias("l_sym"),
+            F.element_at("_s", F.col("_i") + 1).alias("r_sym"),
+            "_f",
+        )
+        .groupBy("l_sym", "r_sym")
+        .agg(F.sum("_f").alias("pair_count"))
+    )
+
+
+def bpe_best_pair(pairs: DataFrame) -> DataFrame:
+    """The merge winner: max count, ties broken (l_sym, r_sym) ASC —
+    the deterministic tiebreak any engine reproduces.  One row."""
+    return pairs.orderBy(
+        F.col("pair_count").desc(), F.col("l_sym").asc(), F.col("r_sym").asc()
+    ).limit(1)
+
+
+def bpe_apply_merge(
+    rep: Column | str, l_sym: Column | str, r_sym: Column | str
+) -> Column:
+    """Apply one merge to a representation: ``<l><r>`` → ``<lr>``.
+    ``l_sym``/``r_sym`` may be literals (a published merge list) or
+    columns (the in-plan winner broadcast from :func:`bpe_best_pair`)
+    — ``F.replace`` takes both, so one data-driven training step stays
+    a single declarative plan."""
+    r = F.col(rep) if isinstance(rep, str) else rep
+    ls = F.col(l_sym) if isinstance(l_sym, str) else l_sym
+    rs = F.col(r_sym) if isinstance(r_sym, str) else r_sym
+    pat = F.concat(F.lit("<"), ls, F.lit("><"), rs, F.lit(">"))
+    new = F.concat(F.lit("<"), ls, rs, F.lit(">"))
+    return F.replace(r, pat, new)
+
+
+def bpe_symbol_counts(
+    words: DataFrame, rep_col: str = "rep", freq_col: str = "freq"
+) -> DataFrame:
+    """Corpus symbol inventory of a segmentation state: (symbol,
+    count), count weighted by word frequency — the vocabulary table a
+    trained tokenizer ships with."""
+    return (
+        words.select(
+            F.col(freq_col).alias("_f"),
+            F.explode(bpe_symbols(rep_col)).alias("symbol"),
+        )
+        .groupBy("symbol")
+        .agg(F.sum("_f").alias("count"))
+    )

@@ -1128,3 +1128,135 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     small = resize_image(decoded, out_w=5, out_h=4, id_col="source", id_type="string")
     return image_stats(small, id_col="source", id_type="string")
+
+
+# Round 9 (VERDICT r8 #4): BPE tokenizer training — the pair-merge
+# iteration (count pairs → pick max → apply) and merge-list application.
+# ========================================================================
+
+#: Shared corpus scaffold for the BPE queries: lowercase whitespace
+#: tokens restricted to ^[a-z]+$ (the symbol alphabet must exclude the
+#: <> delimiters), reduced to the word-frequency table — BPE training
+#: cost is vocabulary-sized, not corpus-sized.
+_BPE_WORDS_SQL = """w AS (SELECT t AS word, COUNT(*) AS freq
+             FROM (SELECT unnest(string_split(lower(text), ' ')) AS t
+                   FROM documents)
+             WHERE regexp_matches(t, '^[a-z]+$') GROUP BY t)"""
+
+
+def _bpe_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = prep(spark, sf_dir, "documents")
+    return (
+        documents.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+        )
+        .where(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+@query(
+    "bpe_merge",
+    f"""WITH {_BPE_WORDS_SQL},
+       p AS (SELECT substr(word, i, 1) AS l_sym,
+                    substr(word, i + 1, 1) AS r_sym, freq
+             FROM (SELECT word, freq,
+                          unnest(generate_series(1, length(word) - 1)) AS i
+                   FROM w)),
+       pc AS (SELECT l_sym, r_sym, SUM(freq) AS pair_count
+              FROM p GROUP BY l_sym, r_sym),
+       best AS (SELECT l_sym, r_sym FROM pc
+                ORDER BY pair_count DESC, l_sym, r_sym LIMIT 1),
+       reps AS (SELECT replace(regexp_replace(word, '(.)', '<\\1>', 'g'),
+                               '<' || b.l_sym || '><' || b.r_sym || '>',
+                               '<' || b.l_sym || b.r_sym || '>') AS rep,
+                       freq
+                FROM w CROSS JOIN best b),
+       sy AS (SELECT unnest(regexp_extract_all(rep, '<([^>]*)>', 1)) AS symbol,
+                     freq
+              FROM reps)
+       SELECT symbol, CAST(SUM(freq) AS BIGINT) AS sym_count
+       FROM sy GROUP BY symbol""",
+)
+def q_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full BPE training iteration (operators/text.py::bpe_*): count
+    adjacent symbol pairs over the word-frequency table (hash agg), pick
+    the max-count pair with the (count DESC, l ASC, r ASC) tiebreak,
+    apply the merge everywhere, and emit the resulting corpus symbol
+    inventory — whose hash proves count, pick, AND apply at once (the
+    merged symbol's weight is exactly the winning pair_count).
+
+    The winner travels as a broadcast 1-row join and the merge is a
+    dynamic ``replace`` — the whole iteration is ONE declarative plan,
+    no driver round-trip, so K training iterations are K chained plans
+    over the vocabulary-sized word table (never the corpus).  The
+    ``<s1><s2>`` delimited representation makes greedy left-to-right
+    merge application exactly Spark's/DuckDB's non-overlapping replace
+    semantics."""
+    from hdfs_stream_processing_spark.operators.text import (
+        bpe_apply_merge,
+        bpe_best_pair,
+        bpe_init,
+        bpe_pair_counts,
+        bpe_symbol_counts,
+    )
+
+    words = _bpe_words(spark, sf_dir).withColumn("rep", bpe_init("word"))
+    best = bpe_best_pair(bpe_pair_counts(words))
+    merged = words.crossJoin(F.broadcast(best)).select(
+        bpe_apply_merge("rep", "l_sym", "r_sym").alias("rep"), "freq"
+    )
+    return bpe_symbol_counts(merged).select(
+        "symbol", F.col("count").alias("sym_count")
+    )
+
+
+#: A fixed published-tokenizer merge list (ordered): the application
+#: path must handle multi-char symbols — merge 2 consumes merge 1's
+#: output symbol.
+_BPE_MERGES = [("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"), ("a", "n")]
+
+
+@query(
+    "bpe_apply",
+    f"""WITH {_BPE_WORDS_SQL},
+       reps AS (SELECT
+                  replace(replace(replace(replace(replace(
+                      regexp_replace(word, '(.)', '<\\1>', 'g'),
+                      '<t><h>', '<th>'),
+                      '<th><e>', '<the>'),
+                      '<i><n>', '<in>'),
+                      '<e><r>', '<er>'),
+                      '<a><n>', '<an>') AS rep,
+                  freq
+                FROM w),
+       sy AS (SELECT unnest(regexp_extract_all(rep, '<([^>]*)>', 1)) AS symbol,
+                     freq
+              FROM reps)
+       SELECT symbol, CAST(SUM(freq) AS BIGINT) AS sym_count
+       FROM sy GROUP BY symbol""",
+)
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a FIXED ordered merge list (a published tokenizer's
+    merges) to the corpus and emit the symbol inventory — the
+    segmentation path a training pipeline runs after merges are
+    frozen.  Merge order is semantic: ``th+e`` only fires where merge
+    1 already produced ``th``, so the chain exercises multi-character
+    symbols, and greedy left-to-right application falls out of
+    non-overlapping replace over the delimited representation.  K
+    merges = K nested codegen expressions over the word table; the
+    corpus is touched once."""
+    from hdfs_stream_processing_spark.operators.text import (
+        bpe_apply_merge,
+        bpe_init,
+        bpe_symbol_counts,
+    )
+
+    words = _bpe_words(spark, sf_dir)
+    rep = bpe_init("word")
+    for l_sym, r_sym in _BPE_MERGES:
+        rep = bpe_apply_merge(rep, F.lit(l_sym), F.lit(r_sym))
+    return bpe_symbol_counts(words.select(rep.alias("rep"), "freq")).select(
+        "symbol", F.col("count").alias("sym_count")
+    )

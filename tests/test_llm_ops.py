@@ -1015,3 +1015,67 @@ def test_connected_components_driver_and_distributed_agree(spark):
     assert via_driver == via_loop
     assert via_driver[12] == 0 and via_driver[22] == 20
     assert via_driver[30] == 30 and via_driver[41] == 40
+
+
+def test_bpe_merge_step_semantics(spark):
+    """One BPE iteration: pair counts weight by word freq, the winner
+    tiebreaks (count DESC, l ASC, r ASC), and application is greedy
+    left-to-right non-overlapping — '<a><a><a>' with merge (a,a)
+    becomes '<aa><a>', never '<a><aa>'."""
+    from hdfs_stream_processing_spark.operators.text import (
+        bpe_apply_merge,
+        bpe_best_pair,
+        bpe_init,
+        bpe_pair_counts,
+        bpe_symbol_counts,
+    )
+
+    words = spark.createDataFrame(
+        [("the", 2), ("then", 1), ("at", 1), ("i", 5)], ["word", "freq"]
+    ).withColumn("rep", bpe_init("word"))
+    pairs = {(r["l_sym"], r["r_sym"]): r["pair_count"]
+             for r in bpe_pair_counts(words).collect()}
+    # 'i' (1 symbol) contributes nothing; th=3, he=3, en=1, at=1
+    assert pairs == {("t", "h"): 3, ("h", "e"): 3, ("e", "n"): 1, ("a", "t"): 1}
+    [best] = bpe_best_pair(bpe_pair_counts(words)).collect()
+    assert (best["l_sym"], best["r_sym"]) == ("h", "e")  # tie: he < th
+
+    merged = words.crossJoin(
+        F.broadcast(bpe_best_pair(bpe_pair_counts(words)))
+    ).select(bpe_apply_merge("rep", "l_sym", "r_sym").alias("rep"), "freq")
+    counts = {r["symbol"]: r["count"] for r in bpe_symbol_counts(merged).collect()}
+    assert counts == {"t": 4, "he": 3, "n": 1, "a": 1, "i": 5}
+
+    # greedy left-to-right: aaa -> (aa, a)
+    tri = spark.createDataFrame([("aaa", 1)], ["word", "freq"]).withColumn(
+        "rep", bpe_init("word")
+    )
+    [r] = tri.select(
+        bpe_apply_merge("rep", F.lit("a"), F.lit("a")).alias("rep")
+    ).collect()
+    assert r["rep"] == "<aa><a>"
+
+
+def test_bpe_multichar_merge_chain(spark):
+    """Ordered merges compose: th+e only fires where th exists, and a
+    one-char symbol cannot false-match inside a multi-char one."""
+    from hdfs_stream_processing_spark.operators.text import (
+        bpe_apply_merge,
+        bpe_init,
+        bpe_symbol_counts,
+    )
+
+    words = spark.createDataFrame(
+        [("theft", 1), ("tithe", 1), ("he", 1)], ["word", "freq"]
+    )
+    rep = bpe_init("word")
+    for l, r in [("t", "h"), ("th", "e")]:
+        rep = bpe_apply_merge(rep, F.lit(l), F.lit(r))
+    staged = words.select(rep.alias("rep"), "freq")
+    reps = sorted(r["rep"] for r in staged.collect())
+    # theft -> the+f+t; tithe -> t+i+the; he untouched (h+e as symbols
+    # exists only where adjacent: 'he' word -> <h><e> has pair (h,e),
+    # NOT (th,e) — no false merge)
+    assert reps == ["<h><e>", "<t><i><the>", "<the><f><t>"]
+    counts = {r["symbol"]: r["count"] for r in bpe_symbol_counts(staged).collect()}
+    assert counts == {"the": 2, "f": 1, "t": 2, "i": 1, "h": 1, "e": 1}
