@@ -245,6 +245,7 @@ HEADLINE = [
     # round 9: real BMP decode/resize (last stubs closed), BPE
     # tokenizer-training steps, streaming IVF maintenance
     "image_decode", "image_resize", "bpe_merge", "bpe_apply",
+    "stream_ivf",
 ]
 
 

@@ -16,6 +16,7 @@ from hdfs_stream_processing_spark.queries import (  # noqa: F401
     TS_FMT_DUCK,
     TS_FMT_SPARK,
     _conf_override,
+    _QUANT_SQL,
     _STAGE_CACHE,
     _mkdtemp,
     _stage_events,
@@ -1259,4 +1260,107 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         rep = bpe_apply_merge(rep, F.lit(l_sym), F.lit(r_sym))
     return bpe_symbol_counts(words.select(rep.alias("rep"), "freq")).select(
         "symbol", F.col("count").alias("sym_count")
+    )
+
+
+# Round 9 (VERDICT r8 #6): streaming IVF maintenance — the ANN index
+# joins the batch/incr/stream triad family (scd2, cdc, golden,
+# checksum, vocab, CMS already have it).
+# ========================================================================
+
+
+def _stage_embeddings(spark: SparkSession, sf_dir: str, n_files: int = 4) -> tuple[str, "object"]:
+    """Stage the embeddings table as a streaming source directory (same
+    contract as ``_stage_documents``).  Memoized per sf_dir."""
+    key = (sf_dir, "embeddings")
+    (embeddings,) = prep(spark, sf_dir, "embeddings")
+    if key in _STAGE_CACHE:
+        return _STAGE_CACHE[key], embeddings.schema
+    stage_dir = _mkdtemp("hsp_stream_embsrc_")
+    embeddings.repartition(n_files).write.mode("overwrite").parquet(stage_dir)
+    _STAGE_CACHE[key] = stage_dir
+    return stage_dir, embeddings.schema
+
+
+@query(
+    "stream_ivf",
+    f"""WITH q AS (SELECT vec_id, {_QUANT_SQL.format(col='embedding')} AS qv
+                   FROM embeddings),
+       cents AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+                        qv AS cv
+                 FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       aff AS (SELECT q.vec_id, c.cell,
+                      CAST(list_sum(list_transform(list_zip(q.qv, c.cv), p -> p[1] * p[2])) AS DOUBLE)
+                      / (sqrt(CAST(list_sum(list_transform(q.qv, x -> x * x)) AS DOUBLE))
+                         * sqrt(CAST(list_sum(list_transform(c.cv, x -> x * x)) AS DOUBLE))) AS a
+               FROM q CROSS JOIN cents c),
+       assigned AS (SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM (
+         SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cell ASC) AS rn
+         FROM aff)
+       WHERE rn = 1)
+       SELECT vec_id, cell,
+              COUNT(*) OVER (PARTITION BY cell) AS cell_count
+       FROM assigned""",
+)
+def q_stream_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVF index maintenance: vectors stream in, each
+    micro-batch is assigned to its argmax-cosine cell against the
+    FROZEN coarse quantizer (the md5-ordered init centroids — trained
+    offline, as production IVF deployments freeze them), and TWO
+    tables are maintained behind the batch-id replay guard: the
+    assignment table keyed (vec_id, cell) and the additive per-cell
+    count table.  The read joins them, so the oracle (one-shot
+    ``ivf_assign`` + a COUNT window) checks BOTH maintained tables at
+    once — assignments bit-equal to the batch build, counts consistent
+    with the assignments.
+
+    Scale: per micro-batch the work is batch-sized codegen argmax (no
+    shuffle on the corpus); stored state is the index itself.  New
+    cells need no re-shuffle of history — exactly why IVF suits
+    incremental maintenance while graph indexes (HNSW) do not."""
+    from hdfs_stream_processing_spark.operators.similarity import (
+        assign_cells,
+        ivf_init_centroids,
+        quantized,
+    )
+    from hdfs_stream_processing_spark.sources.io import read_table_version
+    from hdfs_stream_processing_spark.streaming import stream_parquet_source
+    from hdfs_stream_processing_spark.streaming.pipeline import (
+        rollup_apply_batch,
+        run_foreach_batch,
+    )
+
+    (embeddings,) = prep(spark, sf_dir, "embeddings")
+    cents = ivf_init_centroids(embeddings, "vec_id", "embedding", n_cells=16)
+
+    src_dir, schema = _stage_embeddings(spark, sf_dir)
+    stream = stream_parquet_source(spark, src_dir, schema, max_files_per_trigger=2)
+    assign_dir = _mkdtemp("hsp_sivf_assign_")
+    counts_dir = _mkdtemp("hsp_sivf_counts_")
+    ckpt = _mkdtemp("hsp_sivf_ckpt_")
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        assigned = assign_cells(
+            batch_df.select("vec_id", quantized("embedding").alias("qv")),
+            cents,
+            id_col="vec_id",
+        ).select("vec_id", "cell")
+        # each maintained table carries its own replay guard on the
+        # shared batch_id — a replayed batch is skipped by both
+        rollup_apply_batch(
+            assigned.withColumn("one", F.lit(1).cast("long")),
+            assign_dir, ["vec_id", "cell"], ["one"], batch_id,
+        )
+        rollup_apply_batch(
+            assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n")),
+            counts_dir, ["cell"], ["n"], batch_id,
+        )
+
+    run_foreach_batch(stream, step, ckpt)
+    assign = read_table_version(spark, assign_dir).select("vec_id", "cell")
+    counts = read_table_version(spark, counts_dir).select(
+        "cell", F.col("n").cast("long").alias("cell_count")
+    )
+    return assign.join(F.broadcast(counts), "cell").select(
+        "vec_id", "cell", "cell_count"
     )

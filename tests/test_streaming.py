@@ -833,3 +833,21 @@ def test_stream_golden_split_invariance_and_crash_replay(spark, tmp_path):
     assert golden_apply_batch(batch1, state, 1)
     got = sorted(read_table_version(spark, state["golden"]).drop("_batch").collect())
     assert got == want
+
+
+def test_stream_ivf_equals_one_shot_assignment(spark):
+    """The stream-maintained IVF index (assignments + per-cell counts,
+    replay-guarded) must equal the one-shot batch build."""
+    from hdfs_stream_processing_spark.queries import QUERIES
+
+    maintained = QUERIES["stream_ivf"](spark, SF_DIR)
+    one_shot = QUERIES["ivf_assign"](spark, SF_DIR)
+    m = {r["vec_id"]: (r["cell"], r["cell_count"]) for r in maintained.collect()}
+    o = {r["vec_id"]: r["cell"] for r in one_shot.collect()}
+    assert len(m) == len(o) > 0
+    from collections import Counter
+
+    cell_sizes = Counter(o.values())
+    for vec_id, (cell, cell_count) in m.items():
+        assert o[vec_id] == cell
+        assert cell_count == cell_sizes[cell]
