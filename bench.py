@@ -245,7 +245,8 @@ HEADLINE = [
     # round 9: real BMP decode/resize (last stubs closed), BPE
     # tokenizer-training steps, streaming IVF maintenance
     "image_decode", "image_resize", "bpe_merge", "bpe_apply",
-    "stream_ivf",
+    "stream_ivf", "bpe_train", "pq_assign", "stream_bpe_merge",
+    "stream_image_meta",
 ]
 
 

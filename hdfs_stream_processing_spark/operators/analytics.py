@@ -435,18 +435,25 @@ def lateness_profile(
         for d in delays_sec
     ]
     totals = scored.agg(*aggs)
-    per_delay = [
-        totals.select(
-            F.lit(d).cast("long").alias("delay_sec"),
-            F.col(f"_d{d}").alias("n_late"),
-            (F.col(f"_d{d}").cast("double") / F.col("n").cast("double")).alias("share"),
-        )
-        for d in delays_sec
-    ]
-    out = per_delay[0]
-    for p in per_delay[1:]:
-        out = out.unionByName(p)
-    return out
+    # one totals row → |delays| output rows via a single explode —
+    # NOT a union of per-delay projections: each union branch re-plans
+    # the entire upstream (r9; the r8 plan audit showed 8 scans and 16
+    # shuffles for 4 delays — ReuseExchange papers over some of it at
+    # runtime, but the honest plan is one pipeline)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("long").alias("delay_sec"),
+                F.col(f"_d{d}").alias("n_late"),
+            )
+            for d in delays_sec
+        ]
+    )
+    return totals.select("n", F.explode(pairs).alias("p")).select(
+        F.col("p.delay_sec").alias("delay_sec"),
+        F.col("p.n_late").alias("n_late"),
+        (F.col("p.n_late").cast("double") / F.col("n").cast("double")).alias("share"),
+    )
 
 
 def basket_pairs(

@@ -622,3 +622,101 @@ def embedding_dedup_incremental(
     return batch.join(
         drop_cross.unionByName(drop_within).distinct(), id_col, "left_anti"
     )
+
+
+# ── Product quantization (round 9) ──────────────────────────────────────
+
+
+def pq_init_codebooks(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_subs: int = 4,
+    k_codes: int = 8,
+) -> list[tuple[int, int, list[int]]]:
+    """Seedless deterministic PQ codebooks: the ``k_codes`` vectors
+    with smallest (md5(id), id) — the same engine-portable sample rule
+    as :func:`ivf_init_centroids` — sliced into ``m_subs`` equal
+    subvectors.  Returns (sub, code, codeword) triples; codeword j of
+    every subspace comes from the same sampled vector, so the whole
+    codebook derives from one ordered sample any engine reproduces.
+    Codebook size is k·d ints — driver- and broadcast-trivial at any
+    corpus scale (PQ codebooks are KBs by design)."""
+    q = embeddings.select(
+        F.col(id_col).alias("_id"), quantized(vec_col).alias("qv")
+    )
+    rows = (
+        q.withColumn("_h", F.md5(F.col("_id").cast("string")))
+        .orderBy("_h", "_id")
+        .limit(k_codes)
+        .select("qv")
+        .collect()
+    )
+    dims = len(rows[0]["qv"])
+    if dims % m_subs:
+        raise ValueError(f"dims {dims} not divisible into {m_subs} subspaces")
+    d_sub = dims // m_subs
+    out = []
+    for m in range(m_subs):
+        for code, r in enumerate(rows):
+            out.append((m, code, [int(x) for x in r["qv"][m * d_sub : (m + 1) * d_sub]]))
+    return out
+
+
+def pq_assign_codes(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_subs: int = 4,
+    k_codes: int = 8,
+) -> DataFrame:
+    """Product-quantization encoding — the memory side of the IVF-PQ
+    ANN stack (IVF prunes the search space; PQ compresses residuals/
+    vectors to ``m_subs`` bytes): each vector splits into ``m_subs``
+    subvectors, each subvector takes the code of its min-L2 codeword
+    (exact integer distance in quantized milli-units, ties to the
+    lowest code).  Output: (id, sub, code, d2) — d2 kept because the
+    summed per-subspace distances are the ADC lookup tables a PQ
+    scorer precomputes.
+
+    Scale: one bounded explode (×``m_subs``), a broadcast join against
+    the KB-sized codebook, one (id, sub) hash agg for the argmin —
+    map-side partial, no corpus shuffle beyond the agg.  64 dims × 4
+    subs × 8 codes keeps distances < 2^40 — far inside bigint."""
+    spark = embeddings.sparkSession
+    cb = spark.createDataFrame(
+        pq_init_codebooks(embeddings, id_col, vec_col, m_subs, k_codes),
+        "sub int, code int, cw array<bigint>",
+    )
+    q = embeddings.select(F.col(id_col), quantized(vec_col).alias("qv"))
+    # slice bounds are per-subspace literals: derive the (validated)
+    # static dims from the codebook rather than re-scanning the corpus
+    dims = len(cb.first()["cw"]) * m_subs
+    d_sub = dims // m_subs
+    subvecs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("sub"),
+                F.slice("qv", m * d_sub + 1, d_sub).alias("v"),
+            )
+            for m in range(m_subs)
+        ]
+    )
+    exploded = q.select(id_col, F.explode(subvecs).alias("s")).select(
+        id_col, F.col("s.sub").alias("sub"), F.col("s.v").alias("v")
+    )
+    d2 = F.aggregate(
+        F.zip_with("v", "cw", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = exploded.join(F.broadcast(cb), "sub").withColumn("_d2", d2)
+    pick = scored.groupBy(id_col, "sub").agg(
+        F.min(F.struct(F.col("_d2").alias("d2"), F.col("code").alias("code"))).alias("_m")
+    )
+    return pick.select(
+        id_col,
+        "sub",
+        F.col("_m.code").alias("code"),
+        F.col("_m.d2").alias("d2"),
+    )

@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame, SparkSession  # noqa: F401
 from pyspark.sql import functions as F
 
 from hdfs_stream_processing_spark.queries import (  # noqa: F401
+    ORACLES,
     TS_FMT_DUCK,
     TS_FMT_SPARK,
     _conf_override,
@@ -1364,3 +1365,237 @@ def q_stream_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign.join(F.broadcast(counts), "cell").select(
         "vec_id", "cell", "cell_count"
     )
+
+
+def _bpe_iter_sql(i: int) -> str:
+    """One generated BPE-iteration CTE block (oracle side): pair counts
+    over iteration ``i-1``'s representation, the (count DESC, l, r)
+    winner, and the applied merge."""
+    prev = f"w{i - 1}"
+    return f"""
+ s{i} AS (SELECT freq, regexp_extract_all(rep, '<([^>]*)>', 1) AS sy FROM {prev}),
+ p{i} AS (SELECT sy[j] AS l_sym, sy[j+1] AS r_sym, freq
+          FROM (SELECT freq, sy, unnest(generate_series(1, len(sy)-1)) AS j
+                FROM s{i})),
+ pc{i} AS (SELECT l_sym, r_sym, SUM(freq) AS c FROM p{i} GROUP BY 1, 2),
+ b{i} AS (SELECT l_sym, r_sym FROM pc{i} ORDER BY c DESC, l_sym, r_sym LIMIT 1),
+ w{i} AS (SELECT replace(rep, '<' || b.l_sym || '><' || b.r_sym || '>',
+                         '<' || b.l_sym || b.r_sym || '>') AS rep, freq
+          FROM {prev} CROSS JOIN b{i} b)"""
+
+
+_BPE_TRAIN_K = 3
+
+_BPE_TRAIN_SQL = (
+    f"""WITH {_BPE_WORDS_SQL},
+ w0 AS (SELECT regexp_replace(word, '(.)', '<\\1>', 'g') AS rep, freq FROM w),"""
+    + ",".join(_bpe_iter_sql(i) for i in range(1, _BPE_TRAIN_K + 1))
+    + f"""
+ SELECT symbol, CAST(SUM(freq) AS BIGINT) AS sym_count
+ FROM (SELECT unnest(regexp_extract_all(rep, '<([^>]*)>', 1)) AS symbol, freq
+       FROM w{_BPE_TRAIN_K})
+ GROUP BY symbol"""
+)
+
+
+@query("bpe_train", _BPE_TRAIN_SQL)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K=3 chained BPE training iterations — the full loop, not just
+    one step: each iteration's pair counts run over the PREVIOUS
+    iteration's segmentation, its winner broadcasts as a one-row join,
+    and its merge applies in place.  The whole program is one lazy DAG
+    (no driver round-trip between iterations); the oracle is the
+    K-times-unrolled CTE chain, machine-generated from the same
+    iteration template, so every pick and every apply is hash-checked
+    transitively.
+
+    Scale: each iteration is one vocabulary-sized pair agg (the corpus
+    is never re-touched after the word-count reduction).  Plan text
+    grows ~2× per iteration (rep_{{i-1}} feeds both the pair count and
+    the apply) — ReuseExchange materializes each level once at
+    runtime; for the hundreds of merges of a production tokenizer,
+    checkpoint every ~8 levels to reset plan growth."""
+    from hdfs_stream_processing_spark.operators.text import (
+        bpe_apply_merge,
+        bpe_best_pair,
+        bpe_init,
+        bpe_pair_counts,
+        bpe_symbol_counts,
+    )
+
+    cur = _bpe_words(spark, sf_dir).select(
+        bpe_init("word").alias("rep"), "freq"
+    )
+    for _ in range(_BPE_TRAIN_K):
+        best = bpe_best_pair(bpe_pair_counts(cur))
+        cur = cur.crossJoin(F.broadcast(best)).select(
+            bpe_apply_merge("rep", "l_sym", "r_sym").alias("rep"), "freq"
+        )
+    return bpe_symbol_counts(cur).select(
+        "symbol", F.col("count").alias("sym_count")
+    )
+
+
+@query(
+    "pq_assign",
+    f"""WITH q AS (SELECT vec_id, {_QUANT_SQL.format(col='embedding')} AS qv FROM embeddings),
+       init AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code,
+                       qv
+                FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+       subs AS (SELECT CAST(unnest(generate_series(0, 3)) AS INTEGER) AS sub),
+       cb AS (SELECT s.sub, i.code,
+                     list_slice(i.qv, s.sub * 16 + 1, s.sub * 16 + 16) AS cw
+              FROM init i CROSS JOIN subs s),
+       vs AS (SELECT q.vec_id, s.sub,
+                     list_slice(q.qv, s.sub * 16 + 1, s.sub * 16 + 16) AS v
+              FROM q CROSS JOIN subs s),
+       d AS (SELECT vs.vec_id, vs.sub, cb.code,
+                    CAST(list_sum(list_transform(list_zip(vs.v, cb.cw),
+                         p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2
+             FROM vs JOIN cb USING (sub))
+       SELECT vec_id, sub, CAST(code AS INTEGER) AS code, d2 FROM (
+         SELECT vec_id, sub, code, d2,
+                row_number() OVER (PARTITION BY vec_id, sub
+                                   ORDER BY d2 ASC, code ASC) AS rn
+         FROM d)
+       WHERE rn = 1""",
+)
+def q_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (r9): every 64-dim vector becomes
+    4 one-byte codes — the compression half of the IVF-PQ ANN stack
+    the engine's IVF queries already cover.  Codebooks are the
+    seedless md5-ordered sample (the ivf_assign rule) sliced per
+    subspace; assignment is exact integer min-L2 with ties to the
+    lowest code, so the oracle re-derives codebooks AND codes
+    bit-exactly.  One bounded ×4 explode, a broadcast join against the
+    KB-sized codebook, one (vec, sub) hash agg — no corpus shuffle at
+    any scale."""
+    from hdfs_stream_processing_spark.operators.similarity import pq_assign_codes
+
+    (embeddings,) = prep(spark, sf_dir, "embeddings")
+    return pq_assign_codes(
+        embeddings, "vec_id", "embedding", m_subs=4, k_codes=8
+    )
+
+
+@query("stream_bpe_merge", None)  # oracle assigned below: identical to bpe_merge
+def q_stream_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training on a document stream: the word-frequency
+    table — the ONLY state BPE training needs — is maintained
+    additively behind the replay guard as documents stream in (same
+    rollup machinery as stream_vocab), and a training iteration runs
+    against the maintained table on demand.  Output must equal
+    ``bpe_merge`` computed from scratch on the whole corpus (the
+    oracle IS bpe_merge's oracle): the tokenizer can retrain at any
+    point of the stream without re-scanning history.
+
+    Scale: per micro-batch one batch-sized token agg; stored state is
+    the vocabulary.  The training read is vocabulary-sized."""
+    from hdfs_stream_processing_spark.operators.text import (
+        bpe_apply_merge,
+        bpe_best_pair,
+        bpe_init,
+        bpe_pair_counts,
+        bpe_symbol_counts,
+    )
+    from hdfs_stream_processing_spark.sources.io import read_table_version
+    from hdfs_stream_processing_spark.streaming import stream_parquet_source
+    from hdfs_stream_processing_spark.streaming.pipeline import run_stream_rollup
+
+    src_dir, schema = _stage_documents(spark, sf_dir)
+    stream = stream_parquet_source(spark, src_dir, schema, max_files_per_trigger=2)
+
+    def partial(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+            )
+            .where(F.col("word").rlike("^[a-z]+$"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("freq"))
+        )
+
+    tdir = _mkdtemp("hsp_sbpe_")
+    ckpt = _mkdtemp("hsp_sbpe_ckpt_")
+    run_stream_rollup(stream, tdir, ckpt, ["word"], ["freq"], partial)
+    words = read_table_version(spark, tdir).select(
+        "word", F.col("freq").cast("long").alias("freq")
+    ).withColumn("rep", bpe_init("word"))
+    best = bpe_best_pair(bpe_pair_counts(words))
+    merged = words.crossJoin(F.broadcast(best)).select(
+        bpe_apply_merge("rep", "l_sym", "r_sym").alias("rep"), "freq"
+    )
+    return bpe_symbol_counts(merged).select(
+        "symbol", F.col("count").alias("sym_count")
+    )
+
+
+# the stream-maintained word table must converge to the batch corpus,
+# so the oracle is bpe_merge's, verbatim
+ORACLES["stream_bpe_merge"] = ORACLES["bpe_merge"]
+
+
+@query("stream_image_meta", None)  # oracle assigned below: image_decode's
+def q_stream_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media shards arriving on a STREAM: the staged BMP directory is
+    read with the binaryFile file-stream source (the ingest shape of a
+    landing bucket receiving image shards), each micro-batch decodes
+    its files through the same pure-numpy mapInPandas stages as
+    image_decode, and the per-source stats table is maintained behind
+    the replay guard.  Keys carry the non-additive columns (dims), the
+    weighted checksums ride the additive merge — each shard lands
+    exactly once, so the maintained table must equal the one-shot
+    batch decode (the oracle IS image_decode's).
+
+    Scale: decode work is per-arriving-file, state is per-source stats
+    — the 100 TB landing-zone pattern where history is never
+    re-decoded."""
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        decode_image,
+        image_stats,
+    )
+    from hdfs_stream_processing_spark.sources.io import read_table_version
+    from hdfs_stream_processing_spark.streaming.pipeline import run_stream_rollup
+
+    img_dir = _stage_bmp_shards(spark, sf_dir)
+    # file-stream sources require a declared schema; binaryFile's is
+    # fixed by the format
+    bin_schema = (
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(bin_schema)
+        .option("pathGlobFilter", "*.bmp")
+        .option("maxFilesPerTrigger", 8)
+        .load(img_dir)
+    )
+
+    def partial(batch: DataFrame) -> DataFrame:
+        payloads = batch.select(
+            F.regexp_extract(F.col("path"), r"([^/]+)\.bmp$", 1).alias("source"),
+            F.col("content").alias("payload"),
+        )
+        return image_stats(
+            decode_image(payloads, id_col="source", payload_col="payload",
+                         id_type="string"),
+            id_col="source", id_type="string",
+        )
+
+    tdir = _mkdtemp("hsp_simg_")
+    ckpt = _mkdtemp("hsp_simg_ckpt_")
+    run_stream_rollup(
+        stream, tdir, ckpt,
+        ["source", "width", "height", "n_channels"],
+        ["sum_r", "sum_g", "sum_b", "wsum_r", "wsum_g", "wsum_b"],
+        partial,
+    )
+    stats = read_table_version(spark, tdir)
+    return stats.select(
+        "source", "width", "height", "n_channels",
+        *[F.col(c).cast("long").alias(c)
+          for c in ("sum_r", "sum_g", "sum_b", "wsum_r", "wsum_g", "wsum_b")],
+    )
+
+
+ORACLES["stream_image_meta"] = ORACLES["image_decode"]

@@ -1079,3 +1079,33 @@ def test_bpe_multichar_merge_chain(spark):
     assert reps == ["<h><e>", "<t><i><the>", "<the><f><t>"]
     counts = {r["symbol"]: r["count"] for r in bpe_symbol_counts(staged).collect()}
     assert counts == {"the": 2, "f": 1, "t": 2, "i": 1, "h": 1, "e": 1}
+
+
+def test_pq_assign_codes_exact(spark):
+    """PQ codes are exact argmin-L2 per subspace with ties to the
+    lowest code; codebooks derive from the md5-ordered sample."""
+    from hdfs_stream_processing_spark.operators.similarity import (
+        pq_assign_codes,
+        pq_init_codebooks,
+        quantized,
+    )
+
+    rows = [(i, [float(i + j) / 10.0 for j in range(8)]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cb = pq_init_codebooks(df, m_subs=2, k_codes=3)
+    assert len(cb) == 6 and all(len(cw) == 4 for _, _, cw in cb)
+    out = pq_assign_codes(df, m_subs=2, k_codes=3).collect()
+    assert len(out) == 12  # 6 vectors × 2 subspaces
+    # verify one assignment by hand against the quantized arithmetic
+    qv = {r["vec_id"]: r["qv"] for r in
+          df.select("vec_id", quantized("embedding").alias("qv")).collect()}
+    books = {(m, c): cw for m, c, cw in cb}
+    for r in out:
+        v = qv[r["vec_id"]][r["sub"] * 4:(r["sub"] + 1) * 4]
+        dists = {c: sum((a - b) ** 2 for a, b in zip(v, books[(r["sub"], c)]))
+                 for c in range(3)}
+        best = min(dists, key=lambda c: (dists[c], c))
+        assert (r["code"], r["d2"]) == (best, dists[best])
+
+    with pytest.raises(ValueError, match="subspaces"):
+        pq_init_codebooks(df, m_subs=3, k_codes=2)
