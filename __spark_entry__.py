@@ -35,32 +35,30 @@ def entry(spark: SparkSession) -> DataFrame:
 # order.  Each round rotates this list so every registered query earns a
 # driver-green row in some round (union of CORRECTNESS_r*.json); queries
 # outside the current window pass the identical check locally via
-# tools/check_correctness.py.  Round 8 window (VERDICT r7 #1): the 8
-# registrations that landed after the r7 window froze (the driver has
-# never seen them; all GATE_r07-green in both session modes) lead, so
-# after this round the union of driver-green rows r2–r8 covers every
-# oracled query in the registry; new round-8 registrations follow; the
-# remainder is long-green §2-core padding to exactly 50.
+# tools/check_correctness.py.  Round 9 window (VERDICT r8 #2): the 11
+# new r9 registrations lead (codec, BPE, PQ, streaming-index queries —
+# every registration gets a driver row within one round); the remainder
+# refreshes the OLDEST attestations in the union — r2–r4-era queries
+# whose last driver row predates round 5 — to exactly 50.
 # tests/test_registry.py pins len(_VERIFY_FIRST) == 50 so the
 # off-by-one cannot recur.
 _VERIFY_FIRST = [
-    # the 8 never-driver-attested rows (GATE_r07-green, both modes):
-    "incr_checksum", "stream_checksum", "late_profile",
-    "rolling_actives", "stream_actives", "golden_record",
-    "incr_golden", "stream_golden",
-    # new round-8 registrations, inserted as they land:
-    "chunk_dedup", "entropy_profile", "bigram_lm", "token_zipf",
-    "incr_join", "incr_retract", "basket_rules", "rfm_segments",
-    "hll_intersect", "minhash_recall", "winsorize_prices",
-    "stream_retract", "attribution_linear", "cohort_ltv",
-    "oov_rate", "stream_chunk_dedup",
-    # long-green §2-core padding (driver-green r2–r5) to exactly 50:
-    "multi_join", "scan_parquet", "scan_csv", "top_k", "group_agg",
-    "count_rows", "count_distinct", "rollup_agg", "window_rank",
-    "window_running", "parse_wire", "to_wire", "epoch_to_ts",
-    "json_extract", "case_when", "limit_n", "drop_nulls", "add_lit",
-    "project_exclude", "union_rooms", "sort_by_ts", "join_outer",
-    "join_semi", "join_anti", "set_ops", "except_op",
+    # new round-9 registrations, inserted as they land:
+    "image_decode", "image_resize", "bpe_merge", "bpe_apply",
+    "stream_ivf", "bpe_train", "pq_assign", "stream_bpe_merge",
+    "stream_image_meta", "pq_topk", "bpe_encode",
+    # long-green padding, oldest-attestation-first (r2–r4 era), to 50:
+    "text_stats", "doc_fingerprint", "text_ngram", "dedup_exact",
+    "dedup_near", "simhash", "similarity_topk", "similarity_lsh",
+    "multimodal_meta", "stream_ingest", "stream_window_agg",
+    "align_pipeline", "session_agg", "time_rollup", "salted_agg",
+    "text_search", "asof_join", "range_join", "pivot_wide",
+    "percentiles", "stream_wire_ingest", "stream_stream_join",
+    "sample_hash", "ngram_jaccard", "ivf_assign",
+    "similarity_lsh_multiprobe", "zorder_key", "dedup_clusters",
+    "cube_agg", "minmax_by", "approx_distinct_ok", "doc_chunk",
+    "decontaminate", "shard_assign", "repetition_stats",
+    "curate_corpus", "stream_curate", "gapfill_locf", "sessionize",
 ]
 
 

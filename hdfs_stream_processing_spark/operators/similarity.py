@@ -720,3 +720,71 @@ def pq_assign_codes(
         F.col("_m.code").alias("code"),
         F.col("_m.d2").alias("d2"),
     )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    queries_filter,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_subs: int = 4,
+    k_codes: int = 8,
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — the scan side
+    of IVF-PQ: corpus vectors exist only as ``m_subs`` codes, queries
+    stay exact, and a query's distance to a vector is the SUM of
+    per-subspace lookup-table entries d2(query_sub, codeword[code]).
+
+    The lookup table is |queries|·m·k rows — broadcast-trivial (that
+    is the point of ADC: one table lookup per stored code instead of
+    a d-dim multiply per vector).  The scan is one broadcast join on
+    (sub, code) + one (query, vector) hash agg + the per-query top-k
+    window.  All exact integer quantized arithmetic, ties
+    (d2, neighbor) ASC — bit-reproducible, so the oracle re-derives
+    codes, tables, and ranking."""
+    spark = embeddings.sparkSession
+    cb_rows = pq_init_codebooks(embeddings, id_col, vec_col, m_subs, k_codes)
+    cb = spark.createDataFrame(cb_rows, "sub int, code int, cw array<bigint>")
+    dims = len(cb_rows[0][2]) * m_subs
+    d_sub = dims // m_subs
+
+    codes = pq_assign_codes(embeddings, id_col, vec_col, m_subs, k_codes).select(
+        F.col(id_col).alias("neighbor_id"), "sub", "code"
+    )
+    subvecs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("sub"),
+                F.slice("qv", m * d_sub + 1, d_sub).alias("v"),
+            )
+            for m in range(m_subs)
+        ]
+    )
+    qs = (
+        embeddings.where(queries_filter)
+        .select(F.col(id_col).alias("query_id"), quantized(vec_col).alias("qv"))
+        .select("query_id", F.explode(subvecs).alias("s"))
+        .select("query_id", F.col("s.sub").alias("sub"), F.col("s.v").alias("v"))
+    )
+    d2 = F.aggregate(
+        F.zip_with("v", "cw", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    lut = qs.join(F.broadcast(cb), "sub").select(
+        "query_id", "sub", "code", d2.alias("_d2")
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("_d2").alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_d2", "rank")
+    )

@@ -1599,3 +1599,129 @@ def q_stream_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["stream_image_meta"] = ORACLES["image_decode"]
+
+
+@query(
+    "pq_topk",
+    f"""WITH q AS (SELECT vec_id, {_QUANT_SQL.format(col='embedding')} AS qv FROM embeddings),
+       init AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code,
+                       qv
+                FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+       subs AS (SELECT CAST(unnest(generate_series(0, 3)) AS INTEGER) AS sub),
+       cb AS (SELECT s.sub, i.code,
+                     list_slice(i.qv, s.sub * 16 + 1, s.sub * 16 + 16) AS cw
+              FROM init i CROSS JOIN subs s),
+       vs AS (SELECT q.vec_id, s.sub,
+                     list_slice(q.qv, s.sub * 16 + 1, s.sub * 16 + 16) AS v
+              FROM q CROSS JOIN subs s),
+       d AS (SELECT vs.vec_id, vs.sub, cb.code,
+                    CAST(list_sum(list_transform(list_zip(vs.v, cb.cw),
+                         p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2
+             FROM vs JOIN cb USING (sub)),
+       codes AS (SELECT vec_id AS neighbor_id, sub, code FROM (
+                   SELECT vec_id, sub, code, d2,
+                          row_number() OVER (PARTITION BY vec_id, sub
+                                             ORDER BY d2 ASC, code ASC) AS rn
+                   FROM d)
+                 WHERE rn = 1),
+       lut AS (SELECT vs.vec_id AS query_id, vs.sub, cb.code,
+                      CAST(list_sum(list_transform(list_zip(vs.v, cb.cw),
+                           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2
+               FROM vs JOIN cb USING (sub)
+               WHERE vs.vec_id % 61 = 0),
+       scored AS (SELECT l.query_id, c.neighbor_id,
+                         CAST(SUM(l.d2) AS BIGINT) AS adc_d2
+                  FROM codes c JOIN lut l USING (sub, code)
+                  GROUP BY l.query_id, c.neighbor_id)
+       SELECT query_id, neighbor_id, adc_d2,
+              CAST(rnk AS BIGINT) AS rank
+       FROM (SELECT query_id, neighbor_id, adc_d2,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc_d2 ASC, neighbor_id ASC) AS rnk
+             FROM scored)
+       WHERE rnk <= 10""",
+)
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k over PQ codes (r9) — the scan half of IVF-PQ: corpus
+    vectors exist only as 4 codes, each query precomputes its
+    |queries|·4·8 lookup table of exact integer subspace distances
+    (broadcast — that asymmetry is ADC's point: one table lookup per
+    stored code instead of a 64-dim multiply per vector), and a
+    vector's approximate distance is the 4-entry sum.  One broadcast
+    join on (sub, code), one (query, vector) hash agg, one per-query
+    top-10 window — never a d-dimensional operation per corpus row.
+    Ties (d2, neighbor) ASC; the oracle re-derives codebooks, codes,
+    tables, AND the fused ranking bit-exactly."""
+    from hdfs_stream_processing_spark.operators.similarity import pq_adc_topk
+
+    (embeddings,) = prep(spark, sf_dir, "embeddings")
+    return pq_adc_topk(
+        embeddings, F.col("vec_id") % 61 == 0, m_subs=4, k_codes=8, k=10
+    )
+
+
+@query(
+    "bpe_encode",
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ts
+              FROM documents),
+       w AS (SELECT doc_id, j AS wpos, ts[j] AS word
+             FROM (SELECT doc_id, ts,
+                          unnest(generate_series(1, len(ts))) AS j
+                   FROM t)
+             WHERE regexp_matches(ts[j], '^[a-z]+$')),
+       r AS (SELECT doc_id, wpos,
+                    replace(replace(replace(replace(replace(
+                        regexp_replace(word, '(.)', '<\\1>', 'g'),
+                        '<t><h>', '<th>'),
+                        '<th><e>', '<the>'),
+                        '<i><n>', '<in>'),
+                        '<e><r>', '<er>'),
+                        '<a><n>', '<an>') AS rep
+             FROM w),
+       s AS (SELECT doc_id, wpos,
+                    regexp_extract_all(rep, '<([^>]*)>', 1) AS sy
+             FROM r),
+       e AS (SELECT doc_id, wpos, i AS spos, sy[i] AS symbol
+             FROM (SELECT doc_id, wpos, sy,
+                          unnest(generate_series(1, len(sy))) AS i
+                   FROM s))
+       SELECT doc_id,
+              CAST(row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY wpos, spos) - 1 AS BIGINT) AS pos,
+              symbol
+       FROM e""",
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-encode every document into its ordered symbol SEQUENCE
+    (doc_id, pos, symbol) under the fixed merge list — the
+    segmentation a frozen tokenizer emits for training, duplicate- and
+    order-preserving (the sequence mirror of vocab_ids' word-level
+    ids).  Two bounded explodes (words, then symbols-per-word) and ONE
+    per-doc window for the global position — no shuffle beyond that
+    window's doc-keyed exchange, linear at any corpus size."""
+    from hdfs_stream_processing_spark.operators.text import (
+        bpe_apply_merge,
+        bpe_init,
+        bpe_symbols,
+    )
+    from pyspark.sql import Window
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    words = documents.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("wpos", "word"),
+    ).where(F.col("word").rlike("^[a-z]+$"))
+    rep = bpe_init("word")
+    for l_sym, r_sym in _BPE_MERGES:
+        rep = bpe_apply_merge(rep, F.lit(l_sym), F.lit(r_sym))
+    syms = words.select(
+        "doc_id", "wpos", rep.alias("rep")
+    ).select(
+        "doc_id", "wpos", F.posexplode(bpe_symbols("rep")).alias("spos", "symbol")
+    )
+    w = Window.partitionBy("doc_id").orderBy("wpos", "spos")
+    return syms.select(
+        "doc_id",
+        (F.row_number().over(w) - F.lit(1)).cast("long").alias("pos"),
+        "symbol",
+    )
