@@ -246,7 +246,7 @@ HEADLINE = [
     # tokenizer-training steps, streaming IVF maintenance
     "image_decode", "image_resize", "bpe_merge", "bpe_apply",
     "stream_ivf", "bpe_train", "pq_assign", "stream_bpe_merge",
-    "stream_image_meta", "pq_topk", "bpe_encode",
+    "stream_image_meta", "pq_topk", "bpe_encode", "pq_recall",
 ]
 
 

@@ -1725,3 +1725,121 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.row_number().over(w) - F.lit(1)).cast("long").alias("pos"),
         "symbol",
     )
+
+
+@query(
+    "pq_recall",
+    f"""WITH q AS (SELECT vec_id, {_QUANT_SQL.format(col='embedding')} AS qv FROM embeddings),
+       init AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code,
+                       qv
+                FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+       subs AS (SELECT CAST(unnest(generate_series(0, 3)) AS INTEGER) AS sub),
+       cb AS (SELECT s.sub, i.code,
+                     list_slice(i.qv, s.sub * 16 + 1, s.sub * 16 + 16) AS cw
+              FROM init i CROSS JOIN subs s),
+       vs AS (SELECT q.vec_id, s.sub,
+                     list_slice(q.qv, s.sub * 16 + 1, s.sub * 16 + 16) AS v
+              FROM q CROSS JOIN subs s),
+       d AS (SELECT vs.vec_id, vs.sub, cb.code,
+                    CAST(list_sum(list_transform(list_zip(vs.v, cb.cw),
+                         p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2
+             FROM vs JOIN cb USING (sub)),
+       codes AS (SELECT vec_id AS neighbor_id, sub, code FROM (
+                   SELECT vec_id, sub, code, d2,
+                          row_number() OVER (PARTITION BY vec_id, sub
+                                             ORDER BY d2 ASC, code ASC) AS rn
+                   FROM d)
+                 WHERE rn = 1),
+       lut AS (SELECT vs.vec_id AS query_id, vs.sub, cb.code,
+                      CAST(list_sum(list_transform(list_zip(vs.v, cb.cw),
+                           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2
+               FROM vs JOIN cb USING (sub)
+               WHERE vs.vec_id % 61 = 0),
+       adc AS (SELECT query_id, neighbor_id FROM (
+                 SELECT l.query_id, c.neighbor_id,
+                        row_number() OVER (PARTITION BY l.query_id
+                                           ORDER BY SUM(l.d2) ASC,
+                                                    c.neighbor_id ASC) AS rnk
+                 FROM codes c JOIN lut l USING (sub, code)
+                 GROUP BY l.query_id, c.neighbor_id)
+               WHERE rnk <= 10),
+       exact AS (SELECT query_id, neighbor_id FROM (
+                   SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+                          row_number() OVER (
+                            PARTITION BY qq.vec_id
+                            ORDER BY CAST(list_sum(list_transform(
+                                       list_zip(qq.qv, cc.qv),
+                                       p -> (p[1] - p[2]) * (p[1] - p[2])))
+                                     AS BIGINT) ASC,
+                                     cc.vec_id ASC) AS rnk
+                   FROM q qq CROSS JOIN q cc
+                   WHERE qq.vec_id % 61 = 0)
+                 WHERE rnk <= 10)
+       SELECT e.query_id,
+              CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_overlap,
+              CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS DOUBLE) / 10.0 AS recall_at_10
+       FROM exact e LEFT JOIN adc a USING (query_id, neighbor_id)
+       GROUP BY e.query_id""",
+)
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ quality contract (the ADC mirror of ann_recall): per query,
+    how much of the EXACT integer-L2 top-10 does the 4-byte-code ADC
+    ranking recover?  Both rankings are deterministic (exact integer
+    distances, id tiebreaks), so recall itself is value-checked, not
+    just bounded — the oracle recomputes codebooks, codes, both
+    rankings, and the overlap.  The exact side is the contract's cost
+    by design (brute force over the query set only); the ADC side is
+    the production path.
+
+    Honest magnitude note: the fixture embeddings are iid-random —
+    PQ's information-theoretic WORST case (isotropic vectors are
+    incompressible; measured here: ~0.23 at m=4/k=8 vs the 10/500 =
+    0.2 random baseline, 0.41 even at m=16).  The contract this query
+    pins is that the engine MEASURES quality bit-exactly; operator
+    fidelity on compressible (clustered) data — recall 1.0 within
+    clusters — is pinned in tests/test_llm_ops.py."""
+    from hdfs_stream_processing_spark.operators.similarity import (
+        pq_adc_topk,
+        quantized,
+    )
+    from pyspark.sql import Window
+
+    (embeddings,) = prep(spark, sf_dir, "embeddings")
+    qf = F.col("vec_id") % 61 == 0
+    adc = pq_adc_topk(embeddings, qf, m_subs=4, k_codes=8, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    qs = embeddings.where(qf).select(
+        F.col("vec_id").alias("query_id"), quantized("embedding").alias("qv")
+    )
+    corpus = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), quantized("embedding").alias("cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_d2").asc(), F.col("neighbor_id").asc()
+    )
+    exact = (
+        F.broadcast(qs).crossJoin(corpus)
+        .withColumn("_d2", d2)
+        .withColumn("_rnk", F.row_number().over(w))
+        .where(F.col("_rnk") <= 10)
+        .select("query_id", "neighbor_id")
+    )
+    hit = adc.withColumn("_hit", F.lit(1))
+    return (
+        exact.join(hit, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_overlap"),
+            (
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("double") / F.lit(10.0)
+            ).alias("recall_at_10"),
+        )
+    )

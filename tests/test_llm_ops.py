@@ -1109,3 +1109,32 @@ def test_pq_assign_codes_exact(spark):
 
     with pytest.raises(ValueError, match="subspaces"):
         pq_init_codebooks(df, m_subs=3, k_codes=2)
+
+
+def test_pq_adc_high_recall_on_clustered_data(spark):
+    """On compressible (clustered) data — the regime PQ exists for —
+    ADC must rank same-cluster vectors ahead of other clusters.  Three
+    tight clusters, 6 members each: every query's ADC top-5 must be
+    exactly its own cluster's other members ∪ itself.  k_codes=8: the
+    md5-ordered sample's first 8 of 18 ids cover all three clusters
+    (at k=4 the sample misses cluster 0 entirely and clusters 0/2
+    become code-identical in subspace 1 — the honest failure mode of
+    an unrepresentative codebook, not an operator bug)."""
+    from hdfs_stream_processing_spark.operators.similarity import pq_adc_topk
+
+    centers = [[10.0] * 8, [-10.0] * 8, [10.0] * 4 + [-10.0] * 4]
+    rows = []
+    for c, center in enumerate(centers):
+        for j in range(6):
+            rows.append(
+                (c * 6 + j, [x + 0.01 * j * ((i % 2) * 2 - 1)
+                             for i, x in enumerate(center)])
+            )
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = pq_adc_topk(
+        df, F.col("vec_id") % 6 == 0, m_subs=2, k_codes=8, k=5
+    ).collect()
+    assert len(out) == 15  # 3 queries × 5
+    for r in out:
+        assert r["query_id"] // 6 == r["neighbor_id"] // 6, (
+            r["query_id"], r["neighbor_id"])

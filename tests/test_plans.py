@@ -240,6 +240,26 @@ SHUFFLE_BUDGETS = {
     # metrics are multi-join by nature; every join is equi-keyed on
     # node ids (degree-bounded by the k=5 cap, so no quadratic bucket).
     "cluster_coeff": 14,
+    # triangle_count is cluster_coeff minus the per-vertex credit legs:
+    # same kNN build + one wedge-close join.
+    "triangle_count": 8,
+    # bpe_train's count is textual 2^K growth (K=3 chained iterations;
+    # rep_{i-1} feeds both the pair agg and the apply, so each level
+    # prints its predecessors twice) — ReuseExchange materializes each
+    # level's vocabulary-sized agg ONCE at runtime; the real cost is K
+    # vocabulary aggs.  Documented in the query: checkpoint every ~8
+    # levels for production-length merge lists.
+    "bpe_train": 16,
+    # basket_rules: per-basket item collect + pair explode agg + the
+    # two per-item marginal aggs + scalar basket count — the a-priori
+    # support/confidence/lift shape, each keyed on items (capped per
+    # basket, so pair fan-out is bounded).
+    "basket_rules": 9,
+    # incr_golden rebuilds ONLY the delta component graph: old-state
+    # contraction + batch bands + candidate join + union-find delta +
+    # survivorship window; the multi-stage shape is the increment
+    # contract (CC(contract(CC(A))∪B) = CC(A∪B)), not a scan fan-out.
+    "incr_golden": 10,
 }
 
 

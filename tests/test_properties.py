@@ -563,3 +563,121 @@ def test_rolling_actives_matches_brute_force(spark, pairs):
         expect = len(set().union(*(act.get(x, set()) for x in range(day - 6, day + 1))))
         key = base + dt.timedelta(days=day)
         assert got.get(key, 0) == expect, (day, got, act)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=7),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_bmp_codec_roundtrip_any_dims(w, h, seed):
+    """encode_bmp→decode_bmp is the identity for ANY dims (every
+    row-padding residue) and any pixel content."""
+    import numpy as np
+
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = decode_bmp(encode_bmp(arr))
+    assert out.shape == arr.shape and (out == arr).all()
+
+
+LOWER_WORD = st.text(alphabet="abcd", min_size=1, max_size=6)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(LOWER_WORD, min_size=1, max_size=12))
+def test_bpe_merge_preserves_corpus_text(spark, words):
+    """For ANY corpus: one BPE iteration never changes the underlying
+    text (concatenating each word's symbols re-yields the word), and
+    total symbol mass drops by exactly the GREEDY non-overlapping
+    occurrence count of the winning pair (≤ its pair_count — 'ccc'
+    counts the (c,c) pair twice but merges once)."""
+    from hdfs_stream_processing_spark.operators.text import (
+        bpe_apply_merge,
+        bpe_best_pair,
+        bpe_init,
+        bpe_pair_counts,
+        bpe_symbols,
+    )
+
+    df = (
+        spark.createDataFrame([(w,) for w in words], "word string")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("rep", bpe_init("word"))
+    )
+    pairs = bpe_pair_counts(df)
+    best_rows = bpe_best_pair(pairs).collect()
+    if not best_rows:  # all words single-char: nothing to merge
+        return
+    [best] = best_rows
+    merged = df.crossJoin(
+        F.broadcast(bpe_best_pair(bpe_pair_counts(df)))
+    ).select(
+        "word", "freq", bpe_apply_merge("rep", "l_sym", "r_sym").alias("rep")
+    )
+    rows = merged.select(
+        "word", "freq",
+        F.concat_ws("", bpe_symbols("rep")).alias("joined"),
+        F.size(bpe_symbols("rep")).alias("n_syms"),
+    ).collect()
+    for r in rows:
+        assert r["joined"] == r["word"]
+    def greedy_hits(word: str, l: str, r: str) -> int:
+        n, i = 0, 0
+        while i < len(word) - 1:
+            if word[i] == l and word[i + 1] == r:
+                n, i = n + 1, i + 2
+            else:
+                i += 1
+        return n
+
+    total_before = sum(len(w) for w in words)
+    total_after = sum(r["n_syms"] * r["freq"] for r in rows)
+    expected_merges = sum(
+        greedy_hits(w, best["l_sym"], best["r_sym"]) for w in words
+    )
+    assert total_before - total_after == expected_merges
+    assert expected_merges <= best["pair_count"]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(FINITE_DOUBLES.filter(lambda x: abs(x) < 1e3),
+                 min_size=8, max_size=8),
+        min_size=3, max_size=10, unique_by=tuple,
+    )
+)
+def test_pq_codes_are_valid_and_self_nearest(spark, vecs):
+    """For ANY vector set: every (vec, sub) gets exactly one code in
+    range, d2 ≥ 0, and a vector sampled INTO the codebook encodes to
+    itself with d2 = 0 in every subspace."""
+    from hdfs_stream_processing_spark.operators.similarity import (
+        pq_assign_codes,
+        pq_init_codebooks,
+    )
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    k = min(3, len(rows))
+    out = pq_assign_codes(df, m_subs=2, k_codes=k).collect()
+    assert len(out) == 2 * len(rows)
+    for r in out:
+        assert 0 <= r["code"] < k and r["d2"] >= 0
+    # codebook members must self-encode at distance 0 (unless another
+    # codeword is byte-identical in that subspace, still d2=0)
+    import hashlib
+
+    sampled = sorted(
+        range(len(rows)), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )[:k]
+    zero = {(r["vec_id"], r["sub"]): r["d2"] for r in out}
+    for i in sampled:
+        assert zero[(i, 0)] == 0 and zero[(i, 1)] == 0
