@@ -470,7 +470,15 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = F.ntile(4).over(Window.orderBy(F.col("recency_days").asc(), F.col("c_custkey")))
     f = F.ntile(4).over(Window.orderBy(F.col("frequency").desc(), F.col("c_custkey")))
     mq = F.ntile(4).over(Window.orderBy(F.col("monetary_cents").desc(), F.col("c_custkey")))
-    t = m.select("*", r.alias("r"), f.alias("f"), mq.alias("mq"))
+    # ntile is int in Spark, BIGINT in DuckDB — align the widths
+    # (tools/type_audit.py flags the drift even where the value hash
+    # normalizes it)
+    t = m.select(
+        "*",
+        r.cast("long").alias("r"),
+        f.cast("long").alias("f"),
+        mq.cast("long").alias("mq"),
+    )
     return t.select(
         "c_custkey", "recency_days", "frequency", "monetary_cents",
         "r", "f", "mq",
