@@ -15,14 +15,17 @@ auto-flags queries whose best run moved >15% against the most recent
 hide behind sub-second scheduling noise again.
 
 Sentinel gate (VERDICT r8 #1): the machine-contention sentinel runs
-BEFORE and AFTER the sweep and is compared against ``sentinel_best`` —
-the quietest sentinel ever recorded, carried forward in
-BENCH_LAST.json.  A pre-sweep failure cools down and retries
+BEFORE the sweep, at ~8 checkpoints THROUGHOUT it, and AFTER it, all
+compared against ``sentinel_best`` — the quietest sentinel ever
+recorded, carried forward in BENCH_LAST.json (pre and post tracked
+separately; mid checkpoints bound by the pre best, since warm-up only
+lowers them).  A pre-sweep failure cools down and retries
 ($SPARK_GRAFT_BENCH_RETRIES × $SPARK_GRAFT_BENCH_COOLDOWN s); a sweep
-whose worse sentinel still exceeds SENTINEL_TOL × best is printed but
+whose worst sentinel still exceeds SENTINEL_TOL × best is printed but
 REFUSED as the BENCH_LAST.json compare baseline (both r8 end-of-round
-sweeps were contended and poisoned the record).  ``--only q1 q2 ...``
-times a subset for re-attestation and never writes BENCH_LAST.json.
+sweeps were contended, and the first r9 sweep carried a mid-window
+burst invisible to endpoint-only gating).  ``--only q1 q2 ...`` times
+a subset for re-attestation and never writes BENCH_LAST.json.
 """
 
 from __future__ import annotations
@@ -345,6 +348,7 @@ def sentinel_verdict(
     now: float,
     prev_data: dict,
     post: float | None = None,
+    mids: list[float] | None = None,
     tol: float = SENTINEL_TOL,
 ) -> dict:
     """Gate verdict for a sweep (VERDICT r8 #1: both end-of-round r8
@@ -389,6 +393,17 @@ def sentinel_verdict(
         out["sentinel_post"] = post
         out["sentinel_post_best"] = round(post_best, 3)
         out["sentinel_post_ratio"] = post_ratio
+    if mids:
+        # mid-sweep checkpoints compare against the PRE best only:
+        # warm-up can only lower them, so any excursion above tol is a
+        # genuine mid-window burst (the failure mode both r8 sweeps and
+        # the first r9 sweep hid from the endpoint-only gate)
+        mid_worst = max(mids)
+        mid_ratio = round(mid_worst / best, 3)
+        ratios.append(mid_ratio)
+        out["sentinel_mid"] = mids
+        out["sentinel_mid_max"] = mid_worst
+        out["sentinel_mid_ratio"] = mid_ratio
     worst = max(ratios)
     out["machine_contended"] = bool(worst > tol)
     out["sentinel_gate"] = "pass" if worst <= tol else "fail"
@@ -450,6 +465,7 @@ def build_summary(out: dict, moved: dict, max_movers: int = 8) -> dict:
         "moved_note": f"top-{max_movers} movers by |pct|; full dict in BENCH_LAST.json",
         "sentinel_sec": out.get("sentinel_sec"),
         "sentinel_ratio": out.get("sentinel_ratio"),
+        "sentinel_mid_ratio": out.get("sentinel_mid_ratio"),
         "machine_contended": out.get("machine_contended"),
         "sentinel_gate": out.get("sentinel_gate"),
         "last_written": out.get("last_written"),
@@ -502,7 +518,18 @@ def main() -> None:
     medians: dict[str, float] = {}
     mins: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
-    for name in subset if subset is not None else HEADLINE:
+    # mid-sweep sentinel checkpoints (r9): the r9 end-of-round sweep
+    # passed BOTH endpoint sentinels yet carried a contention burst in
+    # its 40-minute middle (scd2_build 1.52 s in-sweep vs 0.50 s
+    # re-run minutes later, same box, same code) — a two-endpoint gate
+    # cannot see a mid-window burst.  Probe every ~1/8th of the sweep;
+    # the gate takes the WORST checkpoint.
+    sentinels_mid: list[float] = []
+    run_list = subset if subset is not None else HEADLINE
+    mid_every = max(1, len(run_list) // 8)
+    for qi, name in enumerate(run_list):
+        if qi and qi % mid_every == 0:
+            sentinels_mid.append(measure_sentinel(spark, n_runs=3))
         fn = Q.QUERIES[name]
         # one unrecorded warm-up execution per query: the first run of a
         # plan pays Janino/codegen compilation and file-index first-touch
@@ -548,7 +575,10 @@ def main() -> None:
     # gate subsets on the pre sentinel only, report post informationally
     out.update(
         sentinel_verdict(
-            sentinel, prev_data, post=sentinel_post if subset is None else None
+            sentinel,
+            prev_data,
+            post=sentinel_post if subset is None else None,
+            mids=sentinels_mid or None,
         )
     )
     if subset is not None:

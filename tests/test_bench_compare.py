@@ -154,3 +154,20 @@ def test_headline_covers_entire_registry():
 
     assert sorted(HEADLINE) == sorted(Q.QUERIES)
     assert len(HEADLINE) == len(set(HEADLINE))
+
+
+def test_sentinel_mid_sweep_burst_fails_gate():
+    """r9: the first end-of-round sweep passed BOTH endpoint sentinels
+    yet carried a 40-minute-window contention burst (scd2_build 1.52 s
+    in-sweep vs 0.50 s re-run minutes later).  Mid-sweep checkpoints
+    must catch it: any checkpoint above tol x the pre best fails; mid
+    values BELOW pre (normal warm-up) must not."""
+    from bench import sentinel_verdict
+
+    prev = {"sentinel_sec": 1.0, "sentinel_best": 1.0, "sentinel_post_best": 0.6}
+    burst = sentinel_verdict(1.0, prev, post=0.6, mids=[0.9, 1.7, 0.8])
+    assert burst["sentinel_gate"] == "fail"
+    assert burst["sentinel_mid_max"] == 1.7
+    quiet = sentinel_verdict(1.0, prev, post=0.6, mids=[0.9, 0.7, 0.65])
+    assert quiet["sentinel_gate"] == "pass"
+    assert quiet["machine_contended"] is False
