@@ -380,18 +380,14 @@ def sentinel_verdict(
     }
     if post is not None:
         # warm-up only ever speeds the sentinel up, so the pre-sweep
-        # best is a valid (upper-bound) post baseline even on the first
-        # gated round — a mid-sweep heat-up cannot hide behind missing
-        # post history
-        post_cands = [post, best]
-        v = prev_data.get("sentinel_post_best")
-        if isinstance(v, (int, float)) and v > 0:
-            post_cands.append(float(v))
-        post_best = min(post_cands)
-        post_ratio = round(post / post_best, 3)
+        # best is a valid (upper-bound) post baseline — and with the
+        # r9 per-block session restarts the post JVM's warm-up depth
+        # varies by block size, so the pre bound is the ONLY stable
+        # one (a deep-warm post_best from an unrestarted sweep would
+        # spuriously fail an honest shallow-warm post)
+        post_ratio = round(post / best, 3)
         ratios.append(post_ratio)
         out["sentinel_post"] = post
-        out["sentinel_post_best"] = round(post_best, 3)
         out["sentinel_post_ratio"] = post_ratio
     if mids:
         # mid-sweep checkpoints compare against the PRE best only:
@@ -527,7 +523,27 @@ def main() -> None:
     sentinels_mid: list[float] = []
     run_list = subset if subset is not None else HEADLINE
     mid_every = max(1, len(run_list) // 8)
+    # per-block session restarts (r9): a single 244-query × 8-run
+    # session accumulates harness state (state-store providers, GC
+    # pressure, 1000+ threads observed mid-sweep) that inflates LATER
+    # queries 2-5× while short sentinel probes stay quiet — numbers
+    # must reflect the PLAN, not how long the harness has been alive.
+    # A fresh JVM every ~SPARK_GRAFT_BENCH_BLOCK queries resets it;
+    # each query still pays its own unrecorded warm-up run, so codegen
+    # compile stays out of the recorded runs either way.
+    block = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_BLOCK", "61")))
+
+    def fresh_session():
+        s = get_spark(app_name="hsp-bench", cpus=cpus)
+        s.range(1_000_000).selectExpr("sum(id)").collect()
+        for t in TABLE_NAMES:
+            load_table(s, sf_dir, t).count()
+        return s
+
     for qi, name in enumerate(run_list):
+        if qi and qi % block == 0:
+            spark.stop()
+            spark = fresh_session()
         if qi and qi % mid_every == 0:
             sentinels_mid.append(measure_sentinel(spark, n_runs=3))
         fn = Q.QUERIES[name]

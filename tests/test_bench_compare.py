@@ -91,20 +91,18 @@ def test_sentinel_flags_contamination_and_passes_quiet():
     mid_heat = sentinel_verdict(1.0, {"sentinel_sec": 1.0}, post=1.6)
     assert mid_heat["sentinel_gate"] == "fail"
     assert mid_heat["sentinel_post"] == 1.6
-    # pre and post baselines are like-for-like: a post sentinel far
-    # BELOW the pre best (deep JVM warm-up, measured ~1.5× faster)
-    # must not fail the gate nor poison the pre baseline
+    # post is bounded by the PRE best only (warm-up can only lower it;
+    # per-block restarts make post depth variable, so a deep-warm post
+    # lineage would spuriously fail honest shallow-warm posts): a post
+    # far below pre passes and must not poison the pre baseline
     warm = sentinel_verdict(
-        1.0, {"sentinel_sec": 1.0, "sentinel_best": 1.0, "sentinel_post_best": 0.65},
-        post=0.66,
+        1.0, {"sentinel_sec": 1.0, "sentinel_best": 1.0}, post=0.66
     )
     assert warm["sentinel_gate"] == "pass"
-    assert warm["sentinel_best"] == 1.0 and warm["sentinel_post_best"] == 0.65
-    # ...and a later cold start against that history still passes: the
-    # pooled-best design this replaces would have failed it at 1.0/0.65
-    cold = sentinel_verdict(
-        1.05, {"sentinel_sec": 1.0, "sentinel_best": 1.0, "sentinel_post_best": 0.65}
-    )
+    assert warm["sentinel_best"] == 1.0
+    # ...and a later cold start against that history still passes: a
+    # pooled-best design would have failed it at 1.0/0.66
+    cold = sentinel_verdict(1.05, {"sentinel_sec": 1.0, "sentinel_best": 1.0})
     assert cold["sentinel_gate"] == "pass"
     # a faster-than-ever run lowers the carried-forward best
     faster = sentinel_verdict(0.8, {"sentinel_sec": 1.0, "sentinel_best": 1.0})
@@ -164,7 +162,7 @@ def test_sentinel_mid_sweep_burst_fails_gate():
     values BELOW pre (normal warm-up) must not."""
     from bench import sentinel_verdict
 
-    prev = {"sentinel_sec": 1.0, "sentinel_best": 1.0, "sentinel_post_best": 0.6}
+    prev = {"sentinel_sec": 1.0, "sentinel_best": 1.0}
     burst = sentinel_verdict(1.0, prev, post=0.6, mids=[0.9, 1.7, 0.8])
     assert burst["sentinel_gate"] == "fail"
     assert burst["sentinel_mid_max"] == 1.7
