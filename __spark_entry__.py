@@ -35,7 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # order.  Each round rotates this list so every registered query earns a
 # driver-green row in some round (union of CORRECTNESS_r*.json); queries
 # outside the current window pass the identical check locally via
-# tools/check_correctness.py.  Round 9 window (VERDICT r8 #2): the 11
+# tools/check_correctness.py.  Round 9 window (VERDICT r8 #2): the 12
 # new r9 registrations lead (codec, BPE, PQ, streaming-index queries —
 # every registration gets a driver row within one round); the remainder
 # refreshes the OLDEST attestations in the union — r2–r4-era queries
@@ -46,7 +46,7 @@ _VERIFY_FIRST = [
     # new round-9 registrations, inserted as they land:
     "image_decode", "image_resize", "bpe_merge", "bpe_apply",
     "stream_ivf", "bpe_train", "pq_assign", "stream_bpe_merge",
-    "stream_image_meta", "pq_topk", "bpe_encode",
+    "stream_image_meta", "pq_topk", "bpe_encode", "pq_recall",
     # long-green padding, oldest-attestation-first (r2–r4 era), to 50:
     "text_stats", "doc_fingerprint", "text_ngram", "dedup_exact",
     "dedup_near", "simhash", "similarity_topk", "similarity_lsh",
@@ -58,7 +58,7 @@ _VERIFY_FIRST = [
     "similarity_lsh_multiprobe", "zorder_key", "dedup_clusters",
     "cube_agg", "minmax_by", "approx_distinct_ok", "doc_chunk",
     "decontaminate", "shard_assign", "repetition_stats",
-    "curate_corpus", "stream_curate", "gapfill_locf", "sessionize",
+    "curate_corpus", "stream_curate", "gapfill_locf",
 ]
 
 
