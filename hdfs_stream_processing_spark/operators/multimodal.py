@@ -268,7 +268,9 @@ def resize_image(
         import numpy as np
 
         for pdf in batches:
-            ids, rgbs = [], []
+            # all output columns built positionally — mixing in a pandas
+            # Series would align on the input batch's index (ADVICE r9)
+            ids, chans, rgbs = [], [], []
             for key, w, h, c, rgb in zip(
                 pdf[id_col], pdf["width"], pdf["height"],
                 pdf["n_channels"], pdf["rgb"],
@@ -279,13 +281,14 @@ def resize_image(
                 xs = (np.arange(out_w) * int(w)) // out_w
                 ys = (np.arange(out_h) * int(h)) // out_h
                 ids.append(key)
+                chans.append(int(c))
                 rgbs.append(arr[np.ix_(ys, xs)].tobytes())
             yield pd.DataFrame(
                 {
                     id_col: ids,
                     "width": out_w,
                     "height": out_h,
-                    "n_channels": pdf["n_channels"],
+                    "n_channels": chans,
                     "rgb": rgbs,
                 }
             )

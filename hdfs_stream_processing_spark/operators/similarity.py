@@ -652,6 +652,8 @@ def pq_init_codebooks(
         .select("qv")
         .collect()
     )
+    if not rows:
+        raise ValueError("pq_init_codebooks: no vectors to sample codebooks from")
     dims = len(rows[0]["qv"])
     if dims % m_subs:
         raise ValueError(f"dims {dims} not divisible into {m_subs} subspaces")
@@ -669,6 +671,7 @@ def pq_assign_codes(
     vec_col: str = "embedding",
     m_subs: int = 4,
     k_codes: int = 8,
+    codebook_rows: list[tuple[int, int, list[int]]] | None = None,
 ) -> DataFrame:
     """Product-quantization encoding — the memory side of the IVF-PQ
     ANN stack (IVF prunes the search space; PQ compresses residuals/
@@ -679,13 +682,20 @@ def pq_assign_codes(
     summed per-subspace distances are the ADC lookup tables a PQ
     scorer precomputes.
 
+    ``codebook_rows`` accepts a precomputed :func:`pq_init_codebooks`
+    result so composite callers (``pq_adc_topk``, the streaming
+    maintainer) derive the codebook ONCE instead of paying a second
+    sorted-sample collect per call (ADVICE r9).
+
     Scale: one bounded explode (×``m_subs``), a broadcast join against
     the KB-sized codebook, one (id, sub) hash agg for the argmin —
     map-side partial, no corpus shuffle beyond the agg.  64 dims × 4
     subs × 8 codes keeps distances < 2^40 — far inside bigint."""
     spark = embeddings.sparkSession
+    if codebook_rows is None:
+        codebook_rows = pq_init_codebooks(embeddings, id_col, vec_col, m_subs, k_codes)
     cb = spark.createDataFrame(
-        pq_init_codebooks(embeddings, id_col, vec_col, m_subs, k_codes),
+        codebook_rows,
         "sub int, code int, cw array<bigint>",
     )
     q = embeddings.select(F.col(id_col), quantized(vec_col).alias("qv"))
@@ -749,9 +759,9 @@ def pq_adc_topk(
     dims = len(cb_rows[0][2]) * m_subs
     d_sub = dims // m_subs
 
-    codes = pq_assign_codes(embeddings, id_col, vec_col, m_subs, k_codes).select(
-        F.col(id_col).alias("neighbor_id"), "sub", "code"
-    )
+    codes = pq_assign_codes(
+        embeddings, id_col, vec_col, m_subs, k_codes, codebook_rows=cb_rows
+    ).select(F.col(id_col).alias("neighbor_id"), "sub", "code")
     subvecs = F.array(
         *[
             F.struct(

@@ -22,6 +22,7 @@ tumbling-window aggregation, and streaming deduplication keyed on event id
 from __future__ import annotations
 
 import uuid
+import warnings
 import weakref
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -113,6 +114,9 @@ _MEMORY_SINKS: "weakref.WeakKeyDictionary[SparkSession, list[str]]" = (
     weakref.WeakKeyDictionary()
 )
 _MEMORY_SINKS_KEEP = 8
+#: hard bound on names retained while drops fail (ADVICE r9): past
+#: this the oldest name is dropped from the FIFO with a warning.
+_MEMORY_SINKS_MAX_BACKLOG = 4 * _MEMORY_SINKS_KEEP
 
 
 def run_to_memory(df: DataFrame, output_mode: str = "append") -> DataFrame:
@@ -139,6 +143,19 @@ def run_to_memory(df: DataFrame, output_mode: str = "append") -> DataFrame:
             # failure keeps the name queued so a later call retries
             spark.catalog.dropTempView(sinks[0])
         except Exception:
+            # ADVICE r9: a session whose drops fail persistently must
+            # not grow its FIFO (and the backing views) without bound —
+            # past the hard cap the oldest name is abandoned (the view
+            # leaks, bounded) and the skip is made visible
+            if len(sinks) > _MEMORY_SINKS_MAX_BACKLOG:
+                warnings.warn(
+                    f"run_to_memory: dropTempView({sinks[0]!r}) keeps "
+                    "failing; abandoning the name to bound the backlog",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                sinks.pop(0)
+                continue
             break
         sinks.pop(0)
     return spark.table(name)
