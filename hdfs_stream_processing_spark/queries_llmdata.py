@@ -2197,3 +2197,226 @@ def q_stream_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the stream-maintained code table must converge to the batch encode,
 # so the oracle is pq_assign's, verbatim
 ORACLES["stream_pq"] = ORACLES["pq_assign"]
+
+
+# Round 10 (VERDICT r9 #5): production-length BPE training — K=16 merge
+# levels with lineage checkpoints every 8, so plan text stays bounded.
+# ========================================================================
+
+_BPE_DEEP_K = 16
+_BPE_DEEP_STAGE_EVERY = 8
+
+# Each level references the previous twice; DuckDB inlines plain CTEs,
+# which would expand the chain (and its parquet scans) 2^K-fold — the
+# MATERIALIZED hint caps every level at one evaluation, the exact oracle
+# analog of the Spark side's staged-table checkpoints.
+_BPE_TRAIN_DEEP_SQL = (
+    f"""WITH {_BPE_WORDS_SQL.replace("w AS (", "w AS MATERIALIZED (", 1)},
+ w0 AS MATERIALIZED (SELECT regexp_replace(word, '(.)', '<\\1>', 'g') AS rep, freq FROM w),"""
+    + ",".join(
+        _bpe_iter_sql(i).replace(f" w{i} AS (", f" w{i} AS MATERIALIZED (", 1)
+        for i in range(1, _BPE_DEEP_K + 1)
+    )
+    + f"""
+ SELECT symbol, CAST(SUM(freq) AS BIGINT) AS sym_count
+ FROM (SELECT unnest(regexp_extract_all(rep, '<([^>]*)>', 1)) AS symbol, freq
+       FROM w{_BPE_DEEP_K})
+ GROUP BY symbol"""
+)
+
+
+@query("bpe_train_deep", _BPE_TRAIN_DEEP_SQL)
+def q_bpe_train_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K=16 chained BPE training with LINEAGE CHECKPOINTS (r10, closes
+    VERDICT r9 #5): bpe_train's budget note prescribed staging every ~8
+    merge levels because each level's plan references the previous one
+    twice (pair counts + apply) — textual plan growth is 2^levels past
+    the last materialization.  Here every 8th level writes the
+    (rep, freq) table — vocabulary-sized, KBs — to a staged parquet
+    table and re-reads it, resetting lineage to a flat scan; the
+    production-length merge list (hundreds of levels) is this loop with
+    a larger K.  The oracle is the 16-level machine-generated CTE
+    chain, so all 16 picks and applies are hash-checked transitively.
+
+    Scale: per level one vocabulary-sized pair agg + a broadcast 1-row
+    winner join; the corpus is touched once (the word-count reduction);
+    checkpoint cost is a vocabulary-sized write per 8 levels."""
+    from hdfs_stream_processing_spark.operators.text import (
+        bpe_apply_merge,
+        bpe_best_pair,
+        bpe_init,
+        bpe_pair_counts,
+        bpe_symbol_counts,
+    )
+
+    cur = _bpe_words(spark, sf_dir).select(
+        bpe_init("word").alias("rep"), "freq"
+    )
+    for i in range(1, _BPE_DEEP_K + 1):
+        best = bpe_best_pair(bpe_pair_counts(cur))
+        cur = cur.crossJoin(F.broadcast(best)).select(
+            bpe_apply_merge("rep", "l_sym", "r_sym").alias("rep"), "freq"
+        )
+        if i % _BPE_DEEP_STAGE_EVERY == 0 and i < _BPE_DEEP_K:
+            stage = _mkdtemp("hsp_bpedeep_")
+            cur.write.mode("overwrite").parquet(stage)
+            cur = spark.read.parquet(stage)
+    return bpe_symbol_counts(cur).select(
+        "symbol", F.col("count").alias("sym_count")
+    )
+
+
+# Round 10 (VERDICT r9 #6): second real codec (PPM/P6) + geometric
+# transform stages over decoded frames.
+# ========================================================================
+
+
+def _stage_ppm_shards(spark: SparkSession, sf_dir: str) -> str:
+    """PPM twin of _stage_bmp_shards: the SAME synthetic per-source
+    pixels, encoded as binary P6 instead of BMP — so the decode oracle
+    is image_decode's verbatim, and a dispatch bug (stride, row order,
+    channel order differ in every axis between the two formats) breaks
+    the hash."""
+    import os as _os
+
+    from hdfs_stream_processing_spark.operators.multimodal import encode_ppm
+
+    key = ("hsp_ppm_staged_", sf_dir)
+    if key in _STAGE_CACHE:
+        return _STAGE_CACHE[key]
+    (documents,) = prep(spark, sf_dir, "documents")
+    img_dir = _mkdtemp("hsp_ppm_src_", sf_dir)
+    for row in documents.select("source").distinct().collect():
+        n = int(row["source"][3:])
+        arr = _synth_image(n, 11 + n % 7, 6 + n % 5)
+        with open(_os.path.join(img_dir, f"{row['source']}.ppm"), "wb") as f:
+            f.write(encode_ppm(arr))
+    _STAGE_CACHE[key] = img_dir
+    return img_dir
+
+
+def _decoded_shards(
+    spark: SparkSession, sf_dir: str, fmt: str = "bmp"
+) -> DataFrame:
+    """binaryFile scan of the staged shards → decoded frames keyed by
+    source (the shared head of every image query)."""
+    from hdfs_stream_processing_spark.operators.multimodal import decode_image
+
+    stage = _stage_ppm_shards if fmt == "ppm" else _stage_bmp_shards
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", f"*.{fmt}")
+        .load(stage(spark, sf_dir))
+    )
+    payloads = files.select(
+        F.regexp_extract(F.col("path"), rf"([^/]+)\.{fmt}$", 1).alias("source"),
+        F.col("content").alias("payload"),
+    )
+    return decode_image(
+        payloads, id_col="source", payload_col="payload", id_type="string"
+    )
+
+
+@query("image_decode_ppm", None)  # oracle assigned below: image_decode's
+def q_image_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-format decode (r10): the same per-source synthetic
+    pixels staged as binary PPM (P6) shards, decoded through the
+    magic-byte dispatch (text header, top-down rows, RGB, no padding —
+    every layout axis differs from BMP).  Output must equal the BMP
+    decode bit-for-bit, so the oracle IS image_decode's — proving the
+    codec layer is a dispatch, not a BMP-shaped special case."""
+    from hdfs_stream_processing_spark.operators.multimodal import image_stats
+
+    return image_stats(
+        _decoded_shards(spark, sf_dir, fmt="ppm"), id_col="source", id_type="string"
+    )
+
+
+ORACLES["image_decode_ppm"] = ORACLES["image_decode"]
+
+
+@query(
+    "image_flip",
+    f"""WITH {_IMG_PX_SQL},
+       px AS (SELECT d.source, d.w, d.h, xs.x, ys.y,
+                     (3 * (d.w - 1 - xs.x) + 5 * ys.y + d.n) % 256 AS r,
+                     (7 * (d.w - 1 - xs.x) + 11 * ys.y + 2 * d.n) % 256 AS g,
+                     (13 * (d.w - 1 - xs.x) + 17 * ys.y + 3 * d.n) % 256 AS b
+              FROM dims d
+              CROSS JOIN (SELECT CAST(generate_series AS INTEGER) AS x
+                          FROM generate_series(0, 16)) xs
+              CROSS JOIN (SELECT CAST(generate_series AS INTEGER) AS y
+                          FROM generate_series(0, 10)) ys
+              WHERE xs.x < d.w AND ys.y < d.h)
+       SELECT source,
+              MIN(w) AS width, MIN(h) AS height,
+              CAST(3 AS INTEGER) AS n_channels,
+              CAST(SUM(r) AS BIGINT) AS sum_r,
+              CAST(SUM(g) AS BIGINT) AS sum_g,
+              CAST(SUM(b) AS BIGINT) AS sum_b,
+              CAST(SUM((y * w + x + 1) * r) AS BIGINT) AS wsum_r,
+              CAST(SUM((y * w + x + 1) * g) AS BIGINT) AS wsum_g,
+              CAST(SUM((y * w + x + 1) * b) AS BIGINT) AS wsum_b
+       FROM px GROUP BY source""",
+)
+def q_image_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horizontal flip over decoded frames (r10): output pixel (x, y)
+    is input pixel (W−1−x, y) — a pure index permutation.  The
+    position-weighted checksums are what make this oracle-strong: the
+    plain channel sums are flip-INVARIANT (same multiset of values),
+    so only the weighted sums distinguish a real flip from a no-op —
+    the oracle regenerates each pixel at its mirrored source
+    coordinate.  Decode → flip → stats: three composable mapInPandas
+    stages, no shuffle anywhere."""
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        flip_image,
+        image_stats,
+    )
+
+    flipped = flip_image(
+        _decoded_shards(spark, sf_dir), id_col="source", id_type="string"
+    )
+    return image_stats(flipped, id_col="source", id_type="string")
+
+
+@query(
+    "image_crop",
+    f"""WITH {_IMG_PX_SQL},
+       px AS (SELECT d.source, xs.x, ys.y,
+                     (3 * (xs.x + 2) + 5 * (ys.y + 1) + d.n) % 256 AS r,
+                     (7 * (xs.x + 2) + 11 * (ys.y + 1) + 2 * d.n) % 256 AS g,
+                     (13 * (xs.x + 2) + 17 * (ys.y + 1) + 3 * d.n) % 256 AS b
+              FROM dims d
+              CROSS JOIN (SELECT CAST(generate_series AS INTEGER) AS x
+                          FROM generate_series(0, 6)) xs
+              CROSS JOIN (SELECT CAST(generate_series AS INTEGER) AS y
+                          FROM generate_series(0, 3)) ys)
+       SELECT source,
+              CAST(7 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+              CAST(3 AS INTEGER) AS n_channels,
+              CAST(SUM(r) AS BIGINT) AS sum_r,
+              CAST(SUM(g) AS BIGINT) AS sum_g,
+              CAST(SUM(b) AS BIGINT) AS sum_b,
+              CAST(SUM((y * 7 + x + 1) * r) AS BIGINT) AS wsum_r,
+              CAST(SUM((y * 7 + x + 1) * g) AS BIGINT) AS wsum_g,
+              CAST(SUM((y * 7 + x + 1) * b) AS BIGINT) AS wsum_b
+       FROM px GROUP BY source""",
+)
+def q_image_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window crop over decoded frames (r10): the 7×4 window at
+    origin (2, 1) — output pixel (x, y) is input pixel (x+2, y+1),
+    valid for every staged frame (min dims 11×6).  The fixed-shape
+    crop is the preprocessing stage in front of fixed-input models;
+    the oracle regenerates the window pixels arithmetically and the
+    weighted checksums pin both the offset and the re-indexed
+    positions.  Decode → crop → stats: all map-side."""
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        crop_image,
+        image_stats,
+    )
+
+    cropped = crop_image(
+        _decoded_shards(spark, sf_dir), x0=2, y0=1, out_w=7, out_h=4,
+        id_col="source", id_type="string",
+    )
+    return image_stats(cropped, id_col="source", id_type="string")

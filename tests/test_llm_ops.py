@@ -1237,3 +1237,61 @@ def test_ivfpq_recall_geq_plain_pq_on_clustered_fixture(spark):
     for q in pq:
         assert ivfpq[q] >= pq[q], (q, ivfpq[q], pq[q])
     assert all(v == 1.0 for v in ivfpq.values()), ivfpq
+
+
+def test_ppm_header_variants_and_rejects():
+    """P6 header parsing: comments and arbitrary whitespace between
+    tokens are legal; non-P6 magic, wrong maxval, and truncated pixel
+    data all raise instead of mis-parsing."""
+    import numpy as np
+
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        decode_payload,
+        decode_ppm,
+        encode_ppm,
+    )
+
+    arr = (np.arange(5 * 3 * 3) % 256).astype(np.uint8).reshape(3, 5, 3)
+    body = arr.tobytes()
+    assert (decode_ppm(b"P6 # c\n5\t3\r\n# x\n255\n" + body) == arr).all()
+    with pytest.raises(ValueError, match="not a P6"):
+        decode_ppm(b"P5\n5 3\n255\n" + body)
+    with pytest.raises(ValueError, match="maxval"):
+        decode_ppm(b"P6\n5 3\n65535\n" + body)
+    with pytest.raises(ValueError, match="truncated PPM pixel"):
+        decode_ppm(b"P6\n5 3\n255\n" + body[:-1])
+    with pytest.raises(ValueError, match="unrecognized image magic"):
+        decode_payload(b"\x89PNG....")
+
+
+def test_flip_and_crop_index_maps(spark):
+    """flip_image mirrors columns exactly; crop_image extracts exactly
+    the (x0, y0, w, h) window and raises on an oversized window —
+    checked against numpy on a decoded frame that flows through the
+    real mapInPandas stages."""
+    import numpy as np
+
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        crop_image,
+        decode_image,
+        encode_ppm,
+        flip_image,
+    )
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(6, 11, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(arr)))], "doc_id bigint, payload binary"
+    )
+    decoded = decode_image(df)
+    flipped = flip_image(decoded).collect()[0]
+    got = np.frombuffer(flipped["rgb"], dtype=np.uint8).reshape(6, 11, 3)
+    assert (got == arr[:, ::-1]).all()
+    cropped = crop_image(decoded, x0=2, y0=1, out_w=7, out_h=4).collect()[0]
+    assert (cropped["width"], cropped["height"]) == (7, 4)
+    got = np.frombuffer(cropped["rgb"], dtype=np.uint8).reshape(4, 7, 3)
+    assert (got == arr[1:5, 2:9]).all()
+    with pytest.raises(Exception, match="exceeds"):
+        crop_image(decoded, x0=8, y0=0, out_w=7, out_h=4).collect()
+    with pytest.raises(ValueError, match="positive dims"):
+        crop_image(decoded, x0=0, y0=0, out_w=0, out_h=4)

@@ -681,3 +681,29 @@ def test_pq_codes_are_valid_and_self_nearest(spark, vecs):
     zero = {(r["vec_id"], r["sub"]): r["d2"] for r in out}
     for i in sampled:
         assert zero[(i, 0)] == 0 and zero[(i, 1)] == 0
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=7),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_ppm_codec_roundtrip_any_dims(w, h, seed):
+    """encode_ppm→decode_ppm is the identity for ANY dims and pixel
+    content, and the magic-byte dispatch routes BOTH formats of the
+    same pixels back to the same array."""
+    import numpy as np
+
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        decode_payload,
+        decode_ppm,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = decode_ppm(encode_ppm(arr))
+    assert out.shape == arr.shape and (out == arr).all()
+    assert (decode_payload(encode_ppm(arr)) == decode_payload(encode_bmp(arr))).all()
