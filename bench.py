@@ -26,6 +26,14 @@ REFUSED as the BENCH_LAST.json compare baseline (both r8 end-of-round
 sweeps were contended, and the first r9 sweep carried a mid-window
 burst invisible to endpoint-only gating).  ``--only q1 q2 ...`` times
 a subset for re-attestation and never writes BENCH_LAST.json.
+
+Per-block deep warm-up (VERDICT r9 #4): the r9 per-block session
+restarts cured harness-age inflation but capped JIT warm depth, reading
++13% on the common-162 sub-second queries vs the unrestarted r7 sweep.
+Every session — initial and restarted — now runs a few representative
+query shapes ``$SPARK_GRAFT_BENCH_WARM_DEPTH`` times (default 2) before
+any recorded run, so per-query medians are depth-comparable across
+rounds and block positions.
 """
 
 from __future__ import annotations
@@ -250,6 +258,10 @@ HEADLINE = [
     "image_decode", "image_resize", "bpe_merge", "bpe_apply",
     "stream_ivf", "bpe_train", "pq_assign", "stream_bpe_merge",
     "stream_image_meta", "pq_topk", "bpe_encode", "pq_recall",
+    # round 10: cell-pruned residual IVF-PQ, streaming PQ codes,
+    # clustered recall contracts, deep BPE training, PPM + crop/flip
+    "ivfpq_topk", "ivfpq_recall", "pq_recall_clustered", "stream_pq",
+    "bpe_train_deep", "image_decode_ppm", "image_flip", "image_crop",
 ]
 
 
@@ -533,12 +545,34 @@ def main() -> None:
     # compile stays out of the recorded runs either way.
     block = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_BLOCK", "61")))
 
+    # per-block DEEP warm-up (VERDICT r9 #4): block restarts fixed the
+    # harness-age inflation but left each block's early queries on a
+    # shallow-JIT JVM — r9's common-162 read +13% vs the unrestarted r7
+    # sweep purely from that capped warm depth.  A range-sum + table
+    # counts warm the IO paths only; running a few REPRESENTATIVE query
+    # shapes (join, agg, window/sort exchanges) a couple of times pushes
+    # the JVM through the tiered-compilation ramp the recorded queries
+    # actually exercise, so small-query medians are depth-comparable
+    # across rounds and across block positions.
+    warm_depth = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_WARM_DEPTH", "2")))
+    warm_shapes = [q for q in ("multi_join", "group_agg", "window_rank", "top_k")
+                   if q in Q.QUERIES]
+
     def fresh_session():
         s = get_spark(app_name="hsp-bench", cpus=cpus)
         s.range(1_000_000).selectExpr("sum(id)").collect()
         for t in TABLE_NAMES:
             load_table(s, sf_dir, t).count()
+        for _ in range(warm_depth):
+            for wq in warm_shapes:
+                Q.QUERIES[wq](s, sf_dir).write.format("noop").mode("overwrite").save()
         return s
+
+    # the INITIAL session gets the identical deep warm so block 0 is
+    # depth-comparable with every restarted block
+    for _ in range(warm_depth):
+        for wq in warm_shapes:
+            Q.QUERIES[wq](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     for qi, name in enumerate(run_list):
         if qi and qi % block == 0:
