@@ -35,30 +35,29 @@ def entry(spark: SparkSession) -> DataFrame:
 # order.  Each round rotates this list so every registered query earns a
 # driver-green row in some round (union of CORRECTNESS_r*.json); queries
 # outside the current window pass the identical check locally via
-# tools/check_correctness.py.  Round 9 window (VERDICT r8 #2): the 12
-# new r9 registrations lead (codec, BPE, PQ, streaming-index queries —
-# every registration gets a driver row within one round); the remainder
-# refreshes the OLDEST attestations in the union — r2–r4-era queries
-# whose last driver row predates round 5 — to exactly 50.
+# tools/check_correctness.py.  Round 10 window (standing invariant,
+# VERDICT r9 #7): the 8 new r10 registrations lead (IVF-PQ, streaming
+# PQ, clustered recall contracts, deep BPE, PPM + crop/flip); the
+# remainder refreshes the OLDEST attestations in the union — every
+# r3/r4-era row plus the 19 oldest r5-era rows — to exactly 50.
 # tests/test_registry.py pins len(_VERIFY_FIRST) == 50 so the
 # off-by-one cannot recur.
 _VERIFY_FIRST = [
-    # new round-9 registrations, inserted as they land:
-    "image_decode", "image_resize", "bpe_merge", "bpe_apply",
-    "stream_ivf", "bpe_train", "pq_assign", "stream_bpe_merge",
-    "stream_image_meta", "pq_topk", "bpe_encode", "pq_recall",
-    # long-green padding, oldest-attestation-first (r2–r4 era), to 50:
-    "text_stats", "doc_fingerprint", "text_ngram", "dedup_exact",
-    "dedup_near", "simhash", "similarity_topk", "similarity_lsh",
-    "multimodal_meta", "stream_ingest", "stream_window_agg",
-    "align_pipeline", "session_agg", "time_rollup", "salted_agg",
-    "text_search", "asof_join", "range_join", "pivot_wide",
-    "percentiles", "stream_wire_ingest", "stream_stream_join",
-    "sample_hash", "ngram_jaccard", "ivf_assign",
-    "similarity_lsh_multiprobe", "zorder_key", "dedup_clusters",
-    "cube_agg", "minmax_by", "approx_distinct_ok", "doc_chunk",
-    "decontaminate", "shard_assign", "repetition_stats",
-    "curate_corpus", "stream_curate", "gapfill_locf",
+    # new round-10 registrations, inserted as they land:
+    "ivfpq_topk", "ivfpq_recall", "pq_recall_clustered", "stream_pq",
+    "bpe_train_deep", "image_decode_ppm", "image_flip", "image_crop",
+    # long-green padding, oldest-attestation-first (r3–r5 era), to 50:
+    "dedup_embedding", "minhash_sig", "stream_dedup", "token_count",
+    "approx_quantile_ok", "asof_forward", "fill_nulls", "histogram",
+    "multimodal_features", "multimodal_frames", "profile_table",
+    "regex_extract", "revenue_share", "sample_stratified", "scan_json",
+    "scan_orc", "stream_dedup_wm", "string_agg_sorted", "text_phrase",
+    "text_rank_bm25", "unpivot_narrow", "upsert", "window_time_range",
+    "anomaly_zscore", "asof_tolerance", "compaction",
+    "continuous_rollup", "corr_qty_price", "funnel", "funnel_lag",
+    "gapfill_interp", "heavy_hitters", "lang_id", "large_orders",
+    "mix_sources", "ntile_buckets", "pii_redact", "quality_score",
+    "resample_sources", "retention", "sessionize", "similarity_ivf",
 ]
 
 

@@ -2204,7 +2204,7 @@ ORACLES["stream_pq"] = ORACLES["pq_assign"]
 # ========================================================================
 
 _BPE_DEEP_K = 16
-_BPE_DEEP_STAGE_EVERY = 8
+_BPE_DEEP_STAGE_EVERY = 4
 
 # Each level references the previous twice; DuckDB inlines plain CTEs,
 # which would expand the chain (and its parquet scans) 2^K-fold — the
@@ -2228,12 +2228,14 @@ _BPE_TRAIN_DEEP_SQL = (
 @query("bpe_train_deep", _BPE_TRAIN_DEEP_SQL)
 def q_bpe_train_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K=16 chained BPE training with LINEAGE CHECKPOINTS (r10, closes
-    VERDICT r9 #5): bpe_train's budget note prescribed staging every ~8
-    merge levels because each level's plan references the previous one
-    twice (pair counts + apply) — textual plan growth is 2^levels past
-    the last materialization.  Here every 8th level writes the
+    VERDICT r9 #5): bpe_train's budget note prescribed staging every
+    few merge levels because each level's plan references the previous
+    one twice (pair counts + apply) — textual plan growth is 2^levels
+    past the last materialization.  Here every 4th level writes the
     (rep, freq) table — vocabulary-sized, KBs — to a staged parquet
-    table and re-reads it, resetting lineage to a flat scan; the
+    table and re-reads it, bounding the final DAG at 2^4 textual
+    references over a flat scan (32 exchange nodes, vs 2^16 unstaged —
+    ReuseExchange runs each level's agg once either way); the
     production-length merge list (hundreds of levels) is this loop with
     a larger K.  The oracle is the 16-level machine-generated CTE
     chain, so all 16 picks and applies are hash-checked transitively.

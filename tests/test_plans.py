@@ -250,6 +250,12 @@ SHUFFLE_BUDGETS = {
     # vocabulary aggs.  Documented in the query: checkpoint every ~8
     # levels for production-length merge lists.
     "bpe_train": 16,
+    # bpe_train_deep (r10) IS that checkpointed production shape: K=16
+    # levels with a staged-parquet lineage cut every 4, so the FINAL
+    # DAG is only the last 4 levels over a flat scan — textual 2^4
+    # doubling of their vocabulary-sized aggs (+ the symbol-count agg),
+    # capped by the stage interval no matter how deep K grows.
+    "bpe_train_deep": 32,
     # basket_rules: per-basket item collect + pair explode agg + the
     # two per-item marginal aggs + scalar basket count — the a-priori
     # support/confidence/lift shape, each keyed on items (capped per
