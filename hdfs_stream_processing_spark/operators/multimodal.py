@@ -500,3 +500,164 @@ def crop_image(
             )
 
     return df.mapInPandas(run, schema=f"{id_col} {id_type}, {DECODED_SCHEMA}")
+
+
+# ── WAV/PCM audio codec + stages (round 10) ─────────────────────────────
+
+
+def encode_wav(samples: "np.ndarray", sample_rate: int = 8000) -> bytes:
+    """Encode a 1-D int16 sample array as a mono 16-bit PCM WAV (RIFF)
+    — pure numpy + struct (public RIFF/WAVE spec): ``RIFF`` size
+    ``WAVE``, a 16-byte ``fmt `` chunk (PCM=1, 1 channel, rate, 16
+    bps), and the little-endian ``data`` chunk.  The audio analog of
+    encode_bmp/encode_ppm: exists so fixtures are byte-exact."""
+    import numpy as np
+
+    if samples.ndim != 1 or samples.dtype != np.int16:
+        raise ValueError("encode_wav needs a 1-D int16 array")
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+        + struct.pack("<4sI", b"data", len(data)) + data
+    )
+
+
+def decode_wav(b: bytes) -> tuple[int, "np.ndarray"]:
+    """Decode a mono 16-bit PCM WAV to (sample_rate, int16 samples) —
+    the inverse of :func:`encode_wav`.  Walks the RIFF chunk list (so
+    files with extra chunks, e.g. LIST metadata, still parse); rejects
+    non-RIFF/WAVE magic, compressed formats, multi-channel and
+    non-16-bit variants explicitly."""
+    import numpy as np
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid, size = struct.unpack_from("<4sI", b, pos)
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, n_channels, rate, _, _, bits = fmt
+    if audio_fmt != 1 or n_channels != 1 or bits != 16:
+        raise ValueError(
+            f"unsupported WAV variant (fmt={audio_fmt}, ch={n_channels}, bits={bits})"
+        )
+    if len(data) % 2:
+        raise ValueError("odd-length PCM16 data chunk")
+    return rate, np.frombuffer(data, dtype="<i2").astype(np.int16)
+
+
+#: decode_audio output: rate + length + the raw little-endian PCM16
+#: payload, so downstream stages (resample, stats, feature models)
+#: compose without re-decoding — the audio mirror of DECODED_SCHEMA.
+DECODED_AUDIO_SCHEMA = "sample_rate int, n_samples int, pcm binary"
+
+
+def decode_audio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    id_type: str = "bigint",
+) -> DataFrame:
+    """Audio decode stage — REAL for mono PCM16 WAV (pure numpy RIFF
+    walk), the same mapInPandas shape as decode_image: Arrow binary
+    batches in, (rate + length + raw PCM bytes) out.  Compressed
+    formats (MP3/FLAC/Opus) need a codec library this container lacks;
+    the WAV path proves the full plumbing with real chunk parsing."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rates, lens, pcms = [], [], [], []
+            for key, payload in zip(pdf[id_col], pdf[payload_col]):
+                rate, samples = decode_wav(bytes(payload))
+                ids.append(key)
+                rates.append(rate)
+                lens.append(len(samples))
+                pcms.append(samples.astype("<i2").tobytes())
+            yield pd.DataFrame(
+                {
+                    id_col: ids, "sample_rate": rates,
+                    "n_samples": lens, "pcm": pcms,
+                }
+            )
+
+    return df.mapInPandas(extract, schema=f"{id_col} {id_type}, {DECODED_AUDIO_SCHEMA}")
+
+
+def resample_audio(
+    df: DataFrame,
+    out_len: int,
+    id_col: str = "doc_id",
+    id_type: str = "bigint",
+) -> DataFrame:
+    """Nearest-neighbor resample over decoded audio frames to a FIXED
+    ``out_len``: output sample i is EXACTLY input sample
+    ⌊i·n_samples/out_len⌋ — the integer index map that makes the
+    resampling oracle-checkable, and the fixed-length contract a
+    model's input layer needs.  Interpolating/band-limited resamplers
+    are a kernel swap in the same batch body."""
+    if out_len <= 0:
+        raise ValueError("need a positive output length")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, rates, pcms = [], [], []
+            for key, rate, n, pcm in zip(
+                pdf[id_col], pdf["sample_rate"], pdf["n_samples"], pdf["pcm"]
+            ):
+                samples = np.frombuffer(bytes(pcm), dtype="<i2")
+                idx = (np.arange(out_len) * int(n)) // out_len
+                ids.append(key)
+                rates.append(int(rate))
+                pcms.append(samples[idx].astype("<i2").tobytes())
+            yield pd.DataFrame(
+                {
+                    id_col: ids, "sample_rate": rates,
+                    "n_samples": out_len, "pcm": pcms,
+                }
+            )
+
+    return df.mapInPandas(run, schema=f"{id_col} {id_type}, {DECODED_AUDIO_SCHEMA}")
+
+
+AUDIO_STATS_SCHEMA = (
+    "sample_rate int, n_samples int, sum_amp bigint, wsum_amp bigint"
+)
+
+
+def audio_stats(
+    df: DataFrame, id_col: str = "doc_id", id_type: str = "bigint"
+) -> DataFrame:
+    """Exact integer statistics over decoded audio: amplitude sum and
+    the POSITION-WEIGHTED checksum Σ (i+1)·s[i] — order-sensitive, so
+    a decoder that drops, reorders, or byte-swaps samples fails the
+    hash even when the plain sum survives (the audio mirror of
+    image_stats' weighted pixel sums)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for key, rate, n, pcm in zip(
+                pdf[id_col], pdf["sample_rate"], pdf["n_samples"], pdf["pcm"]
+            ):
+                s = np.frombuffer(bytes(pcm), dtype="<i2").astype(np.int64)
+                w = np.arange(1, len(s) + 1, dtype=np.int64)
+                rows.append((key, int(rate), int(n), int(s.sum()), int((w * s).sum())))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "sample_rate", "n_samples", "sum_amp", "wsum_amp"],
+            )
+
+    return df.mapInPandas(run, schema=f"{id_col} {id_type}, {AUDIO_STATS_SCHEMA}")

@@ -2422,3 +2422,187 @@ def q_image_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="source", id_type="string",
     )
     return image_stats(cropped, id_col="source", id_type="string")
+
+
+@query(
+    "stream_ivfpq",
+    f"""WITH q AS (SELECT vec_id, {_QUANT_SQL.format(col='embedding')} AS qv FROM embeddings),
+ {_IVFPQ_CTES_TPL.format(w=16)}
+ SELECT vec_id, cell, sub, code FROM codes""",
+)
+def q_stream_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVF-PQ maintenance (r10): the composed index — coarse
+    cell + residual codes per vector — maintained across micro-batches
+    against the FROZEN quantizer pair (centroids + residual codebooks,
+    both trained offline on the corpus), behind the batch-id replay
+    guard.  Completes the stream_ivf / stream_pq / stream_ivfpq triad:
+    the table this maintains is exactly what ivfpq_topk's pruned ADC
+    scan reads, so a 100 TB deployment ingests vectors continuously
+    and searches the live index with no rebuild.  The oracle re-derives
+    the one-shot batch encode (the ivfpq_topk CTE chain's code table).
+
+    Scale: per micro-batch one batch-sized encode (broadcast centroid
+    argmin + bounded ×4 explode + broadcast codebook join); stored
+    state is the compressed index itself."""
+    from hdfs_stream_processing_spark.operators.similarity import (
+        ivfpq_assign_codes,
+        ivfpq_init,
+    )
+    from hdfs_stream_processing_spark.sources.io import read_table_version
+    from hdfs_stream_processing_spark.streaming import stream_parquet_source
+    from hdfs_stream_processing_spark.streaming.pipeline import (
+        rollup_apply_batch,
+        run_foreach_batch,
+    )
+
+    (embeddings,) = prep(spark, sf_dir, "embeddings")
+    cents, cb_rows = ivfpq_init(
+        embeddings, "vec_id", "embedding", n_cells=8, m_subs=4, k_codes=8
+    )
+
+    src_dir, schema = _stage_embeddings(spark, sf_dir)
+    stream = stream_parquet_source(spark, src_dir, schema, max_files_per_trigger=2)
+    codes_dir = _mkdtemp("hsp_sivfpq_codes_")
+    ckpt = _mkdtemp("hsp_sivfpq_ckpt_")
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        coded = ivfpq_assign_codes(
+            batch_df, "vec_id", "embedding", n_cells=8, m_subs=4, k_codes=8,
+            centroids=cents, codebook_rows=cb_rows,
+        )
+        rollup_apply_batch(
+            coded.withColumn("one", F.lit(1).cast("long")),
+            codes_dir, ["vec_id", "cell", "sub", "code"], ["one"], batch_id,
+        )
+
+    run_foreach_batch(stream, step, ckpt)
+    return read_table_version(spark, codes_dir).select(
+        "vec_id", "cell", "sub", "code"
+    )
+
+
+# Round 10: third real modality — mono PCM16 WAV audio (RIFF walk),
+# decode + fixed-length nearest-neighbor resample, oracled exactly.
+# ========================================================================
+
+
+def _synth_wave(n: int, length: int):
+    """Deterministic int16 waveform for source #n: amplitude of sample
+    i is ((7·i + 3·n) mod 401) − 200 — small affine mod, so a SQL
+    oracle regenerates every sample with generate_series."""
+    import numpy as np
+
+    i = np.arange(length, dtype=np.int64)
+    return (((7 * i + 3 * n) % 401) - 200).astype(np.int16)
+
+
+def _stage_wav_shards(spark: SparkSession, sf_dir: str) -> str:
+    """One WAV per document source: lengths 50..66 (from n alone), rate
+    8000 — the audio twin of _stage_bmp_shards; driver work is bounded
+    by the source count, and DuckDB recomputes the expected decode
+    without ever seeing the binary."""
+    import os as _os
+
+    from hdfs_stream_processing_spark.operators.multimodal import encode_wav
+
+    key = ("hsp_wav_staged_", sf_dir)
+    if key in _STAGE_CACHE:
+        return _STAGE_CACHE[key]
+    (documents,) = prep(spark, sf_dir, "documents")
+    wav_dir = _mkdtemp("hsp_wav_src_", sf_dir)
+    for row in documents.select("source").distinct().collect():
+        n = int(row["source"][3:])
+        with open(_os.path.join(wav_dir, f"{row['source']}.wav"), "wb") as f:
+            f.write(encode_wav(_synth_wave(n, 50 + n % 17), 8000))
+    _STAGE_CACHE[key] = wav_dir
+    return wav_dir
+
+
+def _decoded_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_stream_processing_spark.operators.multimodal import decode_audio
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .load(_stage_wav_shards(spark, sf_dir))
+    )
+    payloads = files.select(
+        F.regexp_extract(F.col("path"), r"([^/]+)\.wav$", 1).alias("source"),
+        F.col("content").alias("payload"),
+    )
+    return decode_audio(
+        payloads, id_col="source", payload_col="payload", id_type="string"
+    )
+
+
+#: Shared oracle scaffold: per-source waveform dims from n alone.
+_WAV_DIMS_SQL = """s AS (SELECT DISTINCT source, CAST(substr(source, 4, 8) AS INTEGER) AS n
+             FROM documents),
+       dims AS (SELECT source, n, 50 + (n % 17) AS len FROM s)"""
+
+
+@query(
+    "audio_decode",
+    f"""WITH {_WAV_DIMS_SQL},
+       samp AS (SELECT d.source, d.len, i.i,
+                       ((7 * i.i + 3 * d.n) % 401) - 200 AS amp
+                FROM dims d
+                CROSS JOIN (SELECT CAST(generate_series AS INTEGER) AS i
+                            FROM generate_series(0, 65)) i
+                WHERE i.i < d.len)
+       SELECT source,
+              CAST(8000 AS INTEGER) AS sample_rate,
+              CAST(MIN(len) AS INTEGER) AS n_samples,
+              CAST(SUM(amp) AS BIGINT) AS sum_amp,
+              CAST(SUM((i + 1) * amp) AS BIGINT) AS wsum_amp
+       FROM samp GROUP BY source""",
+)
+def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode (r10 — third modality): per-source mono PCM16
+    WAV shards read via binaryFile, decoded by the pure-numpy RIFF
+    chunk walk inside mapInPandas, reduced to exact integer amplitude
+    sums and position-weighted checksums (Σ (i+1)·s[i] — sensitive to
+    sample order and byte order where a plain sum is not).  The oracle
+    regenerates every sample arithmetically; negative amplitudes
+    exercise signed PCM16 end to end.  Same 100 TB shape as
+    image_decode: binary columns in, Arrow-batched vectorized decode,
+    no driver data path."""
+    from hdfs_stream_processing_spark.operators.multimodal import audio_stats
+
+    return audio_stats(
+        _decoded_audio(spark, sf_dir), id_col="source", id_type="string"
+    )
+
+
+@query(
+    "audio_resample",
+    f"""WITH {_WAV_DIMS_SQL},
+       samp AS (SELECT d.source, i.i,
+                       ((7 * ((i.i * d.len) // 56) + 3 * d.n) % 401) - 200 AS amp
+                FROM dims d
+                CROSS JOIN (SELECT CAST(generate_series AS INTEGER) AS i
+                            FROM generate_series(0, 55)) i)
+       SELECT source,
+              CAST(8000 AS INTEGER) AS sample_rate,
+              CAST(56 AS INTEGER) AS n_samples,
+              CAST(SUM(amp) AS BIGINT) AS sum_amp,
+              CAST(SUM((i + 1) * amp) AS BIGINT) AS wsum_amp
+       FROM samp GROUP BY source""",
+)
+def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → nearest-neighbor resample to a FIXED 56 samples →
+    exact stats (r10): output sample i IS input sample ⌊i·len/56⌋, so
+    the oracle reproduces the index map arithmetically over variable
+    input lengths (50..66) — sources on BOTH sides of the 56-sample
+    target exercise up- and down-sampling through one index map.  The fixed-length contract
+    is what an audio model's input layer consumes; all three stages
+    are map-side mapInPandas — linear at any corpus size."""
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        audio_stats,
+        resample_audio,
+    )
+
+    fixed = resample_audio(
+        _decoded_audio(spark, sf_dir), out_len=56, id_col="source", id_type="string"
+    )
+    return audio_stats(fixed, id_col="source", id_type="string")

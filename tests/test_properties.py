@@ -707,3 +707,31 @@ def test_ppm_codec_roundtrip_any_dims(w, h, seed):
     out = decode_ppm(encode_ppm(arr))
     assert out.shape == arr.shape and (out == arr).all()
     assert (decode_payload(encode_ppm(arr)) == decode_payload(encode_bmp(arr))).all()
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=200),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_wav_codec_roundtrip_any_length(n, seed):
+    """encode_wav→decode_wav is the identity for ANY length and sample
+    content (full signed int16 range), and extra RIFF chunks before
+    the data chunk are walked over, not mis-parsed."""
+    import struct
+
+    import numpy as np
+
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-32768, 32768, size=n, dtype=np.int16)
+    rate, out = decode_wav(encode_wav(s, 16000))
+    assert rate == 16000 and out.dtype == np.int16 and (out == s).all()
+    b = encode_wav(s, 16000)
+    padded = b[:12] + struct.pack("<4sI", b"LIST", 5) + b"INFOx\x00" + b[12:]
+    rate, out = decode_wav(padded)
+    assert (out == s).all()
