@@ -262,7 +262,8 @@ HEADLINE = [
     # clustered recall contracts, deep BPE training, PPM + crop/flip
     "ivfpq_topk", "ivfpq_recall", "pq_recall_clustered", "stream_pq",
     "bpe_train_deep", "image_decode_ppm", "image_flip", "image_crop",
-    "stream_ivfpq", "audio_decode", "audio_resample",
+    "stream_ivfpq", "audio_decode", "audio_resample", "ivfpq_rerank",
+    "stream_audio_meta",
 ]
 
 

@@ -2606,3 +2606,133 @@ def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         _decoded_audio(spark, sf_dir), out_len=56, id_col="source", id_type="string"
     )
     return audio_stats(fixed, id_col="source", id_type="string")
+
+
+@query(
+    "ivfpq_rerank",
+    f"""WITH q AS (SELECT vec_id, {_QUANT_SQL.format(col='embedding')} AS qv FROM embeddings),
+ {_IVFPQ_CTES_TPL.format(w=16)},
+ {_IVFPQ_SCAN_CTES_TPL.format(w=16, qf="vec_id % 61 = 0")},
+ shortlist AS (SELECT query_id, neighbor_id FROM (
+                 SELECT query_id, neighbor_id,
+                        row_number() OVER (PARTITION BY query_id
+                                           ORDER BY adc_d2 ASC, neighbor_id ASC) AS rnk
+                 FROM scored)
+               WHERE rnk <= 50),
+ rescored AS (SELECT s.query_id, s.neighbor_id,
+                     CAST(list_sum(list_transform(list_zip(qq.qv, nn.qv),
+                          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2
+              FROM shortlist s
+              JOIN q qq ON qq.vec_id = s.query_id
+              JOIN q nn ON nn.vec_id = s.neighbor_id)
+ SELECT query_id, neighbor_id, d2, CAST(rnk AS BIGINT) AS rank
+ FROM (SELECT query_id, neighbor_id, d2,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY d2 ASC, neighbor_id ASC) AS rnk
+       FROM rescored)
+ WHERE rnk <= 10""",
+)
+def q_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (r10) — the standard production serving
+    pattern on top of ivfpq_topk: the pruned ADC scan produces a CHEAP
+    shortlist (top-50 by compressed distance), then only those ~50
+    rows per query join back to the raw vectors for an EXACT integer-L2
+    re-rank to the final top-10.  The expensive exact arithmetic
+    touches |Q|·50 rows instead of |Q|·corpus — re-ranking cost is
+    independent of corpus size, which is why every large-scale vector
+    serving stack ends with this join-back.  All exact integer
+    distances, (d2, id) tiebreaks; the oracle re-derives the shortlist
+    AND the re-ranking bit-exactly."""
+    from hdfs_stream_processing_spark.operators.similarity import (
+        ivfpq_adc_topk,
+        quantized,
+    )
+    from pyspark.sql import Window
+
+    (embeddings,) = prep(spark, sf_dir, "embeddings")
+    qf = F.col("vec_id") % 61 == 0
+    shortlist = ivfpq_adc_topk(
+        embeddings, qf, n_cells=8, nprobe=2, m_subs=4, k_codes=8, k=50
+    ).select("query_id", "neighbor_id")
+    vecs = embeddings.select("vec_id", quantized("embedding").alias("qv"))
+    d2 = F.aggregate(
+        F.zip_with("_qv", "_nv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    rescored = (
+        shortlist
+        .join(vecs.select(F.col("vec_id").alias("query_id"),
+                          F.col("qv").alias("_qv")), "query_id")
+        .join(vecs.select(F.col("vec_id").alias("neighbor_id"),
+                          F.col("qv").alias("_nv")), "neighbor_id")
+        .withColumn("d2", d2)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "d2", "rank")
+    )
+
+
+@query("stream_audio_meta", None)  # oracle assigned below: audio_decode's
+def q_stream_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio shards arriving on a STREAM (r10): the staged WAV
+    directory is read with the binaryFile file-stream source, each
+    micro-batch decodes through the same pure-numpy RIFF walk as
+    audio_decode, and the per-source stats table is maintained behind
+    the replay guard — keys carry the non-additive columns (rate,
+    length), the amplitude sums and weighted checksums ride the
+    additive merge.  Each shard lands exactly once, so the maintained
+    table must equal the one-shot batch decode (the oracle IS
+    audio_decode's) — the audio twin of stream_image_meta, closing the
+    landing-zone ingest pattern over all three real codecs."""
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        audio_stats,
+        decode_audio,
+    )
+    from hdfs_stream_processing_spark.sources.io import read_table_version
+    from hdfs_stream_processing_spark.streaming.pipeline import run_stream_rollup
+
+    wav_dir = _stage_wav_shards(spark, sf_dir)
+    bin_schema = (
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(bin_schema)
+        .option("pathGlobFilter", "*.wav")
+        .option("maxFilesPerTrigger", 8)
+        .load(wav_dir)
+    )
+
+    def partial(batch: DataFrame) -> DataFrame:
+        payloads = batch.select(
+            F.regexp_extract(F.col("path"), r"([^/]+)\.wav$", 1).alias("source"),
+            F.col("content").alias("payload"),
+        )
+        return audio_stats(
+            decode_audio(payloads, id_col="source", payload_col="payload",
+                         id_type="string"),
+            id_col="source", id_type="string",
+        )
+
+    tdir = _mkdtemp("hsp_saud_")
+    ckpt = _mkdtemp("hsp_saud_ckpt_")
+    run_stream_rollup(
+        stream, tdir, ckpt,
+        ["source", "sample_rate", "n_samples"],
+        ["sum_amp", "wsum_amp"],
+        partial,
+    )
+    stats = read_table_version(spark, tdir)
+    return stats.select(
+        "source", "sample_rate", "n_samples",
+        *[F.col(c).cast("long").alias(c) for c in ("sum_amp", "wsum_amp")],
+    )
+
+
+ORACLES["stream_audio_meta"] = ORACLES["audio_decode"]
