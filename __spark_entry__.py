@@ -36,11 +36,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver-green row in some round (union of CORRECTNESS_r*.json); queries
 # outside the current window pass the identical check locally via
 # tools/check_correctness.py.  Round 10 window (standing invariant,
-# VERDICT r9 #7): the 13 new r10 registrations lead (IVF-PQ, streaming
+# VERDICT r9 #7): the 14 new r10 registrations lead (IVF-PQ, streaming
 # PQ/IVF-PQ, clustered recall contracts, deep BPE, PPM + crop/flip,
 # WAV audio); the
 # remainder refreshes the OLDEST attestations in the union — every
-# r3/r4-era row plus the 14 oldest r5-era rows — to exactly 50.
+# r3/r4-era row plus the 13 oldest r5-era rows — to exactly 50.
 # tests/test_registry.py pins len(_VERIFY_FIRST) == 50 so the
 # off-by-one cannot recur.
 _VERIFY_FIRST = [
@@ -48,7 +48,7 @@ _VERIFY_FIRST = [
     "ivfpq_topk", "ivfpq_recall", "pq_recall_clustered", "stream_pq",
     "bpe_train_deep", "image_decode_ppm", "image_flip", "image_crop",
     "stream_ivfpq", "audio_decode", "audio_resample", "ivfpq_rerank",
-    "stream_audio_meta",
+    "stream_audio_meta", "image_normalize",
     # long-green padding, oldest-attestation-first (r3–r5 era), to 50:
     "dedup_embedding", "minhash_sig", "stream_dedup", "token_count",
     "approx_quantile_ok", "asof_forward", "fill_nulls", "histogram",
@@ -59,7 +59,7 @@ _VERIFY_FIRST = [
     "anomaly_zscore", "asof_tolerance", "compaction",
     "continuous_rollup", "corr_qty_price", "funnel", "funnel_lag",
     "gapfill_interp", "heavy_hitters", "lang_id", "large_orders",
-    "mix_sources", "ntile_buckets", "pii_redact",
+    "mix_sources", "ntile_buckets",
 ]
 
 

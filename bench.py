@@ -263,7 +263,7 @@ HEADLINE = [
     "ivfpq_topk", "ivfpq_recall", "pq_recall_clustered", "stream_pq",
     "bpe_train_deep", "image_decode_ppm", "image_flip", "image_crop",
     "stream_ivfpq", "audio_decode", "audio_resample", "ivfpq_rerank",
-    "stream_audio_meta",
+    "stream_audio_meta", "image_normalize",
 ]
 
 

@@ -661,3 +661,59 @@ def audio_stats(
             )
 
     return df.mapInPandas(run, schema=f"{id_col} {id_type}, {AUDIO_STATS_SCHEMA}")
+
+
+NORMALIZE_STATS_SCHEMA = (
+    "width int, height int, n_channels int, "
+    "sum_absdev_r bigint, sum_absdev_g bigint, sum_absdev_b bigint, "
+    "wsum_dev_r bigint, wsum_dev_g bigint, wsum_dev_b bigint"
+)
+
+
+def normalize_stats(
+    df: DataFrame, id_col: str = "doc_id", id_type: str = "bigint"
+) -> DataFrame:
+    """Per-channel mean-centering over decoded frames, in EXACT integer
+    arithmetic: with N = W·H pixels and channel sum S, the centered
+    value of pixel p is dev(p) = p·N − S (the mean-removed value scaled
+    by N — scaling keeps every term an integer, so the whole stage is
+    oracle-checkable where a float (p − S/N) is not).  Emits the
+    per-channel L1 deviation mass Σ|dev| and the position-weighted
+    Σ(y·W+x+1)·dev; the PLAIN sum of dev is identically zero by
+    construction, so these two are the reductions that carry signal.
+    This is the channel-normalize preprocessing stage in front of a
+    vision model, reduced to its checkable integer core."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for key, w, h, c, rgb in zip(
+                pdf[id_col], pdf["width"], pdf["height"],
+                pdf["n_channels"], pdf["rgb"],
+            ):
+                w, h, c = int(w), int(h), int(c)
+                pix = np.frombuffer(bytes(rgb), dtype=np.uint8).reshape(
+                    h, w, c
+                ).astype(np.int64)
+                n = w * h
+                dev = pix * n - pix.sum(axis=(0, 1))  # broadcast per channel
+                weight = (
+                    np.arange(h, dtype=np.int64)[:, None] * w
+                    + np.arange(w, dtype=np.int64)[None, :]
+                    + 1
+                )
+                absdev = np.abs(dev).sum(axis=(0, 1))
+                wdev = (dev * weight[:, :, None]).sum(axis=(0, 1))
+                rows.append((key, w, h, c, *map(int, absdev), *map(int, wdev)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "width", "height", "n_channels",
+                    "sum_absdev_r", "sum_absdev_g", "sum_absdev_b",
+                    "wsum_dev_r", "wsum_dev_g", "wsum_dev_b",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=f"{id_col} {id_type}, {NORMALIZE_STATS_SCHEMA}")

@@ -1295,3 +1295,32 @@ def test_flip_and_crop_index_maps(spark):
         crop_image(decoded, x0=8, y0=0, out_w=7, out_h=4).collect()
     with pytest.raises(ValueError, match="positive dims"):
         crop_image(decoded, x0=0, y0=0, out_w=0, out_h=4)
+
+
+def test_normalize_stats_exact_integer_centering(spark):
+    """normalize_stats' dev = p·N − S checked against numpy on a frame
+    that flows through the real decode stage; the plain dev sum is
+    zero by construction, so the emitted L1 mass and weighted sum are
+    the signal-carrying reductions."""
+    import numpy as np
+
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        decode_image,
+        encode_ppm,
+        normalize_stats,
+    )
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(arr)))], "doc_id bigint, payload binary"
+    )
+    r = normalize_stats(decode_image(df)).collect()[0]
+    pix = arr.astype(np.int64)
+    n = 5 * 7
+    dev = pix * n - pix.sum(axis=(0, 1))
+    assert dev.sum(axis=(0, 1)).tolist() == [0, 0, 0]
+    weight = (np.arange(5)[:, None] * 7 + np.arange(7)[None, :] + 1).astype(np.int64)
+    for ci, ch in enumerate("rgb"):
+        assert r[f"sum_absdev_{ch}"] == int(np.abs(dev[:, :, ci]).sum())
+        assert r[f"wsum_dev_{ch}"] == int((dev[:, :, ci] * weight).sum())
