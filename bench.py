@@ -491,8 +491,28 @@ def main() -> None:
     # times just those queries and NEVER overwrites BENCH_LAST.json —
     # the full-sweep record stays the only compare baseline
     subset: list[str] | None = None
-    if len(sys.argv) > 1 and sys.argv[1] == "--only":
+    if len(sys.argv) > 1:
+        # Reject anything that isn't the one supported flag: an unknown
+        # argv (e.g. `--help`) must print usage, NOT silently launch a
+        # 40-minute full sweep (VERDICT r10 instrument nit).
+        if sys.argv[1] in ("--help", "-h"):
+            raise SystemExit(
+                "usage: bench.py [--only QUERY [QUERY ...]]\n\n"
+                "No args: full-registry sweep (writes BENCH_LAST.json when the\n"
+                "sentinel gate passes).  --only: time just those queries;\n"
+                "never writes BENCH_LAST.json.\n"
+                "Env: SPARK_GRAFT_SF_DIR SPARK_GRAFT_CPUS SPARK_GRAFT_BENCH_RUNS\n"
+                "     SPARK_GRAFT_BENCH_RETRIES SPARK_GRAFT_BENCH_COOLDOWN\n"
+                "     SPARK_GRAFT_BENCH_WARM_DEPTH SPARK_GRAFT_BENCH_BLOCK"
+            )
+        if sys.argv[1] != "--only":
+            raise SystemExit(
+                f"unknown argument {sys.argv[1]!r} (try --help); refusing to "
+                "start a full sweep on unrecognized argv"
+            )
         subset = sys.argv[2:]
+        if not subset:
+            raise SystemExit("--only needs at least one query name")
         unknown = [q for q in subset if q not in Q.QUERIES]
         if unknown:
             raise SystemExit(f"unknown queries: {unknown}")

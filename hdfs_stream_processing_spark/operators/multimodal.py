@@ -537,8 +537,19 @@ def decode_wav(b: bytes) -> tuple[int, "np.ndarray"]:
     pos, fmt, data = 12, None, None
     while pos + 8 <= len(b):
         cid, size = struct.unpack_from("<4sI", b, pos)
+        if pos + 8 + size > len(b):
+            # A declared chunk length past the end of the buffer means the
+            # payload was cut mid-transfer; decoding the partial body would
+            # silently yield fewer samples, so reject like decode_ppm does
+            # for truncated pixel data.
+            raise ValueError(
+                f"truncated WAV: chunk {cid!r} declares {size} bytes but only "
+                f"{len(b) - pos - 8} remain"
+            )
         body = b[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if size < 16:
+                raise ValueError(f"truncated fmt chunk ({size} bytes, need 16)")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
@@ -616,6 +627,14 @@ def resample_audio(
                 pdf[id_col], pdf["sample_rate"], pdf["n_samples"], pdf["pcm"]
             ):
                 samples = np.frombuffer(bytes(pcm), dtype="<i2")
+                if int(n) == 0:
+                    # decode_wav accepts an empty-but-valid data chunk; the
+                    # index map below would read samples[0] from an empty
+                    # array and kill the whole Arrow batch with an opaque
+                    # IndexError, so reject explicitly (crop_image pattern).
+                    raise ValueError(
+                        f"cannot resample empty waveform (id={key!r})"
+                    )
                 idx = (np.arange(out_len) * int(n)) // out_len
                 ids.append(key)
                 rates.append(int(rate))
@@ -694,10 +713,21 @@ def normalize_stats(
                 pdf["n_channels"], pdf["rgb"],
             ):
                 w, h, c = int(w), int(h), int(c)
+                n = w * h
+                # |dev| ≤ 255·N and weight ≤ N, so the weighted sum is
+                # bounded by 255·N³; np.int64 wraps SILENTLY past 2^63, which
+                # would break the exact-integer oracle claim without any
+                # error.  575² pixels is the last frame size where 255·N³
+                # fits, so refuse anything larger (same spirit as the PQ
+                # code's documented <2^40 distance bound).
+                if 255 * n ** 3 >= 2 ** 63:
+                    raise ValueError(
+                        f"frame {w}x{h} too large for exact int64 "
+                        "normalize_stats (255*N^3 exceeds int64; max ~575x575)"
+                    )
                 pix = np.frombuffer(bytes(rgb), dtype=np.uint8).reshape(
                     h, w, c
                 ).astype(np.int64)
-                n = w * h
                 dev = pix * n - pix.sum(axis=(0, 1))  # broadcast per channel
                 weight = (
                     np.arange(h, dtype=np.int64)[:, None] * w

@@ -2200,7 +2200,7 @@ ORACLES["stream_pq"] = ORACLES["pq_assign"]
 
 
 # Round 10 (VERDICT r9 #5): production-length BPE training — K=16 merge
-# levels with lineage checkpoints every 8, so plan text stays bounded.
+# levels with lineage checkpoints every 4, so plan text stays bounded.
 # ========================================================================
 
 _BPE_DEEP_K = 16
@@ -2242,7 +2242,7 @@ def q_bpe_train_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: per level one vocabulary-sized pair agg + a broadcast 1-row
     winner join; the corpus is touched once (the word-count reduction);
-    checkpoint cost is a vocabulary-sized write per 8 levels."""
+    checkpoint cost is a vocabulary-sized write per 4 levels."""
     from hdfs_stream_processing_spark.operators.text import (
         bpe_apply_merge,
         bpe_best_pair,

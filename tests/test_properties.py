@@ -735,3 +735,86 @@ def test_wav_codec_roundtrip_any_length(n, seed):
     padded = b[:12] + struct.pack("<4sI", b"LIST", 5) + b"INFOx\x00" + b[12:]
     rate, out = decode_wav(padded)
     assert (out == s).all()
+
+
+def test_wav_truncated_chunk_rejected():
+    """ADVICE r10: a data chunk whose declared size runs past the end of
+    the buffer (payload cut mid-transfer) must raise, not silently decode
+    fewer samples — same quarantine contract as decode_ppm/decode_bmp."""
+    import numpy as np
+    import pytest
+
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    s = np.arange(-20, 20, dtype=np.int16)
+    b = encode_wav(s, 8000)
+    # cut the data chunk at an even byte count — previously decoded
+    # silently to fewer samples
+    with pytest.raises(ValueError, match="truncated WAV"):
+        decode_wav(b[:-4])
+    # a short fmt body must be a ValueError too, not a struct.error
+    import struct
+
+    hdr = struct.pack("<4sI4s", b"RIFF", 4 + 8 + 8, b"WAVE")
+    short_fmt = hdr + struct.pack("<4sI", b"fmt ", 8) + b"\x00" * 8
+    with pytest.raises(ValueError):
+        decode_wav(short_fmt)
+
+
+def test_resample_audio_empty_waveform_rejected(spark):
+    """ADVICE r10: an empty-but-valid WAV (zero-length data chunk) must
+    produce a descriptive ValueError from resample_audio, not an opaque
+    numpy IndexError that kills the Arrow batch."""
+    import numpy as np
+    import pytest
+
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        decode_audio,
+        encode_wav,
+        resample_audio,
+    )
+
+    empty = encode_wav(np.array([], dtype=np.int16), 8000)
+    df = spark.createDataFrame([(1, bytearray(empty))], "doc_id bigint, payload binary")
+    decoded = decode_audio(df)
+    with pytest.raises(Exception, match="empty waveform"):
+        resample_audio(decoded, 8).collect()
+
+
+def test_normalize_stats_oversized_frame_rejected(spark):
+    """ADVICE r10: 255*N^3 wraps int64 past ~575x575 pixels; the stage
+    must refuse such frames instead of silently emitting wrapped sums.
+    (Checked via the guard arithmetic + a small real frame passing.)"""
+    # guard arithmetic: 575*575 fits, 600*600 does not
+    assert 255 * (575 * 575) ** 3 < 2 ** 63
+    assert 255 * (600 * 600) ** 3 >= 2 ** 63
+
+    import numpy as np
+    import pytest
+
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+        normalize_stats,
+    )
+
+    # a real (tiny) frame still passes end-to-end
+    arr = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_bmp(arr)))], "doc_id bigint, payload binary"
+    )
+    out = normalize_stats(decode_image(df)).collect()
+    assert len(out) == 1 and out[0].width == 3 and out[0].height == 2
+
+    # an oversized frame is refused by the guard (exercise the branch
+    # directly through the batch body: 610x610 gray-zero frame)
+    big = np.zeros((610, 610, 3), dtype=np.uint8)
+    bdf = spark.createDataFrame(
+        [(2, 610, 610, 3, bytearray(big.tobytes()))],
+        "doc_id bigint, width int, height int, n_channels int, rgb binary",
+    )
+    with pytest.raises(Exception, match="too large for exact int64"):
+        normalize_stats(bdf).collect()
