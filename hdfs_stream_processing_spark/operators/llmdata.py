@@ -563,3 +563,78 @@ def boilerplate_chunks(
             F.when(~F.col("_boiler"), F.col("n_tokens")).otherwise(F.lit(0))
         ).alias("kept_tokens"),
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact substring-level duplicate detection (round 11): find the
+    maximal token SPANS of each document whose content also appears in
+    other documents — the production corpus-dedup pass that removes
+    *repeated substrings spanning documents*, not whole docs
+    (:func:`~.dedup.exact_dedup`) or aligned chunks
+    (:func:`boilerplate_chunks`).  Public method (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): the
+    suffix-array pass reduced to fixed window length ``k`` — every
+    stride-1 ``k``-token window whose content occurs in >= ``min_docs``
+    distinct documents is a duplicated window; adjacent duplicated
+    window starts merge (gaps-and-islands) into maximal spans.
+
+    Returns one row per (document, span): ``span_start`` (0-based token
+    offset), ``span_len`` (tokens covered, clipped at the document
+    end), ``n_windows`` (merged window count — span_len − k + 1 for
+    interior spans; the redundancy witness).
+
+    Scale: the stride-1 window explode is narrow (k× token volume, no
+    shuffle); the document-frequency aggregate and the instance↔dup
+    join both hash-partition on window CONTENT, so work distributes by
+    content with map-side partial aggregation — the same
+    corpus-scale-on-both-sides shape as :func:`boilerplate_chunks`
+    (skew only on genuinely viral strings, which is the signal).  The
+    island window partitions per document (bounded by doc length), and
+    a 100 TB run would group on ``xxhash64(window)`` instead of the
+    text to cut shuffle bytes ~6×; content is kept here so the stage
+    stays bit-exactly oracle-checkable.
+    """
+    if k < 2:
+        raise ValueError("window length k must be >= 2 tokens")
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2 (1 would flag everything)")
+    from hdfs_stream_processing_spark.operators.text import tokens
+
+    with_toks = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    sh = with_toks.select(
+        id_col,
+        F.size("_toks").alias("_n_toks"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(_toks), {k}) - {k} + 1),"
+                f" i -> array_join(slice(_toks, i, {k}), ' '))"
+            )
+        ).alias("_off", "_sh"),
+    )
+    dup = (
+        sh.groupBy("_sh")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .where(F.col("_nd") >= F.lit(min_docs))
+        .select("_sh")
+    )
+    marked = sh.join(dup, "_sh")
+    w = Window.partitionBy(id_col).orderBy("_off")
+    islands = marked.withColumn("_isl", F.col("_off") - F.row_number().over(w))
+    return (
+        islands.groupBy(id_col, "_isl")
+        .agg(
+            F.min("_off").cast("int").alias("span_start"),
+            (
+                F.least(F.max("_off") + F.lit(k), F.min("_n_toks"))
+                - F.min("_off")
+            ).cast("int").alias("span_len"),
+            F.count(F.lit(1)).cast("int").alias("n_windows"),
+        )
+        .select(id_col, "span_start", "span_len", "n_windows")
+    )

@@ -2781,3 +2781,81 @@ def q_image_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_stats(
         _decoded_shards(spark, sf_dir), id_col="source", id_type="string"
     )
+
+
+# §Substring-level exact dedup (round 11 — VERDICT r10 #2)
+# ========================================================================
+
+#: 12-token boiler planted mid-document (after token 25) in every 5th doc
+#: by the substring_dup fixture: longer than the window (k=8) so 5
+#: consecutive window starts merge into ONE span, placed mid-text so
+#: spans that start past offset 0 and multi-island documents (a planted
+#: span next to a natural near-dup span) are exercised — the corpus's
+#: own near-dup docs only produce single spans anchored at offset 0.
+_SUBSTR_BOILER = (
+    "corpus boiler span alpha beta gamma delta epsilon zeta eta theta iota"
+)
+_SUBSTR_SYNTH_DUCK = (
+    "array_to_string(list_concat(list_concat("
+    "list_slice(ts, 1, 25), "
+    f"string_split('{_SUBSTR_BOILER}', ' ')), "
+    "list_slice(ts, 26, len(ts))), ' ')"
+)
+
+
+@query(
+    "substring_dup",
+    f"""WITH raw AS (SELECT doc_id, text, string_split(text, ' ') AS ts
+                     FROM documents),
+       synth AS (SELECT doc_id,
+                        CASE WHEN doc_id % 5 = 0 THEN {_SUBSTR_SYNTH_DUCK}
+                             ELSE text END AS t
+                 FROM raw),
+       t AS (SELECT doc_id, string_split(lower(t), ' ') AS ts FROM synth),
+       s AS (SELECT doc_id, n_toks, off,
+                    array_to_string(list_slice(ts, off + 1, off + 8), ' ') AS sh
+             FROM (SELECT doc_id, ts, len(ts) AS n_toks,
+                          unnest(generate_series(0, greatest(len(ts), 8) - 8)) AS off
+                   FROM t)),
+       d AS (SELECT sh FROM s GROUP BY sh
+             HAVING COUNT(DISTINCT doc_id) >= 2),
+       m AS (SELECT doc_id, n_toks, off,
+                    off - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY off)
+                        AS isl
+             FROM s JOIN d USING (sh))
+       SELECT doc_id,
+              CAST(MIN(off) AS INT) AS span_start,
+              CAST(LEAST(MAX(off) + 8, MIN(n_toks)) - MIN(off) AS INT)
+                  AS span_len,
+              CAST(COUNT(*) AS INT) AS n_windows
+       FROM m GROUP BY doc_id, isl""",
+)
+def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (operators/llmdata.py::
+    duplicated_spans — VERDICT r10 #2, the missing first-class
+    training-data op): maximal token spans whose content recurs in >= 2
+    distinct documents, via stride-1 8-token window hashes → content
+    doc-frequency → gaps-and-islands span merge (the fixed-k reduction
+    of Lee et al. 2022's suffix-array pass).  The fixture plants a
+    12-token boiler after token 25 of every 5th document so mid-text
+    spans and multi-span documents are exercised on top of the corpus's
+    natural near-dup docs.  Both heavy stages hash-partition on window
+    content — corpus-scale on both sides, nothing broadcast or
+    collected."""
+    from hdfs_stream_processing_spark.operators.llmdata import duplicated_spans
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    synth = documents.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.expr(
+                "array_join(concat(concat(slice(split(text, ' '), 1, 25),"
+                f" split('{_SUBSTR_BOILER}', ' ')),"
+                " slice(split(text, ' '), 26, size(split(text, ' ')))), ' ')"
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return duplicated_spans(synth, "doc_id", "text", k=8, min_docs=2)

@@ -1324,3 +1324,64 @@ def test_normalize_stats_exact_integer_centering(spark):
     for ci, ch in enumerate("rgb"):
         assert r[f"sum_absdev_{ch}"] == int(np.abs(dev[:, :, ci]).sum())
         assert r[f"wsum_dev_{ch}"] == int((dev[:, :, ci] * weight).sum())
+
+
+def test_duplicated_spans_hand_computed(spark):
+    """Substring-level dedup (r11): hand-computed span merge.  Docs 1 and
+    2 share tokens 'a b c d e f' at different offsets; doc 3 is unique.
+    With k=3, min_docs=2: doc 1 has duplicated windows at offsets 0..3
+    (one span covering tokens 0..5), doc 2 at offsets 2..5 (span at 2,
+    len 6).  Offsets are position-independent: content matching is what
+    counts."""
+    from hdfs_stream_processing_spark.operators.llmdata import duplicated_spans
+
+    rows = [
+        (1, "a b c d e f x1 y1 z1"),        # shared prefix at off 0
+        (2, "p2 q2 a b c d e f r2"),        # same content at off 2
+        (3, "u3 v3 w3 t3 s3 m3 n3 o3 k3"),  # all-unique
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        (r.doc_id, r.span_start): (r.span_len, r.n_windows)
+        for r in duplicated_spans(df, "doc_id", "text", k=3, min_docs=2).collect()
+    }
+    assert out == {
+        (1, 0): (6, 4),   # windows at 0,1,2,3 -> tokens 0..5
+        (2, 2): (6, 4),   # windows at 2,3,4,5 -> tokens 2..7
+    }
+
+
+def test_duplicated_spans_islands_and_clipping(spark):
+    """Two disjoint duplicated regions in one doc stay two spans (the
+    gaps-and-islands split), and a span reaching the document end clips
+    span_len at n_tokens."""
+    from hdfs_stream_processing_spark.operators.llmdata import duplicated_spans
+
+    rows = [
+        # doc 1: 'a b c' dup at off 0, 'x y z' dup at off 5 (END of doc,
+        # so the last window starts at 5 = n-k and span clips to len 3)
+        (1, "a b c g1 h1 x y z"),
+        (2, "m2 a b c n2"),
+        (3, "q3 x y z w3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    spans = sorted(
+        (r.doc_id, r.span_start, r.span_len, r.n_windows)
+        for r in duplicated_spans(df, "doc_id", "text", k=3, min_docs=2).collect()
+    )
+    assert spans == [
+        (1, 0, 3, 1),
+        (1, 5, 3, 1),
+        (2, 1, 3, 1),
+        (3, 1, 3, 1),
+    ]
+
+
+def test_duplicated_spans_guards(spark):
+    from hdfs_stream_processing_spark.operators.llmdata import duplicated_spans
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="k must be >= 2"):
+        duplicated_spans(df, "doc_id", "text", k=1)
+    with pytest.raises(ValueError, match="min_docs"):
+        duplicated_spans(df, "doc_id", "text", min_docs=1)
