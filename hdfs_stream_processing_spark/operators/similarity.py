@@ -1035,3 +1035,43 @@ def ivfpq_adc_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_d2", "rank")
     )
+
+
+# ── OPQ-lite permutation (round 11) ──────────────────────────────────────
+
+
+def opq_permutation(dims: int) -> list[int]:
+    """Deterministic OPQ-lite dimension permutation (VERDICT r10 #4):
+    original dims 0..dims−1 ordered by (md5(str(dim)), dim) — position
+    p of the permuted vector takes original coordinate ``perm[p]``.
+
+    This is the permutation-only member of the OPQ family (Ge et al.
+    2014 optimize a full rotation R; their natural baseline is exactly
+    a coordinate reshuffle): L2 distances are invariant under it, but
+    SUBSPACE slicing is not — a layout whose high-variance /
+    cluster-signal coordinates sit consecutively (one subspace hoards
+    all the structure, k codewords can't cover it, the rest quantize
+    noise) gets them spread across subspaces, each of which then needs
+    only its own 1-D structure covered.  md5-rank is the same
+    engine-portable ordering rule every sampler in this module uses —
+    DuckDB re-derives it from the same strings, no seed, no state."""
+    import hashlib
+
+    return sorted(
+        range(dims), key=lambda j: (hashlib.md5(str(j).encode()).hexdigest(), j)
+    )
+
+
+def permute_embedding(
+    df: DataFrame, vec_col: str = "embedding", perm: list[int] | None = None
+) -> DataFrame:
+    """Reorder a vector column's coordinates by ``perm`` (position p ←
+    original dim perm[p]).  Pure per-row projection — whole-stage
+    codegen, zero shuffle, zero UDF; at 100 TB this fuses into the
+    scan.  The identity on L2 distances, so exact-search results are
+    unchanged while every subspace-sliced stage (PQ/IVF-PQ codes)
+    sees the rotated layout."""
+    if not perm or sorted(perm) != list(range(len(perm))):
+        raise ValueError("perm must be a permutation of range(dims)")
+    arr = F.array(*[F.col(vec_col).getItem(p) for p in perm])
+    return df.withColumn(vec_col, arr)

@@ -2859,3 +2859,162 @@ def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return duplicated_spans(synth, "doc_id", "text", k=8, min_docs=2)
+
+
+# §OPQ-lite rotation (round 11 — VERDICT r10 #4)
+# ========================================================================
+
+
+def _correlated_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ANISOTROPIC embedding fixture (r11): 160 vectors in
+    16 tight clusters of exactly 10, with ALL cluster signal packed
+    into dims 0 and 1 — the layout PQ's aligned slicing is worst at.
+    Cluster id c = md5-rank mod 16 factors as a grid (a, b) with
+    a = c % 4, b = (a + c // 4) % 4 (a bijection onto the 4×4 grid
+    whose md5-top-8 sample rows — the PQ codebook — cover every a value
+    AND every b value, but only 8 of the 16 (a, b) cells).  dim0 =
+    a·1000 + jitter, dim1 = b·1000 + jitter, dims 2..7 jitter-only
+    (jitter = (vec_id·37 + j·13) mod 7 − 3 milli-units, exactly the
+    _clustered_embeddings noise).  Unrotated, subspace (dim0, dim1)
+    must cover 16 grid cells with 8 codewords → cluster collisions →
+    ADC ties with foreign clusters; the md5 permutation sends dim0 and
+    dim1 to DIFFERENT subspaces, each a 4-value 1-D problem that 8
+    codewords nail → recall@10 = 1.0.  All exact milli-units."""
+    from pyspark.sql import Window
+
+    (embeddings,) = prep(spark, sf_dir, "embeddings")
+    ids = embeddings.select("vec_id").where(F.col("vec_id") < 160)
+    w = Window.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+    ranked = ids.withColumn("_c", (F.row_number().over(w) - F.lit(1)) % F.lit(16))
+    a = F.col("_c") % F.lit(4)
+    b = (F.col("_c") % F.lit(4) + F.floor(F.col("_c") / F.lit(4))) % F.lit(4)
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda j: (
+            F.when(j == F.lit(0), a * F.lit(1000))
+            .when(j == F.lit(1), b * F.lit(1000))
+            .otherwise(F.lit(0))
+            + ((F.col("vec_id") * F.lit(37) + j * F.lit(13)) % F.lit(7) - F.lit(3))
+        ).cast("double") / F.lit(1000.0),
+    )
+    return ranked.select("vec_id", emb.alias("embedding"))
+
+
+#: Oracle mirror of _correlated_embeddings (integer milli-units).
+_CORRELATED_Q_SQL = """ids AS (SELECT vec_id,
+               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS rk
+        FROM embeddings WHERE vec_id < 160),
+ cl AS (SELECT vec_id, (rk % 16) % 4 AS a,
+               ((rk % 16) % 4 + (rk % 16) // 4) % 4 AS b
+        FROM ids),
+ q AS (SELECT vec_id,
+              list_transform(generate_series(0, 7),
+                j -> CAST(CASE WHEN j = 0 THEN a * 1000
+                               WHEN j = 1 THEN b * 1000
+                               ELSE 0 END
+                          + ((vec_id * 37 + j * 13) % 7 - 3) AS BIGINT)) AS qv
+       FROM cl)"""
+
+#: md5-ranked dim permutation for d=8 (opq_permutation(8), 1-based for
+#: DuckDB list indexing) — pinned by tests/test_llm_ops.py.
+_OPQ_PERM_1B = [7, 8, 5, 2, 3, 1, 6, 4]
+
+
+def _pq_chain_sql(sfx: str, src: str, qf: str) -> str:
+    """One full PQ encode→ADC-top-10 CTE chain (the pq_recall_clustered
+    SQL, suffix-parameterized so pq_rotate can run TWO chains — plain
+    and permuted — against the same exact ranking)."""
+    return f"""init{sfx} AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code,
+                 qv
+          FROM {src} ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+ cb{sfx} AS (SELECT s.sub, i.code, list_slice(i.qv, s.sub * 2 + 1, s.sub * 2 + 2) AS cw
+        FROM init{sfx} i CROSS JOIN subs s),
+ vs{sfx} AS (SELECT q.vec_id, s.sub, list_slice(q.qv, s.sub * 2 + 1, s.sub * 2 + 2) AS v
+        FROM {src} q CROSS JOIN subs s),
+ dd{sfx} AS (SELECT vs.vec_id, vs.sub, cb.code,
+              CAST(list_sum(list_transform(list_zip(vs.v, cb.cw),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2
+       FROM vs{sfx} vs JOIN cb{sfx} cb USING (sub)),
+ codes{sfx} AS (SELECT vec_id AS neighbor_id, sub, code FROM (
+             SELECT vec_id, sub, code, d2,
+                    row_number() OVER (PARTITION BY vec_id, sub
+                                       ORDER BY d2 ASC, code ASC) AS rn
+             FROM dd{sfx}) WHERE rn = 1),
+ lut{sfx} AS (SELECT vec_id AS query_id, sub, code, d2
+         FROM dd{sfx} WHERE {qf}),
+ adc{sfx} AS (SELECT query_id, neighbor_id FROM (
+           SELECT l.query_id, c.neighbor_id,
+                  row_number() OVER (PARTITION BY l.query_id
+                                     ORDER BY SUM(l.d2) ASC,
+                                              c.neighbor_id ASC) AS rnk
+           FROM codes{sfx} c JOIN lut{sfx} l USING (sub, code)
+           GROUP BY l.query_id, c.neighbor_id)
+         WHERE rnk <= 10)"""
+
+
+@query(
+    "pq_rotate",
+    f"""WITH {_CORRELATED_Q_SQL},
+ qp AS (SELECT vec_id,
+               [{', '.join(f'qv[{i}]' for i in _OPQ_PERM_1B)}] AS qv
+        FROM q),
+ subs AS (SELECT CAST(unnest(generate_series(0, 3)) AS INTEGER) AS sub),
+ {_pq_chain_sql('_r', 'qp', 'vec_id % 9 = 0')},
+ {_pq_chain_sql('_p', 'q', 'vec_id % 9 = 0')},
+ exact AS (SELECT query_id, neighbor_id FROM (
+            SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY qq.vec_id
+                     ORDER BY CAST(list_sum(list_transform(list_zip(qq.qv, cc.qv),
+                              p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) ASC,
+                              cc.vec_id ASC) AS rnk
+            FROM q qq CROSS JOIN q cc
+            WHERE qq.vec_id % 9 = 0)
+          WHERE rnk <= 10)
+ SELECT e.query_id,
+        CAST(SUM(CASE WHEN r.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_overlap_rot,
+        CAST(SUM(CASE WHEN r.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / 10.0 AS recall_rot,
+        CAST(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_overlap_plain,
+        CAST(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / 10.0 AS recall_plain
+ FROM exact e
+ LEFT JOIN adc_r r USING (query_id, neighbor_id)
+ LEFT JOIN adc_p p USING (query_id, neighbor_id)
+ GROUP BY e.query_id""",
+)
+def q_pq_rotate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-lite rotation contract (operators/similarity.py::
+    opq_permutation + permute_embedding — VERDICT r10 #4): on the
+    anisotropic fixture whose cluster signal sits entirely in dims 0–1,
+    PQ over the md5-permuted layout must recover exact recall@10 = 1.0
+    per query while PQ over the raw layout collides clusters (16 grid
+    cells, 8 codewords in one subspace) and scores lower — both
+    recalls value-checked side by side from the SAME exact integer-L2
+    ranking (L2 is permutation-invariant, so one exact side serves
+    both).  tests/test_llm_ops.py pins rotated > plain on this fixture
+    and pins the permutation itself."""
+    from hdfs_stream_processing_spark.operators.similarity import (
+        opq_permutation,
+        permute_embedding,
+        pq_adc_topk,
+    )
+
+    fix = _correlated_embeddings(spark, sf_dir)
+    fixp = permute_embedding(fix, "embedding", opq_permutation(8))
+    qf = F.col("vec_id") % 9 == 0
+    rot = _recall_vs_exact(fix, pq_adc_topk(fixp, qf, m_subs=4, k_codes=8, k=10), qf)
+    plain = _recall_vs_exact(fix, pq_adc_topk(fix, qf, m_subs=4, k_codes=8, k=10), qf)
+    return rot.select(
+        "query_id",
+        F.col("n_overlap").alias("n_overlap_rot"),
+        F.col("recall_at_10").alias("recall_rot"),
+    ).join(
+        plain.select(
+            "query_id",
+            F.col("n_overlap").alias("n_overlap_plain"),
+            F.col("recall_at_10").alias("recall_plain"),
+        ),
+        "query_id",
+    )

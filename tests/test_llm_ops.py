@@ -1385,3 +1385,45 @@ def test_duplicated_spans_guards(spark):
         duplicated_spans(df, "doc_id", "text", k=1)
     with pytest.raises(ValueError, match="min_docs"):
         duplicated_spans(df, "doc_id", "text", min_docs=1)
+
+
+def test_opq_permutation_pinned_and_l2_invariant(spark):
+    """OPQ-lite (r11): the md5-ranked permutation is a fixed, engine-
+    portable constant (pinned so the DuckDB oracle's spliced literal
+    cannot drift), permute_embedding rejects non-permutations, and L2
+    distances are invariant under it."""
+    from hdfs_stream_processing_spark.operators.similarity import (
+        opq_permutation,
+        permute_embedding,
+    )
+
+    perm = opq_permutation(8)
+    assert perm == [6, 7, 4, 1, 2, 0, 5, 3]
+    assert sorted(perm) == list(range(8))
+
+    df = spark.createDataFrame(
+        [(1, [float(x) for x in (1, 2, 3, 4, 5, 6, 7, 8)])],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = permute_embedding(df, "embedding", perm).first()["embedding"]
+    assert out == [7.0, 8.0, 5.0, 2.0, 3.0, 1.0, 6.0, 4.0]
+
+    with pytest.raises(ValueError, match="permutation"):
+        permute_embedding(df, "embedding", [0, 1, 1, 3])
+
+
+def test_pq_rotate_beats_plain_on_anisotropic(spark):
+    """The r11 rotation contract: on the correlated fixture (all signal
+    in dims 0-1), permuted-layout PQ achieves recall@10 = 1.0 on every
+    query while raw-layout PQ stays strictly below on average — the
+    OPQ claim, value-level."""
+    from hdfs_stream_processing_spark.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["pq_rotate"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    assert all(r.recall_rot == 1.0 for r in rows)
+    avg_rot = sum(r.recall_rot for r in rows) / len(rows)
+    avg_plain = sum(r.recall_plain for r in rows) / len(rows)
+    assert avg_rot > avg_plain
+    assert any(r.recall_plain < 1.0 for r in rows)
