@@ -505,18 +505,28 @@ def crop_image(
 # ── WAV/PCM audio codec + stages (round 10) ─────────────────────────────
 
 
-def encode_wav(samples: "np.ndarray", sample_rate: int = 8000) -> bytes:
-    """Encode a 1-D int16 sample array as a mono 16-bit PCM WAV (RIFF)
-    — pure numpy + struct (public RIFF/WAVE spec): ``RIFF`` size
-    ``WAVE``, a 16-byte ``fmt `` chunk (PCM=1, 1 channel, rate, 16
-    bps), and the little-endian ``data`` chunk.  The audio analog of
+def encode_wav(
+    samples: "np.ndarray", sample_rate: int = 8000, n_channels: int = 1
+) -> bytes:
+    """Encode a 1-D int16 INTERLEAVED sample array as a 16-bit PCM WAV
+    (RIFF) — pure numpy + struct (public RIFF/WAVE spec): ``RIFF``
+    size ``WAVE``, a 16-byte ``fmt `` chunk (PCM=1, channels, rate, 16
+    bps), and the little-endian ``data`` chunk.  Stereo frames are
+    L R L R … (RIFF interleaving).  The audio analog of
     encode_bmp/encode_ppm: exists so fixtures are byte-exact."""
     import numpy as np
 
     if samples.ndim != 1 or samples.dtype != np.int16:
-        raise ValueError("encode_wav needs a 1-D int16 array")
+        raise ValueError("encode_wav needs a 1-D int16 array (interleaved)")
+    if n_channels not in (1, 2):
+        raise ValueError("encode_wav supports 1 or 2 channels")
+    if len(samples) % n_channels:
+        raise ValueError("interleaved sample count not divisible by channels")
     data = samples.astype("<i2").tobytes()
-    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    block = 2 * n_channels
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, sample_rate * block, block, 16
+    )
     return (
         struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
         + struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
@@ -524,12 +534,14 @@ def encode_wav(samples: "np.ndarray", sample_rate: int = 8000) -> bytes:
     )
 
 
-def decode_wav(b: bytes) -> tuple[int, "np.ndarray"]:
-    """Decode a mono 16-bit PCM WAV to (sample_rate, int16 samples) —
-    the inverse of :func:`encode_wav`.  Walks the RIFF chunk list (so
-    files with extra chunks, e.g. LIST metadata, still parse); rejects
-    non-RIFF/WAVE magic, compressed formats, multi-channel and
-    non-16-bit variants explicitly."""
+def decode_wav(b: bytes) -> tuple[int, int, "np.ndarray"]:
+    """Decode a mono or stereo 16-bit PCM WAV to (sample_rate,
+    n_channels, int16 samples INTERLEAVED) — the inverse of
+    :func:`encode_wav`.  Walks the RIFF chunk list (so files with
+    extra chunks, e.g. LIST metadata, still parse); rejects
+    non-RIFF/WAVE magic, compressed formats, >2 channels,
+    non-16-bit variants, and truncated chunks explicitly (r11 widens
+    the r10 mono-only contract to stereo per VERDICT r10 #5)."""
     import numpy as np
 
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
@@ -557,19 +569,22 @@ def decode_wav(b: bytes) -> tuple[int, "np.ndarray"]:
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_fmt, n_channels, rate, _, _, bits = fmt
-    if audio_fmt != 1 or n_channels != 1 or bits != 16:
+    if audio_fmt != 1 or n_channels not in (1, 2) or bits != 16:
         raise ValueError(
             f"unsupported WAV variant (fmt={audio_fmt}, ch={n_channels}, bits={bits})"
         )
-    if len(data) % 2:
-        raise ValueError("odd-length PCM16 data chunk")
-    return rate, np.frombuffer(data, dtype="<i2").astype(np.int16)
+    if len(data) % (2 * n_channels):
+        raise ValueError("PCM16 data chunk not aligned to whole frames")
+    return rate, n_channels, np.frombuffer(data, dtype="<i2").astype(np.int16)
 
 
-#: decode_audio output: rate + length + the raw little-endian PCM16
-#: payload, so downstream stages (resample, stats, feature models)
-#: compose without re-decoding — the audio mirror of DECODED_SCHEMA.
-DECODED_AUDIO_SCHEMA = "sample_rate int, n_samples int, pcm binary"
+#: decode_audio output: rate + channel count + per-channel frame count
+#: + the raw little-endian INTERLEAVED PCM16 payload, so downstream
+#: stages (resample, stats, downmix, feature models) compose without
+#: re-decoding — the audio mirror of DECODED_SCHEMA.  ``n_samples``
+#: counts FRAMES (samples per channel): mono byte length = 2·n_samples,
+#: stereo = 4·n_samples.
+DECODED_AUDIO_SCHEMA = "sample_rate int, n_channels int, n_samples int, pcm binary"
 
 
 def decode_audio(
@@ -586,16 +601,17 @@ def decode_audio(
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, rates, lens, pcms = [], [], [], []
+            ids, rates, chans, lens, pcms = [], [], [], [], []
             for key, payload in zip(pdf[id_col], pdf[payload_col]):
-                rate, samples = decode_wav(bytes(payload))
+                rate, n_ch, samples = decode_wav(bytes(payload))
                 ids.append(key)
                 rates.append(rate)
-                lens.append(len(samples))
+                chans.append(n_ch)
+                lens.append(len(samples) // n_ch)
                 pcms.append(samples.astype("<i2").tobytes())
             yield pd.DataFrame(
                 {
-                    id_col: ids, "sample_rate": rates,
+                    id_col: ids, "sample_rate": rates, "n_channels": chans,
                     "n_samples": lens, "pcm": pcms,
                 }
             )
@@ -623,9 +639,15 @@ def resample_audio(
 
         for pdf in batches:
             ids, rates, pcms = [], [], []
-            for key, rate, n, pcm in zip(
-                pdf[id_col], pdf["sample_rate"], pdf["n_samples"], pdf["pcm"]
+            for key, rate, n_ch, n, pcm in zip(
+                pdf[id_col], pdf["sample_rate"], pdf["n_channels"],
+                pdf["n_samples"], pdf["pcm"],
             ):
+                if int(n_ch) != 1:
+                    raise ValueError(
+                        f"resample_audio is mono-only (id={key!r} has "
+                        f"{n_ch} channels); downmix_audio first"
+                    )
                 samples = np.frombuffer(bytes(pcm), dtype="<i2")
                 if int(n) == 0:
                     # decode_wav accepts an empty-but-valid data chunk; the
@@ -641,7 +663,7 @@ def resample_audio(
                 pcms.append(samples[idx].astype("<i2").tobytes())
             yield pd.DataFrame(
                 {
-                    id_col: ids, "sample_rate": rates,
+                    id_col: ids, "sample_rate": rates, "n_channels": 1,
                     "n_samples": out_len, "pcm": pcms,
                 }
             )
@@ -668,9 +690,15 @@ def audio_stats(
 
         for pdf in batches:
             rows = []
-            for key, rate, n, pcm in zip(
-                pdf[id_col], pdf["sample_rate"], pdf["n_samples"], pdf["pcm"]
+            for key, rate, n_ch, n, pcm in zip(
+                pdf[id_col], pdf["sample_rate"], pdf["n_channels"],
+                pdf["n_samples"], pdf["pcm"],
             ):
+                if int(n_ch) != 1:
+                    raise ValueError(
+                        f"audio_stats is mono-only (id={key!r} has {n_ch} "
+                        "channels); use stereo_stats or downmix_audio"
+                    )
                 s = np.frombuffer(bytes(pcm), dtype="<i2").astype(np.int64)
                 w = np.arange(1, len(s) + 1, dtype=np.int64)
                 rows.append((key, int(rate), int(n), int(s.sum()), int((w * s).sum())))
@@ -747,3 +775,152 @@ def normalize_stats(
             )
 
     return df.mapInPandas(run, schema=f"{id_col} {id_type}, {NORMALIZE_STATS_SCHEMA}")
+
+
+# ── Stereo + framed audio stages (round 11) ──────────────────────────────
+
+
+STEREO_STATS_SCHEMA = (
+    "sample_rate int, n_samples int, "
+    "sum_amp_l bigint, wsum_amp_l bigint, sum_amp_r bigint, wsum_amp_r bigint"
+)
+
+
+def stereo_stats(
+    df: DataFrame, id_col: str = "doc_id", id_type: str = "bigint"
+) -> DataFrame:
+    """Per-channel exact integer statistics over decoded STEREO audio
+    (VERDICT r10 #5): amplitude sum and position-weighted checksum
+    Σ (i+1)·s[i] for the left and right channels separately — the
+    weighted sums are de-interleaving-sensitive, so a decoder that
+    swaps or misaligns channels fails the hash.  Rejects mono input
+    explicitly (audio_stats covers it).  Zero shuffle, Arrow batches."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for key, rate, n_ch, n, pcm in zip(
+                pdf[id_col], pdf["sample_rate"], pdf["n_channels"],
+                pdf["n_samples"], pdf["pcm"],
+            ):
+                if int(n_ch) != 2:
+                    raise ValueError(
+                        f"stereo_stats needs 2-channel input (id={key!r} "
+                        f"has {n_ch})"
+                    )
+                s = np.frombuffer(bytes(pcm), dtype="<i2").astype(np.int64)
+                left, right = s[0::2], s[1::2]
+                w = np.arange(1, len(left) + 1, dtype=np.int64)
+                rows.append(
+                    (
+                        key, int(rate), int(n),
+                        int(left.sum()), int((w * left).sum()),
+                        int(right.sum()), int((w * right).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "sample_rate", "n_samples",
+                    "sum_amp_l", "wsum_amp_l", "sum_amp_r", "wsum_amp_r",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=f"{id_col} {id_type}, {STEREO_STATS_SCHEMA}")
+
+
+def downmix_audio(
+    df: DataFrame, id_col: str = "doc_id", id_type: str = "bigint"
+) -> DataFrame:
+    """Stereo → mono downmix by the EXACT integer average
+    m[i] = ⌊(l[i] + r[i]) / 2⌋ (floor division — numpy's semantics;
+    the oracle mirrors it as floor((l+r)/2.0), NOT DuckDB's
+    truncating ``//``).  Output is a regular mono decoded-audio frame,
+    so every mono stage (resample, stats, frames) composes after it.
+    Mono input passes through unchanged (idempotent front door).
+    Zero shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, rates, lens, pcms = [], [], [], []
+            for key, rate, n_ch, n, pcm in zip(
+                pdf[id_col], pdf["sample_rate"], pdf["n_channels"],
+                pdf["n_samples"], pdf["pcm"],
+            ):
+                s = np.frombuffer(bytes(pcm), dtype="<i2")
+                if int(n_ch) == 2:
+                    mix = (
+                        (s[0::2].astype(np.int32) + s[1::2].astype(np.int32))
+                        // 2
+                    ).astype(np.int16)
+                elif int(n_ch) == 1:
+                    mix = s
+                else:
+                    raise ValueError(f"unsupported channel count {n_ch}")
+                ids.append(key)
+                rates.append(int(rate))
+                lens.append(int(n))
+                pcms.append(mix.astype("<i2").tobytes())
+            yield pd.DataFrame(
+                {
+                    id_col: ids, "sample_rate": rates, "n_channels": 1,
+                    "n_samples": lens, "pcm": pcms,
+                }
+            )
+
+    return df.mapInPandas(run, schema=f"{id_col} {id_type}, {DECODED_AUDIO_SCHEMA}")
+
+
+AUDIO_FRAMES_SCHEMA = "frame_id int, energy bigint, n_zc int"
+
+
+def audio_frames(
+    df: DataFrame,
+    frame_len: int = 16,
+    stride: int = 8,
+    id_col: str = "doc_id",
+    id_type: str = "bigint",
+) -> DataFrame:
+    """Windowed audio features over decoded MONO audio (VERDICT r10
+    #6 — the spectrogram precursor, exact-integer form): frame f
+    covers samples [f·stride, f·stride + frame_len) (full frames
+    only), and emits the integer energy Σ s[i]² and the
+    zero-crossing count |{i : s[i−1]·s[i] < 0}| within the frame —
+    the two classic pre-FFT features (frame energy ≈ loudness
+    envelope, ZCR ≈ crude pitch/voicedness), both exactly
+    regenerable by a SQL oracle.  Energy fits int64 easily
+    (frame_len·32768² < 2^35).  One row per (source, frame); the
+    explode is bounded by n/stride — linear, zero shuffle, never
+    per-row Python."""
+    if frame_len < 2 or stride < 1:
+        raise ValueError("need frame_len >= 2 and stride >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for key, n_ch, n, pcm in zip(
+                pdf[id_col], pdf["n_channels"], pdf["n_samples"], pdf["pcm"]
+            ):
+                if int(n_ch) != 1:
+                    raise ValueError(
+                        f"audio_frames is mono-only (id={key!r} has "
+                        f"{n_ch} channels); downmix_audio first"
+                    )
+                s = np.frombuffer(bytes(pcm), dtype="<i2").astype(np.int64)
+                n = int(n)
+                for f in range((n - frame_len) // stride + 1 if n >= frame_len else 0):
+                    fr = s[f * stride : f * stride + frame_len]
+                    energy = int((fr * fr).sum())
+                    n_zc = int(((fr[:-1] * fr[1:]) < 0).sum())
+                    rows.append((key, f, energy, n_zc))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "frame_id", "energy", "n_zc"]
+            )
+
+    return df.mapInPandas(run, schema=f"{id_col} {id_type}, {AUDIO_FRAMES_SCHEMA}")

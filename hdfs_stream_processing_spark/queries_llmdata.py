@@ -3018,3 +3018,173 @@ def q_pq_rotate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "query_id",
     )
+
+
+# §Stereo + framed audio (round 11 — VERDICT r10 #5/#6)
+# ========================================================================
+
+
+def _synth_wave_stereo(n: int, length: int):
+    """Deterministic int16 stereo waveform for source #n, interleaved
+    L R: left is _synth_wave's affine, right a different one
+    (((5·i + 11·n) mod 403) − 201) so channel swaps change the
+    per-channel weighted checksums."""
+    import numpy as np
+
+    i = np.arange(length, dtype=np.int64)
+    left = ((7 * i + 3 * n) % 401) - 200
+    right = ((5 * i + 11 * n) % 403) - 201
+    out = np.empty(2 * length, dtype=np.int64)
+    out[0::2], out[1::2] = left, right
+    return out.astype(np.int16)
+
+
+def _stage_stereo_wav_shards(spark: SparkSession, sf_dir: str) -> str:
+    """One STEREO WAV per document source (lengths 50..66 frames, rate
+    8000) — the 2-channel twin of _stage_wav_shards."""
+    import os as _os
+
+    from hdfs_stream_processing_spark.operators.multimodal import encode_wav
+
+    key = ("hsp_wav2_staged_", sf_dir)
+    if key in _STAGE_CACHE:
+        return _STAGE_CACHE[key]
+    (documents,) = prep(spark, sf_dir, "documents")
+    wav_dir = _mkdtemp("hsp_wav2_src_", sf_dir)
+    for row in documents.select("source").distinct().collect():
+        n = int(row["source"][3:])
+        with open(_os.path.join(wav_dir, f"{row['source']}.wav"), "wb") as f:
+            f.write(
+                encode_wav(_synth_wave_stereo(n, 50 + n % 17), 8000, n_channels=2)
+            )
+    _STAGE_CACHE[key] = wav_dir
+    return wav_dir
+
+
+def _decoded_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_stream_processing_spark.operators.multimodal import decode_audio
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .load(_stage_stereo_wav_shards(spark, sf_dir))
+    )
+    payloads = files.select(
+        F.regexp_extract(F.col("path"), r"([^/]+)\.wav$", 1).alias("source"),
+        F.col("content").alias("payload"),
+    )
+    return decode_audio(
+        payloads, id_col="source", payload_col="payload", id_type="string"
+    )
+
+
+#: Per-source stereo samples regenerated arithmetically (both channels).
+_STEREO_SAMP_SQL = """samp AS (SELECT d.source, d.len, i.i,
+                       ((7 * i.i + 3 * d.n) % 401) - 200 AS l,
+                       ((5 * i.i + 11 * d.n) % 403) - 201 AS r
+                FROM dims d
+                CROSS JOIN (SELECT CAST(generate_series AS INTEGER) AS i
+                            FROM generate_series(0, 65)) i
+                WHERE i.i < d.len)"""
+
+
+@query(
+    "audio_stereo_stats",
+    f"""WITH {_WAV_DIMS_SQL},
+       {_STEREO_SAMP_SQL}
+       SELECT source,
+              CAST(8000 AS INTEGER) AS sample_rate,
+              CAST(MIN(len) AS INTEGER) AS n_samples,
+              CAST(SUM(l) AS BIGINT) AS sum_amp_l,
+              CAST(SUM((i + 1) * l) AS BIGINT) AS wsum_amp_l,
+              CAST(SUM(r) AS BIGINT) AS sum_amp_r,
+              CAST(SUM((i + 1) * r) AS BIGINT) AS wsum_amp_r
+       FROM samp GROUP BY source""",
+)
+def q_audio_stereo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stereo decode + per-channel exact stats (r11 — VERDICT r10 #5):
+    2-channel PCM16 WAV shards decoded by the widened RIFF walk,
+    de-interleaved inside the Arrow batch, each channel reduced to its
+    amplitude sum and position-weighted checksum — the weighted sums
+    are interleaving-sensitive, so channel swap/misalignment fails the
+    hash.  The oracle regenerates both channels arithmetically.  Same
+    zero-shuffle mapInPandas shape as the mono path."""
+    from hdfs_stream_processing_spark.operators.multimodal import stereo_stats
+
+    return stereo_stats(
+        _decoded_stereo(spark, sf_dir), id_col="source", id_type="string"
+    )
+
+
+@query(
+    "audio_downmix",
+    f"""WITH {_WAV_DIMS_SQL},
+       {_STEREO_SAMP_SQL},
+       mix AS (SELECT source, len, i,
+                      CAST(floor((l + r) / 2.0) AS BIGINT) AS amp
+               FROM samp)
+       SELECT source,
+              CAST(8000 AS INTEGER) AS sample_rate,
+              CAST(MIN(len) AS INTEGER) AS n_samples,
+              CAST(SUM(amp) AS BIGINT) AS sum_amp,
+              CAST(SUM((i + 1) * amp) AS BIGINT) AS wsum_amp
+       FROM mix GROUP BY source""",
+)
+def q_audio_downmix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stereo → mono downmix by the exact integer average
+    ⌊(l+r)/2⌋ (r11): the decoded stereo frame collapses to a regular
+    mono frame that the UNCHANGED mono stats stage consumes — proving
+    the downmix output composes with the whole mono stage family.
+    Floor (numpy) semantics, mirrored as floor((l+r)/2.0) in the
+    oracle because DuckDB's ``//`` truncates toward zero on
+    negatives.  Three chained map-side stages, zero shuffle."""
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        audio_stats,
+        downmix_audio,
+    )
+
+    mixed = downmix_audio(
+        _decoded_stereo(spark, sf_dir), id_col="source", id_type="string"
+    )
+    return audio_stats(mixed, id_col="source", id_type="string")
+
+
+@query(
+    "audio_frames",
+    f"""WITH {_WAV_DIMS_SQL},
+       fr AS (SELECT source, n, len,
+                     CAST(unnest(generate_series(0, (len - 16) // 8)) AS INTEGER) AS f
+              FROM dims WHERE len >= 16),
+       samp AS (SELECT fr.source, fr.f, i.i,
+                       ((7 * (fr.f * 8 + i.i) + 3 * fr.n) % 401) - 200 AS amp,
+                       CASE WHEN i.i > 0
+                            THEN ((7 * (fr.f * 8 + i.i - 1) + 3 * fr.n) % 401) - 200
+                            ELSE NULL END AS prev
+                FROM fr
+                CROSS JOIN (SELECT CAST(generate_series AS INTEGER) AS i
+                            FROM generate_series(0, 15)) i)
+       SELECT source,
+              CAST(f AS INTEGER) AS frame_id,
+              CAST(SUM(amp * amp) AS BIGINT) AS energy,
+              CAST(SUM(CASE WHEN prev IS NOT NULL AND prev * amp < 0
+                            THEN 1 ELSE 0 END) AS INTEGER) AS n_zc
+       FROM samp GROUP BY source, f""",
+)
+def q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio features (r11 — VERDICT r10 #6, the spectrogram
+    precursor kept exact-integer): 16-sample frames at stride 8 over
+    the decoded mono waveform, each frame reduced to its integer
+    energy Σs² and zero-crossing count |{i : s[i−1]·s[i] < 0}| — the
+    two classic pre-FFT features, both regenerated arithmetically by
+    the oracle (the synthetic affine waveform swings across zero, so
+    ZCR is non-trivial).  One row per (source, frame); decode → frame
+    are two map-side stages, zero shuffle."""
+    from hdfs_stream_processing_spark.operators.multimodal import audio_frames
+
+    return audio_frames(
+        _decoded_audio(spark, sf_dir),
+        frame_len=16,
+        stride=8,
+        id_col="source",
+        id_type="string",
+    )

@@ -729,12 +729,17 @@ def test_wav_codec_roundtrip_any_length(n, seed):
 
     rng = np.random.default_rng(seed)
     s = rng.integers(-32768, 32768, size=n, dtype=np.int16)
-    rate, out = decode_wav(encode_wav(s, 16000))
-    assert rate == 16000 and out.dtype == np.int16 and (out == s).all()
+    rate, n_ch, out = decode_wav(encode_wav(s, 16000))
+    assert rate == 16000 and n_ch == 1
+    assert out.dtype == np.int16 and (out == s).all()
     b = encode_wav(s, 16000)
     padded = b[:12] + struct.pack("<4sI", b"LIST", 5) + b"INFOx\x00" + b[12:]
-    rate, out = decode_wav(padded)
+    rate, n_ch, out = decode_wav(padded)
     assert (out == s).all()
+    # stereo roundtrip: interleaved L R frames survive, channels=2
+    st2 = rng.integers(-32768, 32768, size=2 * n, dtype=np.int16)
+    rate, n_ch, out = decode_wav(encode_wav(st2, 16000, n_channels=2))
+    assert n_ch == 2 and (out == st2).all()
 
 
 def test_wav_truncated_chunk_rejected():
@@ -818,3 +823,69 @@ def test_normalize_stats_oversized_frame_rejected(spark):
     )
     with pytest.raises(Exception, match="too large for exact int64"):
         normalize_stats(bdf).collect()
+
+
+def test_stereo_roundtrip_downmix_and_stats(spark):
+    """r11 stereo path: decode a 2-channel WAV, check per-channel stats
+    against hand arithmetic, and check downmix = floor((l+r)/2)
+    including NEGATIVE sums (floor, not truncate: (-3-2)//2 = -3)."""
+    import numpy as np
+
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        audio_stats,
+        decode_audio,
+        downmix_audio,
+        encode_wav,
+        stereo_stats,
+    )
+
+    left = np.array([-3, 10, 0, -7], dtype=np.int64)
+    right = np.array([-2, -5, 4, 1], dtype=np.int64)
+    inter = np.empty(8, dtype=np.int16)
+    inter[0::2], inter[1::2] = left, right
+    wav = encode_wav(inter, 8000, n_channels=2)
+    df = spark.createDataFrame([(1, bytearray(wav))], "doc_id bigint, payload binary")
+    dec = decode_audio(df)
+
+    st = stereo_stats(dec).first()
+    w = np.arange(1, 5)
+    assert st.n_samples == 4
+    assert st.sum_amp_l == left.sum() and st.wsum_amp_l == (w * left).sum()
+    assert st.sum_amp_r == right.sum() and st.wsum_amp_r == (w * right).sum()
+
+    mix = (left + right) // 2  # floor: [-3, 2, 2, -3]
+    assert list(mix) == [-3, 2, 2, -3]
+    ms = audio_stats(downmix_audio(dec)).first()
+    assert ms.n_samples == 4
+    assert ms.sum_amp == mix.sum() and ms.wsum_amp == (w * mix).sum()
+
+    # mono stages reject stereo input explicitly
+    import pytest
+
+    with pytest.raises(Exception, match="mono-only"):
+        audio_stats(dec).collect()
+
+
+def test_audio_frames_hand_computed(spark):
+    """r11 framed features: 24 samples, frame_len=4, stride=2 ->
+    11 frames; energy and zero-crossings checked by hand on frame 0."""
+    import numpy as np
+    import pytest
+
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        audio_frames,
+        decode_audio,
+        encode_wav,
+    )
+
+    s = np.array([1, -1, 2, -2] * 6, dtype=np.int16)
+    wav = encode_wav(s, 8000)
+    df = spark.createDataFrame([(1, bytearray(wav))], "doc_id bigint, payload binary")
+    rows = audio_frames(decode_audio(df), frame_len=4, stride=2).collect()
+    assert len(rows) == (24 - 4) // 2 + 1 == 11
+    f0 = next(r for r in rows if r.frame_id == 0)
+    assert f0.energy == 1 + 1 + 4 + 4
+    assert f0.n_zc == 3  # 1->-1, -1->2, 2->-2 all cross
+
+    with pytest.raises(ValueError, match="frame_len"):
+        audio_frames(decode_audio(df), frame_len=1)
