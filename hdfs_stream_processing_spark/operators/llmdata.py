@@ -638,3 +638,105 @@ def duplicated_spans(
         )
         .select(id_col, "span_start", "span_len", "n_windows")
     )
+
+
+def scrub_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The curation ACTION behind :func:`duplicated_spans` (r11):
+    rewrite each document with duplicated substrings removed, keeping
+    exactly ONE occurrence corpus-wide — Lee et al. 2022's exactsubstr
+    rule ("remove all but one") made deterministic: for every
+    duplicated ``k``-token window content, the KEEPER occurrence is
+    the lexicographically smallest (doc_id, offset); a token survives
+    if it is covered by no duplicated window at all, or by at least
+    one keeper window (keeper coverage wins over overlapping
+    non-keeper duplicates, so the kept copy is never chewed up by a
+    neighboring span).
+
+    Returns (id, n_tokens, n_removed, clean_text) — clean_text is the
+    surviving tokens in original order.
+
+    Scale: the same content-hash-partitioned doc-frequency aggregate
+    and instance↔dup join as duplicated_spans, plus a (doc, position)
+    coverage aggregate (bounded ×k explode) and the per-doc
+    reassembly shuffle — which is the job: the scrub output IS a
+    rewritten corpus, written once.  min(struct) keeps the keeper
+    choice a single map-side-partial aggregate; nothing is collected
+    or broadcast."""
+    if k < 2:
+        raise ValueError("window length k must be >= 2 tokens")
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2 (1 would flag everything)")
+    from hdfs_stream_processing_spark.operators.text import tokens
+
+    with_toks = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    toks = with_toks.select(
+        id_col,
+        F.size("_toks").alias("_n_toks"),
+        F.posexplode("_toks").alias("_pos", "_tok"),
+    )
+    sh = with_toks.select(
+        id_col,
+        F.size("_toks").alias("_n_toks"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(_toks), {k}) - {k} + 1),"
+                f" i -> array_join(slice(_toks, i, {k}), ' '))"
+            )
+        ).alias("_off", "_sh"),
+    )
+    dup = (
+        sh.groupBy("_sh")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("_nd"),
+            F.min(F.struct(F.col(id_col).alias("d"), F.col("_off").alias("o"))).alias("_keep"),
+        )
+        .where(F.col("_nd") >= F.lit(min_docs))
+        .select("_sh", "_keep")
+    )
+    occ = sh.join(dup, "_sh").select(
+        id_col,
+        "_off",
+        "_n_toks",
+        (
+            (F.col(id_col) == F.col("_keep.d")) & (F.col("_off") == F.col("_keep.o"))
+        ).alias("_is_keeper"),
+    )
+    cover = occ.select(
+        id_col,
+        F.explode(
+            F.sequence(
+                F.col("_off"),
+                F.least(F.col("_off") + F.lit(k - 1), F.col("_n_toks") - F.lit(1)),
+            )
+        ).alias("_pos"),
+        "_is_keeper",
+    ).groupBy(id_col, "_pos").agg(F.max("_is_keeper").alias("_kept"))
+    marked = toks.join(cover, [id_col, "_pos"], "left")
+    # survives: uncovered (null) or covered-by-keeper (true)
+    surv = marked.withColumn(
+        "_drop", F.coalesce(~F.col("_kept"), F.lit(False))
+    )
+    return surv.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.col("_drop").cast("long")).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("_drop"),
+                            F.struct(F.col("_pos").alias("p"), F.col("_tok").alias("t")),
+                        )
+                    )
+                ),
+                lambda s: s["t"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )

@@ -2845,7 +2845,16 @@ def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hdfs_stream_processing_spark.operators.llmdata import duplicated_spans
 
     (documents,) = prep(spark, sf_dir, "documents")
-    synth = documents.select(
+    return duplicated_spans(
+        _substr_synth_df(documents), "doc_id", "text", k=8, min_docs=2
+    )
+
+
+def _substr_synth_df(documents: DataFrame) -> DataFrame:
+    """The substring-dedup fixture: plant the 12-token boiler after
+    token 25 of every 5th document (shared by substring_dup and
+    substring_scrub)."""
+    return documents.select(
         "doc_id",
         F.when(
             F.col("doc_id") % 5 == 0,
@@ -2858,7 +2867,6 @@ def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    return duplicated_spans(synth, "doc_id", "text", k=8, min_docs=2)
 
 
 # §OPQ-lite rotation (round 11 — VERDICT r10 #4)
@@ -3187,4 +3195,65 @@ def q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         stride=8,
         id_col="source",
         id_type="string",
+    )
+
+
+@query(
+    "substring_scrub",
+    f"""WITH raw AS (SELECT doc_id, text, string_split(text, ' ') AS ts
+                     FROM documents),
+       synth AS (SELECT doc_id,
+                        CASE WHEN doc_id % 5 = 0 THEN {_SUBSTR_SYNTH_DUCK}
+                             ELSE text END AS t
+                 FROM raw),
+       t AS (SELECT doc_id, string_split(lower(t), ' ') AS ts FROM synth),
+       s AS (SELECT doc_id, n_toks, off,
+                    array_to_string(list_slice(ts, off + 1, off + 8), ' ') AS sh
+             FROM (SELECT doc_id, ts, len(ts) AS n_toks,
+                          unnest(generate_series(0, greatest(len(ts), 8) - 8)) AS off
+                   FROM t)),
+       d AS (SELECT sh, MIN(doc_id * 1000000 + off) AS keepkey
+             FROM s GROUP BY sh
+             HAVING COUNT(DISTINCT doc_id) >= 2),
+       occ AS (SELECT s.doc_id, s.off, s.n_toks,
+                      (s.doc_id * 1000000 + s.off = d.keepkey) AS is_keeper
+               FROM s JOIN d USING (sh)),
+       cover AS (SELECT doc_id, i AS pos, BOOL_OR(is_keeper) AS kept
+                 FROM (SELECT doc_id, is_keeper,
+                              unnest(generate_series(off, least(off + 7, n_toks - 1))) AS i
+                       FROM occ)
+                 GROUP BY doc_id, i),
+       tok AS (SELECT doc_id, i - 1 AS pos, ts[i] AS tok
+               FROM (SELECT doc_id, ts,
+                            unnest(generate_series(1, len(ts))) AS i
+                     FROM t)),
+       m AS (SELECT tk.doc_id, tk.pos, tk.tok,
+                    COALESCE(NOT c.kept, FALSE) AS dropped
+             FROM tok tk LEFT JOIN cover c
+               ON tk.doc_id = c.doc_id AND tk.pos = c.pos)
+       SELECT doc_id,
+              CAST(COUNT(*) AS BIGINT) AS n_tokens,
+              CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_removed,
+              COALESCE(string_agg(CASE WHEN NOT dropped THEN tok END,
+                                  ' ' ORDER BY pos), '') AS clean_text
+       FROM m GROUP BY doc_id""",
+)
+def q_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scrub ACTION for substring-level dedup (operators/llmdata.py
+    ::scrub_spans, r11): every duplicated 8-token window content keeps
+    exactly ONE occurrence corpus-wide (smallest (doc_id, offset) —
+    Lee et al. 2022's "remove all but one" made deterministic) and
+    every other covered token is removed; documents are re-emitted
+    with surviving tokens in order plus before/removed counts.  On
+    the planted-boiler fixture, doc 0 keeps its boiler and every
+    other 5th doc loses those 12 tokens, on top of natural near-dup
+    scrubbing.  The oracle encodes the keeper as min(doc·10^6+off)
+    (valid while docs stay under a million tokens — fixture-true;
+    the Spark side uses the unencoded struct min)."""
+    from hdfs_stream_processing_spark.operators.llmdata import scrub_spans
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    return scrub_spans(
+        _substr_synth_df(documents), "doc_id", "text", k=8, min_docs=2
     )

@@ -1427,3 +1427,42 @@ def test_pq_rotate_beats_plain_on_anisotropic(spark):
     avg_plain = sum(r.recall_plain for r in rows) / len(rows)
     assert avg_rot > avg_plain
     assert any(r.recall_plain < 1.0 for r in rows)
+
+
+def test_scrub_spans_keeps_exactly_one_occurrence(spark):
+    """r11 scrub contract, hand-computed: 'a b c d' duplicated across
+    docs 1/2/3 — only doc 1 (smallest (doc_id, off)) keeps it; unique
+    tokens always survive; counts reconcile."""
+    from hdfs_stream_processing_spark.operators.llmdata import scrub_spans
+
+    rows = [
+        (1, "a b c d x1 y1"),
+        (2, "p2 a b c d q2"),
+        (3, "a b c d z3 w3 v3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in scrub_spans(df, "doc_id", "text", k=4, min_docs=2).collect()}
+    assert out[1].clean_text == "a b c d x1 y1" and out[1].n_removed == 0
+    assert out[2].clean_text == "p2 q2" and out[2].n_removed == 4
+    assert out[3].clean_text == "z3 w3 v3" and out[3].n_removed == 4
+    assert all(out[i].n_tokens == len(rows[i - 1][1].split()) for i in (1, 2, 3))
+
+
+def test_scrub_spans_keeper_coverage_wins_overlap(spark):
+    """A token covered by BOTH a keeper window and a non-keeper
+    duplicated window survives (keeper coverage wins), so the kept
+    copy is never chewed up by an overlapping duplicate."""
+    from hdfs_stream_processing_spark.operators.llmdata import scrub_spans
+
+    # doc 1: 'a b c' (keeper, off 0) overlaps 'b c e' (dup with doc 3,
+    # keeper is doc 1 off 1 too).  doc 1 keeps everything.
+    rows = [
+        (1, "a b c e f1"),
+        (2, "g2 a b c h2"),
+        (3, "i3 b c e j3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in scrub_spans(df, "doc_id", "text", k=3, min_docs=2).collect()}
+    assert out[1].clean_text == "a b c e f1" and out[1].n_removed == 0
+    assert out[2].clean_text == "g2 h2"
+    assert out[3].clean_text == "i3 j3"
