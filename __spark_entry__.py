@@ -35,31 +35,31 @@ def entry(spark: SparkSession) -> DataFrame:
 # order.  Each round rotates this list so every registered query earns a
 # driver-green row in some round (union of CORRECTNESS_r*.json); queries
 # outside the current window pass the identical check locally via
-# tools/check_correctness.py.  Round 10 window (standing invariant,
-# VERDICT r9 #7): the 14 new r10 registrations lead (IVF-PQ, streaming
-# PQ/IVF-PQ, clustered recall contracts, deep BPE, PPM + crop/flip,
-# WAV audio); the
-# remainder refreshes the OLDEST attestations in the union — every
-# r3/r4-era row plus the 13 oldest r5-era rows — to exactly 50.
+# tools/check_correctness.py.  Round 11 window (standing invariant,
+# VERDICT r9 #7): the 6 new r11 registrations lead (substring-level
+# dedup + scrub, OPQ-lite rotation, stereo/downmix/framed audio); the
+# remainder refreshes the OLDEST attestations in the r1-r10 union —
+# the two by-design rows-only rows (r3/r4), the nine remaining r5-era
+# rows, and the 33 oldest r6-era rows — to exactly 50.
 # tests/test_registry.py pins len(_VERIFY_FIRST) == 50 so the
 # off-by-one cannot recur.
 _VERIFY_FIRST = [
-    # new round-10 registrations, inserted as they land:
-    "ivfpq_topk", "ivfpq_recall", "pq_recall_clustered", "stream_pq",
-    "bpe_train_deep", "image_decode_ppm", "image_flip", "image_crop",
-    "stream_ivfpq", "audio_decode", "audio_resample", "ivfpq_rerank",
-    "stream_audio_meta", "image_normalize",
-    # long-green padding, oldest-attestation-first (r3–r5 era), to 50:
-    "dedup_embedding", "minhash_sig", "stream_dedup", "token_count",
-    "approx_quantile_ok", "asof_forward", "fill_nulls", "histogram",
-    "multimodal_features", "multimodal_frames", "profile_table",
-    "regex_extract", "revenue_share", "sample_stratified", "scan_json",
-    "scan_orc", "stream_dedup_wm", "string_agg_sorted", "text_phrase",
-    "text_rank_bm25", "unpivot_narrow", "upsert", "window_time_range",
-    "anomaly_zscore", "asof_tolerance", "compaction",
-    "continuous_rollup", "corr_qty_price", "funnel", "funnel_lag",
-    "gapfill_interp", "heavy_hitters", "lang_id", "large_orders",
-    "mix_sources", "ntile_buckets",
+    # new round-11 registrations, inserted as they land:
+    "substring_dup", "substring_scrub", "pq_rotate",
+    "audio_stereo_stats", "audio_downmix", "audio_frames",
+    # oldest-attestation-first refresh (r3-r6 era), to 50:
+    "approx_distinct", "similarity_topk_np", "pii_redact",
+    "quality_score", "resample_sources", "retention", "sessionize",
+    "similarity_ivf", "sink_roundtrip", "stream_sessionize",
+    "stream_stateful", "ann_recall", "avg_yearly", "cap_per_source",
+    "cdc_apply", "cms_topk", "cust_order_dist", "dedup_keep",
+    "dedup_near_incr", "dq_checks", "embed_quantize", "grouping_sets",
+    "idle_customers", "incr_dedup", "incr_dedup_vec", "incr_pack",
+    "incr_rollup", "incr_topk", "kmeans_refine", "late_ship_priority",
+    "market_share", "merge_upsert", "nation_trade", "ohlc_bars",
+    "pit_join", "promo_share", "returned_revenue", "scd2_build",
+    "scd2_merge", "scd2_multi", "scd2_repair", "schema_evolution",
+    "seq_pack", "ship_priority",
 ]
 
 

@@ -264,6 +264,10 @@ HEADLINE = [
     "bpe_train_deep", "image_decode_ppm", "image_flip", "image_crop",
     "stream_ivfpq", "audio_decode", "audio_resample", "ivfpq_rerank",
     "stream_audio_meta", "image_normalize",
+    # round 11: substring-level exact dedup + scrub, OPQ-lite rotation,
+    # stereo WAV + downmix, framed audio features
+    "substring_dup", "substring_scrub", "pq_rotate",
+    "audio_stereo_stats", "audio_downmix", "audio_frames",
 ]
 
 
