@@ -266,6 +266,22 @@ SHUFFLE_BUDGETS = {
     # survivorship window; the multi-stage shape is the increment
     # contract (CC(contract(CC(A))∪B) = CC(A∪B)), not a scan fan-out.
     "incr_golden": 10,
+    # pq_rotate (r11) runs the WHOLE PQ encode→ADC pipeline TWICE by
+    # contract (permuted layout vs raw layout, judged against one
+    # exact ranking): each arm is pq_adc_topk's codes agg + LUT agg +
+    # per-query top-k window (~5 keyed exchanges), plus the shared
+    # 160-row fixture rank window and the final recall joins.  The
+    # duplication IS the contract; each arm alone matches pq_topk's
+    # budget, and the fixture is in-plan constant-size.
+    "pq_rotate": 14,
+    # substring_dup: window-content doc-frequency agg + the instance
+    # join + per-doc island window + span agg — every exchange keyed
+    # on content or doc, the bucketed-not-all-pairs shape.
+    "substring_dup": 4,
+    # substring_scrub adds the (doc, pos) coverage agg and the per-doc
+    # reassembly on top of substring_dup's chain; the reassembly
+    # shuffle is the job (the output IS a rewritten corpus).
+    "substring_scrub": 6,
 }
 
 
