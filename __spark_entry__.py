@@ -47,6 +47,8 @@ _VERIFY_FIRST = [
     # new round-11 registrations, inserted as they land:
     "substring_dup", "substring_scrub", "pq_rotate",
     "audio_stereo_stats", "audio_downmix", "audio_frames",
+    "kcore", "k_anonymity", "audio_autocorr", "image_histogram",
+    "stream_substring_dedup",
     # oldest-attestation-first refresh (r3-r6 era), to 50:
     "approx_distinct", "similarity_topk_np", "pii_redact",
     "quality_score", "resample_sources", "retention", "sessionize",
@@ -58,8 +60,7 @@ _VERIFY_FIRST = [
     "incr_rollup", "incr_topk", "kmeans_refine", "late_ship_priority",
     "market_share", "merge_upsert", "nation_trade", "ohlc_bars",
     "pit_join", "promo_share", "returned_revenue", "scd2_build",
-    "scd2_merge", "scd2_multi", "scd2_repair", "schema_evolution",
-    "seq_pack", "ship_priority",
+    "scd2_merge",
 ]
 
 

@@ -504,3 +504,62 @@ def cluster_representatives_by(
         .drop("id", "component", "_rk")
     )
     return untouched.unionByName(survivors)
+
+
+def kcore_peel(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 3,
+    n_iters: int = 4,
+) -> DataFrame:
+    """Fixed-iteration k-core peel over an undirected edge list (round
+    11): iteratively drop every node whose degree falls below ``k``,
+    then report the survivors with their residual degree —
+    ``(node, deg)``.  The k-core is the standard density filter before
+    community detection / spam-graph pruning: a node in the final
+    table has >= k surviving neighbors even after all weaker nodes are
+    peeled away (up to ``n_iters`` rounds of cascade).
+
+    ``edges`` must be SYMMETRIC (both directions present, like the
+    other undirected operators here); degree is then just the
+    out-count.  Peel round i: degree over e_{i-1} → keep nodes with
+    deg >= k → restrict e_{i-1} to edges with BOTH endpoints kept (two
+    semi-joins on the same keep set).  A bounded ``n_iters`` keeps the
+    unrolled lineage finite and the result exactly re-derivable by a
+    SQL oracle (full convergence is n_iters = graph diameter in the
+    worst case; in practice the cascade settles in a handful of
+    rounds — callers needing the fixpoint iterate until the count is
+    stable, same driver-loop contract as connected_components).
+
+    Scale: each round is one degree aggregate (hash-partitioned on
+    node, map-side combine) plus two semi-joins keyed on the SAME node
+    ids — the shuffle partitioning is reusable across the round, and
+    the edge list only ever SHRINKS, so later rounds are cheaper.
+    Lineage is truncated per round (localCheckpoint) like the
+    components / pagerank loops.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if n_iters < 1:
+        raise ValueError("n_iters must be >= 1")
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d")
+    ).localCheckpoint(eager=False)
+    for _ in range(n_iters):
+        keep = (
+            e.groupBy("_s")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+            .where(F.col("_deg") >= F.lit(k))
+            .select(F.col("_s").alias("_keep"))
+        ).localCheckpoint(eager=False)
+        e = (
+            e.join(keep, e["_s"] == keep["_keep"], "left_semi")
+            .join(keep, e["_d"] == keep["_keep"], "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        e.groupBy("_s")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(F.col("_s").alias("node"), F.col("deg").cast("long"))
+    )

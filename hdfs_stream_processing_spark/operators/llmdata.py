@@ -565,6 +565,53 @@ def boilerplate_chunks(
     )
 
 
+def token_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """Stride-1 ``k``-token window table — the shared head of every
+    substring-level dedup stage (batch detection, scrub, streaming
+    doc-frequency maintenance): one row per (doc, offset) with the
+    window CONTENT joined back into a string key.  Narrow k× explode,
+    no shuffle; works unchanged on batch and streaming frames."""
+    if k < 2:
+        raise ValueError("window length k must be >= 2 tokens")
+    from hdfs_stream_processing_spark.operators.text import tokens
+
+    with_toks = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    return with_toks.select(
+        id_col,
+        F.size("_toks").alias("_n_toks"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(_toks), {k}) - {k} + 1),"
+                f" i -> array_join(slice(_toks, i, {k}), ' '))"
+            )
+        ).alias("_off", "_sh"),
+    )
+
+
+def spans_from_marked(marked: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Gaps-and-islands merge of duplicated window STARTS into maximal
+    spans: ``marked`` is the shingle table restricted to duplicated
+    window contents (however the dup set was derived — batch
+    doc-frequency or a streaming-maintained rollup).  One ranking
+    window per document (bounded by doc length)."""
+    w = Window.partitionBy(id_col).orderBy("_off")
+    islands = marked.withColumn("_isl", F.col("_off") - F.row_number().over(w))
+    return (
+        islands.groupBy(id_col, "_isl")
+        .agg(
+            F.min("_off").cast("int").alias("span_start"),
+            (
+                F.least(F.max("_off") + F.lit(k), F.min("_n_toks"))
+                - F.min("_off")
+            ).cast("int").alias("span_len"),
+            F.count(F.lit(1)).cast("int").alias("n_windows"),
+        )
+        .select(id_col, "span_start", "span_len", "n_windows")
+    )
+
+
 def duplicated_spans(
     df: DataFrame,
     id_col: str,
@@ -604,19 +651,7 @@ def duplicated_spans(
         raise ValueError("window length k must be >= 2 tokens")
     if min_docs < 2:
         raise ValueError("min_docs must be >= 2 (1 would flag everything)")
-    from hdfs_stream_processing_spark.operators.text import tokens
-
-    with_toks = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
-    sh = with_toks.select(
-        id_col,
-        F.size("_toks").alias("_n_toks"),
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, greatest(size(_toks), {k}) - {k} + 1),"
-                f" i -> array_join(slice(_toks, i, {k}), ' '))"
-            )
-        ).alias("_off", "_sh"),
-    )
+    sh = token_shingles(df, id_col, text_col, k)
     dup = (
         sh.groupBy("_sh")
         .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
@@ -624,20 +659,7 @@ def duplicated_spans(
         .select("_sh")
     )
     marked = sh.join(dup, "_sh")
-    w = Window.partitionBy(id_col).orderBy("_off")
-    islands = marked.withColumn("_isl", F.col("_off") - F.row_number().over(w))
-    return (
-        islands.groupBy(id_col, "_isl")
-        .agg(
-            F.min("_off").cast("int").alias("span_start"),
-            (
-                F.least(F.max("_off") + F.lit(k), F.min("_n_toks"))
-                - F.min("_off")
-            ).cast("int").alias("span_len"),
-            F.count(F.lit(1)).cast("int").alias("n_windows"),
-        )
-        .select(id_col, "span_start", "span_len", "n_windows")
-    )
+    return spans_from_marked(marked, id_col, k)
 
 
 def scrub_spans(
@@ -680,16 +702,7 @@ def scrub_spans(
         F.size("_toks").alias("_n_toks"),
         F.posexplode("_toks").alias("_pos", "_tok"),
     )
-    sh = with_toks.select(
-        id_col,
-        F.size("_toks").alias("_n_toks"),
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, greatest(size(_toks), {k}) - {k} + 1),"
-                f" i -> array_join(slice(_toks, i, {k}), ' '))"
-            )
-        ).alias("_off", "_sh"),
-    )
+    sh = token_shingles(df, id_col, text_col, k)
     dup = (
         sh.groupBy("_sh")
         .agg(

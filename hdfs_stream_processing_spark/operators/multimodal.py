@@ -924,3 +924,113 @@ def audio_frames(
             )
 
     return df.mapInPandas(run, schema=f"{id_col} {id_type}, {AUDIO_FRAMES_SCHEMA}")
+
+
+AUDIO_AUTOCORR_SCHEMA = "frame_id int, lag int, ac bigint"
+
+
+def audio_autocorr(
+    df: DataFrame,
+    frame_len: int = 16,
+    stride: int = 8,
+    max_lag: int = 3,
+    id_col: str = "doc_id",
+    id_type: str = "bigint",
+) -> DataFrame:
+    """Per-frame short-lag autocorrelation over decoded MONO audio
+    (round 11): for frame f = samples [f·stride, f·stride + frame_len)
+    and each lag L in 1..max_lag, emit the exact integer product sum
+    r_f(L) = Σ_{i=0}^{frame_len−1−L} s[i]·s[i+L] — the classic
+    pitch/periodicity feature (the time-domain half of a spectrogram),
+    kept in exact int64 arithmetic so a SQL oracle regenerates every
+    value (|r| <= frame_len·32768² < 2^35).  Long form, one row per
+    (id, frame, lag), the layout a downstream pitch tracker groups by.
+
+    Same plan shape as :func:`audio_frames`: Arrow-vectorized
+    mapInPandas over the decoded frames, output bounded by
+    (n/stride)·max_lag — linear, zero shuffle, never per-row Python.
+    """
+    if frame_len < 2 or stride < 1:
+        raise ValueError("need frame_len >= 2 and stride >= 1")
+    if not (1 <= max_lag < frame_len):
+        raise ValueError("need 1 <= max_lag < frame_len")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for key, n_ch, n, pcm in zip(
+                pdf[id_col], pdf["n_channels"], pdf["n_samples"], pdf["pcm"]
+            ):
+                if int(n_ch) != 1:
+                    raise ValueError(
+                        f"audio_autocorr is mono-only (id={key!r} has "
+                        f"{n_ch} channels); downmix_audio first"
+                    )
+                s = np.frombuffer(bytes(pcm), dtype="<i2").astype(np.int64)
+                n = int(n)
+                n_frames = (n - frame_len) // stride + 1 if n >= frame_len else 0
+                for f in range(n_frames):
+                    fr = s[f * stride : f * stride + frame_len]
+                    for lag in range(1, max_lag + 1):
+                        ac = int((fr[:-lag] * fr[lag:]).sum())
+                        rows.append((key, f, lag, ac))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "frame_id", "lag", "ac"]
+            )
+
+    return df.mapInPandas(run, schema=f"{id_col} {id_type}, {AUDIO_AUTOCORR_SCHEMA}")
+
+
+IMAGE_HISTOGRAM_SCHEMA = "channel int, bin int, n_px bigint"
+
+
+def image_histogram(
+    df: DataFrame,
+    n_bins: int = 16,
+    id_col: str = "doc_id",
+    id_type: str = "bigint",
+) -> DataFrame:
+    """Per-image per-channel intensity histogram over decoded RGB
+    frames (round 11): bin b covers values [b·(256/n_bins),
+    (b+1)·(256/n_bins)) and the output is one row per (id, channel,
+    non-empty bin) with the pixel count — the color-distribution
+    feature behind over/under-exposure gates, duplicate-screenshot
+    heuristics, and the channel statistics a normalization stage
+    consumes.  ``n_bins`` must divide 256 so binning is the exact
+    integer division value // (256/n_bins) and a SQL oracle can
+    recompute every count.
+
+    Same plan shape as :func:`image_stats`: Arrow-vectorized
+    mapInPandas over the decoded frames (np.bincount per channel —
+    vectorized, never per-pixel Python), output bounded by
+    3·n_bins rows per image, zero shuffle.
+    """
+    if n_bins < 2 or 256 % n_bins != 0:
+        raise ValueError("n_bins must be >= 2 and divide 256")
+    width = 256 // n_bins
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for key, w, h, c, rgb in zip(
+                pdf[id_col], pdf["width"], pdf["height"],
+                pdf["n_channels"], pdf["rgb"],
+            ):
+                arr = np.frombuffer(bytes(rgb), dtype=np.uint8).reshape(
+                    int(h), int(w), int(c)
+                )
+                for ch in range(int(c)):
+                    counts = np.bincount(
+                        arr[:, :, ch].ravel() // width, minlength=n_bins
+                    )
+                    for b in np.nonzero(counts)[0]:
+                        rows.append((key, ch, int(b), int(counts[b])))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "channel", "bin", "n_px"]
+            )
+
+    return df.mapInPandas(run, schema=f"{id_col} {id_type}, {IMAGE_HISTOGRAM_SCHEMA}")

@@ -139,3 +139,50 @@ def table_checksum(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(h.cast("decimal(38,0)")).cast("string").alias("checksum"),
     ).select(F.lit(table_name).alias("table_name"), "n_rows", "checksum")
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    qid_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+    l_div: int = 2,
+) -> DataFrame:
+    """Privacy audit for a quasi-identifier combination (round 11):
+    one row per equivalence class (distinct QID tuple) with its size,
+    the number of distinct sensitive values it carries, and the
+    k-anonymity / l-diversity verdicts — the release gate a
+    training-data pipeline runs before shipping any table keyed on
+    person-adjacent attributes (Sweeney 2002 k-anonymity; Machanavajjhala
+    et al. 2007 l-diversity — both public methods).
+
+    A class with ``class_size < k`` re-identifies its members by QID
+    lookup; a class with ``n_sensitive < l_div`` leaks the sensitive
+    attribute even when k holds (everyone in the class shares it).
+    Suppression/generalization is the caller's ACTION on the flagged
+    classes (filter or re-bin and re-audit) — the audit itself is the
+    operator, mirroring dq_check's measure-then-decide contract.
+
+    Scale: one hash aggregate on the QID tuple with map-side partial
+    aggregation (count + approx-exact distinct via a two-level agg is
+    unnecessary: count_distinct here is exact and single-pass).  No
+    joins, no broadcast, linear in the input.
+    """
+    if not qid_cols:
+        raise ValueError("need at least one quasi-identifier column")
+    if k < 2 or l_div < 1:
+        raise ValueError("need k >= 2 and l_div >= 1")
+    return (
+        df.groupBy(*[F.col(c) for c in qid_cols])
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.count_distinct(F.col(sensitive_col)).alias("n_sensitive"),
+        )
+        .select(
+            *qid_cols,
+            F.col("class_size").cast("long"),
+            F.col("n_sensitive").cast("long"),
+            (F.col("class_size") >= F.lit(k)).alias("meets_k"),
+            (F.col("n_sensitive") >= F.lit(l_div)).alias("meets_l"),
+        )
+    )

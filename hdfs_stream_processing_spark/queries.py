@@ -2948,3 +2948,4 @@ from hdfs_stream_processing_spark import queries_llmdata  # noqa: E402,F401
 from hdfs_stream_processing_spark import queries_analytics  # noqa: E402,F401
 from hdfs_stream_processing_spark import queries_incremental  # noqa: E402,F401
 from hdfs_stream_processing_spark import queries_advanced  # noqa: E402,F401
+from hdfs_stream_processing_spark import queries_audit  # noqa: E402,F401

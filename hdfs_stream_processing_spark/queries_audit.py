@@ -1,0 +1,309 @@
+"""Corpus / graph audit queries (round 11, second wave): k-core peel,
+k-anonymity release gate, per-frame audio autocorrelation, per-image
+channel histograms, and streaming substring-dedup maintenance.
+
+Registered via the shared ``@query`` decorator when ``queries.py``
+imports this module at the end of its split chain (round-8 layout:
+no query module > ~3k LoC).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import functions as F
+
+from hdfs_stream_processing_spark.queries import (  # noqa: F401
+    ORACLES,
+    _mkdtemp,
+    prep,
+    query,
+)
+from hdfs_stream_processing_spark.queries_llmdata import (  # noqa: F401
+    _IMG_PX_SQL,
+    _SUBSTR_SYNTH_DUCK,
+    _WAV_DIMS_SQL,
+    _decoded_audio,
+    _decoded_shards,
+    _stage_documents,
+    _substr_synth_df,
+)
+
+# §Graph audit: k-core density filter (operators/graph.py::kcore_peel)
+# ========================================================================
+
+_KCORE_K = 10
+_KCORE_ITERS = 3
+
+
+def _kcore_oracle(k: int, n_iters: int) -> str:
+    """Unrolled peel rounds as CTEs — one degree aggregate + one
+    two-sided node restriction per round, exactly the Spark loop."""
+    parts = [
+        """WITH pairs AS (
+         SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS s,
+                         's' || CAST(l_suppkey AS VARCHAR) AS d
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       e0 AS (SELECT s, d FROM pairs UNION ALL SELECT d, s FROM pairs)"""
+    ]
+    for i in range(1, n_iters + 1):
+        parts.append(
+            f"""k{i} AS (SELECT s FROM e{i - 1} GROUP BY s
+              HAVING COUNT(*) >= {k}),
+       e{i} AS (SELECT e.s, e.d FROM e{i - 1} e
+                JOIN k{i} a ON e.s = a.s
+                JOIN k{i} b ON e.d = b.s)"""
+        )
+    return (
+        ",\n       ".join(parts)
+        + f"""
+       SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS deg
+       FROM e{n_iters} GROUP BY s"""
+    )
+
+
+@query("kcore", _kcore_oracle(_KCORE_K, _KCORE_ITERS))
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core peel over the customer-supplier trade graph (operators/
+    graph.py::kcore_peel, r11): which parties remain after every node
+    with fewer than 10 surviving trade partners is iteratively removed
+    (3 peel rounds)?  The density filter run before community detection
+    or spam-graph pruning; bounded rounds keep the lineage finite and
+    the result exactly SQL-re-derivable (same contract as the pagerank
+    / bfs fixed-iteration loops).  Each round: one degree aggregate +
+    two semi-joins keyed on the same node ids; the edge list only
+    shrinks, so later rounds are cheaper."""
+    from hdfs_stream_processing_spark.operators.graph import kcore_peel
+
+    lineitem, orders = prep(spark, sf_dir, "lineitem", "orders")
+    pairs = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("s"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("d"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    )
+    return kcore_peel(edges, "s", "d", k=_KCORE_K, n_iters=_KCORE_ITERS)
+
+
+# §Privacy audit: k-anonymity / l-diversity release gate
+# (operators/quality.py::k_anonymity_audit)
+# ========================================================================
+
+
+@query(
+    "k_anonymity",
+    """SELECT o_orderpriority, o_orderstatus,
+              CAST(year(o_orderdate) AS INT) AS o_year,
+              CAST(month(o_orderdate) AS INT) AS o_month,
+              CAST(COUNT(*) AS BIGINT) AS class_size,
+              CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_sensitive,
+              COUNT(*) >= 5 AS meets_k,
+              COUNT(DISTINCT o_custkey) >= 3 AS meets_l
+       FROM orders
+       GROUP BY o_orderpriority, o_orderstatus,
+                year(o_orderdate), month(o_orderdate)""",
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy release gate (operators/quality.py::k_anonymity_audit,
+    r11): treat (priority, status, order year, order month) as the
+    quasi-identifier and the customer key as the sensitive attribute —
+    every equivalence class is audited for k-anonymity (>= 5 members)
+    and l-diversity (>= 3 distinct customers).  The month-level QID
+    makes the audit non-trivial: sparse priority × status × month
+    classes genuinely fail k.  One hash aggregate with map-side
+    partials, no joins — linear at any scale."""
+    from hdfs_stream_processing_spark.operators.quality import k_anonymity_audit
+
+    (orders,) = prep(spark, sf_dir, "orders")
+    prepared = orders.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        F.month("o_orderdate").cast("int").alias("o_month"),
+        "o_custkey",
+    )
+    return k_anonymity_audit(
+        prepared,
+        ["o_orderpriority", "o_orderstatus", "o_year", "o_month"],
+        "o_custkey",
+        k=5,
+        l_div=3,
+    )
+
+
+# §Audio: per-frame short-lag autocorrelation
+# (operators/multimodal.py::audio_autocorr)
+# ========================================================================
+
+
+@query(
+    "audio_autocorr",
+    f"""WITH {_WAV_DIMS_SQL},
+       fr AS (SELECT source, n, len,
+                     CAST(unnest(generate_series(0, (len - 16) // 8)) AS INTEGER) AS f
+              FROM dims WHERE len >= 16),
+       lg AS (SELECT CAST(generate_series AS INTEGER) AS l
+              FROM generate_series(1, 3)),
+       samp AS (SELECT fr.source, fr.f, lg.l, i.i,
+                       ((7 * (fr.f * 8 + i.i) + 3 * fr.n) % 401) - 200 AS amp,
+                       ((7 * (fr.f * 8 + i.i + lg.l) + 3 * fr.n) % 401) - 200 AS amp2
+                FROM fr
+                CROSS JOIN lg
+                CROSS JOIN (SELECT CAST(generate_series AS INTEGER) AS i
+                            FROM generate_series(0, 15)) i
+                WHERE i.i < 16 - lg.l)
+       SELECT source,
+              CAST(f AS INTEGER) AS frame_id,
+              CAST(l AS INTEGER) AS lag,
+              CAST(SUM(amp * amp2) AS BIGINT) AS ac
+       FROM samp GROUP BY source, f, l""",
+)
+def q_audio_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame autocorrelation at lags 1-3 (operators/multimodal.py::
+    audio_autocorr, r11): the time-domain periodicity feature behind
+    pitch tracking, framed exactly like audio_frames (16-sample frames,
+    stride 8) and kept in exact int64 so the oracle regenerates every
+    product sum arithmetically from the synthetic waveform.  Decode →
+    frame → lag products are all map-side; zero shuffle, output
+    bounded by 3 rows per frame."""
+    from hdfs_stream_processing_spark.operators.multimodal import audio_autocorr
+
+    return audio_autocorr(
+        _decoded_audio(spark, sf_dir),
+        frame_len=16,
+        stride=8,
+        max_lag=3,
+        id_col="source",
+        id_type="string",
+    )
+
+
+# §Image: per-channel intensity histogram
+# (operators/multimodal.py::image_histogram)
+# ========================================================================
+
+
+@query(
+    "image_histogram",
+    f"""WITH {_IMG_PX_SQL},
+       px AS (SELECT d.source, xs.x, ys.y,
+                     (3 * xs.x + 5 * ys.y + d.n) % 256 AS r,
+                     (7 * xs.x + 11 * ys.y + 2 * d.n) % 256 AS g,
+                     (13 * xs.x + 17 * ys.y + 3 * d.n) % 256 AS b
+              FROM dims d
+              CROSS JOIN (SELECT CAST(generate_series AS INTEGER) AS x
+                          FROM generate_series(0, 16)) xs
+              CROSS JOIN (SELECT CAST(generate_series AS INTEGER) AS y
+                          FROM generate_series(0, 10)) ys
+              WHERE xs.x < d.w AND ys.y < d.h),
+       lv AS (SELECT source, 0 AS ch, r AS v FROM px
+              UNION ALL SELECT source, 1, g FROM px
+              UNION ALL SELECT source, 2, b FROM px)
+       SELECT source,
+              CAST(ch AS INTEGER) AS channel,
+              CAST(v // 16 AS INTEGER) AS bin,
+              CAST(COUNT(*) AS BIGINT) AS n_px
+       FROM lv GROUP BY source, ch, bin""",
+)
+def q_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image per-channel 16-bin intensity histogram (operators/
+    multimodal.py::image_histogram, r11): the color-distribution
+    feature behind exposure gates and near-duplicate screenshot
+    heuristics, computed with np.bincount inside the usual
+    Arrow-vectorized mapInPandas over decoded BMP frames.  16 bins of
+    width 16 make binning the exact integer division value // 16, so
+    the oracle recounts every bin from the regenerated pixels.  Zero
+    shuffle; output bounded by 48 rows per image."""
+    from hdfs_stream_processing_spark.operators.multimodal import image_histogram
+
+    return image_histogram(
+        _decoded_shards(spark, sf_dir, "bmp"),
+        n_bins=16,
+        id_col="source",
+        id_type="string",
+    )
+
+
+# §Streaming substring-dedup maintenance (the stream twin of
+# substring_dup — window-content doc-frequency as an incremental rollup)
+# ========================================================================
+
+
+@query(
+    "stream_substring_dedup",
+    f"""WITH raw AS (SELECT doc_id, text, string_split(text, ' ') AS ts
+                     FROM documents),
+       synth AS (SELECT doc_id,
+                        CASE WHEN doc_id % 5 = 0 THEN {_SUBSTR_SYNTH_DUCK}
+                             ELSE text END AS t
+                 FROM raw),
+       t AS (SELECT doc_id, string_split(lower(t), ' ') AS ts FROM synth),
+       s AS (SELECT doc_id, n_toks, off,
+                    array_to_string(list_slice(ts, off + 1, off + 8), ' ') AS sh
+             FROM (SELECT doc_id, ts, len(ts) AS n_toks,
+                          unnest(generate_series(0, greatest(len(ts), 8) - 8)) AS off
+                   FROM t)),
+       d AS (SELECT sh FROM s GROUP BY sh
+             HAVING COUNT(DISTINCT doc_id) >= 2),
+       m AS (SELECT doc_id, n_toks, off,
+                    off - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY off)
+                        AS isl
+             FROM s JOIN d USING (sh)),
+       sp AS (SELECT doc_id,
+                     LEAST(MAX(off) + 8, MIN(n_toks)) - MIN(off) AS span_len,
+                     COUNT(*) AS nw
+              FROM m GROUP BY doc_id, isl)
+       SELECT doc_id,
+              CAST(COUNT(*) AS BIGINT) AS n_spans,
+              CAST(SUM(span_len) AS BIGINT) AS dup_tokens,
+              CAST(SUM(nw) AS BIGINT) AS n_windows
+       FROM sp GROUP BY doc_id""",
+)
+def q_stream_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING substring-dedup maintenance (r11): the stride-1
+    8-token window-content document-frequency table rides the same
+    replay-guarded stream rollup as the chunk/vocabulary tables — each
+    micro-batch contributes its batch-local per-content DISTINCT-doc
+    count (exact across batches because a document arrives whole in
+    exactly one micro-batch), and the per-doc duplicated-span report
+    built against the MAINTAINED table must equal the one-shot
+    substring_dup computation aggregated per document.  The span merge
+    reuses the shared gaps-and-islands tail (operators/llmdata.py::
+    spans_from_marked) — stream and batch paths literally share the
+    operator code."""
+    from hdfs_stream_processing_spark.operators.llmdata import (
+        spans_from_marked,
+        token_shingles,
+    )
+    from hdfs_stream_processing_spark.sources.io import read_table_version
+    from hdfs_stream_processing_spark.streaming import stream_parquet_source
+    from hdfs_stream_processing_spark.streaming.pipeline import run_stream_rollup
+
+    src_dir, schema = _stage_documents(spark, sf_dir)
+    stream = stream_parquet_source(spark, src_dir, schema, max_files_per_trigger=2)
+
+    def partial(df: DataFrame) -> DataFrame:
+        sh = token_shingles(_substr_synth_df(df), "doc_id", "text", k=8)
+        return sh.groupBy("_sh").agg(F.count_distinct("doc_id").alias("nd"))
+
+    tdir = _mkdtemp("hsp_ssub_")
+    ckpt = _mkdtemp("hsp_ssub_ckpt_")
+    run_stream_rollup(stream, tdir, ckpt, ["_sh"], ["nd"], partial)
+    docfreq = (
+        read_table_version(spark, tdir)
+        .drop("_batch")
+        .where(F.col("nd") >= F.lit(2))
+        .select("_sh")
+    )
+    (documents,) = prep(spark, sf_dir, "documents")
+    sh = token_shingles(_substr_synth_df(documents), "doc_id", "text", k=8)
+    spans = spans_from_marked(sh.join(docfreq, "_sh"), "doc_id", k=8)
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum("span_len").cast("bigint").alias("dup_tokens"),
+        F.sum("n_windows").cast("bigint").alias("n_windows"),
+    )

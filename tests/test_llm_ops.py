@@ -1466,3 +1466,47 @@ def test_scrub_spans_keeper_coverage_wins_overlap(spark):
     assert out[1].clean_text == "a b c e f1" and out[1].n_removed == 0
     assert out[2].clean_text == "g2 h2"
     assert out[3].clean_text == "i3 j3"
+
+
+def test_token_shingles_and_span_merge(spark):
+    """r11 refactor: the shared shingle head + gaps-and-islands tail
+    compose back into duplicated_spans exactly."""
+    import pytest
+
+    from hdfs_stream_processing_spark.operators.llmdata import (
+        duplicated_spans,
+        spans_from_marked,
+        token_shingles,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "x y a b c d z w"),
+        ],
+        "doc_id bigint, text string",
+    )
+    sh = token_shingles(docs, "doc_id", "text", k=3)
+    # doc 1 has 6 windows (8 tokens, k=3); offsets 0-based via posexplode
+    assert sh.where(F.col("doc_id") == 1).count() == 6
+    dup = (
+        sh.groupBy("_sh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("_sh")
+    )
+    spans = {
+        (r.doc_id, r.span_start, r.span_len)
+        for r in spans_from_marked(sh.join(dup, "_sh"), "doc_id", k=3).collect()
+    }
+    # shared run "a b c d": windows (abc, bcd) -> one merged span of 4
+    assert spans == {(1, 0, 4), (2, 2, 4)}
+    direct = {
+        (r.doc_id, r.span_start, r.span_len)
+        for r in duplicated_spans(docs, "doc_id", "text", k=3).collect()
+    }
+    assert direct == spans
+
+    with pytest.raises(ValueError):
+        token_shingles(docs, "doc_id", "text", k=1)

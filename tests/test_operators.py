@@ -1338,3 +1338,29 @@ def test_winsorize_bounds_and_clip(spark):
         winsorize(df, ["g"], "v", lo_q=0.9, hi_q=0.1)
     with _pytest.raises(ValueError, match="reserved"):
         winsorize(df.withColumn("lo_bound", F.lit(1)), ["g"], "v")
+
+
+def test_kcore_peel_cascades(spark):
+    """Triangle a-b-c (deg 2 each) with pendant d-a: k=2 peels d in
+    round 1 (deg 1); the triangle survives with residual degree 2.
+    A second round after the cascade changes nothing (fixpoint)."""
+    from hdfs_stream_processing_spark.operators.graph import kcore_peel
+
+    und = [("a", "b"), ("b", "c"), ("a", "c"), ("a", "d")]
+    sym = und + [(d, s) for (s, d) in und]
+    edges = spark.createDataFrame(sym, "src string, dst string")
+    got = {
+        r.node: r.deg for r in kcore_peel(edges, k=2, n_iters=2).collect()
+    }
+    assert got == {"a": 2, "b": 2, "c": 2}
+
+    # chain cascade: path a-b-c-d-e at k=2 peels endpoints each round
+    chain = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    sym2 = chain + [(d, s) for (s, d) in chain]
+    e2 = spark.createDataFrame(sym2, "src string, dst string")
+    assert kcore_peel(e2, k=2, n_iters=1).count() == 3  # b, c, d left
+    assert kcore_peel(e2, k=2, n_iters=3).count() == 0  # fully unravels
+
+    import pytest
+    with pytest.raises(ValueError):
+        kcore_peel(edges, k=0)

@@ -889,3 +889,64 @@ def test_audio_frames_hand_computed(spark):
 
     with pytest.raises(ValueError, match="frame_len"):
         audio_frames(decode_audio(df), frame_len=1)
+
+
+def test_audio_autocorr_hand_computed(spark):
+    """r11 autocorrelation: alternating-sign waveform makes lag-1
+    products all-negative and lag-2 all-positive; checked vs numpy."""
+    import numpy as np
+    import pytest
+
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        audio_autocorr,
+        decode_audio,
+        encode_wav,
+    )
+
+    s = np.array([3, -2, 5, -4, 1, -6, 2, -1], dtype=np.int16)
+    wav = encode_wav(s, 8000)
+    df = spark.createDataFrame([(1, bytearray(wav))], "doc_id bigint, payload binary")
+    rows = audio_autocorr(
+        decode_audio(df), frame_len=8, stride=8, max_lag=3
+    ).collect()
+    assert len(rows) == 3
+    got = {r.lag: r.ac for r in rows}
+    s64 = s.astype(np.int64)
+    for lag in (1, 2, 3):
+        assert got[lag] == int((s64[:-lag] * s64[lag:]).sum())
+    assert got[1] < 0 and got[2] > 0
+
+    with pytest.raises(ValueError, match="max_lag"):
+        audio_autocorr(decode_audio(df), frame_len=4, max_lag=4)
+
+
+def test_image_histogram_counts(spark):
+    """r11 histogram: bins partition the pixels (counts sum to w*h per
+    channel) and a constant channel lands in exactly one bin."""
+    import numpy as np
+    import pytest
+
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+        image_histogram,
+    )
+
+    arr = np.zeros((4, 5, 3), dtype=np.uint8)
+    arr[:, :, 0] = 200          # red constant -> bin 12 only
+    arr[:, :, 1] = np.arange(20).reshape(4, 5)  # green 0..19 -> bins 0,1
+    df = spark.createDataFrame(
+        [(7, bytearray(encode_bmp(arr)))], "doc_id bigint, payload binary"
+    )
+    rows = image_histogram(decode_image(df), n_bins=16).collect()
+    by_ch = {}
+    for r in rows:
+        by_ch.setdefault(r.channel, {})[r.bin] = r.n_px
+    assert by_ch[0] == {12: 20}
+    assert by_ch[1] == {0: 16, 1: 4}
+    assert by_ch[2] == {0: 20}
+    for ch in (0, 1, 2):
+        assert sum(by_ch[ch].values()) == 20
+
+    with pytest.raises(ValueError, match="n_bins"):
+        image_histogram(decode_image(df), n_bins=15)

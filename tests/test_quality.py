@@ -74,3 +74,32 @@ def test_cap_per_group_is_partitioning_independent(spark):
         ).collect()
     )
     assert pick(1) == pick(7) == [14, 15, 16, 17, 18, 19]
+
+
+def test_k_anonymity_audit_flags_small_and_uniform_classes(spark):
+    from hdfs_stream_processing_spark.operators.quality import k_anonymity_audit
+
+    rows = [
+        # class ("a", 1): 3 members, 3 distinct sensitive -> fails k=4, meets l
+        ("a", 1, 10), ("a", 1, 11), ("a", 1, 12),
+        # class ("a", 2): 4 members but ONE sensitive value -> meets k, fails l
+        ("a", 2, 99), ("a", 2, 99), ("a", 2, 99), ("a", 2, 99),
+        # class ("b", 1): singleton -> fails both
+        ("b", 1, 5),
+    ]
+    df = spark.createDataFrame(rows, "q1 string, q2 int, sens int")
+    out = {
+        (r.q1, r.q2): (r.class_size, r.n_sensitive, r.meets_k, r.meets_l)
+        for r in k_anonymity_audit(df, ["q1", "q2"], "sens", k=4, l_div=2).collect()
+    }
+    assert out == {
+        ("a", 1): (3, 3, False, True),
+        ("a", 2): (4, 1, True, False),
+        ("b", 1): (1, 1, False, False),
+    }
+
+    import pytest
+    with pytest.raises(ValueError):
+        k_anonymity_audit(df, [], "sens")
+    with pytest.raises(ValueError):
+        k_anonymity_audit(df, ["q1"], "sens", k=1)
