@@ -282,6 +282,20 @@ SHUFFLE_BUDGETS = {
     # reassembly on top of substring_dup's chain; the reassembly
     # shuffle is the job (the output IS a rewritten corpus).
     "substring_scrub": 6,
+    # kcore (r11): per-round degree aggs + semi-joins hide behind the
+    # localCheckpoint lineage cuts; the visible plan is the final
+    # degree agg off the checkpointed edge set.
+    "kcore": 1,
+    # k_anonymity (r11): one QID-keyed agg; exact count_distinct costs
+    # the standard two-phase expand — still join-free and linear.
+    "k_anonymity": 2,
+    # r11 codec stages: decode → frame/bin are map-side only.
+    "audio_autocorr": 0,
+    "image_histogram": 0,
+    # stream_substring_dedup (r11): the maintained doc-frequency table
+    # broadcasts into the batch shingle join; the one exchange is the
+    # per-doc island window + span agg chain keyed on doc.
+    "stream_substring_dedup": 1,
 }
 
 
