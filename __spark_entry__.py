@@ -36,11 +36,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver-green row in some round (union of CORRECTNESS_r*.json); queries
 # outside the current window pass the identical check locally via
 # tools/check_correctness.py.  Round 11 window (standing invariant,
-# VERDICT r9 #7): the 6 new r11 registrations lead (substring-level
-# dedup + scrub, OPQ-lite rotation, stereo/downmix/framed audio); the
+# VERDICT r9 #7): the 14 new r11 registrations lead (substring-level
+# dedup + scrub, OPQ-lite rotation, stereo/downmix/framed audio,
+# k-core, k-anonymity + its streaming twin, autocorr/pitch, image
+# histograms, streaming substring dedup, train/val/test split); the
 # remainder refreshes the OLDEST attestations in the r1-r10 union —
 # the two by-design rows-only rows (r3/r4), the nine remaining r5-era
-# rows, and the 33 oldest r6-era rows — to exactly 50.
+# rows, and the oldest r6-era rows — to exactly 50.
 # tests/test_registry.py pins len(_VERIFY_FIRST) == 50 so the
 # off-by-one cannot recur.
 _VERIFY_FIRST = [
@@ -48,7 +50,8 @@ _VERIFY_FIRST = [
     "substring_dup", "substring_scrub", "pq_rotate",
     "audio_stereo_stats", "audio_downmix", "audio_frames",
     "kcore", "k_anonymity", "audio_autocorr", "image_histogram",
-    "stream_substring_dedup",
+    "stream_substring_dedup", "audio_pitch", "train_split",
+    "stream_k_anonymity",
     # oldest-attestation-first refresh (r3-r6 era), to 50:
     "approx_distinct", "similarity_topk_np", "pii_redact",
     "quality_score", "resample_sources", "retention", "sessionize",
@@ -59,8 +62,7 @@ _VERIFY_FIRST = [
     "idle_customers", "incr_dedup", "incr_dedup_vec", "incr_pack",
     "incr_rollup", "incr_topk", "kmeans_refine", "late_ship_priority",
     "market_share", "merge_upsert", "nation_trade", "ohlc_bars",
-    "pit_join", "promo_share", "returned_revenue", "scd2_build",
-    "scd2_merge",
+    "pit_join", "promo_share",
 ]
 
 

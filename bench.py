@@ -268,6 +268,15 @@ HEADLINE = [
     # stereo WAV + downmix, framed audio features
     "substring_dup", "substring_scrub", "pq_rotate",
     "audio_stereo_stats", "audio_downmix", "audio_frames",
+    # round-11 second/third wave:
+    "kcore",
+    "k_anonymity",
+    "audio_autocorr",
+    "image_histogram",
+    "stream_substring_dedup",
+    "audio_pitch",
+    "train_split",
+    "stream_k_anonymity",
 ]
 
 

@@ -753,3 +753,37 @@ def scrub_spans(
             " ",
         ).alias("clean_text"),
     )
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    splits: list[tuple[str, int]],
+    buckets: int = 100,
+) -> DataFrame:
+    """Deterministic train/val/test assignment (round 11): each row's
+    md5-derived hash bucket of ``key_col`` is mapped through the
+    cumulative ``splits`` cuts — e.g. ``[("train", 80), ("val", 10),
+    ("test", 10)]`` sends buckets [0,80) to train, [80,90) to val,
+    [90,100) to test.  Hash-based (never rand()) so the assignment is
+    reproducible across engines, runs, partitionings, and task
+    retries, and any JOIN-adjacent table splits consistently by the
+    same key — the leakage-safety property a training pipeline needs
+    (group-leakage-safe when ``key_col`` is the dedup-cluster or
+    source key rather than the row id).
+
+    Adds a ``split`` string column; pure map-side, zero shuffle.
+    """
+    if not splits or any(w <= 0 for _, w in splits):
+        raise ValueError("splits must be non-empty (name, weight>0) pairs")
+    total = sum(w for _, w in splits)
+    if total != buckets:
+        raise ValueError(f"split weights must sum to buckets ({buckets}); got {total}")
+    bucket = _md5_bucket(F.col(key_col), buckets)
+    expr = None
+    cum = 0
+    for name, w in splits:
+        cum += w
+        cond = bucket < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn("split", expr)

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from hdfs_stream_processing_spark.queries import (  # noqa: F401
     ORACLES,
     _mkdtemp,
+    _STAGE_CACHE,
     prep,
     query,
 )
@@ -140,9 +141,10 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ========================================================================
 
 
-@query(
-    "audio_autocorr",
-    f"""WITH {_WAV_DIMS_SQL},
+#: Shared oracle scaffold: regenerate every per-frame lag product of the
+#: synthetic waveform (audio_autocorr consumes the sums directly;
+#: audio_pitch ranks them per frame).
+_AUTOCORR_CORE = f"""{_WAV_DIMS_SQL},
        fr AS (SELECT source, n, len,
                      CAST(unnest(generate_series(0, (len - 16) // 8)) AS INTEGER) AS f
               FROM dims WHERE len >= 16),
@@ -155,7 +157,12 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 CROSS JOIN lg
                 CROSS JOIN (SELECT CAST(generate_series AS INTEGER) AS i
                             FROM generate_series(0, 15)) i
-                WHERE i.i < 16 - lg.l)
+                WHERE i.i < 16 - lg.l)"""
+
+
+@query(
+    "audio_autocorr",
+    f"""WITH {_AUTOCORR_CORE}
        SELECT source,
               CAST(f AS INTEGER) AS frame_id,
               CAST(l AS INTEGER) AS lag,
@@ -307,3 +314,160 @@ def q_stream_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("span_len").cast("bigint").alias("dup_tokens"),
         F.sum("n_windows").cast("bigint").alias("n_windows"),
     )
+
+
+# §Round-11 third wave: pitch from autocorrelation, deterministic
+# train/val/test split audit, streaming k-anonymity maintenance
+# ========================================================================
+
+
+@query(
+    "audio_pitch",
+    f"""WITH {_AUTOCORR_CORE},
+       acc AS (SELECT source, f, l, SUM(amp * amp2) AS ac
+               FROM samp GROUP BY source, f, l),
+       rk AS (SELECT source, f, l, ac,
+                     ROW_NUMBER() OVER (PARTITION BY source, f
+                                        ORDER BY ac DESC, l) AS rn
+              FROM acc)
+       SELECT source,
+              CAST(f AS INTEGER) AS frame_id,
+              CAST(l AS INTEGER) AS best_lag,
+              CAST(ac AS BIGINT) AS best_ac
+       FROM rk WHERE rn = 1""",
+)
+def q_audio_pitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame pitch-lag pick (r11): the argmax lag of the frame's
+    autocorrelation — the classic time-domain pitch estimate, as the
+    deterministic rank-1 row per (source, frame) with ties broken
+    toward the shorter lag.  Composes the audio_autocorr stage with
+    one per-frame ranking window (frames are 16 samples, so window
+    partitions are 3 rows — never data-sized); the oracle re-ranks
+    the same regenerated product sums."""
+    from pyspark.sql import Window
+
+    from hdfs_stream_processing_spark.operators.multimodal import audio_autocorr
+
+    ac = audio_autocorr(
+        _decoded_audio(spark, sf_dir),
+        frame_len=16,
+        stride=8,
+        max_lag=3,
+        id_col="source",
+        id_type="string",
+    )
+    w = Window.partitionBy("source", "frame_id").orderBy(
+        F.col("ac").desc(), F.col("lag")
+    )
+    return (
+        ac.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "source",
+            "frame_id",
+            F.col("lag").alias("best_lag"),
+            F.col("ac").alias("best_ac"),
+        )
+    )
+
+
+@query(
+    "train_split",
+    """SELECT source,
+              CASE WHEN b < 80 THEN 'train'
+                   WHEN b < 90 THEN 'val'
+                   ELSE 'test' END AS split,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT)
+                  AS n_tokens
+       FROM (SELECT source, text,
+                    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        ::UBIGINT::BIGINT % 100 AS b
+             FROM documents)
+       GROUP BY source, split""",
+)
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split with a per-source
+    audit (operators/llmdata.py::split_assign, r11): assignment is the
+    md5 hash bucket of doc_id — reproducible across engines, runs,
+    partitionings, and task retries (never rand()), so every
+    join-adjacent table splits consistently by the same key.  The
+    audit (docs + tokens per source × split) is what a release ships
+    next to the split manifest.  Map-side assignment + one hash
+    aggregate; linear at any scale."""
+    from hdfs_stream_processing_spark.operators.llmdata import split_assign
+
+    (documents,) = prep(spark, sf_dir, "documents")
+    assigned = split_assign(
+        documents, "doc_id", [("train", 80), ("val", 10), ("test", 10)]
+    )
+    return assigned.groupBy("source", "split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split(F.lower(F.col("text")), " ")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+
+
+def _stage_qid_orders(spark: SparkSession, sf_dir: str) -> tuple[str, "object"]:
+    """Stage the QID-projected orders (priority, status, year, month,
+    custkey) as a streaming source directory — year/month extracted
+    BEFORE staging so the staged files carry plain ints (the streaming
+    path exercises rollup maintenance, not timestamp decoding, which
+    sources/io.load_table already owns).  Memoized per sf_dir."""
+    key = (sf_dir, "qid_orders")
+    (orders,) = prep(spark, sf_dir, "orders")
+    prepared = orders.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        F.month("o_orderdate").cast("int").alias("o_month"),
+        "o_custkey",
+    )
+    if key in _STAGE_CACHE:
+        return _STAGE_CACHE[key], prepared.schema
+    stage_dir = _mkdtemp("hsp_stream_qidsrc_")
+    prepared.repartition(4).write.mode("overwrite").parquet(stage_dir)
+    _STAGE_CACHE[key] = stage_dir
+    return stage_dir, prepared.schema
+
+
+@query("stream_k_anonymity", None)  # oracle assigned below: k_anonymity's
+def q_stream_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING k-anonymity maintenance (r11): the audit's only
+    obstacle to incrementality is the DISTINCT-sensitive count — not
+    additive across batches when a (QID, sensitive) pair recurs.  The
+    fix is the standard sufficient-statistics move: maintain the
+    (QID, sensitive) PAIR-count rollup (counts ARE additive, pairs
+    spanning micro-batches merge exactly), and derive class_size =
+    Σ pair counts, n_sensitive = #pairs per class at READ time.  The
+    report against the maintained table must equal the one-shot batch
+    audit — oracle IS k_anonymity's."""
+    from hdfs_stream_processing_spark.sources.io import read_table_version
+    from hdfs_stream_processing_spark.streaming import stream_parquet_source
+    from hdfs_stream_processing_spark.streaming.pipeline import run_stream_rollup
+
+    src_dir, schema = _stage_qid_orders(spark, sf_dir)
+    stream = stream_parquet_source(spark, src_dir, schema, max_files_per_trigger=2)
+    qid = ["o_orderpriority", "o_orderstatus", "o_year", "o_month"]
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(*qid, "o_custkey").agg(F.count(F.lit(1)).alias("n"))
+
+    tdir = _mkdtemp("hsp_skanon_")
+    ckpt = _mkdtemp("hsp_skanon_ckpt_")
+    run_stream_rollup(stream, tdir, ckpt, [*qid, "o_custkey"], ["n"], partial)
+    pairs = read_table_version(spark, tdir).drop("_batch")
+    return pairs.groupBy(*qid).agg(
+        F.sum("n").cast("bigint").alias("class_size"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sensitive"),
+    ).select(
+        *qid,
+        "class_size",
+        "n_sensitive",
+        (F.col("class_size") >= F.lit(5)).alias("meets_k"),
+        (F.col("n_sensitive") >= F.lit(3)).alias("meets_l"),
+    )
+
+
+ORACLES["stream_k_anonymity"] = ORACLES["k_anonymity"]

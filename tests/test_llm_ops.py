@@ -1510,3 +1510,34 @@ def test_token_shingles_and_span_merge(spark):
 
     with pytest.raises(ValueError):
         token_shingles(docs, "doc_id", "text", k=1)
+
+
+def test_split_assign_is_md5_deterministic(spark):
+    """r11 train/val/test split: assignment equals the manual md5
+    bucket computation row-for-row, and bad weight vectors are
+    rejected."""
+    import hashlib
+
+    import pytest
+
+    from hdfs_stream_processing_spark.operators.llmdata import split_assign
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id bigint")
+    got = {
+        r.doc_id: r.split
+        for r in split_assign(
+            df, "doc_id", [("train", 80), ("val", 10), ("test", 10)]
+        ).collect()
+    }
+
+    def expect(i: int) -> str:
+        b = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+
+    assert got == {i: expect(i) for i in range(200)}
+    assert set(got.values()) == {"train", "val", "test"}
+
+    with pytest.raises(ValueError):
+        split_assign(df, "doc_id", [("train", 80), ("val", 10)])
+    with pytest.raises(ValueError):
+        split_assign(df, "doc_id", [])

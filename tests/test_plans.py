@@ -296,6 +296,13 @@ SHUFFLE_BUDGETS = {
     # broadcasts into the batch shingle join; the one exchange is the
     # per-doc island window + span agg chain keyed on doc.
     "stream_substring_dedup": 1,
+    # r11 third wave: one keyed exchange each — the 3-row-per-frame
+    # rank window (audio_pitch), the source×split audit agg
+    # (train_split), and the QID re-aggregation of the maintained
+    # pair-count rollup (stream_k_anonymity).
+    "audio_pitch": 1,
+    "train_split": 1,
+    "stream_k_anonymity": 1,
 }
 
 

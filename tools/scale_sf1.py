@@ -92,6 +92,11 @@ SLOW = [
     # work against ×10 micro-batch volume)
     "minhash_recall", "winsorize_prices", "stream_retract",
     "stream_chunk_dedup",
+    # round-11 second wave: k-core peel over the ×10 trade graph (per
+    # round: degree agg + two semi-joins, edge list only shrinks) and
+    # streaming substring-dedup maintenance (×10 window volume through
+    # the replay-guarded doc-frequency rollup + per-doc island merge)
+    "kcore", "stream_substring_dedup",
 ]
 COPIES = 10
 
