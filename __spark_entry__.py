@@ -51,7 +51,7 @@ _VERIFY_FIRST = [
     "audio_stereo_stats", "audio_downmix", "audio_frames",
     "kcore", "k_anonymity", "audio_autocorr", "image_histogram",
     "stream_substring_dedup", "audio_pitch", "train_split",
-    "stream_k_anonymity",
+    "stream_k_anonymity", "image_grayscale", "audio_vad", "degree_hist",
     # oldest-attestation-first refresh (r3-r6 era), to 50:
     "approx_distinct", "similarity_topk_np", "pii_redact",
     "quality_score", "resample_sources", "retention", "sessionize",
@@ -61,8 +61,7 @@ _VERIFY_FIRST = [
     "dedup_near_incr", "dq_checks", "embed_quantize", "grouping_sets",
     "idle_customers", "incr_dedup", "incr_dedup_vec", "incr_pack",
     "incr_rollup", "incr_topk", "kmeans_refine", "late_ship_priority",
-    "market_share", "merge_upsert", "nation_trade", "ohlc_bars",
-    "pit_join", "promo_share",
+    "market_share", "merge_upsert", "nation_trade",
 ]
 
 

@@ -277,6 +277,10 @@ HEADLINE = [
     "audio_pitch",
     "train_split",
     "stream_k_anonymity",
+    # round-11 fourth wave:
+    "image_grayscale",
+    "audio_vad",
+    "degree_hist",
 ]
 
 

@@ -1034,3 +1034,67 @@ def image_histogram(
             )
 
     return df.mapInPandas(run, schema=f"{id_col} {id_type}, {IMAGE_HISTOGRAM_SCHEMA}")
+
+
+GRAYSCALE_SCHEMA = (
+    "width int, height int, sum_gray bigint, wsum_gray bigint, "
+    "min_gray int, max_gray int"
+)
+
+
+def grayscale_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    id_type: str = "bigint",
+) -> DataFrame:
+    """Exact integer grayscale conversion over decoded RGB frames
+    (round 11): per-pixel luma y = (299·r + 587·g + 114·b) // 1000 —
+    the ITU-R BT.601 weights in per-mille integer form, floor
+    division, so every value is exactly re-derivable by a SQL oracle
+    (no float rounding to disagree on).  Output is the signal-carrying
+    reduction set: Σy, the position-weighted Σ(row·W + col + 1)·y that
+    no non-identity pixel permutation preserves, and the min/max luma
+    a clipping/exposure gate consumes.
+
+    Same plan shape as :func:`image_stats`: Arrow-vectorized
+    mapInPandas over decoded frames, numpy math, zero shuffle.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for key, w, h, c, rgb in zip(
+                pdf[id_col], pdf["width"], pdf["height"],
+                pdf["n_channels"], pdf["rgb"],
+            ):
+                w, h, c = int(w), int(h), int(c)
+                if c != 3:
+                    raise ValueError(
+                        f"grayscale_stats needs 3-channel RGB (id={key!r} has {c})"
+                    )
+                arr = np.frombuffer(bytes(rgb), dtype=np.uint8).reshape(h, w, c)
+                pix = arr.astype(np.int64)
+                y = (299 * pix[:, :, 0] + 587 * pix[:, :, 1] + 114 * pix[:, :, 2]) // 1000
+                weight = (
+                    np.arange(h, dtype=np.int64)[:, None] * w
+                    + np.arange(w, dtype=np.int64)[None, :]
+                    + 1
+                )
+                rows.append(
+                    (
+                        key, w, h,
+                        int(y.sum()), int((y * weight).sum()),
+                        int(y.min()), int(y.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "width", "height",
+                    "sum_gray", "wsum_gray", "min_gray", "max_gray",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=f"{id_col} {id_type}, {GRAYSCALE_SCHEMA}")

@@ -471,3 +471,160 @@ def q_stream_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["stream_k_anonymity"] = ORACLES["k_anonymity"]
+
+
+# §Round-11 fourth wave: exact grayscale, energy-gated VAD, degree
+# distribution
+# ========================================================================
+
+
+@query(
+    "image_grayscale",
+    f"""WITH {_IMG_PX_SQL},
+       px AS (SELECT d.source, d.w, d.h, xs.x, ys.y,
+                     (3 * xs.x + 5 * ys.y + d.n) % 256 AS r,
+                     (7 * xs.x + 11 * ys.y + 2 * d.n) % 256 AS g,
+                     (13 * xs.x + 17 * ys.y + 3 * d.n) % 256 AS b
+              FROM dims d
+              CROSS JOIN (SELECT CAST(generate_series AS INTEGER) AS x
+                          FROM generate_series(0, 16)) xs
+              CROSS JOIN (SELECT CAST(generate_series AS INTEGER) AS y
+                          FROM generate_series(0, 10)) ys
+              WHERE xs.x < d.w AND ys.y < d.h),
+       lum AS (SELECT source, w, h, x, y,
+                      (299 * r + 587 * g + 114 * b) // 1000 AS yv
+               FROM px)
+       SELECT source,
+              MIN(w) AS width, MIN(h) AS height,
+              CAST(SUM(yv) AS BIGINT) AS sum_gray,
+              CAST(SUM((y * w + x + 1) * yv) AS BIGINT) AS wsum_gray,
+              CAST(MIN(yv) AS INTEGER) AS min_gray,
+              CAST(MAX(yv) AS INTEGER) AS max_gray
+       FROM lum GROUP BY source""",
+)
+def q_image_grayscale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer grayscale conversion (operators/multimodal.py::
+    grayscale_stats, r11): per-pixel BT.601 luma in per-mille integer
+    form — (299r + 587g + 114b) // 1000, floor semantics — reduced to
+    Σy, the permutation-sensitive position-weighted Σ(pos·y), and the
+    min/max an exposure gate consumes; the oracle recomputes every
+    luma from the regenerated pixels.  Zero-shuffle mapInPandas like
+    every codec stage."""
+    from hdfs_stream_processing_spark.operators.multimodal import grayscale_stats
+
+    return grayscale_stats(
+        _decoded_shards(spark, sf_dir, "bmp"), id_col="source", id_type="string"
+    )
+
+
+_VAD_THRESHOLD = 200_000
+
+
+@query(
+    "audio_vad",
+    f"""WITH {_WAV_DIMS_SQL},
+       fr AS (SELECT source, n, len,
+                     CAST(unnest(generate_series(0, (len - 16) // 8)) AS INTEGER) AS f
+              FROM dims WHERE len >= 16),
+       samp AS (SELECT fr.source, fr.f, i.i,
+                       ((7 * (fr.f * 8 + i.i) + 3 * fr.n) % 401) - 200 AS amp
+                FROM fr
+                CROSS JOIN (SELECT CAST(generate_series AS INTEGER) AS i
+                            FROM generate_series(0, 15)) i),
+       en AS (SELECT source, f, SUM(amp * amp) AS energy
+              FROM samp GROUP BY source, f),
+       isl AS (SELECT source, f,
+                      f - ROW_NUMBER() OVER (PARTITION BY source ORDER BY f)
+                          AS grp
+               FROM en WHERE energy >= {_VAD_THRESHOLD}),
+       runs AS (SELECT source, COUNT(*) AS rl FROM isl GROUP BY source, grp),
+       mr AS (SELECT source, MAX(rl) AS longest FROM runs GROUP BY source)
+       SELECT en.source,
+              CAST(COUNT(*) AS BIGINT) AS n_frames,
+              CAST(SUM(CASE WHEN energy >= {_VAD_THRESHOLD}
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_voiced,
+              CAST(COALESCE(MIN(mr.longest), 0) AS BIGINT) AS longest_run
+       FROM en LEFT JOIN mr ON en.source = mr.source
+       GROUP BY en.source""",
+)
+def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-gated voice-activity report (r11): frames whose integer
+    energy clears the gate are "voiced"; per source the report is
+    frame count, voiced count, and the LONGEST consecutive voiced run
+    (gaps-and-islands over frame ids) — the silence-trimming /
+    segment-extraction precursor, kept exact-integer end to end.
+    Composes audio_frames with one per-source island window (bounded
+    by frames per clip); the oracle regenerates energies and re-ranks
+    the same islands."""
+    from pyspark.sql import Window
+
+    from hdfs_stream_processing_spark.operators.multimodal import audio_frames
+
+    fr = audio_frames(
+        _decoded_audio(spark, sf_dir),
+        frame_len=16,
+        stride=8,
+        id_col="source",
+        id_type="string",
+    )
+    voiced = fr.where(F.col("energy") >= F.lit(_VAD_THRESHOLD))
+    w = Window.partitionBy("source").orderBy("frame_id")
+    runs = (
+        voiced.withColumn("_grp", F.col("frame_id") - F.row_number().over(w))
+        .groupBy("source", "_grp")
+        .agg(F.count(F.lit(1)).alias("_rl"))
+        .groupBy("source")
+        .agg(F.max("_rl").alias("_longest"))
+    )
+    agg = fr.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.sum(
+            (F.col("energy") >= F.lit(_VAD_THRESHOLD)).cast("long")
+        ).cast("bigint").alias("n_voiced"),
+    )
+    return agg.join(runs, "source", "left").select(
+        "source",
+        "n_frames",
+        "n_voiced",
+        F.coalesce(F.col("_longest"), F.lit(0)).cast("bigint").alias("longest_run"),
+    )
+
+
+@query(
+    "degree_hist",
+    """WITH pairs AS (
+         SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS s,
+                         's' || CAST(l_suppkey AS VARCHAR) AS d
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       e0 AS (SELECT s, d FROM pairs UNION ALL SELECT d, s FROM pairs),
+       dg AS (SELECT s, COUNT(*) AS deg FROM e0 GROUP BY s)
+       SELECT CAST(deg AS BIGINT) AS deg,
+              CAST(COUNT(*) AS BIGINT) AS n_nodes
+       FROM dg GROUP BY deg""",
+)
+def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the trade graph (r11): how many nodes
+    have exactly d trading partners — the first thing a graph audit
+    plots (skew/power-law check, and the input to choosing the k-core
+    threshold).  Two hash aggregates (degree, then histogram), no
+    joins beyond the shared edge derivation; the second agg's input
+    is node-count-sized."""
+    lineitem, orders = prep(spark, sf_dir, "lineitem", "orders")
+    pairs = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("s"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("d"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    )
+    return (
+        edges.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .groupBy("deg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .select(F.col("deg").cast("bigint"), "n_nodes")
+    )

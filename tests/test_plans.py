@@ -303,6 +303,13 @@ SHUFFLE_BUDGETS = {
     "audio_pitch": 1,
     "train_split": 1,
     "stream_k_anonymity": 1,
+    # r11 fourth wave: grayscale is a pure codec map; audio_vad pays
+    # the island window + the frame agg (the tiny run table broadcasts
+    # back); degree_hist's two aggs sit on the shared edge-derivation
+    # distinct (textual fan-out of the reused exchange).
+    "image_grayscale": 0,
+    "audio_vad": 2,
+    "degree_hist": 4,
 }
 
 

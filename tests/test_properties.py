@@ -950,3 +950,26 @@ def test_image_histogram_counts(spark):
 
     with pytest.raises(ValueError, match="n_bins"):
         image_histogram(decode_image(df), n_bins=15)
+
+
+def test_grayscale_stats_hand_computed(spark):
+    """r11 grayscale: BT.601 per-mille luma with floor semantics,
+    checked by hand on a 1x2 image; non-RGB frames are rejected."""
+    import numpy as np
+    import pytest
+
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+        grayscale_stats,
+    )
+
+    arr = np.zeros((1, 2, 3), dtype=np.uint8)
+    arr[0, 0] = (255, 0, 0)    # y = 299*255 // 1000 = 76
+    arr[0, 1] = (0, 255, 255)  # y = (587+114)*255 // 1000 = 178
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_bmp(arr)))], "doc_id bigint, payload binary"
+    )
+    row = grayscale_stats(decode_image(df)).collect()[0]
+    assert (row.sum_gray, row.min_gray, row.max_gray) == (76 + 178, 76, 178)
+    assert row.wsum_gray == 1 * 76 + 2 * 178
