@@ -650,8 +650,16 @@ def test_bpe_merge_preserves_corpus_text(spark, words):
 @settings(max_examples=8, deadline=None)
 @given(
     st.lists(
-        st.lists(FINITE_DOUBLES.filter(lambda x: abs(x) < 1e3),
-                 min_size=8, max_size=8),
+        # bounded floats directly — a .filter(abs < 1e3) over all finite
+        # doubles rejects most of the space on unlucky seeds and trips
+        # the filter_too_much health check (seed-dependent flake seen
+        # in the r11 full-suite runs)
+        st.lists(
+            st.floats(
+                min_value=-1e3, max_value=1e3,
+                allow_nan=False, allow_infinity=False, width=64,
+            ),
+            min_size=8, max_size=8),
         min_size=3, max_size=10, unique_by=tuple,
     )
 )
