@@ -837,3 +837,98 @@ def containment_join_prefix(
             ).alias("containment"),
         )
     )
+
+
+def banded_hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    band_cols: list[str],
+    band_bits: int,
+    max_hamming: int,
+    probe_bits: int = 4,
+) -> DataFrame:
+    """Exact Hamming-radius pair search over packed bit fingerprints
+    WITHOUT the all-pairs cross join (round 12 — the matcher behind
+    perceptual image/audio near-dup): each fingerprint arrives as
+    ``band_cols`` integer columns of ``band_bits`` bits each (the
+    layout :func:`~..multimodal.dhash_bands` / ``audio_fingerprint``
+    emit); candidates come from an EQUI-JOIN on ``probe_bits``-wide
+    sub-bands (same no-all-pairs shape as MinHash LSH bands), then the
+    exact Hamming distance — Σ bit_count(a XOR b) over the band
+    columns, all JVM-side integer ops — filters to ``<= max_hamming``.
+
+    Recall is EXACT, not probabilistic: with P = total_bits/probe_bits
+    probe bands, any pair within Hamming distance P−1 differs in at
+    most P−1 bands, so by pigeonhole at least one probe band matches
+    exactly and the pair IS a candidate.  The constructor therefore
+    requires P > max_hamming — under that contract the banding is
+    invisible in the output (a brute-force all-pairs oracle computes
+    the identical result), it only changes the plan.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+
+    Scale: the probe explode is a bounded ×P row widening; the
+    candidate join shuffles on (probe_idx, probe_val) — high
+    cardinality, naturally spread (skew only on genuinely viral
+    fingerprint fragments, which is the signal); the verify join is
+    candidate-sized.  Nothing is ever all-pairs, collected, or
+    broadcast, so the pattern survives a corpus-scale fingerprint
+    table on both sides.  probe_bits trades candidate volume against
+    probe count: narrower probes = more probes = stronger pigeonhole
+    bound but more candidates.
+    """
+    if not band_cols:
+        raise ValueError("need at least one band column")
+    if band_bits < 1 or probe_bits < 1 or band_bits % probe_bits != 0:
+        raise ValueError("probe_bits must divide band_bits")
+    n_probes = len(band_cols) * (band_bits // probe_bits)
+    if n_probes <= max_hamming:
+        raise ValueError(
+            f"{n_probes} probe bands cannot guarantee recall at Hamming "
+            f"radius {max_hamming}; need total_bits/probe_bits > max_hamming"
+        )
+    mask = (1 << probe_bits) - 1
+    probes_per_band = band_bits // probe_bits
+    probe_exprs = [
+        F.shiftright(F.col(c), j * probe_bits).bitwiseAND(F.lit(mask))
+        for c in band_cols
+        for j in range(probes_per_band)
+    ]
+    probes = df.select(
+        F.col(id_col).alias("_pid"),
+        F.posexplode(F.array(*probe_exprs)).alias("_probe_idx", "_probe_val"),
+    )
+    cand = (
+        probes.alias("a")
+        .join(
+            probes.alias("b"),
+            (F.col("a._probe_idx") == F.col("b._probe_idx"))
+            & (F.col("a._probe_val") == F.col("b._probe_val"))
+            & (F.col("a._pid") < F.col("b._pid")),
+        )
+        .select(
+            F.col("a._pid").alias("id_a"), F.col("b._pid").alias("id_b")
+        )
+        .distinct()
+    )
+    fp_a = df.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"_a_{c}") for c in band_cols],
+    )
+    fp_b = df.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"_b_{c}") for c in band_cols],
+    )
+    hamming = None
+    for c in band_cols:
+        term = F.bit_count(
+            F.col(f"_a_{c}").bitwiseXOR(F.col(f"_b_{c}"))
+        )
+        hamming = term if hamming is None else hamming + term
+    return (
+        cand.join(fp_a, "id_a")
+        .join(fp_b, "id_b")
+        .withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= F.lit(max_hamming))
+        .select("id_a", "id_b", "hamming")
+    )

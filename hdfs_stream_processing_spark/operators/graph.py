@@ -523,7 +523,12 @@ def kcore_peel(
 
     ``edges`` must be SYMMETRIC (both directions present, like the
     other undirected operators here); degree is then just the
-    out-count.  Peel round i: degree over e_{i-1} → keep nodes with
+    out-count.  Duplicate (src, dst) rows and self-loops are COUNTED
+    toward degree by design (multigraph semantics — matching the
+    oracle's DISTINCT-pairs derivation is the caller's job, as the
+    kcore query does with ``.distinct()`` before symmetrizing); pass
+    the edge list through ``distinct()`` first for simple-graph
+    semantics.  Peel round i: degree over e_{i-1} → keep nodes with
     deg >= k → restrict e_{i-1} to edges with BOTH endpoints kept (two
     semi-joins on the same keep set).  A bounded ``n_iters`` keeps the
     unrolled lineage finite and the result exactly re-derivable by a
@@ -562,4 +567,61 @@ def kcore_peel(
         e.groupBy("_s")
         .agg(F.count(F.lit(1)).alias("deg"))
         .select(F.col("_s").alias("node"), F.col("deg").cast("long"))
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iters: int = 3,
+) -> DataFrame:
+    """Bounded-round synchronous label propagation (round 12 — the
+    community finder that completes the graph hygiene kit: components
+    finds connectivity, kcore_peel filters density, LPA finds the
+    dense communities spam-cluster triage acts on).  Every node starts
+    labeled with its own id; each round, every node adopts the most
+    frequent label among its NEIGHBORS, ties broken toward the
+    smallest label — fully deterministic, so the result is exactly
+    re-derivable by an unrolled-CTE SQL oracle (same fixed-iteration
+    contract as kcore_peel / pagerank_exact; full convergence is a
+    driver loop on label-change count).
+
+    ``edges`` must be SYMMETRIC; duplicate edges weight the vote by
+    design (multigraph semantics — ``distinct()`` first for a simple
+    graph).  Returns (node, community).
+
+    Scale: each round is one edge↔label join (shuffle on node id), one
+    (node, label) count aggregate with map-side partials, and one
+    per-node ranking window whose partitions are bounded by a node's
+    distinct neighbor-label count — never data-sized.  Lineage is cut
+    per round (localCheckpoint) like the components / kcore loops; the
+    label table is node-cardinality-sized throughout.
+    """
+    if n_iters < 1:
+        raise ValueError("n_iters must be >= 1")
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d")
+    ).localCheckpoint(eager=False)
+    labels = e.select(F.col("_s").alias("_node")).distinct().select(
+        "_node", F.col("_node").alias("_lbl")
+    )
+    w = Window.partitionBy("_node").orderBy(
+        F.col("_cnt").desc(), F.col("_lbl").asc()
+    )
+    for _ in range(n_iters):
+        votes = (
+            e.join(labels, e["_d"] == labels["_node"])
+            .groupBy(F.col("_s").alias("_n"), "_lbl")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+        )
+        labels = (
+            votes.select(F.col("_n").alias("_node"), "_lbl", "_cnt")
+            .withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .select("_node", "_lbl")
+            .localCheckpoint(eager=False)
+        )
+    return labels.select(
+        F.col("_node").alias("node"), F.col("_lbl").alias("community")
     )

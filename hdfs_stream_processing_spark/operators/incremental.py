@@ -219,6 +219,40 @@ def rollup_merge(
     )
 
 
+_MERGE_FNS = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
+def rollup_merge_mixed(
+    existing: DataFrame,
+    batch_partial: DataFrame,
+    keys: list[str],
+    merge_spec: dict[str, str],
+) -> DataFrame:
+    """:func:`rollup_merge` generalized to per-column merge functions
+    (round 12): ``merge_spec`` maps each merged column to ``'sum'``,
+    ``'min'`` or ``'max'`` — the three self-decomposable aggregates
+    (merge of partials = aggregate of the union), so the same
+    incremental-view-maintenance contract holds: a batch load touches
+    only batch-sized partials and the rollup table, never history.
+    The min/max legs are what keeper-style state needs — e.g. the
+    substring-scrub keeper "smallest (doc, offset) that ever carried
+    this window content" is a plain min-merge.
+
+    Same plan shape as rollup_merge: one union + one hash agg on the
+    key, map-side partials on both sides.
+    """
+    bad = {fn for fn in merge_spec.values() if fn not in _MERGE_FNS}
+    if bad:
+        raise ValueError(f"unsupported merge fns {sorted(bad)}; use sum/min/max")
+    cols = list(merge_spec)
+    return (
+        existing.select(*keys, *cols)
+        .unionByName(batch_partial.select(*keys, *cols))
+        .groupBy(*keys)
+        .agg(*[_MERGE_FNS[fn](c).alias(c) for c, fn in merge_spec.items()])
+    )
+
+
 def pit_join(
     facts: DataFrame,
     dim: DataFrame,

@@ -694,14 +694,6 @@ def scrub_spans(
         raise ValueError("window length k must be >= 2 tokens")
     if min_docs < 2:
         raise ValueError("min_docs must be >= 2 (1 would flag everything)")
-    from hdfs_stream_processing_spark.operators.text import tokens
-
-    with_toks = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
-    toks = with_toks.select(
-        id_col,
-        F.size("_toks").alias("_n_toks"),
-        F.posexplode("_toks").alias("_pos", "_tok"),
-    )
     sh = token_shingles(df, id_col, text_col, k)
     dup = (
         sh.groupBy("_sh")
@@ -712,7 +704,40 @@ def scrub_spans(
         .where(F.col("_nd") >= F.lit(min_docs))
         .select("_sh", "_keep")
     )
-    occ = sh.join(dup, "_sh").select(
+    return scrub_with_keepers(df, id_col, text_col, k, dup)
+
+
+def scrub_with_keepers(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    dup_keepers: DataFrame,
+) -> DataFrame:
+    """The rewrite tail of :func:`scrub_spans`, factored out (round 12)
+    so batch and streaming paths literally share the operator code:
+    ``dup_keepers`` is the duplicated-window table — (_sh, _keep) with
+    ``_keep`` a struct<d, o> naming the keeper (doc, offset) per
+    duplicated window content — however it was derived (the one-shot
+    doc-frequency aggregate in scrub_spans, or a streaming-maintained
+    min-merge rollup).  Applies the keeper-coverage rule and re-emits
+    (id, n_tokens, n_removed, clean_text).
+
+    Scale: the instance↔dup join hash-partitions on window content;
+    the coverage aggregate is a bounded ×k explode; the per-doc
+    reassembly shuffle is the job's output."""
+    if k < 2:
+        raise ValueError("window length k must be >= 2 tokens")
+    from hdfs_stream_processing_spark.operators.text import tokens
+
+    with_toks = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    toks = with_toks.select(
+        id_col,
+        F.size("_toks").alias("_n_toks"),
+        F.posexplode("_toks").alias("_pos", "_tok"),
+    )
+    sh = token_shingles(df, id_col, text_col, k)
+    occ = sh.join(dup_keepers, "_sh").select(
         id_col,
         "_off",
         "_n_toks",

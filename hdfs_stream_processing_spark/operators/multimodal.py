@@ -957,6 +957,7 @@ def audio_autocorr(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
+        from numpy.lib.stride_tricks import sliding_window_view
 
         for pdf in batches:
             rows = []
@@ -971,11 +972,16 @@ def audio_autocorr(
                 s = np.frombuffer(bytes(pcm), dtype="<i2").astype(np.int64)
                 n = int(n)
                 n_frames = (n - frame_len) // stride + 1 if n >= frame_len else 0
-                for f in range(n_frames):
-                    fr = s[f * stride : f * stride + frame_len]
-                    for lag in range(1, max_lag + 1):
-                        ac = int((fr[:-lag] * fr[lag:]).sum())
-                        rows.append((key, f, lag, ac))
+                if n_frames <= 0:
+                    continue
+                # (n_frames, frame_len) view, then one batched product sum
+                # per lag over ALL frames at once — no per-frame Python.
+                frames = sliding_window_view(s, frame_len)[:: stride][:n_frames]
+                for lag in range(1, max_lag + 1):
+                    acs = (frames[:, :-lag] * frames[:, lag:]).sum(axis=1)
+                    rows.extend(
+                        (key, f, lag, int(ac)) for f, ac in enumerate(acs)
+                    )
             yield pd.DataFrame(
                 rows, columns=[id_col, "frame_id", "lag", "ac"]
             )
@@ -1098,3 +1104,150 @@ def grayscale_stats(
             )
 
     return df.mapInPandas(run, schema=f"{id_col} {id_type}, {GRAYSCALE_SCHEMA}")
+
+
+# ── Perceptual fingerprints (round 12): image dHash + audio sign-delta ──
+
+
+def dhash_bands(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    id_type: str = "bigint",
+    grid: int = 8,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Perceptual difference-hash over decoded RGB frames (round 12 —
+    the image near-dup fingerprint): per-pixel BT.601 integer luma
+    (same (299r + 587g + 114b) // 1000 as :func:`grayscale_stats`),
+    nearest-neighbor downsample of the luma plane to (grid+1) × grid
+    (the classic 9×8), then one gradient-sign bit per cell —
+    bit(x, y) = 1 iff lum(x+1, y) > lum(x, y) — giving grid·grid bits
+    (64 for the default) that are stable under re-encoding, rescaling,
+    and brightness-preserving recompression, the transforms byte-level
+    md5 dedup cannot see.  The bits are packed row-major into
+    ``n_bands`` integer band columns ``b0..b{n-1}`` (low bit = lowest
+    index within the band) — exact integers end to end, no floats, so
+    a SQL oracle regenerates every band arithmetically.
+
+    Output: one row per image — (id, b0, .., b{n_bands-1}).  Feed into
+    :func:`~hdfs_stream_processing_spark.operators.dedup.
+    banded_hamming_pairs` for the no-all-pairs near-match.
+
+    Scale: Arrow-vectorized mapInPandas over decoded frames (numpy luma
+    + integer index-map downsample), zero shuffle, 1 row out per image.
+    """
+    n_bits = grid * grid
+    if grid < 2:
+        raise ValueError("grid must be >= 2")
+    if n_bands < 1 or n_bits % n_bands != 0:
+        raise ValueError("n_bands must divide grid*grid")
+    bpb = n_bits // n_bands
+    if bpb > 62:
+        raise ValueError("band width must fit a signed 64-bit integer")
+    band_cols = [f"b{j}" for j in range(n_bands)]
+    out_type = "int" if bpb <= 31 else "bigint"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        weights = np.int64(1) << np.arange(bpb, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for key, w, h, c, rgb in zip(
+                pdf[id_col], pdf["width"], pdf["height"],
+                pdf["n_channels"], pdf["rgb"],
+            ):
+                w, h, c = int(w), int(h), int(c)
+                if c != 3:
+                    raise ValueError(
+                        f"dhash_bands needs 3-channel RGB (id={key!r} has {c})"
+                    )
+                arr = np.frombuffer(bytes(rgb), dtype=np.uint8).reshape(h, w, c)
+                pix = arr.astype(np.int64)
+                lum = (
+                    299 * pix[:, :, 0] + 587 * pix[:, :, 1] + 114 * pix[:, :, 2]
+                ) // 1000
+                xs = (np.arange(grid + 1) * w) // (grid + 1)
+                ys = (np.arange(grid) * h) // grid
+                g = lum[np.ix_(ys, xs)]
+                bits = (g[:, 1:] > g[:, :-1]).astype(np.int64).ravel()
+                bands = [
+                    int((bits[j * bpb : (j + 1) * bpb] * weights).sum())
+                    for j in range(n_bands)
+                ]
+                rows.append((key, *bands))
+            yield pd.DataFrame(rows, columns=[id_col, *band_cols])
+
+    schema = f"{id_col} {id_type}, " + ", ".join(
+        f"{b} {out_type}" for b in band_cols
+    )
+    return df.mapInPandas(run, schema=schema)
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    fp_samples: int = 57,
+    n_bands: int = 4,
+    id_col: str = "doc_id",
+    id_type: str = "bigint",
+) -> DataFrame:
+    """Audio near-dup fingerprint over decoded MONO audio (round 12 —
+    the third-modality mirror of :func:`dhash_bands`): nearest-neighbor
+    resample to a fixed ``fp_samples`` length (the same integer index
+    map as :func:`resample_audio`, inlined), then one sign-delta bit
+    per adjacent sample pair — bit i = 1 iff s'[i+1] > s'[i] — giving
+    fp_samples−1 bits that are invariant under positive amplitude
+    scaling and stable under re-sampling (the re-encode transforms a
+    byte-level hash cannot see).  Bits pack into ``n_bands`` integer
+    band columns exactly like dhash_bands; everything is exact integer
+    arithmetic, so a SQL oracle regenerates every band.
+
+    Output: one row per clip — (id, b0, .., b{n_bands-1}).
+
+    Scale: one Arrow-vectorized mapInPandas stage (numpy index map +
+    vectorized compares), zero shuffle, 1 row out per clip.
+    """
+    n_bits = fp_samples - 1
+    if fp_samples < 3:
+        raise ValueError("fp_samples must be >= 3")
+    if n_bands < 1 or n_bits % n_bands != 0:
+        raise ValueError("n_bands must divide fp_samples - 1")
+    bpb = n_bits // n_bands
+    if bpb > 62:
+        raise ValueError("band width must fit a signed 64-bit integer")
+    band_cols = [f"b{j}" for j in range(n_bands)]
+    out_type = "int" if bpb <= 31 else "bigint"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        weights = np.int64(1) << np.arange(bpb, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for key, n_ch, n, pcm in zip(
+                pdf[id_col], pdf["n_channels"], pdf["n_samples"], pdf["pcm"]
+            ):
+                if int(n_ch) != 1:
+                    raise ValueError(
+                        f"audio_fingerprint is mono-only (id={key!r} has "
+                        f"{n_ch} channels); downmix_audio first"
+                    )
+                n = int(n)
+                if n == 0:
+                    raise ValueError(
+                        f"cannot fingerprint empty waveform (id={key!r})"
+                    )
+                s = np.frombuffer(bytes(pcm), dtype="<i2").astype(np.int64)
+                r = s[(np.arange(fp_samples) * n) // fp_samples]
+                bits = (r[1:] > r[:-1]).astype(np.int64)
+                bands = [
+                    int((bits[j * bpb : (j + 1) * bpb] * weights).sum())
+                    for j in range(n_bands)
+                ]
+                rows.append((key, *bands))
+            yield pd.DataFrame(rows, columns=[id_col, *band_cols])
+
+    schema = f"{id_col} {id_type}, " + ", ".join(
+        f"{b} {out_type}" for b in band_cols
+    )
+    return df.mapInPandas(run, schema=schema)

@@ -2949,3 +2949,4 @@ from hdfs_stream_processing_spark import queries_analytics  # noqa: E402,F401
 from hdfs_stream_processing_spark import queries_incremental  # noqa: E402,F401
 from hdfs_stream_processing_spark import queries_advanced  # noqa: E402,F401
 from hdfs_stream_processing_spark import queries_audit  # noqa: E402,F401
+from hdfs_stream_processing_spark import queries_percep  # noqa: E402,F401

@@ -94,16 +94,22 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (operators/quality.py::k_anonymity_audit)
 # ========================================================================
 
+#: Shared release-gate thresholds — q_k_anonymity, q_stream_k_anonymity
+#: and their common oracle all derive from these two constants, so the
+#: twin queries cannot silently diverge (ADVICE r11).
+_KANON_K = 5
+_KANON_L = 3
+
 
 @query(
     "k_anonymity",
-    """SELECT o_orderpriority, o_orderstatus,
+    f"""SELECT o_orderpriority, o_orderstatus,
               CAST(year(o_orderdate) AS INT) AS o_year,
               CAST(month(o_orderdate) AS INT) AS o_month,
               CAST(COUNT(*) AS BIGINT) AS class_size,
               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_sensitive,
-              COUNT(*) >= 5 AS meets_k,
-              COUNT(DISTINCT o_custkey) >= 3 AS meets_l
+              COUNT(*) >= {_KANON_K} AS meets_k,
+              COUNT(DISTINCT o_custkey) >= {_KANON_L} AS meets_l
        FROM orders
        GROUP BY o_orderpriority, o_orderstatus,
                 year(o_orderdate), month(o_orderdate)""",
@@ -131,8 +137,8 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         prepared,
         ["o_orderpriority", "o_orderstatus", "o_year", "o_month"],
         "o_custkey",
-        k=5,
-        l_div=3,
+        k=_KANON_K,
+        l_div=_KANON_L,
     )
 
 
@@ -465,8 +471,8 @@ def q_stream_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         *qid,
         "class_size",
         "n_sensitive",
-        (F.col("class_size") >= F.lit(5)).alias("meets_k"),
-        (F.col("n_sensitive") >= F.lit(3)).alias("meets_l"),
+        (F.col("class_size") >= F.lit(_KANON_K)).alias("meets_k"),
+        (F.col("n_sensitive") >= F.lit(_KANON_L)).alias("meets_l"),
     )
 
 

@@ -817,6 +817,76 @@ def rollup_apply_batch(
     return True
 
 
+def rollup_apply_batch_mixed(
+    batch_partial: DataFrame,
+    table_dir: str,
+    key_cols: list[str],
+    merge_spec: dict[str, str],
+    batch_id: int = 0,
+) -> bool:
+    """:func:`rollup_apply_batch` with per-column merge functions
+    (sum/min/max via ``rollup_merge_mixed``, round 12) — the variant
+    keeper-style state needs (e.g. the streaming substring-scrub
+    keeper min).  Same replay guard: the committed snapshot carries
+    ``_batch`` and a replayed id is skipped, which stays idempotent
+    for min/max exactly as for sums (re-merging a batch would be
+    harmless for min/max but double-counts sums, so the guard is
+    load-bearing whenever the spec mixes them).
+
+    Scale: identical to rollup_apply_batch — batch-sized input, one
+    union + one hash agg, group-cardinality-sized state."""
+    from hdfs_stream_processing_spark.operators.incremental import (
+        rollup_merge_mixed,
+    )
+    from hdfs_stream_processing_spark.sources.io import (
+        read_table_version,
+        table_latest_version,
+        vacuum_table_versions,
+        write_table_version,
+    )
+
+    cols = list(merge_spec)
+    spark = batch_partial.sparkSession
+    latest = table_latest_version(spark, table_dir)
+    if latest is None:
+        merged = batch_partial.select(*key_cols, *cols)
+    else:
+        existing = read_table_version(spark, table_dir, latest)
+        last_batch = existing.agg(F.max("_batch")).collect()[0][0]  # 1 row
+        if last_batch is not None and batch_id <= last_batch:
+            return False
+        merged = rollup_merge_mixed(
+            existing.drop("_batch"), batch_partial, key_cols, merge_spec
+        )
+    write_table_version(
+        spark,
+        merged.withColumn("_batch", F.lit(batch_id).cast("long")),
+        table_dir,
+    )
+    vacuum_table_versions(spark, table_dir, keep_last=2)
+    return True
+
+
+def run_stream_rollup_mixed(
+    df: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    merge_spec: dict[str, str],
+    partial_fn,
+) -> None:
+    """:func:`run_stream_rollup` with per-column merge functions —
+    availableNow micro-batches folded through
+    :func:`rollup_apply_batch_mixed`."""
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        rollup_apply_batch_mixed(
+            partial_fn(batch_df), table_dir, key_cols, merge_spec, batch_id
+        )
+
+    run_foreach_batch(df, step, checkpoint_dir)
+
+
 def run_stream_rollup(
     df: DataFrame,
     table_dir: str,

@@ -1,0 +1,308 @@
+"""Round-12 tests: perceptual fingerprints (image dHash, audio
+sign-delta), the banded exact-Hamming matcher, label propagation, and
+the mixed-merge rollup behind the streaming substring scrub."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hdfs_stream_processing_spark.operators.dedup import banded_hamming_pairs
+from hdfs_stream_processing_spark.operators.graph import label_propagation
+from hdfs_stream_processing_spark.operators.incremental import rollup_merge_mixed
+from hdfs_stream_processing_spark.operators.llmdata import (
+    scrub_spans,
+    scrub_with_keepers,
+    token_shingles,
+)
+from hdfs_stream_processing_spark.operators.multimodal import (
+    audio_fingerprint,
+    dhash_bands,
+    decode_image,
+    encode_bmp,
+    encode_wav,
+    decode_audio,
+    resample_audio,
+    resize_image,
+)
+
+
+# ── fixtures: the same block textures the percep queries stage ──────────
+
+
+def _tex_image(n: int) -> np.ndarray:
+    w, h = 96 + (n % 7) * 8, 64 + (n % 5) * 8
+    x, y = np.arange(w), np.arange(h)
+    xx, yy = np.meshgrid(x, y)
+    u, v = (xx * 16) // w, (yy * 16) // h
+    r = (u * (73 + 11 * n) + v * (149 + 7 * n) + u * v * (37 + 3 * n) + n * 101) % 251
+    g = (u * (97 + 13 * n) + v * (59 + 5 * n) + u * v * (41 + 9 * n) + n * 67) % 251
+    b = (u * (113 + 17 * n) + v * (31 + 19 * n) + u * v * (29 + 23 * n) + n * 139) % 251
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def _block_wave(n: int) -> np.ndarray:
+    length = 380 + (n % 17) * 16
+    i = np.arange(length, dtype=np.int64)
+    u = (i * 56) // length
+    return (((u * (37 + 5 * n) + u * u * (11 + 3 * n) + n * 71) % 401) - 200).astype(
+        np.int16
+    )
+
+
+def _ref_dhash_bits(img: np.ndarray, grid: int = 8) -> np.ndarray:
+    lum = (
+        299 * img[:, :, 0].astype(np.int64)
+        + 587 * img[:, :, 1].astype(np.int64)
+        + 114 * img[:, :, 2].astype(np.int64)
+    ) // 1000
+    h, w = lum.shape
+    xs = (np.arange(grid + 1) * w) // (grid + 1)
+    ys = (np.arange(grid) * h) // grid
+    g = lum[np.ix_(ys, xs)]
+    return (g[:, 1:] > g[:, :-1]).astype(np.int64).ravel()
+
+
+def _decoded_imgs(spark, ns):
+    rows = [(f"src{n}", bytearray(encode_bmp(_tex_image(n)))) for n in ns]
+    df = spark.createDataFrame(rows, "source string, payload binary")
+    return decode_image(df, id_col="source", payload_col="payload", id_type="string")
+
+
+def _decoded_waves(spark, ns):
+    rows = [(f"src{n}", bytearray(encode_wav(_block_wave(n), 8000))) for n in ns]
+    df = spark.createDataFrame(rows, "source string, payload binary")
+    return decode_audio(df, id_col="source", payload_col="payload", id_type="string")
+
+
+# ── dhash_bands ─────────────────────────────────────────────────────────
+
+
+def test_dhash_bands_matches_reference_bits(spark):
+    got = {
+        r["source"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+        for r in dhash_bands(
+            _decoded_imgs(spark, range(4)), id_col="source", id_type="string"
+        ).collect()
+    }
+    for n in range(4):
+        bits = _ref_dhash_bits(_tex_image(n))
+        want = tuple(
+            int((bits[j * 16 : (j + 1) * 16] << np.arange(16)).sum())
+            for j in range(4)
+        )
+        assert got[f"src{n}"] == want
+
+
+def test_dhash_bands_validates():
+    with pytest.raises(ValueError, match="divide"):
+        dhash_bands(None, grid=8, n_bands=5)
+    with pytest.raises(ValueError, match="grid"):
+        dhash_bands(None, grid=1)
+
+
+def test_audio_fingerprint_validates():
+    with pytest.raises(ValueError, match="divide"):
+        audio_fingerprint(None, fp_samples=57, n_bands=5)
+    with pytest.raises(ValueError, match="fp_samples"):
+        audio_fingerprint(None, fp_samples=2)
+
+
+# ── banded_hamming_pairs: pigeonhole recall is EXACT ────────────────────
+
+
+def test_banded_hamming_equals_brute_force(spark):
+    rng = np.random.default_rng(12)
+    fps = rng.integers(0, 1 << 16, size=(30, 4))
+    # plant a couple of near pairs
+    fps[10] = fps[3] ^ np.array([1, 2, 0, 0])  # hamming 2
+    fps[20] = fps[7]  # hamming 0
+    df = spark.createDataFrame(
+        [(f"id{i:02d}", *[int(v) for v in row]) for i, row in enumerate(fps)],
+        "id string, b0 int, b1 int, b2 int, b3 int",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in banded_hamming_pairs(
+            df, "id", ["b0", "b1", "b2", "b3"], band_bits=16,
+            max_hamming=13, probe_bits=4,
+        ).collect()
+    }
+    want = {}
+    for i in range(30):
+        for j in range(i + 1, 30):
+            d = sum(int(bin(int(a) ^ int(b)).count("1")) for a, b in zip(fps[i], fps[j]))
+            if d <= 13:
+                want[(f"id{i:02d}", f"id{j:02d}")] = d
+    assert got == want
+    assert got[("id03", "id10")] == 2
+    assert got[("id07", "id20")] == 0
+
+
+def test_banded_hamming_validates():
+    with pytest.raises(ValueError, match="pigeonhole|guarantee"):
+        banded_hamming_pairs(None, "id", ["b0"], band_bits=16, max_hamming=13)
+    with pytest.raises(ValueError, match="divide"):
+        banded_hamming_pairs(None, "id", ["b0"], band_bits=14, max_hamming=2, probe_bits=4)
+    with pytest.raises(ValueError, match="band column"):
+        banded_hamming_pairs(None, "id", [], band_bits=16, max_hamming=2)
+
+
+# ── planted-re-encode recall on the percep fixtures ─────────────────────
+
+
+def test_image_near_dup_recall_on_planted_reencodes(spark):
+    ns = range(8)
+    decoded = _decoded_imgs(spark, ns)
+    variants = resize_image(
+        decoded, out_w=64, out_h=48, id_col="source", id_type="string"
+    ).withColumn("source", F.concat(F.col("source"), F.lit("_r")))
+    fp = dhash_bands(
+        decoded.unionByName(variants), id_col="source", id_type="string"
+    )
+    pairs = banded_hamming_pairs(
+        fp, "source", ["b0", "b1", "b2", "b3"], band_bits=16,
+        max_hamming=13, probe_bits=4,
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(f"src{n}", f"src{n}_r") for n in ns}
+
+
+def test_audio_near_dup_recall_on_planted_resamples(spark):
+    ns = range(8)
+    decoded = _decoded_waves(spark, ns)
+    variants = resample_audio(
+        decoded, out_len=181, id_col="source", id_type="string"
+    ).withColumn("source", F.concat(F.col("source"), F.lit("_r")))
+    fp = audio_fingerprint(
+        decoded.unionByName(variants), fp_samples=57, n_bands=7,
+        id_col="source", id_type="string",
+    )
+    pairs = banded_hamming_pairs(
+        fp, "source", [f"b{j}" for j in range(7)], band_bits=8,
+        max_hamming=12, probe_bits=4,
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(f"src{n}", f"src{n}_r") for n in ns}
+    # the planted pairs are NEAR, not exact: at least one has hamming > 0
+    assert any(r["hamming"] > 0 for r in pairs)
+
+
+# ── label propagation ───────────────────────────────────────────────────
+
+
+def test_label_propagation_two_cliques(spark):
+    # two triangles {a,b,c} and {x,y,z} joined by one bridge edge c-x
+    und = [
+        ("a", "b"), ("b", "c"), ("a", "c"),
+        ("x", "y"), ("y", "z"), ("x", "z"),
+        ("c", "x"),
+    ]
+    edges = spark.createDataFrame(
+        und + [(d, s) for s, d in und], "src string, dst string"
+    )
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, n_iters=3).collect()
+    }
+    # triangle members converge to the min label of their clique
+    assert got["a"] == got["b"] == got["c"] == "a"
+    assert got["y"] == got["z"]
+    with pytest.raises(ValueError, match="n_iters"):
+        label_propagation(edges, n_iters=0)
+
+
+def test_label_propagation_deterministic_tie_break(spark):
+    # node m has one neighbor in each camp: tie broken to the SMALLER label
+    und = [("m", "a"), ("m", "b")]
+    edges = spark.createDataFrame(
+        und + [(d, s) for s, d in und], "src string, dst string"
+    )
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, n_iters=1).collect()
+    }
+    assert got["m"] == "a"
+
+
+# ── mixed-merge rollup + shared scrub tail ──────────────────────────────
+
+
+def test_rollup_merge_mixed_min_max_sum(spark):
+    existing = spark.createDataFrame(
+        [("k1", 2, 10, 5), ("k2", 1, 7, 7)], "k string, n long, lo long, hi long"
+    )
+    batch = spark.createDataFrame(
+        [("k1", 3, 4, 9), ("k3", 1, 1, 1)], "k string, n long, lo long, hi long"
+    )
+    got = {
+        r["k"]: (r["n"], r["lo"], r["hi"])
+        for r in rollup_merge_mixed(
+            existing, batch, ["k"], {"n": "sum", "lo": "min", "hi": "max"}
+        ).collect()
+    }
+    assert got == {"k1": (5, 4, 9), "k2": (1, 7, 7), "k3": (1, 1, 1)}
+    with pytest.raises(ValueError, match="merge fns"):
+        rollup_merge_mixed(existing, batch, ["k"], {"n": "avg"})
+
+
+def test_scrub_with_keepers_equals_scrub_spans(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "x a b c d e f g h i j y"),
+            (3, "p q r s t u v w a a"),
+        ],
+        "doc_id bigint, text string",
+    )
+    k = 8
+    sh = token_shingles(docs, "doc_id", "text", k=k)
+    dup = (
+        sh.groupBy("_sh")
+        .agg(
+            F.count_distinct("doc_id").alias("_nd"),
+            F.min(
+                F.struct(F.col("doc_id").alias("d"), F.col("_off").alias("o"))
+            ).alias("_keep"),
+        )
+        .where(F.col("_nd") >= 2)
+        .select("_sh", "_keep")
+    )
+    via_keepers = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in scrub_with_keepers(docs, "doc_id", "text", k, dup).collect()
+    }
+    direct = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in scrub_spans(docs, "doc_id", "text", k=k, min_docs=2).collect()
+    }
+    assert via_keepers == direct
+    # doc 1 is the keeper (smallest (doc, off)); doc 2 loses the shared run
+    assert direct[1][1] == 0
+    assert direct[2][1] > 0
+
+
+def test_rollup_apply_batch_mixed_replay_guard(spark, tmp_path):
+    from hdfs_stream_processing_spark.sources.io import read_table_version
+    from hdfs_stream_processing_spark.streaming.pipeline import (
+        rollup_apply_batch_mixed,
+    )
+
+    tdir = str(tmp_path / "rollup")
+    spec = {"nd": "sum", "keepkey": "min"}
+    b0 = spark.createDataFrame(
+        [("w1", 1, 100), ("w2", 2, 205)], "k string, nd long, keepkey long"
+    )
+    b1 = spark.createDataFrame(
+        [("w1", 2, 50)], "k string, nd long, keepkey long"
+    )
+    assert rollup_apply_batch_mixed(b0, tdir, ["k"], spec, batch_id=0)
+    assert rollup_apply_batch_mixed(b1, tdir, ["k"], spec, batch_id=1)
+    # replay of batch 1 must be skipped, not re-merged
+    assert not rollup_apply_batch_mixed(b1, tdir, ["k"], spec, batch_id=1)
+    got = {
+        r["k"]: (r["nd"], r["keepkey"])
+        for r in read_table_version(spark, tdir).drop("_batch").collect()
+    }
+    assert got == {"w1": (3, 50), "w2": (2, 205)}
