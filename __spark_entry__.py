@@ -35,33 +35,32 @@ def entry(spark: SparkSession) -> DataFrame:
 # order.  Each round rotates this list so every registered query earns a
 # driver-green row in some round (union of CORRECTNESS_r*.json); queries
 # outside the current window pass the identical check locally via
-# tools/check_correctness.py.  Round 11 window (standing invariant,
-# VERDICT r9 #7): the 14 new r11 registrations lead (substring-level
-# dedup + scrub, OPQ-lite rotation, stereo/downmix/framed audio,
-# k-core, k-anonymity + its streaming twin, autocorr/pitch, image
-# histograms, streaming substring dedup, train/val/test split); the
-# remainder refreshes the OLDEST attestations in the r1-r10 union —
-# the two by-design rows-only rows (r3/r4), the nine remaining r5-era
-# rows, and the oldest r6-era rows — to exactly 50.
+# tools/check_correctness.py.  Round 12 window (standing invariant,
+# VERDICT r9 #7): the 6 new r12 registrations lead (perceptual image
+# dHash + banded near-dup, audio sign-delta fingerprint + near-dup,
+# bounded-round label propagation, streaming substring scrub); the
+# remainder refreshes the OLDEST attestations in the r1-r11 union —
+# the r6-era tail (scd2/stream-CDC/PIT/time-travel cohort) plus the
+# oldest r7-era rows — to exactly 50.
 # tests/test_registry.py pins len(_VERIFY_FIRST) == 50 so the
 # off-by-one cannot recur.
 _VERIFY_FIRST = [
-    # new round-11 registrations, inserted as they land:
-    "substring_dup", "substring_scrub", "pq_rotate",
-    "audio_stereo_stats", "audio_downmix", "audio_frames",
-    "kcore", "k_anonymity", "audio_autocorr", "image_histogram",
-    "stream_substring_dedup", "audio_pitch", "train_split",
-    "stream_k_anonymity", "image_grayscale", "audio_vad", "degree_hist",
-    # oldest-attestation-first refresh (r3-r6 era), to 50:
-    "approx_distinct", "similarity_topk_np", "pii_redact",
-    "quality_score", "resample_sources", "retention", "sessionize",
-    "similarity_ivf", "sink_roundtrip", "stream_sessionize",
-    "stream_stateful", "ann_recall", "avg_yearly", "cap_per_source",
-    "cdc_apply", "cms_topk", "cust_order_dist", "dedup_keep",
-    "dedup_near_incr", "dq_checks", "embed_quantize", "grouping_sets",
-    "idle_customers", "incr_dedup", "incr_dedup_vec", "incr_pack",
-    "incr_rollup", "incr_topk", "kmeans_refine", "late_ship_priority",
-    "market_share", "merge_upsert", "nation_trade",
+    # new round-12 registrations, inserted as they land:
+    "image_phash", "image_dedup_near", "audio_fingerprint",
+    "audio_dedup_near", "communities", "stream_substring_scrub",
+    # oldest-attestation-first refresh (r6-r7 era), to 50:
+    "ohlc_bars", "pit_join", "promo_share", "returned_revenue",
+    "scd2_build", "scd2_merge", "scd2_multi", "scd2_repair",
+    "schema_evolution", "seq_pack", "ship_priority", "skew_join",
+    "snapshot_diff", "stream_cdc", "stream_daily_rollup", "stream_dq",
+    "stream_enrich", "stream_join_outer", "stream_ohlc", "stream_pit",
+    "stream_scd2", "stream_topk", "time_travel", "top_supplier",
+    "waiting_suppliers", "attribution", "benford_digits", "bfs_reach",
+    "bloom_prefilter", "bucketed_join", "calendar_rollup", "chisq_assoc",
+    "cluster_coeff", "containment_join", "corr_matrix",
+    "dedup_keep_quality", "disjunct_revenue", "dq_quarantine",
+    "ewma_smooth", "excess_suppliers", "forecast_revenue", "fuzzy_pairs",
+    "hll_by_group", "hll_registers",
 ]
 
 

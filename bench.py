@@ -281,6 +281,14 @@ HEADLINE = [
     "image_grayscale",
     "audio_vad",
     "degree_hist",
+    # round 12: perceptual near-dup (image dHash, audio sign-delta),
+    # label-propagation communities, streaming substring scrub
+    "image_phash",
+    "image_dedup_near",
+    "audio_fingerprint",
+    "audio_dedup_near",
+    "communities",
+    "stream_substring_scrub",
 ]
 
 

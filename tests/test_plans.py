@@ -310,6 +310,20 @@ SHUFFLE_BUDGETS = {
     "image_grayscale": 0,
     "audio_vad": 2,
     "degree_hist": 4,
+    # r12: fingerprints are pure codec maps; the near-dup matchers pay
+    # one candidate-distinct exchange (the probe equi-join and the
+    # verify joins broadcast at this sf — at scale they hash-partition
+    # on (probe_idx, probe_val) / pair id, still never all-pairs);
+    # communities' per-round join/agg/window shuffles sit behind the
+    # localCheckpoint lineage cuts like kcore's; the streaming scrub
+    # pays the shingle↔dup-content join, the coverage agg, and the
+    # per-doc reassembly (the rewritten corpus IS the output).
+    "image_phash": 0,
+    "audio_fingerprint": 0,
+    "image_dedup_near": 1,
+    "audio_dedup_near": 1,
+    "communities": 0,
+    "stream_substring_scrub": 3,
 }
 
 

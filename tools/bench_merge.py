@@ -35,7 +35,15 @@ def merge(records: list[dict]) -> dict:
                 f"{r.get('sentinel_gate')!r}; refusing to merge a "
                 "contaminated sweep into the floor"
             )
-    base = dict(records[0])
+    # never copy records[0] wholesale (ADVICE r11): single-sweep scalar
+    # fields (sentinel_post, sentinel_mid_ratio, sentinel_prev,
+    # last_written, moved_vs_prev, ...) would survive stale and the
+    # metric string would misdescribe the element-wise-min semantics.
+    _CARRY = ("unit", "sf", "cpus", "runs", "sf_dir")
+    base = {k: records[0][k] for k in _CARRY if k in records[0]}
+    base["metric"] = (
+        "per-query element-wise min of medians across gate-passing sweeps"
+    )
     all_q = set()
     for r in records:
         all_q.update(r["queries"])
@@ -95,6 +103,11 @@ def main() -> None:
     if args.prev:
         with open(args.prev) as f:
             prev = json.load(f)
+        # like-for-like (ADVICE r11): this record's queries are min
+        # floors, so compare against the prev record's floors when it
+        # has them (a merged prev) and note the asymmetry when prev is
+        # a single-sweep median record.
+        prev_is_floor = "queries_min" in prev or "merged_from" in prev
         pq = prev.get("queries", {})
         moved = {}
         for q, now in merged["queries"].items():
@@ -104,7 +117,14 @@ def main() -> None:
                 if abs(pct) >= MOVER_PCT:
                     moved[q] = {"prev": old, "now": now, "pct": round(pct, 1)}
         merged["moved_vs_prev"] = moved
-        merged["prev"] = args.prev
+        merged["prev"] = {
+            "metric": prev.get("metric"),
+            "value": prev.get("value"),
+            "n_queries": len(pq),
+            "basis": "floor" if prev_is_floor else
+                     "single-sweep median (floor-vs-median asymmetry: "
+                     "movement biases toward 'improved')",
+        }
     with open(args.out, "w") as f:
         json.dump(merged, f)
     common = [q for q in merged["queries"] if all(q in r["queries"] for r in records)]
