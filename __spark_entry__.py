@@ -48,6 +48,7 @@ _VERIFY_FIRST = [
     # new round-12 registrations, inserted as they land:
     "image_phash", "image_dedup_near", "audio_fingerprint",
     "audio_dedup_near", "communities", "stream_substring_scrub",
+    "image_dedup_keep", "audio_dedup_keep", "stream_image_dedup",
     # oldest-attestation-first refresh (r6-r7 era), to 50:
     "ohlc_bars", "pit_join", "promo_share", "returned_revenue",
     "scd2_build", "scd2_merge", "scd2_multi", "scd2_repair",
@@ -59,8 +60,7 @@ _VERIFY_FIRST = [
     "bloom_prefilter", "bucketed_join", "calendar_rollup", "chisq_assoc",
     "cluster_coeff", "containment_join", "corr_matrix",
     "dedup_keep_quality", "disjunct_revenue", "dq_quarantine",
-    "ewma_smooth", "excess_suppliers", "forecast_revenue", "fuzzy_pairs",
-    "hll_by_group", "hll_registers",
+    "ewma_smooth", "excess_suppliers", "hll_registers",
 ]
 
 

@@ -289,6 +289,10 @@ HEADLINE = [
     "audio_dedup_near",
     "communities",
     "stream_substring_scrub",
+    # round-12 second wave: dedup keep-actions + streaming dedup index
+    "image_dedup_keep",
+    "audio_dedup_keep",
+    "stream_image_dedup",
 ]
 
 

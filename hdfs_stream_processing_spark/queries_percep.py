@@ -540,3 +540,241 @@ def q_stream_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["stream_substring_scrub"] = ORACLES["substring_scrub"]
+
+
+# §Wave 2: dedup ACTIONS (pairs → components → survivors) and the
+# streaming perceptual-dedup index
+# ========================================================================
+
+#: 4×16-bit band packing of the per-item bits table (shared by the
+#: keep-action oracles — band j of item = Σ bit << (i mod W) over
+#: i div W = j).
+_PACK4_SQL_TPL = """SELECT id,
+              CAST(SUM(CASE WHEN i // {w} = 0 THEN (bit << (i % {w})) ELSE 0 END) AS INTEGER) AS b0,
+              CAST(SUM(CASE WHEN i // {w} = 1 THEN (bit << (i % {w})) ELSE 0 END) AS INTEGER) AS b1,
+              CAST(SUM(CASE WHEN i // {w} = 2 THEN (bit << (i % {w})) ELSE 0 END) AS INTEGER) AS b2,
+              CAST(SUM(CASE WHEN i // {w} = 3 THEN (bit << (i % {w})) ELSE 0 END) AS INTEGER) AS b3
+       FROM items GROUP BY id"""
+
+#: generic all-pairs Hamming + transitive closure + min-label survivors
+#: over an ``items (id, i, bit)`` long-form bits table.  WITH RECURSIVE
+#: computes the reachability closure of the near-dup pair relation, so
+#: the oracle derives components from first principles — it does not
+#: assume the fixture's pair structure.
+_KEEP_TAIL_TPL = """prs AS (SELECT a.id AS ida, b.id AS idb
+              FROM items a JOIN items b ON a.i = b.i AND a.id < b.id
+              GROUP BY a.id, b.id
+              HAVING SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= {t}),
+       base AS (SELECT ida AS a, idb AS b FROM prs
+                UNION SELECT idb, ida FROM prs
+                UNION SELECT DISTINCT id, id FROM items),
+       reach AS (SELECT a, b FROM base
+                 UNION
+                 SELECT r.a, e.b FROM reach r JOIN base e ON r.b = e.a),
+       lbl AS (SELECT a AS id, MIN(b) AS comp FROM reach GROUP BY a)"""
+
+
+@query(
+    "image_dedup_keep",
+    f"""WITH RECURSIVE {_TEX_DIMS_SQL},
+       {_phash_grid_sql("go", _PHASH_ORIG_SX, _PHASH_ORIG_SY)},
+       {_phash_grid_sql("gv", _PHASH_VAR_SX, _PHASH_VAR_SY)},
+       {_PHASH_BITS_TPL.format(grid="bo", src="go")},
+       {_PHASH_BITS_TPL.format(grid="bv", src="gv")},
+       items AS (SELECT source AS id, i, bit FROM bo
+                 UNION ALL
+                 SELECT source || '_r' AS id, i, bit FROM bv),
+       fp AS ({_PACK4_SQL_TPL.format(w=16)}),
+       {_KEEP_TAIL_TPL.format(t=_IMG_HAMMING_T)}
+       SELECT f.id AS source, f.b0, f.b1, f.b2, f.b3
+       FROM fp f JOIN lbl l ON f.id = l.id
+       WHERE f.id = l.comp""",
+)
+def q_image_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The perceptual-dedup ACTION (r12): near-dup pairs feed
+    connected components (operators/graph.py — the same pairs →
+    clusters → survivors chain text dedup uses via dedup_clusters),
+    and cluster_representatives keeps the min-id member per cluster;
+    non-clustered images pass through.  Output is the surviving
+    fingerprint rows — on this fixture exactly the 20 originals (each
+    variant clusters with, and loses to, its source).  The oracle
+    derives components from FIRST PRINCIPLES: brute-force all-pairs
+    Hamming, then a recursive-CTE reachability closure with min-label
+    — it never assumes the planted pair structure, so a transitive
+    chain (A~B~C with A!~C) would still be clustered correctly by
+    both engines."""
+    from hdfs_stream_processing_spark.operators.dedup import banded_hamming_pairs
+    from hdfs_stream_processing_spark.operators.graph import (
+        cluster_representatives,
+        connected_components,
+    )
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        dhash_bands,
+        resize_image,
+    )
+
+    decoded = _decoded_tex(spark, sf_dir)
+    variants = resize_image(
+        decoded, out_w=64, out_h=48, id_col="source", id_type="string"
+    ).withColumn("source", F.concat(F.col("source"), F.lit("_r")))
+    fp = dhash_bands(
+        decoded.unionByName(variants), id_col="source", id_type="string"
+    )
+    pairs = banded_hamming_pairs(
+        fp, "source", ["b0", "b1", "b2", "b3"],
+        band_bits=16, max_hamming=_IMG_HAMMING_T, probe_bits=4,
+    )
+    comps = connected_components(pairs, "id_a", "id_b")
+    return cluster_representatives(fp, comps, "source")
+
+
+_PACK7_SQL = """SELECT id,
+              CAST(SUM(CASE WHEN i // 8 = 0 THEN (bit << (i % 8)) ELSE 0 END) AS INTEGER) AS b0,
+              CAST(SUM(CASE WHEN i // 8 = 1 THEN (bit << (i % 8)) ELSE 0 END) AS INTEGER) AS b1,
+              CAST(SUM(CASE WHEN i // 8 = 2 THEN (bit << (i % 8)) ELSE 0 END) AS INTEGER) AS b2,
+              CAST(SUM(CASE WHEN i // 8 = 3 THEN (bit << (i % 8)) ELSE 0 END) AS INTEGER) AS b3,
+              CAST(SUM(CASE WHEN i // 8 = 4 THEN (bit << (i % 8)) ELSE 0 END) AS INTEGER) AS b4,
+              CAST(SUM(CASE WHEN i // 8 = 5 THEN (bit << (i % 8)) ELSE 0 END) AS INTEGER) AS b5,
+              CAST(SUM(CASE WHEN i // 8 = 6 THEN (bit << (i % 8)) ELSE 0 END) AS INTEGER) AS b6
+       FROM items GROUP BY id"""
+
+
+@query(
+    "audio_dedup_keep",
+    f"""WITH RECURSIVE {_WAVE_DIMS_SQL},
+       {_fp_bits_sql("bo", _FP_ORIG_IDX)},
+       {_fp_bits_sql("bv", _FP_VAR_IDX)},
+       items AS (SELECT source AS id, i, bit FROM bo
+                 UNION ALL
+                 SELECT source || '_r' AS id, i, bit FROM bv),
+       fp AS ({_PACK7_SQL}),
+       {_KEEP_TAIL_TPL.format(t=_AUD_HAMMING_T)}
+       SELECT f.id AS source, f.b0, f.b1, f.b2, f.b3, f.b4, f.b5, f.b6
+       FROM fp f JOIN lbl l ON f.id = l.id
+       WHERE f.id = l.comp""",
+)
+def q_audio_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio twin of image_dedup_keep (r12): fingerprint → banded
+    pairs → components → min-id survivors, the complete perceptual
+    dedup action for the third modality.  Same first-principles oracle
+    shape (brute-force pairs + recursive closure), 7×8-bit band
+    packing to match the matcher's probe layout."""
+    from hdfs_stream_processing_spark.operators.dedup import banded_hamming_pairs
+    from hdfs_stream_processing_spark.operators.graph import (
+        cluster_representatives,
+        connected_components,
+    )
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        audio_fingerprint,
+        resample_audio,
+    )
+
+    decoded = _decoded_blockwave(spark, sf_dir)
+    variants = resample_audio(
+        decoded, out_len=181, id_col="source", id_type="string"
+    ).withColumn("source", F.concat(F.col("source"), F.lit("_r")))
+    fp = audio_fingerprint(
+        decoded.unionByName(variants), fp_samples=57, n_bands=7,
+        id_col="source", id_type="string",
+    )
+    pairs = banded_hamming_pairs(
+        fp, "source", [f"b{j}" for j in range(7)],
+        band_bits=8, max_hamming=_AUD_HAMMING_T, probe_bits=4,
+    )
+    comps = connected_components(pairs, "id_a", "id_b")
+    return cluster_representatives(fp, comps, "source")
+
+
+def _stage_tex_bmp_full(spark: SparkSession, sf_dir: str) -> str:
+    """Originals PLUS their 64×48 re-encodes as separate BMP files —
+    the landing-zone shape where re-encoded duplicates arrive as their
+    own shards (the streaming dedup index consumes this)."""
+    import os as _os
+
+    import numpy as np
+
+    from hdfs_stream_processing_spark.operators.multimodal import encode_bmp
+
+    key = ("hsp_texbmp_full_staged_", sf_dir)
+    if key in _STAGE_CACHE:
+        return _STAGE_CACHE[key]
+    (documents,) = prep(spark, sf_dir, "documents")
+    img_dir = _mkdtemp("hsp_texbmp_full_src_", sf_dir)
+    for row in documents.select("source").distinct().collect():
+        n = int(row["source"][3:])
+        arr = _synth_tex_image(n)
+        h, w = arr.shape[:2]
+        # the same nearest-neighbor index map as resize_image(64, 48)
+        xs = (np.arange(64) * w) // 64
+        ys = (np.arange(48) * h) // 48
+        var = arr[np.ix_(ys, xs)]
+        with open(_os.path.join(img_dir, f"{row['source']}.bmp"), "wb") as f:
+            f.write(encode_bmp(arr))
+        with open(_os.path.join(img_dir, f"{row['source']}_r.bmp"), "wb") as f:
+            f.write(encode_bmp(var))
+    _STAGE_CACHE[key] = img_dir
+    return img_dir
+
+
+@query("stream_image_dedup", None)  # oracle assigned below: image_dedup_near's
+def q_stream_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING perceptual dedup index (r12): image shards — originals
+    and their re-encodes as separate files — arrive on a binaryFile
+    file stream; each micro-batch decodes and fingerprints its files
+    through the same mapInPandas stages as image_phash, and the
+    fingerprint table is maintained behind the replay guard (keys
+    carry the bands — a fingerprint is a per-image constant, so the
+    maintained table is insert-shaped; the count column just rides the
+    additive merge).  The near-dup pair report read off the MAINTAINED
+    index must equal the one-shot batch computation — oracle IS
+    image_dedup_near's.
+
+    Scale: decode + fingerprint work is per-arriving-file; state is
+    one row per image (the compressed index itself); the pair match
+    runs against the index table, never re-decoding history — the
+    100 TB landing-zone dedup pattern."""
+    from hdfs_stream_processing_spark.operators.dedup import banded_hamming_pairs
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        decode_image,
+        dhash_bands,
+    )
+    from hdfs_stream_processing_spark.sources.io import read_table_version
+    from hdfs_stream_processing_spark.streaming.pipeline import run_stream_rollup
+
+    img_dir = _stage_tex_bmp_full(spark, sf_dir)
+    bin_schema = (
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(bin_schema)
+        .option("pathGlobFilter", "*.bmp")
+        .option("maxFilesPerTrigger", 8)
+        .load(img_dir)
+    )
+
+    def partial(batch: DataFrame) -> DataFrame:
+        payloads = batch.select(
+            F.regexp_extract(F.col("path"), r"([^/]+)\.bmp$", 1).alias("source"),
+            F.col("content").alias("payload"),
+        )
+        fp = dhash_bands(
+            decode_image(payloads, id_col="source", payload_col="payload",
+                         id_type="string"),
+            id_col="source", id_type="string",
+        )
+        return fp.withColumn("one", F.lit(1).cast("long"))
+
+    tdir = _mkdtemp("hsp_simgdedup_")
+    ckpt = _mkdtemp("hsp_simgdedup_ckpt_")
+    run_stream_rollup(
+        stream, tdir, ckpt, ["source", "b0", "b1", "b2", "b3"], ["one"], partial
+    )
+    index = read_table_version(spark, tdir).select("source", "b0", "b1", "b2", "b3")
+    return banded_hamming_pairs(
+        index, "source", ["b0", "b1", "b2", "b3"],
+        band_bits=16, max_hamming=_IMG_HAMMING_T, probe_bits=4,
+    )
+
+
+ORACLES["stream_image_dedup"] = ORACLES["image_dedup_near"]

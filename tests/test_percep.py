@@ -306,3 +306,34 @@ def test_rollup_apply_batch_mixed_replay_guard(spark, tmp_path):
         for r in read_table_version(spark, tdir).drop("_batch").collect()
     }
     assert got == {"w1": (3, 50), "w2": (2, 205)}
+
+
+def test_dedup_keep_transitive_chain(spark):
+    """A ~ B ~ C with A !~ C must still cluster {A, B, C} and keep only
+    A — the pairs → components → representatives chain, not a
+    pair-local keep rule (and exactly what the recursive-closure oracle
+    computes)."""
+    from hdfs_stream_processing_spark.operators.graph import (
+        cluster_representatives,
+        connected_components,
+    )
+
+    # fingerprints: B flips bits 0-9 of A; C flips bits 0-19 of A
+    # → hamming(A,B)=10, hamming(B,C)=10, hamming(A,C)=20 > t=13
+    a = [0, 0, 0, 0]
+    b = [(1 << 10) - 1, 0, 0, 0]          # bits 0..9
+    c = [0xFFFF, (1 << 4) - 1, 0, 0]      # bits 0..19
+    d = [0x5A5A, 0x5A5A, 0x5A5A, 0x5A5A]  # 32 bits from A, >= 14 from B/C
+    df = spark.createDataFrame(
+        [("A", *a), ("B", *b), ("C", *c), ("D", *d)],
+        "sid string, b0 int, b1 int, b2 int, b3 int",
+    )
+    pairs = banded_hamming_pairs(
+        df, "sid", ["b0", "b1", "b2", "b3"], band_bits=16,
+        max_hamming=13, probe_bits=4,
+    )
+    got_pairs = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got_pairs == {("A", "B"), ("B", "C")}
+    comps = connected_components(pairs, "id_a", "id_b")
+    kept = {r["sid"] for r in cluster_representatives(df, comps, "sid").collect()}
+    assert kept == {"A", "D"}

@@ -324,6 +324,13 @@ SHUFFLE_BUDGETS = {
     "audio_dedup_near": 1,
     "communities": 0,
     "stream_substring_scrub": 3,
+    # r12 second wave: the keep-actions add only the representative
+    # join (components solve driver-side at this pair count, broadcast
+    # back); the streaming dedup index pays its candidate-distinct
+    # exchange against the maintained table's scan.
+    "image_dedup_keep": 0,
+    "audio_dedup_keep": 0,
+    "stream_image_dedup": 1,
 }
 
 
