@@ -97,6 +97,16 @@ SLOW = [
     # streaming substring-dedup maintenance (×10 window volume through
     # the replay-guarded doc-frequency rollup + per-doc island merge)
     "kcore", "stream_substring_dedup",
+    # round 12: LPA over the ×10 trade graph (per round: edge↔label
+    # join + vote agg + per-node rank window) and the streaming
+    # substring-scrub ACTION (×10 window volume through the mixed-merge
+    # sum+min rollup, then the corpus rewrite against the maintained
+    # table).  The perceptual-dedup queries are SOURCE-bound fixtures
+    # (one image/clip per source; sf1 keeps the same 20 sources), so a
+    # document-copy probe cannot exercise them — their scale arguments
+    # are the probe-band equi-join shape (PLANS: no cartesian) and the
+    # per-file decode cost, both linear by construction.
+    "communities", "stream_substring_scrub",
 ]
 COPIES = 10
 
