@@ -73,6 +73,12 @@ def main() -> int:
     ap.add_argument("--merge-out", default=os.path.join(HERE, "BENCH_LAST.json"))
     ap.add_argument("--prev", default=None)
     ap.add_argument("--no-merge", action="store_true")
+    ap.add_argument(
+        "--resume",
+        action="store_true",
+        help="skip blocks whose existing block{i}.json already passed its "
+        "gate (same --blocks split) — re-run only the refused ones",
+    )
     args = ap.parse_args()
 
     from bench import HEADLINE
@@ -86,6 +92,21 @@ def main() -> int:
     failed: list[int] = []
     for i, qs in enumerate(blocks):
         out_path = os.path.join(args.out_dir, f"block{i}.json")
+        if args.resume and os.path.exists(out_path):
+            try:
+                with open(out_path) as f:
+                    rec = json.load(f)
+            except json.JSONDecodeError:
+                rec = None
+            if (
+                rec
+                and rec.get("sentinel_gate") == "pass"
+                and set(rec.get("queries", {})) == set(qs)
+            ):
+                print(json.dumps({"block": i, "resumed": True,
+                                  "sum_medians": rec.get("value")}), flush=True)
+                passing.append(out_path)
+                continue
         ok = False
         for attempt in range(args.retries + 1):
             t0 = time.time()
