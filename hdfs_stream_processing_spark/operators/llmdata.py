@@ -704,7 +704,7 @@ def scrub_spans(
         .where(F.col("_nd") >= F.lit(min_docs))
         .select("_sh", "_keep")
     )
-    return scrub_with_keepers(df, id_col, text_col, k, dup)
+    return scrub_with_keepers(df, id_col, text_col, k, dup, shingles=sh)
 
 
 def scrub_with_keepers(
@@ -713,6 +713,7 @@ def scrub_with_keepers(
     text_col: str,
     k: int,
     dup_keepers: DataFrame,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """The rewrite tail of :func:`scrub_spans`, factored out (round 12)
     so batch and streaming paths literally share the operator code:
@@ -721,7 +722,10 @@ def scrub_with_keepers(
     duplicated window content — however it was derived (the one-shot
     doc-frequency aggregate in scrub_spans, or a streaming-maintained
     min-merge rollup).  Applies the keeper-coverage rule and re-emits
-    (id, n_tokens, n_removed, clean_text).
+    (id, n_tokens, n_removed, clean_text).  Pass ``shingles`` to reuse
+    an already-built shingle table for the occurrence join (scrub_spans
+    does — r13, so the corpus is tokenized+posexploded ONCE per scrub,
+    not twice).
 
     Scale: the instance↔dup join hash-partitions on window content;
     the coverage aggregate is a bounded ×k explode; the per-doc
@@ -736,7 +740,7 @@ def scrub_with_keepers(
         F.size("_toks").alias("_n_toks"),
         F.posexplode("_toks").alias("_pos", "_tok"),
     )
-    sh = token_shingles(df, id_col, text_col, k)
+    sh = shingles if shingles is not None else token_shingles(df, id_col, text_col, k)
     occ = sh.join(dup_keepers, "_sh").select(
         id_col,
         "_off",

@@ -511,10 +511,12 @@ def q_stream_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     The scrub against the MAINTAINED table reuses the batch operator
     tail literally (operators/llmdata.py::scrub_with_keepers), so the
     result must equal the one-shot substring_scrub — oracle IS
-    substring_scrub's.  The keeper is stored min-encoded as
-    doc_id·10^6 + offset (valid while documents stay under a million
-    tokens — fixture-true; the batch path keeps the unencoded struct
-    min)."""
+    substring_scrub's.  The keeper is stored as the UNENCODED
+    struct(d, o) min — Spark orders structs lexicographically, so the
+    min-merge is exactly the batch path's min(struct) and no
+    offset-width invariant is load-bearing (r13, VERDICT r12 #4:
+    replaces the doc_id·10^6 + offset encoding that silently broke
+    past a million tokens)."""
     from hdfs_stream_processing_spark.operators.llmdata import (
         scrub_with_keepers,
         token_shingles,
@@ -533,26 +535,20 @@ def q_stream_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         return sh.groupBy("_sh").agg(
             F.count_distinct("doc_id").alias("nd"),
             F.min(
-                F.col("doc_id") * F.lit(1_000_000) + F.col("_off")
-            ).alias("keepkey"),
+                F.struct(F.col("doc_id").alias("d"), F.col("_off").alias("o"))
+            ).alias("_keep"),
         )
 
     tdir = _mkdtemp("hsp_sscrub_")
     ckpt = _mkdtemp("hsp_sscrub_ckpt_")
     run_stream_rollup_mixed(
-        stream, tdir, ckpt, ["_sh"], {"nd": "sum", "keepkey": "min"}, partial
+        stream, tdir, ckpt, ["_sh"], {"nd": "sum", "_keep": "min"}, partial
     )
     dup_keepers = (
         read_table_version(spark, tdir)
         .drop("_batch")
         .where(F.col("nd") >= F.lit(2))
-        .select(
-            "_sh",
-            F.struct(
-                F.expr("keepkey div 1000000").cast("bigint").alias("d"),
-                (F.col("keepkey") % F.lit(1_000_000)).cast("int").alias("o"),
-            ).alias("_keep"),
-        )
+        .select("_sh", "_keep")
     )
     (documents,) = prep(spark, sf_dir, "documents")
     return scrub_with_keepers(

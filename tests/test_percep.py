@@ -334,6 +334,30 @@ def test_rollup_apply_batch_mixed_replay_guard(spark, tmp_path):
     assert got == {"w1": (3, 50), "w2": (2, 205)}
 
 
+def test_rollup_mixed_struct_min_keeper_survives_wide_offsets(spark, tmp_path):
+    """r13 (VERDICT r12 #4): the streaming scrub keeper is merged as an
+    UNENCODED struct(d, o) min.  With the old doc_id*1e6 + offset
+    encoding, doc 1 at offset 1,500,000 would encode to 2,500,000 and
+    LOSE to doc 2 at offset 0 (2,000,000) — the struct min must pick
+    (1, 1500000), proving no offset-width invariant is load-bearing."""
+    from hdfs_stream_processing_spark.sources.io import read_table_version
+    from hdfs_stream_processing_spark.streaming.pipeline import (
+        rollup_apply_batch_mixed,
+    )
+
+    tdir = str(tmp_path / "keepers")
+    spec = {"nd": "sum", "_keep": "min"}
+    schema = "k string, nd long, _keep struct<d: bigint, o: int>"
+    b0 = spark.createDataFrame([("w1", 1, (2, 0))], schema)
+    b1 = spark.createDataFrame([("w1", 1, (1, 1_500_000))], schema)
+    assert rollup_apply_batch_mixed(b0, tdir, ["k"], spec, batch_id=0)
+    assert rollup_apply_batch_mixed(b1, tdir, ["k"], spec, batch_id=1)
+    rows = read_table_version(spark, tdir).drop("_batch").collect()
+    assert len(rows) == 1
+    assert rows[0]["nd"] == 2
+    assert (rows[0]["_keep"]["d"], rows[0]["_keep"]["o"]) == (1, 1_500_000)
+
+
 def test_dedup_keep_transitive_chain(spark):
     """A ~ B ~ C with A !~ C must still cluster {A, B, C} and keep only
     A — the pairs → components → representatives chain, not a
