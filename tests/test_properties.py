@@ -719,6 +719,37 @@ def test_ppm_codec_roundtrip_any_dims(w, h, seed):
 
 @settings(max_examples=15, deadline=None)
 @given(
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=7),
+    st.integers(min_value=0, max_value=4),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_png_codec_roundtrip_any_dims_any_filter(w, h, ft, seed):
+    """encode_png→decode_png is the identity for ANY dims, pixel
+    content, and row filter (None/Sub/Up/Average/Paeth — each an
+    independent prediction recurrence the decoder must invert), the
+    default filter cycle round-trips too, and the magic-byte dispatch
+    returns the same pixels for the compressed PNG as for the raw
+    BMP of the same array."""
+    import numpy as np
+
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        decode_payload,
+        decode_png,
+        encode_bmp,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = decode_png(encode_png(arr, filter_type=ft))
+    assert out.shape == arr.shape and (out == arr).all()
+    assert (decode_png(encode_png(arr)) == arr).all()
+    assert (decode_payload(encode_png(arr)) == decode_payload(encode_bmp(arr))).all()
+
+
+@settings(max_examples=15, deadline=None)
+@given(
     st.integers(min_value=1, max_value=200),
     st.integers(min_value=0, max_value=2**32 - 1),
 )
