@@ -503,6 +503,69 @@ def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges, "s", "d", n_iters=_LPA_ITERS)
 
 
+def _stage_trade_edges(spark: SparkSession, sf_dir: str) -> tuple[str, "object"]:
+    """Stage the distinct customer↔supplier trade edges as a streaming
+    source directory (the file-source + availableNow stand-in contract
+    of _stage_documents).  Memoized per sf_dir."""
+    lineitem, orders = prep(spark, sf_dir, "lineitem", "orders")
+    pairs = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("s"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("d"),
+        )
+        .distinct()
+    )
+    key = ("hsp_trade_edges_", sf_dir)
+    if key in _STAGE_CACHE:
+        return _STAGE_CACHE[key], pairs.schema
+    stage_dir = _mkdtemp("hsp_stream_edgesrc_")
+    pairs.repartition(4).write.mode("overwrite").parquet(stage_dir)
+    _STAGE_CACHE[key] = stage_dir
+    return stage_dir, pairs.schema
+
+
+@query("stream_communities", None)  # oracle assigned below: communities'
+def q_stream_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING community maintenance (r13 — VERDICT r12 #5, the
+    streaming twin of ``communities``): trade edges arrive on a file
+    stream in micro-batches; the EDGE LIST is the maintained state —
+    one row per distinct edge behind the replay-guarded rollup (keys
+    carry the edge, an additive count rides the merge; the same
+    maintained-index contract as stream_image_dedup).  The
+    bounded-round LPA read runs off the MAINTAINED table, reusing
+    operators/graph.py::label_propagation unchanged, so the result
+    must equal the one-shot ``communities`` — oracle IS communities'.
+
+    Scale: per-batch work is batch-sized (no per-batch LPA — label
+    propagation over the full graph is a READ, recomputed on demand,
+    the standard lambda-style split); state is edge-cardinality, the
+    graph itself.  A replayed micro-batch is skipped by the _batch
+    guard, so the edge counts stay exact."""
+    from hdfs_stream_processing_spark.operators.graph import label_propagation
+    from hdfs_stream_processing_spark.sources.io import read_table_version
+    from hdfs_stream_processing_spark.streaming import stream_parquet_source
+    from hdfs_stream_processing_spark.streaming.pipeline import run_stream_rollup
+
+    src_dir, schema = _stage_trade_edges(spark, sf_dir)
+    stream = stream_parquet_source(spark, src_dir, schema, max_files_per_trigger=1)
+
+    def partial(batch: DataFrame) -> DataFrame:
+        return batch.groupBy("s", "d").agg(F.count(F.lit(1)).alias("one"))
+
+    tdir = _mkdtemp("hsp_scomm_")
+    ckpt = _mkdtemp("hsp_scomm_ckpt_")
+    run_stream_rollup(stream, tdir, ckpt, ["s", "d"], ["one"], partial)
+    pairs = read_table_version(spark, tdir).select("s", "d")
+    edges = pairs.unionByName(
+        pairs.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    )
+    return label_propagation(edges, "s", "d", n_iters=_LPA_ITERS)
+
+
+ORACLES["stream_communities"] = ORACLES["communities"]
+
+
 # §Streaming substring scrub — the streaming ACTION twin of
 # substring_scrub (VERDICT r11 #3)
 # ========================================================================

@@ -334,6 +334,45 @@ def test_rollup_apply_batch_mixed_replay_guard(spark, tmp_path):
     assert got == {"w1": (3, 50), "w2": (2, 205)}
 
 
+def test_stream_communities_maintained_edges_equal_one_shot(spark, tmp_path):
+    """r13 (VERDICT r12 #5): LPA read off a replay-guarded maintained
+    edge table equals LPA over the edges directly — and a replayed
+    micro-batch is skipped, not re-merged."""
+    from hdfs_stream_processing_spark.sources.io import read_table_version
+    from hdfs_stream_processing_spark.streaming.pipeline import rollup_apply_batch
+
+    und = [
+        ("a", "b"), ("b", "c"), ("a", "c"),
+        ("x", "y"), ("y", "z"), ("x", "z"),
+    ]
+    tdir = str(tmp_path / "edges")
+    b0 = spark.createDataFrame(und[:3], "s string, d string").withColumn(
+        "one", F.lit(1).cast("long")
+    )
+    b1 = spark.createDataFrame(und[3:], "s string, d string").withColumn(
+        "one", F.lit(1).cast("long")
+    )
+    assert rollup_apply_batch(b0, tdir, ["s", "d"], ["one"], batch_id=0)
+    assert rollup_apply_batch(b1, tdir, ["s", "d"], ["one"], batch_id=1)
+    assert not rollup_apply_batch(b1, tdir, ["s", "d"], ["one"], batch_id=1)
+    pairs = read_table_version(spark, tdir).select("s", "d")
+    edges = pairs.unionByName(
+        pairs.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    )
+    direct = spark.createDataFrame(
+        und + [(d, s) for s, d in und], "src string, dst string"
+    )
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, "s", "d", n_iters=2).collect()
+    }
+    want = {
+        r["node"]: r["community"]
+        for r in label_propagation(direct, n_iters=2).collect()
+    }
+    assert got == want and got["a"] == got["b"] == got["c"]
+
+
 def test_image_near_dup_finds_bmp_png_twins(spark):
     """r13 (VERDICT r12 #3): a 128×96 re-encode saved as compressed
     PNG must pair with its BMP original through the full production
