@@ -35,32 +35,33 @@ def entry(spark: SparkSession) -> DataFrame:
 # order.  Each round rotates this list so every registered query earns a
 # driver-green row in some round (union of CORRECTNESS_r*.json); queries
 # outside the current window pass the identical check locally via
-# tools/check_correctness.py.  Round 12 window (standing invariant,
-# VERDICT r9 #7): the 6 new r12 registrations lead (perceptual image
-# dHash + banded near-dup, audio sign-delta fingerprint + near-dup,
-# bounded-round label propagation, streaming substring scrub); the
-# remainder refreshes the OLDEST attestations in the r1-r11 union —
-# the r6-era tail (scd2/stream-CDC/PIT/time-travel cohort) plus the
-# oldest r7-era rows — to exactly 50.
+# tools/check_correctness.py.  Round 13 window (standing invariant,
+# VERDICT r9 #7): the 2 new r13 registrations lead (PNG decode,
+# streaming communities); the remainder refreshes the OLDEST
+# attestations in the r1-r12 union — the full 33-query r7-era cohort
+# (statistics battery, text scoring, purge/export, scan variants) plus
+# the alphabetically-first r8-era rows — to exactly 50.
 # tests/test_registry.py pins len(_VERIFY_FIRST) == 50 so the
 # off-by-one cannot recur.
 _VERIFY_FIRST = [
-    # new round-12 registrations, inserted as they land:
-    "image_phash", "image_dedup_near", "audio_fingerprint",
-    "audio_dedup_near", "communities", "stream_substring_scrub",
-    "image_dedup_keep", "audio_dedup_keep", "stream_image_dedup",
-    # oldest-attestation-first refresh (r6-r7 era), to 50:
-    "ohlc_bars", "pit_join", "promo_share", "returned_revenue",
-    "scd2_build", "scd2_merge", "scd2_multi", "scd2_repair",
-    "schema_evolution", "seq_pack", "ship_priority", "skew_join",
-    "snapshot_diff", "stream_cdc", "stream_daily_rollup", "stream_dq",
-    "stream_enrich", "stream_join_outer", "stream_ohlc", "stream_pit",
-    "stream_scd2", "stream_topk", "time_travel", "top_supplier",
-    "waiting_suppliers", "attribution", "benford_digits", "bfs_reach",
-    "bloom_prefilter", "bucketed_join", "calendar_rollup", "chisq_assoc",
-    "cluster_coeff", "containment_join", "corr_matrix",
-    "dedup_keep_quality", "disjunct_revenue", "dq_quarantine",
-    "ewma_smooth", "excess_suppliers", "hll_registers",
+    # new round-13 registrations, inserted as they land:
+    "image_decode_png", "stream_communities",
+    # oldest-attestation-first refresh (the 33 r7-era rows):
+    "forecast_revenue", "fuzzy_pairs", "hll_by_group", "hybrid_rrf",
+    "important_parts", "interval_peak", "jaccard_join", "lm_score",
+    "local_volume", "mad_outliers", "markov_transitions",
+    "min_cost_supplier", "pagerank", "parts_supplier_counts",
+    "priority_lateness", "product_profit", "psi_drift", "purge_exec",
+    "purge_keys", "regr_by_group", "sample_weighted", "scan_binary",
+    "scan_corrupt", "scan_text", "stream_anomaly", "stream_cms",
+    "stream_quarantine", "stream_vocab", "subject_export",
+    "table_checksum", "tfidf_terms", "triangle_count", "vocab_ids",
+    "wow_change",
+    # then the oldest r8-era rows, to 50:
+    "add_lit", "attribution_linear", "basket_rules", "bigram_lm",
+    "case_when", "chunk_dedup", "cohort_ltv", "count_distinct",
+    "count_rows", "drop_nulls", "entropy_profile", "epoch_to_ts",
+    "except_op", "golden_record",
 ]
 
 

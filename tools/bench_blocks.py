@@ -129,7 +129,8 @@ def main() -> int:
             if rec and rec.get("sentinel_gate") == "pass":
                 ok = True
                 break
-            time.sleep(args.cooldown)  # let the burst pass, then retry
+            if attempt < args.retries:  # no retry follows the last attempt
+                time.sleep(args.cooldown)  # let the burst pass, then retry
         if ok:
             passing.append(out_path)
         else:
