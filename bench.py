@@ -293,6 +293,9 @@ HEADLINE = [
     "image_dedup_keep",
     "audio_dedup_keep",
     "stream_image_dedup",
+    # round 13: compressed-format decode + streaming communities
+    "image_decode_png",
+    "stream_communities",
 ]
 
 

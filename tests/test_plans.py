@@ -331,6 +331,12 @@ SHUFFLE_BUDGETS = {
     "image_dedup_keep": 0,
     "audio_dedup_keep": 0,
     "stream_image_dedup": 1,
+    # r13: PNG decode is a pure codec map (zlib inflate + unfilter are
+    # per-file, inside the one mapInPandas stage); streaming
+    # communities reads the maintained edge table and, like the batch
+    # twin, hides its per-round LPA shuffles behind lineage cuts.
+    "image_decode_png": 0,
+    "stream_communities": 0,
 }
 
 
