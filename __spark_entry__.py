@@ -45,7 +45,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # off-by-one cannot recur.
 _VERIFY_FIRST = [
     # new round-13 registrations, inserted as they land:
-    "image_decode_png", "stream_communities",
+    "image_decode_png", "stream_communities", "stream_audio_dedup",
     # oldest-attestation-first refresh (the 33 r7-era rows):
     "forecast_revenue", "fuzzy_pairs", "hll_by_group", "hybrid_rrf",
     "important_parts", "interval_peak", "jaccard_join", "lm_score",
@@ -61,7 +61,7 @@ _VERIFY_FIRST = [
     "add_lit", "attribution_linear", "basket_rules", "bigram_lm",
     "case_when", "chunk_dedup", "cohort_ltv", "count_distinct",
     "count_rows", "drop_nulls", "entropy_profile", "epoch_to_ts",
-    "except_op", "golden_record",
+    "except_op",
 ]
 
 

@@ -293,9 +293,11 @@ HEADLINE = [
     "image_dedup_keep",
     "audio_dedup_keep",
     "stream_image_dedup",
-    # round 13: compressed-format decode + streaming communities
+    # round 13: compressed-format decode + streaming communities +
+    # the audio streaming-dedup twin
     "image_decode_png",
     "stream_communities",
+    "stream_audio_dedup",
 ]
 
 

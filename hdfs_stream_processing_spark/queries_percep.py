@@ -859,3 +859,98 @@ def q_stream_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["stream_image_dedup"] = ORACLES["image_dedup_near"]
+
+
+def _stage_wave_full(spark: SparkSession, sf_dir: str) -> str:
+    """Originals PLUS their 12007-sample resamples as separate WAV
+    files — the audio landing zone mirroring _stage_tex_mixed (both
+    clips are WAV: unlike images, the repo's one audio container
+    already re-encodes the twin — different byte stream, same
+    perceptual fingerprint)."""
+    import os as _os
+
+    import numpy as np
+
+    from hdfs_stream_processing_spark.operators.multimodal import encode_wav
+
+    key = ("hsp_wavefull_staged_", sf_dir)
+    if key in _STAGE_CACHE:
+        return _STAGE_CACHE[key]
+    (documents,) = prep(spark, sf_dir, "documents")
+    wav_dir = _mkdtemp("hsp_wavefull_src_", sf_dir)
+    for row in documents.select("source").distinct().collect():
+        n = int(row["source"][3:])
+        s = _synth_blockwave(n)
+        var = s[(np.arange(12007) * len(s)) // 12007]
+        with open(_os.path.join(wav_dir, f"{row['source']}.wav"), "wb") as f:
+            f.write(encode_wav(s, 8000))
+        with open(_os.path.join(wav_dir, f"{row['source']}_r.wav"), "wb") as f:
+            f.write(encode_wav(var, 8000))
+    _STAGE_CACHE[key] = wav_dir
+    return wav_dir
+
+
+@query("stream_audio_dedup", None)  # oracle assigned below: audio_dedup_near's
+def q_stream_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING perceptual dedup index, audio twin (r13 — completes
+    the modality matrix: stream_image_dedup landed r12): audio shards
+    — originals and their planted resamples as separate WAV files —
+    arrive on a binaryFile file stream; each micro-batch decodes and
+    fingerprints its clips through the same mapInPandas stages as
+    audio_fingerprint, and the 128-bit fingerprint table is maintained
+    behind the replay guard (keys carry the bands — a fingerprint is a
+    per-clip constant, so the maintained table is insert-shaped).  The
+    near-dup pair report read off the MAINTAINED index runs the 16-bit
+    probe matcher and must equal the one-shot batch computation —
+    oracle IS audio_dedup_near's.
+
+    Scale: decode + fingerprint work is per-arriving-file; state is
+    one row per clip; the pair match runs against the index, never
+    re-decoding history — the same landing-zone contract as the image
+    twin, with the r13 probe-cardinality parameterization."""
+    from hdfs_stream_processing_spark.operators.dedup import banded_hamming_pairs
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        audio_fingerprint,
+        decode_audio,
+    )
+    from hdfs_stream_processing_spark.sources.io import read_table_version
+    from hdfs_stream_processing_spark.streaming.pipeline import run_stream_rollup
+
+    wav_dir = _stage_wave_full(spark, sf_dir)
+    bin_schema = (
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(bin_schema)
+        .option("pathGlobFilter", "*.wav")
+        .option("maxFilesPerTrigger", 8)
+        .load(wav_dir)
+    )
+
+    def partial(batch: DataFrame) -> DataFrame:
+        payloads = batch.select(
+            F.regexp_extract(F.col("path"), r"([^/]+)\.wav$", 1).alias("source"),
+            F.col("content").alias("payload"),
+        )
+        fp = audio_fingerprint(
+            decode_audio(payloads, id_col="source", payload_col="payload",
+                         id_type="string"),
+            fp_samples=129, n_bands=8, id_col="source", id_type="string",
+        )
+        return fp.withColumn("one", F.lit(1).cast("long"))
+
+    band_cols = [f"b{j}" for j in range(8)]
+    tdir = _mkdtemp("hsp_saudiodedup_")
+    ckpt = _mkdtemp("hsp_saudiodedup_ckpt_")
+    run_stream_rollup(
+        stream, tdir, ckpt, ["source", *band_cols], ["one"], partial
+    )
+    index = read_table_version(spark, tdir).select("source", *band_cols)
+    return banded_hamming_pairs(
+        index, "source", band_cols,
+        band_bits=16, max_hamming=_AUD_HAMMING_T, probe_bits=16,
+    )
+
+
+ORACLES["stream_audio_dedup"] = ORACLES["audio_dedup_near"]

@@ -337,6 +337,9 @@ SHUFFLE_BUDGETS = {
     # twin, hides its per-round LPA shuffles behind lineage cuts.
     "image_decode_png": 0,
     "stream_communities": 0,
+    # the audio streaming-dedup twin pays the same candidate-distinct
+    # exchange as the image one
+    "stream_audio_dedup": 1,
 }
 
 
