@@ -107,6 +107,12 @@ SLOW = [
     # are the probe-band equi-join shape (PLANS: no cartesian) and the
     # per-file decode cost, both linear by construction.
     "communities", "stream_substring_scrub",
+    # round 13: streaming LPA twin — the ×10 trade-edge stream through
+    # the replay-guarded maintained edge list, then the same
+    # bounded-round LPA read as `communities` (stream_audio_dedup and
+    # the other perceptual queries stay SOURCE-bound; their scale
+    # measurement is tools/scale_percep.py's candidate-volume probe)
+    "stream_communities",
 ]
 COPIES = 10
 
