@@ -852,6 +852,13 @@ def hamming_candidates(
     (probe-band collision), i.e. per (id_a < id_b, probe index) whose
     ``probe_bits``-wide fingerprint substring matches exactly.  The
     matcher distincts this; the raw row count IS the join work."""
+    if not band_cols:
+        raise ValueError("need at least one band column")
+    if band_bits < 1 or probe_bits < 1 or band_bits % probe_bits != 0:
+        # a non-dividing probe width would silently truncate
+        # probes_per_band and leave the top band bits unprobed,
+        # under-generating candidates with no error (ADVICE r13)
+        raise ValueError("probe_bits must divide band_bits")
     mask = (1 << probe_bits) - 1
     probes_per_band = band_bits // probe_bits
     probe_exprs = [

@@ -29,6 +29,13 @@ from hdfs_stream_processing_spark import queries as Q
 
 SRC = "/root/testdata/sf0.1"
 SF1_DIR = "/root/repo/.tmp/scale_sf1"  # .tmp/ is gitignored
+# Everything in SCALE.md below this marker is hand-written and preserved
+# verbatim by the generators (scale_probe.py keeps the whole tail from the
+# first "## " heading; this tool keeps the tail from this marker).
+END_MARKER = (
+    "<!-- scale_sf1:end — generators replace only their own section; "
+    "everything below is hand-written and MUST be preserved -->"
+)
 SLOW = [
     "dedup_clusters", "continuous_rollup", "stream_stream_join", "curate_corpus",
     # round-6 additions whose plans have a scale story worth probing:
@@ -283,6 +290,33 @@ def _existing_rows() -> dict:
     return out
 
 
+def rewrite_scale_md(text: str, section_lines: list) -> str:
+    """Replace ONLY this tool's "## sf1 probe" section in SCALE.md.
+
+    Everything from END_MARKER (or, for pre-marker files, from the first
+    "## Round-" heading after the sf1 section) to EOF is hand-written
+    evidence and MUST survive regeneration — commit 3d1f4e1 clobbered it
+    once (VERDICT r13 #1)."""
+    marker = "\n## sf1 probe"
+    tail = ""
+    if END_MARKER in text:
+        tail = text[text.index(END_MARKER):]
+    if marker in text:
+        rest = text[text.index(marker):]
+        if END_MARKER not in text:
+            import re as _re
+            m = _re.search(r"\n## Round-", rest)
+            if m:
+                tail = END_MARKER + "\n" + rest[m.start():]
+        text = text[: text.index(marker)]
+    if not tail:
+        tail = END_MARKER + "\n"
+    return (
+        text.rstrip("\n") + "\n" + "\n".join(section_lines) + "\n\n"
+        + tail.rstrip("\n") + "\n"
+    )
+
+
 def main() -> None:
     argv = [a for a in sys.argv[1:] if not a.startswith("--only")]
     only = None
@@ -335,11 +369,8 @@ def main() -> None:
     out = "/root/repo/SCALE.md"
     with open(out) as f:
         text = f.read()
-    marker = "\n## sf1 probe"
-    if marker in text:
-        text = text[: text.index(marker)]
     with open(out, "w") as f:
-        f.write(text.rstrip("\n") + "\n" + "\n".join(lines) + "\n")
+        f.write(rewrite_scale_md(text, lines))
     print(f"updated {out}")
 
 
