@@ -845,13 +845,28 @@ def hamming_candidates(
     band_cols: list[str],
     band_bits: int,
     probe_bits: int,
+    probe_blocks: int = 1,
 ) -> DataFrame:
     """The candidate stage of :func:`banded_hamming_pairs`, exposed so
     scale probes can MEASURE candidate volume (r13, VERDICT r12 #2 —
     the quantity the probe-width defect hid): one row per
-    (probe-band collision), i.e. per (id_a < id_b, probe index) whose
-    ``probe_bits``-wide fingerprint substring matches exactly.  The
-    matcher distincts this; the raw row count IS the join work."""
+    (probe collision), i.e. per (id_a < id_b, probe index) whose probe
+    key matches exactly.  The matcher distincts this; the raw row
+    count IS the join work.
+
+    ``probe_blocks`` (r14, VERDICT r13 #4 — Manku, Jain & Das Sarma,
+    WWW 2007): with the default 1, each probe key is one
+    ``probe_bits``-wide fingerprint block (P = total/probe_bits keys
+    per item).  With 2, each probe key is the CONCATENATION of an
+    ordered PAIR of blocks — C(P, 2) probes per item with
+    2·probe_bits-wide keys (32 bits at the default 16), collapsing the
+    random-collision floor from P·N²/2^16 to C(P,2)·N²/2^32 at the
+    cost of one unit of guaranteed radius: a pair within Hamming
+    distance P−2 has ≥ 2 clean blocks by pigeonhole, so the clean
+    pair's concatenated key collides.  The ×C(P,2) probe-row widening
+    (120 at P=16) is the bounded price of the 2^16-fold key-space
+    gain — the right trade at the 10⁹-item regime where single-block
+    candidates go quadratic (see banded_hamming_pairs's Scale note)."""
     if not band_cols:
         raise ValueError("need at least one band column")
     if band_bits < 1 or probe_bits < 1 or band_bits % probe_bits != 0:
@@ -859,13 +874,28 @@ def hamming_candidates(
         # probes_per_band and leave the top band bits unprobed,
         # under-generating candidates with no error (ADVICE r13)
         raise ValueError("probe_bits must divide band_bits")
+    if probe_blocks not in (1, 2):
+        raise ValueError("probe_blocks must be 1 or 2")
     mask = (1 << probe_bits) - 1
     probes_per_band = band_bits // probe_bits
-    probe_exprs = [
+    block_exprs = [
         F.shiftright(F.col(c), j * probe_bits).bitwiseAND(F.lit(mask))
         for c in band_cols
         for j in range(probes_per_band)
     ]
+    if probe_blocks == 2:
+        if len(block_exprs) < 2:
+            raise ValueError("probe_blocks=2 needs at least 2 blocks")
+        if 2 * probe_bits > 62:
+            raise ValueError("concatenated probe key must fit 64 bits")
+        longs = [e.cast("long") for e in block_exprs]
+        probe_exprs = [
+            F.shiftleft(longs[i], probe_bits).bitwiseOR(longs[j])
+            for i in range(len(longs))
+            for j in range(i + 1, len(longs))
+        ]
+    else:
+        probe_exprs = block_exprs
     probes = df.select(
         F.col(id_col).alias("_pid"),
         F.posexplode(F.array(*probe_exprs)).alias("_probe_idx", "_probe_val"),
@@ -892,6 +922,7 @@ def banded_hamming_pairs(
     max_hamming: int,
     probe_bits: int = 16,
     allow_narrow_probes: bool = False,
+    probe_blocks: int = 1,
 ) -> DataFrame:
     """Exact Hamming-radius pair search over packed bit fingerprints
     WITHOUT the all-pairs cross join (round 12 — the matcher behind
@@ -930,6 +961,16 @@ def banded_hamming_pairs(
     ⇒ radius 7).  probe_bits < 8 is rejected unless
     ``allow_narrow_probes=True`` — the explicit opt-in for bounded
     fixtures and tests where N is known-small.
+
+    At the 10⁹-item regime even 16-bit probes leave candidates ~
+    P·N²/2^16 (~10¹⁴ rows).  The escape is ``probe_blocks=2`` (r14 —
+    Manku, Jain & Das Sarma, WWW 2007): probe on ordered PAIRS of
+    blocks concatenated into 2·probe_bits-wide keys (32 bits here), so
+    the random-collision floor drops to C(P,2)·N²/2^32 — a further
+    ~2^16/P-fold reduction (≈4,000× at P=16) — while recall stays
+    pigeonhole-EXACT at the reduced radius P−2 (≥ 2 clean blocks ⇒
+    their pair key collides).  Measured by tools/scale_percep.py at
+    4,000 items: see SCALE.md's r14 paragraph.
     """
     if not band_cols:
         raise ValueError("need at least one band column")
@@ -943,14 +984,17 @@ def banded_hamming_pairs(
             "probe_bits >= 8 (16 recommended), or pass "
             "allow_narrow_probes=True for a known-small corpus"
         )
+    if probe_blocks not in (1, 2):
+        raise ValueError("probe_blocks must be 1 or 2")
     n_probes = len(band_cols) * (band_bits // probe_bits)
-    if n_probes <= max_hamming:
+    if n_probes - probe_blocks < max_hamming:
         raise ValueError(
-            f"{n_probes} probe bands cannot guarantee recall at Hamming "
-            f"radius {max_hamming}; need total_bits/probe_bits > max_hamming"
+            f"{n_probes} probe blocks taken {probe_blocks} at a time cannot "
+            f"guarantee recall at Hamming radius {max_hamming}; need "
+            "total_bits/probe_bits - probe_blocks >= max_hamming"
         )
     cand = hamming_candidates(
-        df, id_col, band_cols, band_bits, probe_bits
+        df, id_col, band_cols, band_bits, probe_bits, probe_blocks
     ).distinct()
     fp_a = df.select(
         F.col(id_col).alias("id_a"),

@@ -954,3 +954,138 @@ def q_stream_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["stream_audio_dedup"] = ORACLES["audio_dedup_near"]
+
+
+# §Fixture: margin-guarded "photo" images for the LOSSY re-encode twin
+# (r14, VERDICT r13 #3).  Cells align 1:1 with the 17×16 dHash grid and
+# horizontally adjacent cells always differ by ≥ 20 luma — the property
+# natural photographs have at hash scale and the exact-tie-heavy block
+# texture deliberately lacks.  Under that margin a baseline-JPEG 4:2:0
+# re-encode at quality 85 moves box-pooled cell means by ≤ ~3, so the
+# gradient signs — the hash bits — survive a LOSSY codec (measured over
+# 200 sources: same-source Hamming ≤ 2, cross-source ≥ 89; pinned by
+# tests/test_percep.py).
+# ========================================================================
+
+
+def _synth_photo_image(n: int):
+    """Deterministic margin-guarded gray image for source #n: a 17×16
+    grid of flat cells (cell size (6+n%4) × (6+n%3) px); each cell's
+    value sits in a low (40/65/90) or high (190/215/240) band chosen
+    pseudo-randomly per (i, j, n), with the sublevel bumped so
+    horizontally adjacent cells differ by ≥ 20.  r = g = b, so BT.601
+    luma equals the cell value exactly."""
+    import numpy as np
+
+    wb, hb = 6 + n % 4, 6 + n % 3
+    gx, gy = 17, 16
+    vals = np.zeros((gy, gx), dtype=np.int64)
+    for j in range(gy):
+        prev = -1000
+        for i in range(gx):
+            band = (
+                (i * (73 + 11 * n) + j * (149 + 7 * n)
+                 + i * j * (37 + 3 * n) + n * 101) % 251
+            ) & 1
+            base = 40 if band == 0 else 190
+            sub = (
+                (i * (97 + 13 * n) + j * (59 + 5 * n)
+                 + i * j * (41 + 9 * n) + n * 67) % 251
+            ) % 3
+            for _ in range(3):
+                v = base + 25 * sub
+                if abs(v - prev) >= 20:
+                    break
+                sub = (sub + 1) % 3
+            vals[j, i] = v
+            prev = v
+    img = np.repeat(np.repeat(vals, hb, axis=0), wb, axis=1)
+    return np.stack([img, img, img], axis=-1).astype(np.uint8)
+
+
+def _stage_photo_jpeg_mixed(spark: SparkSession, sf_dir: str) -> str:
+    """Originals as BMP PLUS a baseline-JPEG 4:2:0 quality-85 re-encode
+    of each (``srcN_j.jpg``) — the landing-zone shape where duplicates
+    arrive through a LOSSY codec: bytes differ, pixels differ, only
+    the perceptual layer sees the twin.  Driver work bounded by the
+    distinct-source count (same staging pattern as _stage_tex_mixed)."""
+    import os as _os
+
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        encode_bmp,
+        encode_jpeg,
+    )
+
+    key = ("hsp_photojpeg_staged_", sf_dir)
+    if key in _STAGE_CACHE:
+        return _STAGE_CACHE[key]
+    (documents,) = prep(spark, sf_dir, "documents")
+    img_dir = _mkdtemp("hsp_photojpeg_src_", sf_dir)
+    for row in documents.select("source").distinct().collect():
+        n = int(row["source"][3:])
+        arr = _synth_photo_image(n)
+        with open(_os.path.join(img_dir, f"{row['source']}.bmp"), "wb") as f:
+            f.write(encode_bmp(arr))
+        with open(_os.path.join(img_dir, f"{row['source']}_j.jpg"), "wb") as f:
+            f.write(encode_jpeg(arr, quality=85, subsampling="420"))
+    _STAGE_CACHE[key] = img_dir
+    return img_dir
+
+
+@query(
+    "image_dedup_jpeg",
+    """SELECT source AS id_a, source || '_j' AS id_b
+       FROM (SELECT DISTINCT source FROM documents) s""",
+)
+def q_image_dedup_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup across a LOSSY re-encode (r14, VERDICT r13
+    #3 — the real test of a perceptual hash: image_dedup_near's PNG
+    twin is pixel-identical, this one is not).  The corpus is the
+    mixed landing dir — every original as BMP plus its baseline-JPEG
+    4:2:0 quality-85 re-encode as a separate ``.jpg`` shard.  Both
+    decode through the magic-byte dispatch (BMP struct parse; JPEG
+    Huffman + dequant + IDCT + YCbCr, operators/multimodal.py::
+    decode_jpeg), fingerprint through dhash_bands with BOX pooling
+    (cell means absorb the DCT ringing a point sample would inherit),
+    and pair up via banded_hamming_pairs — 16 probes × 16 bits,
+    pigeonhole-exact at radius 15.  The decoded JPEG pixels are not
+    SQL-expressible (that is what lossy means), so the oracle checks
+    the MATCH SET: by the measured margins (same-source ≤ 2 bits,
+    cross-source ≥ 89 over 200 sources — pytest-pinned) the matcher
+    must return exactly one pair per source, original ↔ its JPEG
+    twin, and nothing else.  A codec bug, a pooling bug, or a matcher
+    bug each breaks that set.  No cartesian: candidates come from the
+    16-bit probe equi-join.
+
+    Reference parity: the reference pipeline has no perceptual layer;
+    this is the corpus-hygiene operator a 100 TB multimodal corpus
+    needs for re-encoded-duplicate scrubbing."""
+    from hdfs_stream_processing_spark.operators.dedup import banded_hamming_pairs
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        decode_image,
+        dhash_bands,
+    )
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.{bmp,jpg}")
+        .load(_stage_photo_jpeg_mixed(spark, sf_dir))
+    )
+    payloads = files.select(
+        F.regexp_extract(
+            F.col("path"), r"([^/]+)\.(?:bmp|jpg)$", 1
+        ).alias("source"),
+        F.col("content").alias("payload"),
+    )
+    corpus = decode_image(
+        payloads, id_col="source", payload_col="payload", id_type="string"
+    )
+    fp = dhash_bands(corpus, id_col="source", id_type="string", pool="box")
+    return banded_hamming_pairs(
+        fp,
+        "source",
+        [f"b{j}" for j in range(8)],
+        band_bits=32,
+        max_hamming=_IMG_HAMMING_T,
+        probe_bits=16,
+    ).select("id_a", "id_b")

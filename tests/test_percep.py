@@ -457,3 +457,257 @@ def test_dedup_keep_transitive_chain(spark):
     comps = connected_components(pairs, "id_a", "id_b")
     kept = {r["sid"] for r in cluster_representatives(df, comps, "sid").collect()}
     assert kept == {"A", "D"}
+
+
+# ── r14: baseline JPEG codec + lossy-re-encode twin ─────────────────────
+
+
+def test_jpeg_roundtrip_error_bounded():
+    """Smooth-content encode→decode stays within a small error bound at
+    both subsamplings — evidence the encoder/decoder pair really is
+    DCT-quantize-IDCT (complementary bugs on both sides would show as
+    large error vs the ORIGINAL, which neither side ever sees)."""
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    x = np.arange(40)[None, :]
+    y = np.arange(24)[:, None]
+    arr = np.stack(
+        [(x * 3 + y * 2) % 200 + 20, (x * 2 + y * 5) % 180 + 30,
+         (x + y) % 160 + 40],
+        axis=2,
+    ).astype(np.uint8)
+    for sub, bound in (("444", 40), ("420", 110)):
+        out = decode_jpeg(encode_jpeg(arr, quality=90, subsampling=sub))
+        assert out.shape == arr.shape and out.dtype == np.uint8
+        assert np.abs(out.astype(int) - arr.astype(int)).max() <= bound, sub
+
+
+def test_jpeg_restart_markers_change_nothing():
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, size=(33, 41, 3), dtype=np.uint8)
+    plain = decode_jpeg(encode_jpeg(arr, quality=80, subsampling="420"))
+    rst = decode_jpeg(
+        encode_jpeg(arr, quality=80, subsampling="420", restart_interval=2)
+    )
+    assert (plain == rst).all()
+
+
+def test_jpeg_grayscale_dc_fixture_is_bit_exact():
+    """The image_decode_jpeg fixture contract: 8×8-aligned constant
+    EVEN tiles at quality 50 (DC step 16) round-trip exactly through
+    the full entropy/DCT pipeline."""
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        decode_jpeg,
+        decode_payload,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(5)
+    g = np.repeat(
+        np.repeat(rng.choice(np.arange(0, 256, 2), size=(3, 4)), 8, 0), 8, 1
+    ).astype(np.uint8)
+    arr = np.stack([g, g, g], axis=2)
+    out = decode_jpeg(encode_jpeg(arr, quality=50, grayscale=True))
+    assert (out == arr).all()
+    # and through the dispatch
+    assert (decode_payload(encode_jpeg(arr, quality=50, grayscale=True)) == arr).all()
+
+
+def test_jpeg_rejects_malformed():
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    arr = (np.arange(16 * 16 * 3) % 256).reshape(16, 16, 3).astype(np.uint8)
+    good = encode_jpeg(arr)
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"nope")
+    with pytest.raises(ValueError, match="before scan"):
+        decode_jpeg(b"\xff\xd8\xff\xd9")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg(good[:40])
+    with pytest.raises(ValueError, match="truncated|marker inside"):
+        decode_jpeg(good[:-24])
+    # progressive (SOF2) is rejected explicitly, not mis-parsed
+    i = good.index(b"\xff\xc0")
+    prog = good[:i] + b"\xff\xc2" + good[i + 2:]
+    with pytest.raises(ValueError, match="progressive|baseline"):
+        decode_jpeg(prog)
+
+
+def test_png_rejects_deflate_bomb():
+    """ADVICE r13: a crafted IDAT must not inflate past the
+    IHDR-declared scanline length (h·(1+3w)), let alone OOM."""
+    import struct
+    import zlib
+
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        _PNG_SIG,
+        decode_png,
+        encode_png,
+    )
+
+    def chunk(tag, data):
+        crc = zlib.crc32(tag + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + tag + data + struct.pack(">I", crc)
+
+    # 2×2 image whose IDAT inflates to ~10 MB of zeros (a bomb)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bomb = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(
+        b"IDAT", zlib.compress(b"\x00" * 10_000_000)
+    ) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="exceeds declared"):
+        decode_png(bomb)
+    # the legitimate path still round-trips
+    arr = (np.arange(5 * 4 * 3) % 256).reshape(5, 4, 3).astype(np.uint8)
+    from hdfs_stream_processing_spark.operators.multimodal import decode_png as dp
+    assert (dp(encode_png(arr)) == arr).all()
+
+
+def test_hamming_candidates_validates_probe_width():
+    """ADVICE r13: a probe width that does not divide band_bits would
+    silently leave the top band bits unprobed."""
+    from hdfs_stream_processing_spark.operators.dedup import hamming_candidates
+
+    with pytest.raises(ValueError, match="divide"):
+        hamming_candidates(None, "id", ["b0"], band_bits=14, probe_bits=4)
+    with pytest.raises(ValueError, match="band column"):
+        hamming_candidates(None, "id", [], band_bits=16, probe_bits=8)
+
+
+def test_photo_fixture_margins_under_lossy_reencode():
+    """The image_dedup_jpeg contract, measured: over 200 sources the
+    box-pooled dHash moves ≤ 5 bits under a baseline-JPEG 4:2:0 q85
+    re-encode (radius 15 with room), while distinct sources differ by
+    ≥ 60 bits — so the matcher must return exactly the twin pairs."""
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from hdfs_stream_processing_spark.queries_percep import _synth_photo_image
+
+    def box_bits(arr, grid=16):
+        lum = (
+            299 * arr[:, :, 0].astype(np.int64)
+            + 587 * arr[:, :, 1] + 114 * arr[:, :, 2]
+        ) // 1000
+        h, w = lum.shape
+        xs = (np.arange(grid + 2) * w) // (grid + 1)
+        ys = (np.arange(grid + 1) * h) // grid
+        cs = np.zeros((h + 1, w + 1), dtype=np.int64)
+        cs[1:, 1:] = lum.cumsum(0).cumsum(1)
+        y0, y1 = ys[:-1], ys[1:]
+        x0, x1 = xs[:-1], xs[1:]
+        tot = (cs[np.ix_(y1, x1)] - cs[np.ix_(y0, x1)]
+               - cs[np.ix_(y1, x0)] + cs[np.ix_(y0, x0)])
+        m = tot // ((y1 - y0)[:, None] * (x1 - x0)[None, :])
+        return (m[:, 1:] > m[:, :-1]).astype(np.int64).ravel()
+
+    bits, same = [], []
+    for n in range(200):
+        arr = _synth_photo_image(n)
+        ob = box_bits(arr)
+        bits.append(ob)
+        dec = decode_jpeg(encode_jpeg(arr, quality=85, subsampling="420"))
+        same.append(int(np.sum(ob != box_bits(dec))))
+    assert max(same) <= 5, max(same)
+    B = np.array(bits)
+    cross_min = min(
+        int(np.sum(B[i] != B[i + 1:], axis=1).min()) for i in range(199)
+    )
+    assert cross_min >= 60, cross_min
+
+
+def test_dedup_jpeg_pairs_on_sample(spark):
+    """End-to-end: mixed BMP + lossy-JPEG corpus through the production
+    decode → box dHash → banded matcher returns exactly one pair per
+    source (original ↔ JPEG twin)."""
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        decode_image,
+        dhash_bands,
+        encode_bmp,
+        encode_jpeg,
+    )
+    from hdfs_stream_processing_spark.queries_percep import _synth_photo_image
+
+    rows = []
+    for n in range(8):
+        arr = _synth_photo_image(n)
+        rows.append((f"src{n}", bytearray(encode_bmp(arr))))
+        rows.append(
+            (f"src{n}_j",
+             bytearray(encode_jpeg(arr, quality=85, subsampling="420")))
+        )
+    df = spark.createDataFrame(rows, "source string, payload binary")
+    fp = dhash_bands(
+        decode_image(df, id_col="source", payload_col="payload",
+                     id_type="string"),
+        id_col="source", id_type="string", pool="box",
+    )
+    pairs = banded_hamming_pairs(
+        fp, "source", [f"b{j}" for j in range(8)], band_bits=32,
+        max_hamming=15, probe_bits=16,
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {
+        (f"src{n}", f"src{n}_j") for n in range(8)
+    }
+
+
+def test_banded_hamming_combinatorial_probes_equal_brute_force(spark):
+    """r14 (VERDICT r13 #4): probe_blocks=2 — C(P,2) concatenated
+    32-bit... here 8-bit probe keys — must return the identical pair
+    set as single-block probing and as brute force, at the reduced
+    guaranteed radius P−2.  Same fixture shape as the single-block
+    equivalence test: banding is a plan choice, never an answer
+    choice."""
+    rng = np.random.default_rng(21)
+    fps = rng.integers(0, 1 << 16, size=(30, 4))
+    fps[11] = fps[2] ^ np.array([3, 1, 0, 4])   # hamming 4
+    fps[25] = fps[9]                            # hamming 0
+    df = spark.createDataFrame(
+        [(f"id{i:02d}", *[int(v) for v in row]) for i, row in enumerate(fps)],
+        "id string, b0 int, b1 int, b2 int, b3 int",
+    )
+    # P = 16 blocks of 4 bits; probe_blocks=2 -> guaranteed radius 14
+    kw = dict(band_bits=16, max_hamming=14, probe_bits=4,
+              allow_narrow_probes=True)
+    single = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in banded_hamming_pairs(
+            df, "id", ["b0", "b1", "b2", "b3"], **kw).collect()
+    }
+    combo = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in banded_hamming_pairs(
+            df, "id", ["b0", "b1", "b2", "b3"], probe_blocks=2, **kw
+        ).collect()
+    }
+    want = {}
+    for i in range(30):
+        for j in range(i + 1, 30):
+            d = sum(int(bin(int(a) ^ int(b)).count("1"))
+                    for a, b in zip(fps[i], fps[j]))
+            if d <= 14:
+                want[(f"id{i:02d}", f"id{j:02d}")] = d
+    assert combo == want == single
+    assert combo[("id02", "id11")] == 4
+
+
+def test_banded_hamming_combinatorial_validates():
+    with pytest.raises(ValueError, match="probe_blocks"):
+        banded_hamming_pairs(None, "id", ["b0"], band_bits=16,
+                             max_hamming=2, probe_blocks=3)
+    # P=16, probe_blocks=2 -> radius 14; asking 15 must be rejected
+    with pytest.raises(ValueError, match="taken 2 at a time"):
+        banded_hamming_pairs(None, "id", [f"b{j}" for j in range(8)],
+                             band_bits=32, max_hamming=15, probe_bits=16,
+                             probe_blocks=2)

@@ -124,14 +124,29 @@ def probe(spark, modality: str, n_sources: int) -> list[dict]:
     fp = fp.persist()
     fp.count()
     out = []
-    for probe_bits in (16, 4):
+    # (probe_bits, probe_blocks): the r13 single-block 16-bit default,
+    # the r14 combinatorial 2-block/32-bit-key opt-in (radius drops by
+    # one — Manku et al. 2007, VERDICT r13 #4), and the retired r12
+    # 4-bit parameterization whose quadratic blow-up this probe exists
+    # to expose.
+    for probe_bits, probe_blocks in ((16, 1), (16, 2), (4, 1)):
+        radius = t - (probe_blocks - 1)
         t0 = time.time()
-        n_cand = hamming_candidates(fp, "source", band_cols, band_bits, probe_bits).count()
+        cand = hamming_candidates(
+            fp, "source", band_cols, band_bits, probe_bits, probe_blocks
+        )
+        n_cand = cand.count()
         cand_sec = time.time() - t0
+        # distinct candidate PAIRS: raw rows scale with the per-true-pair
+        # probe multiplicity (×P single-block, ×C(P,2) combinatorial), so
+        # the number that isolates the RANDOM-collision floor — the 10⁹-
+        # regime cost driver — is distinct pairs; false = distinct − true.
+        n_cand_distinct = cand.distinct().count()
         t0 = time.time()
         n_pairs = banded_hamming_pairs(
-            fp, "source", band_cols, band_bits, max_hamming=t,
+            fp, "source", band_cols, band_bits, max_hamming=radius,
             probe_bits=probe_bits, allow_narrow_probes=(probe_bits < 8),
+            probe_blocks=probe_blocks,
         ).count()
         match_sec = time.time() - t0
         rec = {
@@ -139,7 +154,10 @@ def probe(spark, modality: str, n_sources: int) -> list[dict]:
             "n_sources": n_sources,
             "n_items": 2 * n_sources,
             "probe_bits": probe_bits,
+            "probe_blocks": probe_blocks,
+            "radius": radius,
             "candidates": n_cand,
+            "cand_distinct": n_cand_distinct,
             "pairs": n_pairs,
             "cand_sec": round(cand_sec, 2),
             "match_sec": round(match_sec, 2),
