@@ -35,33 +35,32 @@ def entry(spark: SparkSession) -> DataFrame:
 # order.  Each round rotates this list so every registered query earns a
 # driver-green row in some round (union of CORRECTNESS_r*.json); queries
 # outside the current window pass the identical check locally via
-# tools/check_correctness.py.  Round 13 window (standing invariant,
-# VERDICT r9 #7): the 2 new r13 registrations lead (PNG decode,
-# streaming communities); the remainder refreshes the OLDEST
-# attestations in the r1-r12 union — the full 33-query r7-era cohort
-# (statistics battery, text scoring, purge/export, scan variants) plus
-# the alphabetically-first r8-era rows — to exactly 50.
-# tests/test_registry.py pins len(_VERIFY_FIRST) == 50 so the
-# off-by-one cannot recur.
+# tools/check_correctness.py.  Round 14 window (standing invariant,
+# VERDICT r9 #7): the 2 new r14 registrations lead (JPEG decode, JPEG
+# lossy-twin dedup); the remainder refreshes the OLDEST attestations in
+# the r1-r13 union — the full 37-query r8-era cohort plus the 11
+# alphabetically-first r9-era rows — to exactly 50 (derived from the
+# per-query max round over CORRECTNESS_r01..r13; the 2 rows-only-by-
+# design queries are excluded as always).  tests/test_registry.py pins
+# len(_VERIFY_FIRST) == 50 so the off-by-one cannot recur.
 _VERIFY_FIRST = [
-    # new round-13 registrations, inserted as they land:
-    "image_decode_png", "stream_communities", "stream_audio_dedup",
-    # oldest-attestation-first refresh (the 33 r7-era rows):
-    "forecast_revenue", "fuzzy_pairs", "hll_by_group", "hybrid_rrf",
-    "important_parts", "interval_peak", "jaccard_join", "lm_score",
-    "local_volume", "mad_outliers", "markov_transitions",
-    "min_cost_supplier", "pagerank", "parts_supplier_counts",
-    "priority_lateness", "product_profit", "psi_drift", "purge_exec",
-    "purge_keys", "regr_by_group", "sample_weighted", "scan_binary",
-    "scan_corrupt", "scan_text", "stream_anomaly", "stream_cms",
-    "stream_quarantine", "stream_vocab", "subject_export",
-    "table_checksum", "tfidf_terms", "triangle_count", "vocab_ids",
-    "wow_change",
-    # then the oldest r8-era rows, to 50:
-    "add_lit", "attribution_linear", "basket_rules", "bigram_lm",
-    "case_when", "chunk_dedup", "cohort_ltv", "count_distinct",
-    "count_rows", "drop_nulls", "entropy_profile", "epoch_to_ts",
-    "except_op",
+    # new round-14 registrations, inserted as they land:
+    "image_decode_jpeg", "image_dedup_jpeg", "image_dedup_combo",
+    "image_decode_gif", "audio_decode_adpcm", "audio_dedup_adpcm",
+    # oldest-attestation-first refresh (the 37 r8-era rows):
+    "golden_record", "group_agg", "hll_intersect", "incr_checksum",
+    "incr_golden", "incr_join", "incr_retract", "join_anti",
+    "join_outer", "join_semi", "json_extract", "late_profile",
+    "limit_n", "minhash_recall", "multi_join", "oov_rate",
+    "parse_wire", "project_exclude", "rfm_segments", "rolling_actives",
+    "rollup_agg", "scan_csv", "scan_parquet", "set_ops", "sort_by_ts",
+    "stream_actives", "stream_checksum", "stream_chunk_dedup",
+    "stream_golden", "stream_retract", "to_wire", "token_zipf",
+    "top_k", "union_rooms", "window_rank", "window_running",
+    "winsorize_prices",
+    # then the alphabetically-first r9-era rows, to 50:
+    "align_pipeline", "approx_distinct_ok", "asof_join", "bpe_apply",
+    "bpe_encode", "bpe_merge", "bpe_train",
 ]
 
 

@@ -298,6 +298,14 @@ HEADLINE = [
     "image_decode_png",
     "stream_communities",
     "stream_audio_dedup",
+    # round 14: baseline-JPEG decode + the lossy re-encode dedup twin
+    # + the combinatorial-probe matcher parameterization
+    "image_decode_jpeg",
+    "image_dedup_jpeg",
+    "image_dedup_combo",
+    "image_decode_gif",
+    "audio_decode_adpcm",
+    "audio_dedup_adpcm",
 ]
 
 

@@ -1206,6 +1206,249 @@ def decode_jpeg(b: bytes) -> "np.ndarray":
     ).astype(np.uint8)
 
 
+# --------------------------------------------------------------------------
+# GIF codec — pure numpy + stdlib, public spec only (GIF89a, CompuServe
+# 1990; LZW per the spec's variable-width variant).  r14: the palette-
+# indexed branch of the codec matrix — a third compression family next
+# to PNG's deflate (r13) and JPEG's DCT (r14): color-table indirection +
+# LZW string-table coding + optional 4-pass interlacing, axes none of
+# the other formats exercise.  Lossless for ≤256-color frames, so the
+# decode oracle is image_decode's verbatim (same contract as PNG).
+# --------------------------------------------------------------------------
+
+
+def encode_gif(arr: "np.ndarray", interlace: bool = False) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array with ≤ 256 distinct colors
+    as a single-frame GIF89a — palette build + real variable-width LZW
+    (string table to 4096, automatic Clear emission), optional
+    interlaced row order so the decoder's de-interlace path is
+    testable.  >256-color input is rejected (that is what GIF is)."""
+    import numpy as np
+
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_gif needs an (H, W, 3) uint8 array")
+    h, w = arr.shape[:2]
+    flat = arr.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    n_colors = len(palette)
+    if n_colors > 256:
+        raise ValueError("GIF needs <= 256 distinct colors")
+    # GCT size: power of two >= max(2, n_colors)
+    ct_bits = max(1, int(np.ceil(np.log2(max(2, n_colors)))))
+    ct_len = 1 << ct_bits
+    table = np.zeros((ct_len, 3), dtype=np.uint8)
+    table[:n_colors] = palette
+    idx = inverse.astype(np.int64).reshape(h, w)
+    if interlace:
+        order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        idx = idx[order]
+    pixels = idx.reshape(-1).tolist()
+
+    mcs = max(2, ct_bits)  # LZW minimum code size
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    # variable-width LZW with a dict-of-tuples string table
+    out_codes = []
+    table_next = eoi + 1
+    width = mcs + 1
+    strings: dict = {(c,): c for c in range(1 << mcs)}
+    out_bits = bytearray()
+    acc = 0
+    nacc = 0
+
+    def emit(code: int, w_: int) -> None:
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += w_
+        while nacc >= 8:
+            out_bits.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    emit(clear, width)
+    cur = (pixels[0],)
+    for p in pixels[1:]:
+        nxt = cur + (p,)
+        if nxt in strings:
+            cur = nxt
+            continue
+        emit(strings[cur], width)
+        if table_next < 4096:
+            strings[nxt] = table_next
+            table_next += 1
+            if table_next - 1 == (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(clear, width)
+            strings = {(c,): c for c in range(1 << mcs)}
+            table_next = eoi + 1
+            width = mcs + 1
+        cur = (p,)
+    emit(strings[cur], width)
+    emit(eoi, width)
+    if nacc:
+        out_bits.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (ct_bits - 1), 0, 0])  # GCT flag + size, bg, aspect
+    out += table.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out += bytes([0x40 if interlace else 0])
+    out += bytes([mcs])
+    for i in range(0, len(out_bits), 255):
+        chunk = out_bits[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(b: bytes) -> "np.ndarray":
+    """Decode a single-frame GIF87a/89a to an (H, W, 3) uint8 RGB array
+    — header + logical-screen walk, global/local color tables,
+    extension-block skip, sub-block reassembly, variable-width LZW
+    string-table decode (Clear/EOI, deferred-clear tolerant), 4-pass
+    de-interlace.  Animated inputs decode their FIRST frame (the
+    corpus-ingest contract: one representative frame per asset);
+    truncated streams, bad codes, and pixel over/underruns raise.
+
+    Scale note: LZW is an inherently sequential code stream — decoded
+    per-file as an interpreter loop inside the Arrow batch, like
+    JPEG's Huffman pass; the palette lookup that follows is vectorized
+    numpy."""
+    import numpy as np
+
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh = struct.unpack_from("<HH", b, 6)
+    packed, _bg, _aspect = b[10], b[11], b[12]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(b):
+            raise ValueError("truncated GIF color table")
+        gct = np.frombuffer(b[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(b):
+        block = b[pos]
+        pos += 1
+        if block == 0x3B:
+            raise ValueError("GIF ended before image data")
+        if block == 0x21:  # extension: label + sub-blocks
+            if pos >= len(b):
+                raise ValueError("truncated GIF extension")
+            pos += 1
+            while True:
+                if pos >= len(b):
+                    raise ValueError("truncated GIF extension")
+                ln = b[pos]
+                pos += 1 + ln
+                if ln == 0:
+                    break
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02X}")
+        # image descriptor
+        left, top, iw, ih = struct.unpack_from("<HHHH", b, pos)
+        ipacked = b[pos + 8]
+        pos += 9
+        if iw == 0 or ih == 0:
+            raise ValueError("degenerate GIF frame dimensions")
+        ct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            if pos + 3 * n > len(b):
+                raise ValueError("truncated GIF local color table")
+            ct = np.frombuffer(b[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("GIF frame has no color table")
+        interlaced = bool(ipacked & 0x40)
+        if pos >= len(b):
+            raise ValueError("truncated GIF image data")
+        mcs = b[pos]
+        pos += 1
+        if not 2 <= mcs <= 11:
+            raise ValueError("invalid GIF LZW minimum code size")
+        data = bytearray()
+        while True:
+            if pos >= len(b):
+                raise ValueError("truncated GIF sub-blocks")
+            ln = b[pos]
+            pos += 1
+            if ln == 0:
+                break
+            data += b[pos : pos + ln]
+            pos += ln
+        # LZW decode
+        clear, eoi = 1 << mcs, (1 << mcs) + 1
+        need = iw * ih
+        out_idx = np.empty(need, dtype=np.int64)
+        got = 0
+        width = mcs + 1
+        table: list[tuple] = [(c,) for c in range(1 << mcs)] + [(), ()]
+        prev: tuple | None = None
+        acc = 0
+        nacc = 0
+        di = 0
+        finished = False
+        while not finished:
+            while nacc < width:
+                if di >= len(data):
+                    raise ValueError("truncated GIF LZW stream")
+                acc |= data[di] << nacc
+                nacc += 8
+                di += 1
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nacc -= width
+            if code == clear:
+                table = [(c,) for c in range(1 << mcs)] + [(), ()]
+                width = mcs + 1
+                prev = None
+                continue
+            if code == eoi:
+                finished = True
+                continue
+            if prev is None:
+                if code >= len(table) or not table[code]:
+                    raise ValueError("invalid first GIF LZW code")
+                entry = table[code]
+            elif code < len(table) and (table[code] or code < clear):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + (prev[0],)
+            else:
+                raise ValueError("corrupt GIF LZW code")
+            if got + len(entry) > need:
+                raise ValueError("GIF pixel overrun")
+            out_idx[got : got + len(entry)] = entry
+            got += len(entry)
+            if prev is not None and len(table) < 4096:
+                table.append(prev + (entry[0],))
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+        if got != need:
+            raise ValueError("GIF pixel underrun")
+        if int(out_idx.max()) >= len(ct):
+            raise ValueError("GIF index outside color table")
+        frame = ct[out_idx].reshape(ih, iw, 3)
+        if interlaced:
+            order = (
+                list(range(0, ih, 8)) + list(range(4, ih, 8))
+                + list(range(2, ih, 4)) + list(range(1, ih, 2))
+            )
+            out = np.empty_like(frame)
+            out[order] = frame
+            frame = out
+        return frame.copy()
+    raise ValueError("truncated GIF (no image descriptor)")
+
+
 def decode_payload(b: bytes) -> "np.ndarray":
     """Format dispatch by magic bytes: BM → BMP, P6 → PPM, the 8-byte
     PNG signature → PNG (r13), SOI 0xFFD8 → baseline JPEG (r14 — the
@@ -1218,6 +1461,8 @@ def decode_payload(b: bytes) -> "np.ndarray":
         return decode_png(b)
     if b[:2] == _JPEG_SOI:
         return decode_jpeg(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(b)
     raise ValueError(f"unrecognized image magic {b[:2]!r}")
 
 
@@ -1334,19 +1579,164 @@ def encode_wav(
     )
 
 
+# --------------------------------------------------------------------------
+# IMA/DVI ADPCM (WAV format tag 0x11) — pure numpy + stdlib, public spec
+# (IMA Digital Audio Pack, 1992; the step/index tables are the published
+# constants).  r14: the audio branch of the lossy-codec story — 4-bit
+# adaptive-delta coding, 4:1 over PCM16, the compressed-WAV variant
+# decode_wav used to reject.  Mono only; stereo ADPCM interleaving is
+# rejected explicitly.
+# --------------------------------------------------------------------------
+
+_ADPCM_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544,
+    598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707,
+    1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871,
+    5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_ADPCM_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _adpcm_step(nibble: int, pred: int, idx: int) -> tuple[int, int]:
+    """One IMA ADPCM state transition: decode ``nibble`` against
+    (pred, idx), returning the new (pred, idx).  The ENCODER runs the
+    identical transition so both sides track the same predictor."""
+    step = _ADPCM_STEPS[idx]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _ADPCM_INDEX[nibble]))
+    return pred, idx
+
+
+def encode_adpcm_wav(
+    samples: "np.ndarray", sample_rate: int = 8000, block_align: int = 256
+) -> bytes:
+    """Encode a 1-D int16 mono array as an IMA-ADPCM WAV (format 0x11):
+    per ``block_align``-byte block, a 4-byte header carrying sample 0
+    EXACTLY (int16) + the current step index, then 4-bit adaptive
+    deltas, low nibble first.  A ``fact`` chunk records the true
+    sample count so decode trims the final block's padding.  Lossy in
+    general — but a waveform CONSTANT within each block round-trips
+    bit-exactly (header sample exact; zero deltas keep step 7 whose
+    ``step >> 3`` increment is 0), which is what the
+    ``audio_decode_adpcm`` oracle fixture exploits (same pattern as
+    the JPEG DC-exact fixture)."""
+    import numpy as np
+
+    if samples.ndim != 1 or samples.dtype != np.int16:
+        raise ValueError("encode_adpcm_wav needs a 1-D int16 array")
+    if block_align < 8:
+        raise ValueError("block_align must be >= 8")
+    n_total = len(samples)
+    if n_total == 0:
+        raise ValueError("cannot encode an empty waveform")
+    spb = (block_align - 4) * 2 + 1
+    idx = 0
+    blocks = bytearray()
+    s = samples.astype(np.int64)
+    for b0 in range(0, n_total, spb):
+        blk = s[b0 : b0 + spb]
+        if len(blk) < spb:  # pad the tail block by repeating the last sample
+            blk = np.concatenate([blk, np.full(spb - len(blk), blk[-1])])
+        pred = int(blk[0])
+        blocks += struct.pack("<hBB", pred, idx, 0)
+        nibbles = []
+        for x in blk[1:]:
+            step = _ADPCM_STEPS[idx]
+            diff = int(x) - pred
+            n = 0
+            if diff < 0:
+                n = 8
+                diff = -diff
+            if diff >= step:
+                n |= 4
+                diff -= step
+            if diff >= step >> 1:
+                n |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                n |= 1
+            pred, idx = _adpcm_step(n, pred, idx)
+            nibbles.append(n)
+        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+            blocks.append(lo | (hi << 4))
+    byte_rate = (sample_rate * block_align + spb - 1) // spb
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, sample_rate, byte_rate, block_align, 4, 2, spb
+    )
+    fact = struct.pack("<I", n_total)
+    return (
+        struct.pack(
+            "<4sI4s", b"RIFF",
+            4 + 8 + len(fmt) + 8 + len(fact) + 8 + len(blocks), b"WAVE",
+        )
+        + struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+        + struct.pack("<4sI", b"fact", len(fact)) + fact
+        + struct.pack("<4sI", b"data", len(blocks)) + blocks
+    )
+
+
+def _decode_ima_adpcm(
+    fmt: tuple, fact_samples: int | None, data: bytes
+) -> "np.ndarray":
+    """Decode the data chunk of an IMA-ADPCM WAV to int16 samples.
+    Sequential by nature (each nibble updates the predictor), run as a
+    per-file interpreter loop like JPEG's Huffman pass — bounded by
+    coded size.  Validates block structure, nibble counts, and the
+    fact-chunk trim."""
+    import numpy as np
+
+    _, n_channels, _rate, _br, block_align, bits = fmt[:6]
+    if n_channels != 1:
+        raise ValueError("only mono IMA ADPCM is supported")
+    if bits != 4:
+        raise ValueError("IMA ADPCM requires 4 bits per sample")
+    if block_align < 8 or len(data) % block_align:
+        raise ValueError("ADPCM data chunk not aligned to whole blocks")
+    spb = (block_align - 4) * 2 + 1
+    out = []
+    for b0 in range(0, len(data), block_align):
+        blk = data[b0 : b0 + block_align]
+        pred, idx, _res = struct.unpack_from("<hBB", blk, 0)
+        if idx > 88:
+            raise ValueError("ADPCM step index out of range")
+        samples = [pred]
+        for byte in blk[4:]:
+            for n in (byte & 0xF, byte >> 4):
+                pred, idx = _adpcm_step(n, pred, idx)
+                samples.append(pred)
+        out.extend(samples)
+    total = fact_samples if fact_samples is not None else len(out)
+    if total > len(out):
+        raise ValueError("ADPCM fact chunk declares more samples than coded")
+    return np.array(out[:total], dtype=np.int16)
+
+
 def decode_wav(b: bytes) -> tuple[int, int, "np.ndarray"]:
     """Decode a mono or stereo 16-bit PCM WAV to (sample_rate,
     n_channels, int16 samples INTERLEAVED) — the inverse of
     :func:`encode_wav`.  Walks the RIFF chunk list (so files with
     extra chunks, e.g. LIST metadata, still parse); rejects
-    non-RIFF/WAVE magic, compressed formats, >2 channels,
-    non-16-bit variants, and truncated chunks explicitly (r11 widens
-    the r10 mono-only contract to stereo per VERDICT r10 #5)."""
+    non-RIFF/WAVE magic, unknown compressed formats, >2 channels,
+    non-16-bit PCM variants, and truncated chunks explicitly (r11
+    widens the r10 mono-only contract to stereo per VERDICT r10 #5;
+    r14 routes format 0x11 — mono IMA ADPCM — through
+    :func:`_decode_ima_adpcm` instead of rejecting it)."""
     import numpy as np
 
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, fmt, data = 12, None, None
+    pos, fmt, data, fact = 12, None, None, None
     while pos + 8 <= len(b):
         cid, size = struct.unpack_from("<4sI", b, pos)
         if pos + 8 + size > len(b):
@@ -1365,10 +1755,15 @@ def decode_wav(b: bytes) -> tuple[int, int, "np.ndarray"]:
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
+        elif cid == b"fact":
+            if size >= 4:
+                (fact,) = struct.unpack_from("<I", body, 0)
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_fmt, n_channels, rate, _, _, bits = fmt
+    if audio_fmt == 0x11:
+        return rate, 1, _decode_ima_adpcm(fmt, fact, data)
     if audio_fmt != 1 or n_channels not in (1, 2) or bits != 16:
         raise ValueError(
             f"unsupported WAV variant (fmt={audio_fmt}, ch={n_channels}, bits={bits})"
@@ -2022,6 +2417,7 @@ def audio_fingerprint(
     n_bands: int = 8,
     id_col: str = "doc_id",
     id_type: str = "bigint",
+    pool: str = "point",
 ) -> DataFrame:
     """Audio near-dup fingerprint over decoded MONO audio (round 12 —
     the third-modality mirror of :func:`dhash_bands`): nearest-neighbor
@@ -2039,6 +2435,12 @@ def audio_fingerprint(
     rationale: 8 probes of 16 bits ⇒ pigeonhole radius 7 with
     corpus-scale probe-key cardinality (r13, VERDICT r12).
 
+    ``pool`` picks the downsample (r14, mirroring dhash_bands): "point"
+    (one sample per segment — exact-resample twins, SQL-oracleable) or
+    "box" (integer segment means via a prefix sum — the pooling that
+    survives LOSSY audio codecs: an IMA-ADPCM step-convergence
+    transient moves one sample a lot but a ~50-sample mean barely).
+
     Scale: one Arrow-vectorized mapInPandas stage (numpy index map +
     vectorized compares), zero shuffle, 1 row out per clip.
     """
@@ -2051,6 +2453,8 @@ def audio_fingerprint(
     if bpb > 62:
         raise ValueError("band width must fit a signed 64-bit integer")
     band_cols = [f"b{j}" for j in range(n_bands)]
+    if pool not in ("point", "box"):
+        raise ValueError("pool must be 'point' or 'box'")
     out_type = "int" if bpb <= 31 else "bigint"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2073,7 +2477,17 @@ def audio_fingerprint(
                         f"cannot fingerprint empty waveform (id={key!r})"
                     )
                 s = np.frombuffer(bytes(pcm), dtype="<i2").astype(np.int64)
-                r = s[(np.arange(fp_samples) * n) // fp_samples]
+                if pool == "point":
+                    r = s[(np.arange(fp_samples) * n) // fp_samples]
+                else:
+                    # integer mean per segment [k·n/F, (k+1)·n/F) via a
+                    # prefix sum — segment means absorb codec transients
+                    # (ADPCM step convergence) a single sample inherits
+                    edges = (np.arange(fp_samples + 1) * n) // fp_samples
+                    cs = np.zeros(n + 1, dtype=np.int64)
+                    cs[1:] = np.cumsum(s)
+                    widths = np.maximum(edges[1:] - edges[:-1], 1)
+                    r = (cs[edges[1:]] - cs[edges[:-1]]) // widths
                 bits = (r[1:] > r[:-1]).astype(np.int64)
                 bands = [
                     int((bits[j * bpb : (j + 1) * bpb] * weights).sum())

@@ -2333,6 +2333,7 @@ def _decoded_shards(
         "ppm": _stage_ppm_shards,
         "png": _stage_png_shards,
         "jpg": _stage_jpeg_shards,
+        "gif": _stage_gif_shards,
     }.get(fmt, _stage_bmp_shards)
     files = (
         spark.read.format("binaryFile")
@@ -2385,6 +2386,53 @@ def q_image_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["image_decode_png"] = ORACLES["image_decode"]
+
+
+def _stage_gif_shards(spark: SparkSession, sf_dir: str) -> str:
+    """GIF twin of _stage_png_shards (r14): the SAME synthetic
+    per-source pixels (≤ 187 distinct colors — inside GIF's 256-color
+    contract by construction), palette-quantized and LZW-coded; ODD
+    sources are written INTERLACED so the 4-pass de-interlace runs in
+    the production decode.  Lossless, so the decode oracle is
+    image_decode's verbatim — a palette, LZW, sub-block, or interlace
+    bug breaks the hash."""
+    import os as _os
+
+    from hdfs_stream_processing_spark.operators.multimodal import encode_gif
+
+    key = ("hsp_gif_staged_", sf_dir)
+    if key in _STAGE_CACHE:
+        return _STAGE_CACHE[key]
+    (documents,) = prep(spark, sf_dir, "documents")
+    img_dir = _mkdtemp("hsp_gif_src_", sf_dir)
+    for row in documents.select("source").distinct().collect():
+        n = int(row["source"][3:])
+        arr = _synth_image(n, 11 + n % 7, 6 + n % 5)
+        with open(_os.path.join(img_dir, f"{row['source']}.gif"), "wb") as f:
+            f.write(encode_gif(arr, interlace=bool(n % 2)))
+    _STAGE_CACHE[key] = img_dir
+    return img_dir
+
+
+@query("image_decode_gif", None)  # oracle assigned below: image_decode's
+def q_image_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PALETTE-format decode (r14 — the third compression family in
+    the codec matrix, after deflate/PNG and DCT/JPEG): the same
+    per-source synthetic pixels staged as GIF89a — unique-color
+    palette + variable-width LZW string-table coding, odd sources
+    4-pass interlaced — decoded through the magic-byte dispatch by
+    operators/multimodal.py::decode_gif.  Output must equal the
+    BMP/PPM/PNG decodes bit-for-bit, so the oracle IS image_decode's:
+    a color-table, LZW-width, sub-block-reassembly, or de-interlace
+    bug breaks the value hash."""
+    from hdfs_stream_processing_spark.operators.multimodal import image_stats
+
+    return image_stats(
+        _decoded_shards(spark, sf_dir, fmt="gif"), id_col="source", id_type="string"
+    )
+
+
+ORACLES["image_decode_gif"] = ORACLES["image_decode"]
 
 
 def _stage_jpeg_shards(spark: SparkSession, sf_dir: str) -> str:
@@ -2713,6 +2761,91 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return audio_stats(
         _decoded_audio(spark, sf_dir), id_col="source", id_type="string"
+    )
+
+
+def _stage_adpcm_shards(spark: SparkSession, sf_dir: str) -> str:
+    """IMA-ADPCM WAV shards whose decode is BIT-EXACT (r14 — the audio
+    mirror of _stage_jpeg_shards): per-source waves CONSTANT within
+    each 17-sample ADPCM block (block_align=12: 4-byte header + 8
+    nibble bytes).  Every block header carries its first sample
+    exactly, and zero deltas keep the step at 7 whose ``step >> 3``
+    increment is 0, so the lossy codec gets a lossless fixture and the
+    oracle regenerates every sample arithmetically — full independent
+    SQL verification of the block walk, nibble unpack, and predictor
+    state machine."""
+    import os as _os
+
+    import numpy as np
+
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        encode_adpcm_wav,
+    )
+
+    key = ("hsp_adpcmdec_staged_", sf_dir)
+    if key in _STAGE_CACHE:
+        return _STAGE_CACHE[key]
+    (documents,) = prep(spark, sf_dir, "documents")
+    wav_dir = _mkdtemp("hsp_adpcmdec_src_", sf_dir)
+    for row in documents.select("source").distinct().collect():
+        n = int(row["source"][3:])
+        length = 50 + n % 17
+        i = np.arange(length, dtype=np.int64)
+        wave = (((37 * (i // 17) + 3 * n) % 401) - 200).astype(np.int16)
+        with open(_os.path.join(wav_dir, f"{row['source']}.wav"), "wb") as f:
+            f.write(encode_adpcm_wav(wave, 8000, block_align=12))
+    _STAGE_CACHE[key] = wav_dir
+    return wav_dir
+
+
+@query(
+    "audio_decode_adpcm",
+    f"""WITH {_WAV_DIMS_SQL},
+       samp AS (SELECT d.source, d.len, i.i,
+                       ((37 * (i.i // 17) + 3 * d.n) % 401) - 200 AS amp
+                FROM dims d
+                CROSS JOIN (SELECT CAST(generate_series AS INTEGER) AS i
+                            FROM generate_series(0, 65)) i
+                WHERE i.i < d.len)
+       SELECT source,
+              CAST(8000 AS INTEGER) AS sample_rate,
+              CAST(MIN(len) AS INTEGER) AS n_samples,
+              CAST(SUM(amp) AS BIGINT) AS sum_amp,
+              CAST(SUM((i + 1) * amp) AS BIGINT) AS wsum_amp
+       FROM samp GROUP BY source""",
+)
+def q_audio_decode_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED-audio decode, verified bit-exactly (r14 — the audio
+    mirror of image_decode_jpeg): per-source IMA-ADPCM WAV shards
+    (format 0x11 — the compressed variant decode_wav rejected until
+    r14) decoded through the same binaryFile → decode_audio path as
+    PCM, reduced to exact amplitude sums + position-weighted
+    checksums.  The fixture is block-exact by construction (see
+    _stage_adpcm_shards), so the oracle regenerates every sample
+    arithmetically: a block-align, nibble-order, step-table, or
+    predictor-clamp bug breaks the value hash.  The general lossy
+    path (step-adaptation transients and all) is exercised by
+    audio_dedup_adpcm's match-set oracle."""
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        audio_stats,
+        decode_audio,
+    )
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .load(_stage_adpcm_shards(spark, sf_dir))
+    )
+    payloads = files.select(
+        F.regexp_extract(F.col("path"), r"([^/]+)\.wav$", 1).alias("source"),
+        F.col("content").alias("payload"),
+    )
+    return audio_stats(
+        decode_audio(
+            payloads, id_col="source", payload_col="payload", id_type="string"
+        ),
+        id_col="source",
+        id_type="string",
     )
 
 

@@ -1089,3 +1089,189 @@ def q_image_dedup_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hamming=_IMG_HAMMING_T,
         probe_bits=16,
     ).select("id_a", "id_b")
+
+
+@query(
+    "image_dedup_combo",
+    f"""WITH {_TEX_DIMS_SQL},
+       {_phash_grid_sql("go", _PHASH_ORIG_SX, _PHASH_ORIG_SY)},
+       {_phash_grid_sql("gv", _PHASH_VAR_SX, _PHASH_VAR_SY)},
+       {_PHASH_BITS_TPL.format(grid="bo", src="go")},
+       {_PHASH_BITS_TPL.format(grid="bv", src="gv")},
+       items AS (SELECT source AS id, i, bit FROM bo
+                 UNION ALL
+                 SELECT source || '_r' AS id, i, bit FROM bv)
+       SELECT a.id AS id_a, b.id AS id_b,
+              CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INTEGER)
+                  AS hamming
+       FROM items a JOIN items b ON a.i = b.i AND a.id < b.id
+       GROUP BY a.id, b.id
+       HAVING SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)
+              <= {_IMG_HAMMING_T - 1}""",
+)
+def q_image_dedup_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMBINATORIAL-probe perceptual near-dup (r14, VERDICT r13 #4 —
+    the 10⁹-item parameterization, driver-oracled on the same mixed
+    BMP+PNG corpus as image_dedup_near): identical decode → 256-bit
+    dHash head, but the matcher probes ordered PAIRS of 16-bit blocks
+    concatenated into 32-bit keys (`probe_blocks=2`, Manku, Jain &
+    Das Sarma, WWW 2007) — C(16,2) = 120 probe tables whose
+    random-collision floor is N²·120/2^33, ~4,000× below the
+    single-block mode's, the difference between an infeasible and a
+    linear-ish candidate join at 10⁹ items (measured at 4,000 items in
+    SCALE.md §Round-14: false candidate pairs 205.6k → 32.0k image,
+    20.8k → 0 audio).  The price is ONE unit of guaranteed radius
+    (P−2 = 14 vs 15), so the oracle is the brute-force all-pairs
+    Hamming at radius 14 — the banding must be invisible at ITS
+    radius, exactly like the single-block contract.  On this fixture
+    every original still matches its PNG re-encode (same-source
+    Hamming ≤ 15 mostly lands ≤ 14; pairs at exactly 15 are excluded
+    by BOTH sides)."""
+    from hdfs_stream_processing_spark.operators.dedup import banded_hamming_pairs
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        decode_image,
+        dhash_bands,
+    )
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.{bmp,png}")
+        .load(_stage_tex_mixed(spark, sf_dir))
+    )
+    payloads = files.select(
+        F.regexp_extract(
+            F.col("path"), r"([^/]+)\.(?:bmp|png)$", 1
+        ).alias("source"),
+        F.col("content").alias("payload"),
+    )
+    corpus = decode_image(
+        payloads, id_col="source", payload_col="payload", id_type="string"
+    )
+    fp = dhash_bands(corpus, id_col="source", id_type="string")
+    return banded_hamming_pairs(
+        fp,
+        "source",
+        [f"b{j}" for j in range(8)],
+        band_bits=32,
+        max_hamming=_IMG_HAMMING_T - 1,
+        probe_bits=16,
+        probe_blocks=2,
+    )
+
+
+# §Fixture: margin-guarded waves for the LOSSY audio-codec twin (r14 —
+# the audio mirror of the JPEG photo fixture): 129 constant segments
+# aligned 1:1 with the fingerprint grid, adjacent segment values ≥ 2000
+# apart, segments long enough (127+ samples) that IMA ADPCM's step-
+# convergence transient after each jump amortizes out of the segment
+# mean.  Measured over 200 sources: box-pooled fingerprint moves 0 bits
+# under an ADPCM re-encode; cross-source min 38 (pytest-pinned).
+# ========================================================================
+
+
+def _synth_margin_wave(n: int):
+    """Deterministic int16 wave for source #n: 129 flat segments of
+    (127 + n%13) samples; each value sits in a low (−12000…) or high
+    (+12000…) band with 2500-wide sublevels, bumped so adjacent
+    segments differ by ≥ 2000."""
+    import numpy as np
+
+    seg_len = 127 + n % 13
+    vals = np.zeros(129, dtype=np.int64)
+    prev = -(10 ** 6)
+    for k in range(129):
+        band = (
+            (k * (73 + 11 * n) + n * 101 + k * k * (37 + 3 * n)) % 251
+        ) & 1
+        base = -12000 if band == 0 else 12000
+        sub = (
+            (k * (97 + 13 * n) + n * 67 + k * k * (41 + 9 * n)) % 251
+        ) % 3
+        for _ in range(3):
+            v = base + 2500 * sub
+            if abs(v - prev) >= 2000:
+                break
+            sub = (sub + 1) % 3
+        vals[k] = v
+        prev = v
+    return np.repeat(vals, seg_len).astype(np.int16)
+
+
+def _stage_wave_adpcm_mixed(spark: SparkSession, sf_dir: str) -> str:
+    """PCM16 originals PLUS an IMA-ADPCM re-encode of each
+    (``srcN_a.wav``) in ONE landing dir — both are .wav by container,
+    different codecs by fmt tag, so the SAME binaryFile scan and the
+    SAME decode_wav dispatch handle both (the audio mirror of the
+    BMP+JPEG mixed dir).  Driver work bounded by the source count."""
+    import os as _os
+
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        encode_adpcm_wav,
+        encode_wav,
+    )
+
+    key = ("hsp_adpcm_staged_", sf_dir)
+    if key in _STAGE_CACHE:
+        return _STAGE_CACHE[key]
+    (documents,) = prep(spark, sf_dir, "documents")
+    wav_dir = _mkdtemp("hsp_adpcm_src_", sf_dir)
+    for row in documents.select("source").distinct().collect():
+        n = int(row["source"][3:])
+        wave = _synth_margin_wave(n)
+        with open(_os.path.join(wav_dir, f"{row['source']}.wav"), "wb") as f:
+            f.write(encode_wav(wave, 8000))
+        with open(_os.path.join(wav_dir, f"{row['source']}_a.wav"), "wb") as f:
+            f.write(encode_adpcm_wav(wave, 8000))
+    _STAGE_CACHE[key] = wav_dir
+    return wav_dir
+
+
+@query(
+    "audio_dedup_adpcm",
+    """SELECT source AS id_a, source || '_a' AS id_b
+       FROM (SELECT DISTINCT source FROM documents) s""",
+)
+def q_audio_dedup_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio near-dup across a LOSSY codec (r14 — the audio
+    mirror of image_dedup_jpeg): every PCM16 original next to its
+    IMA-ADPCM 4-bit re-encode (operators/multimodal.py::
+    encode_adpcm_wav / _decode_ima_adpcm — 4:1 compression, adaptive-
+    delta loss), both decoded by the SAME decode_wav dispatch on the
+    fmt tag, fingerprinted with BOX pooling (segment means absorb the
+    ADPCM step-convergence transients a point sample inherits), and
+    matched by banded_hamming_pairs at radius 7 with 16-bit probes.
+    The ADPCM-decoded samples are not SQL-expressible, so the oracle
+    checks the MATCH SET: by the measured margins (same-source 0 bits,
+    cross-source ≥ 38 over 200 sources — pytest-pinned) the matcher
+    must return exactly one pair per source, original ↔ its ADPCM
+    twin.  A codec, pooling, or matcher bug breaks that set."""
+    from hdfs_stream_processing_spark.operators.dedup import banded_hamming_pairs
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        audio_fingerprint,
+        decode_audio,
+    )
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .load(_stage_wave_adpcm_mixed(spark, sf_dir))
+    )
+    payloads = files.select(
+        F.regexp_extract(F.col("path"), r"([^/]+)\.wav$", 1).alias("source"),
+        F.col("content").alias("payload"),
+    )
+    corpus = decode_audio(
+        payloads, id_col="source", payload_col="payload", id_type="string"
+    )
+    fp = audio_fingerprint(
+        corpus, fp_samples=129, n_bands=8,
+        id_col="source", id_type="string", pool="box",
+    )
+    return banded_hamming_pairs(
+        fp,
+        "source",
+        [f"b{j}" for j in range(8)],
+        band_bits=16,
+        max_hamming=_AUD_HAMMING_T,
+        probe_bits=16,
+    ).select("id_a", "id_b")

@@ -711,3 +711,201 @@ def test_banded_hamming_combinatorial_validates():
         banded_hamming_pairs(None, "id", [f"b{j}" for j in range(8)],
                              band_bits=32, max_hamming=15, probe_bits=16,
                              probe_blocks=2)
+
+
+# ── r14: GIF codec (palette + LZW, third compression family) ────────────
+
+
+def test_gif_roundtrip_exact_including_interlace():
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        decode_gif,
+        decode_payload,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(4)
+    pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 256, size=(37, 53))]  # odd dims, full table
+    for il in (False, True):
+        out = decode_gif(encode_gif(img, interlace=il))
+        assert (out == img).all(), f"interlace={il}"
+    assert (decode_payload(encode_gif(img)) == img).all()
+
+
+def test_gif_lzw_table_wrap_on_large_noise():
+    """A 150×200 256-color noise frame forces the LZW string table to
+    4096 and through the encoder's Clear-and-rebuild path."""
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 256, size=(150, 200))]
+    assert (decode_gif(encode_gif(img)) == img).all()
+
+
+def test_gif_animated_decodes_first_frame():
+    """Corpus-ingest contract: an animated GIF yields its FIRST frame.
+    Built by splicing a second image block before the trailer."""
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(8)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    a = pal[rng.integers(0, 16, size=(10, 12))]
+    b_img = pal[rng.integers(0, 16, size=(10, 12))]
+    ga, gb = encode_gif(a), encode_gif(b_img)
+    # ga minus trailer + gb's image block (descriptor..sub-block end) + trailer
+    ib = gb.index(b"\x2c", 13)
+    spliced = ga[:-1] + gb[ib:]
+    assert (decode_gif(spliced) == a).all()
+
+
+def test_gif_rejects_malformed():
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(2)
+    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 8, size=(9, 9))]
+    good = encode_gif(img)
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"nope")
+    with pytest.raises(ValueError, match="256 distinct"):
+        x = np.arange(600, dtype=np.int64)
+        many = np.stack(
+            [np.tile(x % 256, (2, 1)), np.tile((x // 256) * 100, (2, 1)),
+             np.tile((x * 13) % 256, (2, 1))], axis=2
+        ).astype(np.uint8)
+        encode_gif(many)  # 600 distinct (r, g, b) triples
+    with pytest.raises(ValueError, match="truncated"):
+        decode_gif(good[:20])
+    with pytest.raises(ValueError, match="truncated|ended before"):
+        decode_gif(good[:-6])
+    # pixel overrun: corrupt the height field downward
+    import struct as _s
+    bad = bytearray(good)
+    bad[8:10] = _s.pack("<H", 4)   # logical screen height (harmless)
+    w, = _s.unpack_from("<H", good, 6)
+    ib = good.index(b"\x2c", 13)
+    bad2 = bytearray(good)
+    bad2[ib + 7 : ib + 9] = _s.pack("<H", 3)  # frame height shrunk
+    with pytest.raises(ValueError, match="overrun|corrupt|truncated"):
+        decode_gif(bytes(bad2))
+
+
+# ── r14: IMA ADPCM codec (lossy audio, 4-bit adaptive delta) ────────────
+
+
+def test_adpcm_block_constant_is_bit_exact():
+    """The audio_decode_adpcm fixture contract: waves constant within
+    each 17-sample block (block_align=12) round-trip exactly — the
+    header carries sample 0 verbatim and zero deltas keep step 7."""
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        decode_wav,
+        encode_adpcm_wav,
+    )
+
+    vals = np.array([-32768, 32767, -200, 0, 17000], dtype=np.int64)
+    wave = np.repeat(vals, 17).astype(np.int16)[:80]  # partial tail block
+    rate, ch, out = decode_wav(encode_adpcm_wav(wave, 8000, block_align=12))
+    assert (rate, ch) == (8000, 1)
+    assert len(out) == 80 and (out == wave).all()
+
+
+def test_adpcm_lossy_error_bounded_on_general_waves():
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        decode_wav,
+        encode_adpcm_wav,
+    )
+
+    rng = np.random.default_rng(9)
+    wave = rng.integers(-3000, 3000, size=5000).astype(np.int16)
+    _, _, out = decode_wav(encode_adpcm_wav(wave, 8000))
+    assert len(out) == len(wave)
+    # 4-bit adaptive delta on white noise: bounded, nonzero error
+    err = np.abs(out.astype(int) - wave.astype(int))
+    assert 0 < err.max() < 6000
+
+
+def test_adpcm_rejects_malformed():
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        decode_wav,
+        encode_adpcm_wav,
+    )
+
+    wave = np.repeat(np.arange(5) * 100, 17).astype(np.int16)
+    good = encode_adpcm_wav(wave, 8000, block_align=12)
+    with pytest.raises(ValueError):
+        encode_adpcm_wav(np.array([], dtype=np.int16))
+    with pytest.raises(ValueError, match="block_align"):
+        encode_adpcm_wav(wave, 8000, block_align=4)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(good[:-5])
+    # mono-only: patch channels to 2 in the fmt chunk
+    bad = bytearray(good)
+    import struct as _s
+    fpos = good.index(b"fmt ") + 8
+    bad[fpos + 2 : fpos + 4] = _s.pack("<H", 2)
+    with pytest.raises(ValueError, match="mono"):
+        decode_wav(bytes(bad))
+
+
+def test_margin_wave_fixture_survives_adpcm():
+    """The audio_dedup_adpcm contract, measured: box-pooled fingerprint
+    bits move 0 under an ADPCM re-encode across 200 sources; distinct
+    sources differ by ≥ 30 bits (radius 7 with 4× headroom)."""
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        decode_wav,
+        encode_adpcm_wav,
+    )
+    from hdfs_stream_processing_spark.queries_percep import _synth_margin_wave
+
+    def box_bits(s, fp_samples=129):
+        n = len(s)
+        s = s.astype(np.int64)
+        edges = (np.arange(fp_samples + 1) * n) // fp_samples
+        cs = np.zeros(n + 1, dtype=np.int64)
+        cs[1:] = np.cumsum(s)
+        w = np.maximum(edges[1:] - edges[:-1], 1)
+        r = (cs[edges[1:]] - cs[edges[:-1]]) // w
+        return (r[1:] > r[:-1]).astype(np.int64)
+
+    bits, same = [], []
+    for n in range(200):
+        wave = _synth_margin_wave(n)
+        ob = box_bits(wave)
+        bits.append(ob)
+        _, _, out = decode_wav(encode_adpcm_wav(wave, 8000))
+        same.append(int(np.sum(ob != box_bits(out))))
+    assert max(same) == 0, max(same)
+    B = np.array(bits)
+    cross_min = min(
+        int(np.sum(B[i] != B[i + 1:], axis=1).min()) for i in range(199)
+    )
+    assert cross_min >= 30, cross_min
+
+
+def test_audio_fingerprint_box_pool_validates_and_differs(spark):
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        audio_fingerprint,
+    )
+
+    with pytest.raises(ValueError, match="pool"):
+        audio_fingerprint(None, pool="median")
+    decoded = _decoded_waves(spark, range(2))
+    point = audio_fingerprint(
+        decoded, id_col="source", id_type="string").collect()
+    box = audio_fingerprint(
+        decoded, id_col="source", id_type="string", pool="box").collect()
+    # both produce 8 bands; on the blocky fixture at least one band differs
+    assert len(point) == len(box) == 2
+    p0 = {r["source"]: tuple(r[f"b{j}"] for j in range(8)) for r in point}
+    b0 = {r["source"]: tuple(r[f"b{j}"] for j in range(8)) for r in box}
+    assert set(p0) == set(b0)

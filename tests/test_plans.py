@@ -340,6 +340,22 @@ SHUFFLE_BUDGETS = {
     # the audio streaming-dedup twin pays the same candidate-distinct
     # exchange as the image one
     "stream_audio_dedup": 1,
+    # r14: JPEG decode is a pure codec map (Huffman + IDCT per-file,
+    # inside the one mapInPandas stage); the lossy-twin matcher pays
+    # the same single candidate-distinct exchange as image_dedup_near
+    "image_decode_jpeg": 0,
+    "image_dedup_jpeg": 1,
+    # combinatorial probes widen the explode ×C(P,2)/P map-side but the
+    # plan shape is identical: one candidate-distinct exchange
+    "image_dedup_combo": 1,
+    # GIF decode: LZW + palette lookup per-file inside the one
+    # mapInPandas stage, zero shuffle like every decode query
+    "image_decode_gif": 0,
+    # ADPCM: decode is a per-file state machine in the decode stage
+    # (zero shuffle); the dedup twin pays the matcher's one
+    # candidate-distinct exchange
+    "audio_decode_adpcm": 0,
+    "audio_dedup_adpcm": 1,
 }
 
 
