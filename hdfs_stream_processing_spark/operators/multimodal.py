@@ -12,10 +12,14 @@ padding, bottom-up rows, BGR order), :func:`decode_image` /
 :func:`resize_image` / :func:`image_stats` compose as mapInPandas
 stages over (dims + raw RGB) frames, and the ``image_decode`` /
 ``image_resize`` queries oracle the whole path bit-exactly.  The
-compressed formats landed without any codec library: PNG in r13
-(stdlib zlib + numpy unfilter) and baseline JPEG in r14 (numpy DCT +
-a stdlib Huffman coder, ITU-T T.81 Annex K tables) — every decode
-routes through :func:`decode_payload`'s magic-byte dispatch.
+compressed formats landed without any codec library — PNG in r13
+(stdlib zlib + numpy unfilter), baseline JPEG and GIF in r14 (numpy
+DCT + a stdlib Huffman coder per ITU-T T.81 Annex K; palette +
+variable-width LZW per GIF89a) — every image decode routes through
+:func:`decode_payload`'s magic-byte dispatch, and compressed audio
+(IMA ADPCM, WAV format 0x11) through :func:`decode_wav`'s fmt-tag
+dispatch.  One compression family per axis: dictionary (deflate),
+transform (DCT), string-table (LZW), adaptive-delta (ADPCM).
 """
 
 from __future__ import annotations
