@@ -306,6 +306,8 @@ HEADLINE = [
     "image_decode_gif",
     "audio_decode_adpcm",
     "audio_dedup_adpcm",
+    "scan_gzip",
+    "scan_warc",
 ]
 
 

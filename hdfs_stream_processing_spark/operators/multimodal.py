@@ -860,7 +860,8 @@ def encode_jpeg(
     VERDICT r13 #3: the fixture-generating twin of :func:`decode_jpeg`,
     same role encode_png plays for PNG).
 
-    ``subsampling``: "444" (one block per component per MCU) or "420"
+    ``subsampling``: "444" (one block per component per MCU), "422"
+    (2×1 luma blocks, horizontally box-averaged chroma), or "420"
     (2×2 luma blocks + one 2×2-box-averaged block of each chroma per
     MCU — the layout that dominates real corpora).  ``restart_interval``
     > 0 emits DRI + cyclic RSTm markers every that-many MCUs.
@@ -873,8 +874,8 @@ def encode_jpeg(
 
     if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
         raise ValueError("encode_jpeg needs an (H, W, 3) uint8 array")
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
+    if subsampling not in ("444", "422", "420"):
+        raise ValueError("subsampling must be '444', '422', or '420'")
     h, w = arr.shape[:2]
     qt_lum, qt_chrom = _jpeg_quality_tables(quality)
     C = _jpeg_dct_matrix()
@@ -892,20 +893,25 @@ def encode_jpeg(
             128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b,
             128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b,
         ]
-        if subsampling == "420":
-            samp = [(2, 2), (1, 1), (1, 1)]
+        if subsampling in ("420", "422"):
+            fy = 2 if subsampling == "420" else 1  # vertical chroma factor
+            samp = [(2, fy), (1, 1), (1, 1)]
             planes = [ycc[0]]
             for p in ycc[1:]:
-                # 2×2 box average; pad odd dims by edge-replication first
+                # box average (2×2 for 420, 2×1 for 422); pad odd dims by
+                # edge-replication first
                 ph = p
-                if ph.shape[0] % 2:
+                if fy == 2 and ph.shape[0] % 2:
                     ph = np.vstack([ph, ph[-1:]])
                 if ph.shape[1] % 2:
                     ph = np.hstack([ph, ph[:, -1:]])
-                planes.append(
-                    (ph[0::2, 0::2] + ph[0::2, 1::2] + ph[1::2, 0::2]
-                     + ph[1::2, 1::2]) / 4.0
-                )
+                if fy == 2:
+                    planes.append(
+                        (ph[0::2, 0::2] + ph[0::2, 1::2] + ph[1::2, 0::2]
+                         + ph[1::2, 1::2]) / 4.0
+                    )
+                else:
+                    planes.append((ph[:, 0::2] + ph[:, 1::2]) / 2.0)
         else:
             samp = [(1, 1), (1, 1), (1, 1)]
             planes = ycc

@@ -2323,3 +2323,164 @@ def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ratio, 6).alias("recall"),
         (ratio >= F.lit(0.9)).alias("within_bound"),
     )
+
+
+# ── r14: archive-container ingest (gzip members, WARC records) ──────────
+
+
+def _stage_gzip_shards(spark: SparkSession, sf_dir: str) -> str:
+    """Per-source ``.txt.gz`` line shards, each a MULTI-member gzip
+    stream (two members split mid-corpus — the layout parallel
+    writers and `gzip -c a b` produce, which a naive single-member
+    reader silently truncates at the first trailer).  Lines are
+    ``doc_id<TAB>text``; driver work bounded by the source count."""
+    import os as _os
+
+    from hdfs_stream_processing_spark.sources.archive import gzip_member
+
+    key = ("hsp_gz_staged_", sf_dir)
+    if key in _STAGE_CACHE:
+        return _STAGE_CACHE[key]
+    (documents,) = prep(spark, sf_dir, "documents")
+    gz_dir = _mkdtemp("hsp_gz_src_", sf_dir)
+    shards = (
+        documents.groupBy("source")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "text"))
+            ).alias("docs")
+        )
+        .collect()
+    )
+    for row in shards:
+        lines = [f"{d['doc_id']}\t{d['text']}\n" for d in row["docs"]]
+        half = len(lines) // 2
+        blob = gzip_member("".join(lines[:half]).encode()) + gzip_member(
+            "".join(lines[half:]).encode()
+        )
+        with open(_os.path.join(gz_dir, f"{row['source']}.txt.gz"), "wb") as f:
+            f.write(blob)
+    _STAGE_CACHE[key] = gz_dir
+    return gz_dir
+
+
+@query(
+    "scan_gzip",
+    "SELECT doc_id, text FROM documents",
+)
+def q_scan_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed line-shard ingest (r14): the corpus staged as
+    multi-member ``.txt.gz`` shards — RFC 1952 parsed member by member
+    (header flags, raw-deflate body, CRC32 + ISIZE verified, inflate
+    bounded against deflate bombs) inside an Arrow mapInPandas stage
+    over ``binaryFile`` payloads (sources/archive.py::gunzip_members /
+    scan_gzip_text).  The identity oracle proves the round-trip is
+    lossless INCLUDING the member boundary — a single-member reader
+    drops the second half of every shard and fails the row count.  At
+    100 TB this is the ingest path for gzipped crawl/log corpora."""
+    from hdfs_stream_processing_spark.sources.archive import scan_gzip_text
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt.gz")
+        .load(_stage_gzip_shards(spark, sf_dir))
+    )
+    payloads = files.select(
+        F.regexp_extract(F.col("path"), r"([^/]+)\.txt\.gz$", 1).alias("source"),
+        F.col("content").alias("payload"),
+    )
+    return scan_gzip_text(payloads, id_col="source", payload_col="payload")
+
+
+def _stage_warc_shards(spark: SparkSession, sf_dir: str) -> str:
+    """Per-source ``.warc.gz`` shards in the Common Crawl layout: one
+    gzip member per WARC record — a ``warcinfo`` record first, then
+    one ``response`` per document (Target-URI and WARC-Date derived
+    deterministically from doc_id so the oracle can recompute them).
+    Driver work bounded by the source count."""
+    import os as _os
+
+    from hdfs_stream_processing_spark.sources.archive import (
+        build_warc_record,
+        gzip_member,
+    )
+
+    key = ("hsp_warc_staged_", sf_dir)
+    if key in _STAGE_CACHE:
+        return _STAGE_CACHE[key]
+    (documents,) = prep(spark, sf_dir, "documents")
+    warc_dir = _mkdtemp("hsp_warc_src_", sf_dir)
+    shards = (
+        documents.groupBy("source")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "text"))
+            ).alias("docs")
+        )
+        .collect()
+    )
+    for row in shards:
+        parts = [
+            gzip_member(
+                build_warc_record(
+                    "warcinfo",
+                    {"WARC-Record-ID": f"<urn:uuid:{row['source']}>"},
+                    b"software: hsp-spark fixture",
+                )
+            )
+        ]
+        for d in row["docs"]:
+            did = int(d["doc_id"])
+            rec = build_warc_record(
+                "response",
+                {
+                    "WARC-Target-URI": f"http://corpus.example/{row['source']}/{did}",
+                    "WARC-Date": f"2026-01-{1 + did % 28:02d}T00:00:00Z",
+                    "WARC-Record-ID": f"<urn:uuid:doc-{did}>",
+                },
+                d["text"].encode("utf-8"),
+            )
+            parts.append(gzip_member(rec))
+        with open(
+            _os.path.join(warc_dir, f"{row['source']}.warc.gz"), "wb"
+        ) as f:
+            f.write(b"".join(parts))
+    _STAGE_CACHE[key] = warc_dir
+    return warc_dir
+
+
+@query(
+    "scan_warc",
+    """SELECT 'http://corpus.example/' || source || '/'
+              || CAST(doc_id AS VARCHAR) AS url,
+              '2026-01-' || CASE WHEN 1 + doc_id % 28 < 10 THEN '0' ELSE '' END
+              || CAST(1 + doc_id % 28 AS VARCHAR) || 'T00:00:00Z' AS warc_date,
+              text
+       FROM documents""",
+)
+def q_scan_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC crawl-archive ingest (r14): the corpus staged as
+    ``.warc.gz`` shards in the Common Crawl layout — one gzip member
+    per record, a warcinfo record leading each file, documents as
+    ``response`` records — parsed by the ISO 28500 reader
+    (sources/archive.py::parse_warc_records: version line, header
+    block, Content-Length-delimited payload that may itself contain
+    record-boundary look-alikes, CRLF CRLF terminators) inside the
+    same Arrow mapInPandas shape as the media decodes.  Non-response
+    records are passed over, as a crawl reader must.  The oracle
+    recomputes URI, date, and text from the base table — a member-
+    boundary, header-parse, or payload-slicing bug breaks the hash.
+    THE ingest path for web-crawl corpora at 100 TB: splittable by
+    file, linear, no driver data path."""
+    from hdfs_stream_processing_spark.sources.archive import scan_warc
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(_stage_warc_shards(spark, sf_dir))
+    )
+    payloads = files.select(
+        F.regexp_extract(F.col("path"), r"([^/]+)\.warc\.gz$", 1).alias("source"),
+        F.col("content").alias("payload"),
+    )
+    return scan_warc(payloads, id_col="source", payload_col="payload")

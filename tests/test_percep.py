@@ -909,3 +909,22 @@ def test_audio_fingerprint_box_pool_validates_and_differs(spark):
     p0 = {r["source"]: tuple(r[f"b{j}"] for j in range(8)) for r in point}
     b0 = {r["source"]: tuple(r[f"b{j}"] for j in range(8)) for r in box}
     assert set(p0) == set(b0)
+
+
+def test_jpeg_422_roundtrip_bounded():
+    """The decoder's 4:2:2 path (h=2, v=1 sampling) exercised via the
+    encoder's subsampling='422' mode — dims odd on both axes."""
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    x = np.arange(23)[None, :]
+    y = np.arange(17)[:, None]
+    arr = np.stack(
+        [(x * 3 + y * 2) % 200 + 20, (x * 2 + y * 5) % 180 + 30,
+         (x + y) % 160 + 40], axis=2
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(arr, quality=90, subsampling="422"))
+    assert out.shape == arr.shape
+    assert np.abs(out.astype(int) - arr.astype(int)).max() <= 110

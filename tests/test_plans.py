@@ -356,6 +356,10 @@ SHUFFLE_BUDGETS = {
     # candidate-distinct exchange
     "audio_decode_adpcm": 0,
     "audio_dedup_adpcm": 1,
+    # archive ingest: binaryFile scan -> per-file gunzip/WARC parse in
+    # one mapInPandas stage, zero shuffle
+    "scan_gzip": 0,
+    "scan_warc": 0,
 }
 
 
