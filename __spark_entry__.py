@@ -47,7 +47,7 @@ _VERIFY_FIRST = [
     # new round-14 registrations, inserted as they land:
     "image_decode_jpeg", "image_dedup_jpeg", "image_dedup_combo",
     "image_decode_gif", "audio_decode_adpcm", "audio_dedup_adpcm",
-    "scan_gzip", "scan_warc",
+    "scan_gzip", "scan_warc", "image_decode_jpeg_prog",
     # oldest-attestation-first refresh (the 37 r8-era rows):
     "golden_record", "group_agg", "hll_intersect", "incr_checksum",
     "incr_golden", "incr_join", "incr_retract", "join_anti",
@@ -61,7 +61,6 @@ _VERIFY_FIRST = [
     "winsorize_prices",
     # then the alphabetically-first r9-era rows, to 50:
     "align_pipeline", "approx_distinct_ok", "asof_join", "bpe_apply",
-    "bpe_encode",
 ]
 
 

@@ -308,6 +308,7 @@ HEADLINE = [
     "audio_dedup_adpcm",
     "scan_gzip",
     "scan_warc",
+    "image_decode_jpeg_prog",
 ]
 
 

@@ -854,28 +854,42 @@ def encode_jpeg(
     subsampling: str = "444",
     restart_interval: int = 0,
     grayscale: bool = False,
+    progressive: bool = False,
 ) -> bytes:
-    """Encode an (H, W, 3) uint8 RGB array as a sequential-baseline JFIF
-    JPEG — pure numpy DCT + stdlib bit packing, no codec library (r14,
-    VERDICT r13 #3: the fixture-generating twin of :func:`decode_jpeg`,
-    same role encode_png plays for PNG).
+    """Encode an (H, W, 3) uint8 RGB array as a JFIF JPEG — pure numpy
+    DCT + stdlib bit packing, no codec library (r14, VERDICT r13 #3:
+    the fixture-generating twin of :func:`decode_jpeg`, same role
+    encode_png plays for PNG).
 
     ``subsampling``: "444" (one block per component per MCU), "422"
     (2×1 luma blocks, horizontally box-averaged chroma), or "420"
     (2×2 luma blocks + one 2×2-box-averaged block of each chroma per
     MCU — the layout that dominates real corpora).  ``restart_interval``
-    > 0 emits DRI + cyclic RSTm markers every that-many MCUs.
-    ``grayscale=True`` emits a single-component scan from the R channel
-    (callers pass r=g=b), skipping the color transform entirely — the
-    path a bit-exactness test can pin (see tests/test_percep.py: with
-    block-constant even-valued input and the Annex K DC step, the DC
-    coefficient round-trips exactly)."""
+    > 0 emits DRI + cyclic RSTm markers every that-many MCUs (baseline
+    only).  ``grayscale=True`` emits a single-component scan from the
+    R channel (callers pass r=g=b), skipping the color transform
+    entirely — the path a bit-exactness test can pin (see
+    tests/test_percep.py: with block-constant even-valued input and
+    the Annex K DC step, the DC coefficient round-trips exactly).
+
+    ``progressive=True`` (r14, second wave) emits a SEQUENCE of scans
+    against the SAME quantized coefficients (SOF2): an interleaved DC
+    scan at successive-approximation Al=1, a DC refinement scan, then
+    per-component AC spectral-selection scans (Ss=1..63) at Al=1
+    followed by per-component AC refinement scans (Ah=1, Al=0) — the
+    structure real progressive encoders produce.  Because progression
+    only reorders coefficient TRANSMISSION, the decode is bit-for-bit
+    identical to the baseline stream at the same quality — the
+    invariant the codec tests pin.  EOB runs are flushed per block
+    (EOB0), keeping the standard Annex K tables sufficient."""
     import numpy as np
 
     if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
         raise ValueError("encode_jpeg needs an (H, W, 3) uint8 array")
     if subsampling not in ("444", "422", "420"):
         raise ValueError("subsampling must be '444', '422', or '420'")
+    if progressive and restart_interval:
+        raise ValueError("restart intervals are a baseline-mode option here")
     h, w = arr.shape[:2]
     qt_lum, qt_chrom = _jpeg_quality_tables(quality)
     C = _jpeg_dct_matrix()
@@ -921,72 +935,180 @@ def encode_jpeg(
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
 
-    # pad every plane (edge-replicate) to its MCU-grid size
-    padded = []
-    for p, (hc, vc) in zip(planes, samp):
+    # quantized zigzag coefficients for every block of every component,
+    # on the padded MCU grid (edge-replicated)
+    n_comp = len(planes)
+    qcoef = []
+    for ci, (p, (hc, vc)) in enumerate(zip(planes, samp)):
         th, tw = mcus_y * vc * 8, mcus_x * hc * 8
-        padded.append(
-            np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
-        )
+        pp = np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
+        grid = np.zeros((mcus_y * vc, mcus_x * hc, 64), dtype=np.int64)
+        for by in range(mcus_y * vc):
+            for bx in range(mcus_x * hc):
+                blk = pp[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+                q = np.round((C @ blk @ C.T) / qts[ci]).astype(np.int64)
+                grid[by, bx] = q.reshape(64)[zz]
+        qcoef.append(grid)
 
     enc = {
         k: _huff_encode_table(*spec) for k, spec in _JPEG_HUFF_SPECS.items()
     }
-    n_comp = len(planes)
     dc_tbl = [enc[(0, 0)]] + [enc[(0, 1)]] * (n_comp - 1)
     ac_tbl = [enc[(1, 0)]] + [enc[(1, 1)]] * (n_comp - 1)
 
-    wtr = _JpegBitWriter()
-    pred = [0] * n_comp
-    rst_m = 0
-    mcu_i = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
-                wtr.byte_align()
-                wtr.out += bytes([0xFF, 0xD0 + rst_m])
-                rst_m = (rst_m + 1) % 8
-                pred = [0] * n_comp
-            for ci in range(n_comp):
-                hc, vc = samp[ci]
-                for by in range(vc):
-                    for bx in range(hc):
-                        y0 = (my * vc + by) * 8
-                        x0 = (mx * hc + bx) * 8
-                        blk = padded[ci][y0:y0 + 8, x0:x0 + 8] - 128.0
-                        coef = C @ blk @ C.T
-                        q = np.round(coef / qts[ci]).astype(np.int64)
-                        qz = q.reshape(64)[zz]
-                        # DC: differential size-category + amplitude
-                        diff = int(qz[0]) - pred[ci]
-                        pred[ci] = int(qz[0])
-                        s = abs(diff).bit_length()
-                        wtr.write(*dc_tbl[ci][s])
-                        if s:
-                            wtr.write(
-                                diff if diff > 0 else diff + (1 << s) - 1, s
-                            )
-                        # AC: (run, size) with ZRL/EOB
-                        run = 0
-                        for k in range(1, 64):
-                            v = int(qz[k])
-                            if v == 0:
-                                run += 1
-                                continue
-                            while run > 15:
-                                wtr.write(*ac_tbl[ci][0xF0])
-                                run -= 16
-                            s = abs(v).bit_length()
-                            wtr.write(*ac_tbl[ci][(run << 4) | s])
-                            wtr.write(v if v > 0 else v + (1 << s) - 1, s)
-                            run = 0
-                        if run:
-                            wtr.write(*ac_tbl[ci][0x00])
-            mcu_i += 1
-    wtr.byte_align()
+    def write_mag(wtr, v, s):
+        wtr.write(v if v > 0 else v + (1 << s) - 1, s)
+
+    def emit_dc(wtr, tbl, diff):
+        s = abs(diff).bit_length()
+        wtr.write(*tbl[s])
+        if s:
+            write_mag(wtr, diff, s)
+
+    def emit_ac_band(wtr, tbl, band):
+        """(run, size) coding of band[1..] with ZRL and per-block EOB0
+        — the baseline AC body, shared by the progressive first scan."""
+        run = 0
+        for v in band:
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                wtr.write(*tbl[0xF0])
+                run -= 16
+            s = abs(v).bit_length()
+            wtr.write(*tbl[(run << 4) | s])
+            write_mag(wtr, v, s)
+            run = 0
+        if run:
+            wtr.write(*tbl[0x00])
 
     def seg(marker: int, payload: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def sos_header(comp_ids, Ss, Se, Ah, Al):
+        body = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            t = 0 if ci == 0 else 1
+            body += bytes([ci + 1, (t << 4) | t])
+        body += bytes([Ss, Se, (Ah << 4) | Al])
+        return seg(0xDA, body)
+
+    scans: list[bytes] = []
+    if not progressive:
+        wtr = _JpegBitWriter()
+        pred = [0] * n_comp
+        rst_m = 0
+        mcu_i = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                    wtr.byte_align()
+                    wtr.out += bytes([0xFF, 0xD0 + rst_m])
+                    rst_m = (rst_m + 1) % 8
+                    pred = [0] * n_comp
+                for ci in range(n_comp):
+                    hc, vc = samp[ci]
+                    for by in range(vc):
+                        for bx in range(hc):
+                            qz = qcoef[ci][my * vc + by, mx * hc + bx]
+                            emit_dc(wtr, dc_tbl[ci], int(qz[0]) - pred[ci])
+                            pred[ci] = int(qz[0])
+                            emit_ac_band(wtr, ac_tbl[ci], qz[1:].tolist())
+                mcu_i += 1
+        wtr.byte_align()
+        scans.append(
+            sos_header(list(range(n_comp)), 0, 63, 0, 0) + bytes(wtr.out)
+        )
+    else:
+        # scan 1: interleaved DC first, Al=1 (arithmetic point transform)
+        wtr = _JpegBitWriter()
+        pred = [0] * n_comp
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(n_comp):
+                    hc, vc = samp[ci]
+                    for by in range(vc):
+                        for bx in range(hc):
+                            d = int(qcoef[ci][my * vc + by, mx * hc + bx][0]) >> 1
+                            emit_dc(wtr, dc_tbl[ci], d - pred[ci])
+                            pred[ci] = d
+        wtr.byte_align()
+        scans.append(sos_header(list(range(n_comp)), 0, 0, 0, 1) + bytes(wtr.out))
+        # scan 2: interleaved DC refinement, Ah=1 Al=0 (one raw bit/block)
+        wtr = _JpegBitWriter()
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(n_comp):
+                    hc, vc = samp[ci]
+                    for by in range(vc):
+                        for bx in range(hc):
+                            wtr.write(
+                                int(qcoef[ci][my * vc + by, mx * hc + bx][0]) & 1, 1
+                            )
+        wtr.byte_align()
+        scans.append(sos_header(list(range(n_comp)), 0, 0, 1, 0) + bytes(wtr.out))
+        # per component: AC first (Ss=1..63, Al=1 — magnitude point
+        # transform), then AC refinement (Ah=1, Al=0)
+        for ci in range(n_comp):
+            hc, vc = samp[ci]
+            cw = -(-w * hc // hmax)
+            ch = -(-h * vc // vmax)
+            bw, bh = -(-cw // 8), -(-ch // 8)
+            wtr = _JpegBitWriter()
+            for by in range(bh):
+                for bx in range(bw):
+                    qz = qcoef[ci][by, bx]
+                    band = [
+                        (1 if v > 0 else -1) * (abs(int(v)) >> 1)
+                        for v in qz[1:]
+                    ]
+                    emit_ac_band(wtr, ac_tbl[ci], band)
+            wtr.byte_align()
+            scans.append(sos_header([ci], 1, 63, 0, 1) + bytes(wtr.out))
+        for ci in range(n_comp):
+            hc, vc = samp[ci]
+            cw = -(-w * hc // hmax)
+            ch = -(-h * vc // vmax)
+            bw, bh = -(-cw // 8), -(-ch // 8)
+            wtr = _JpegBitWriter()
+            for by in range(bh):
+                for bx in range(bw):
+                    qz = qcoef[ci][by, bx]
+                    pend: list[int] = []
+                    run = 0
+                    for v in qz[1:].tolist():
+                        t = abs(v)
+                        if t == 0:
+                            run += 1
+                            continue
+                        # ZRLs must be emitted at EVERY nonzero position
+                        # (correction OR newly-significant) so the
+                        # pending correction bits flushed after each ZRL
+                        # all lie inside its 16-zero span — flushing
+                        # them later desyncs the decoder's walk (the
+                        # jcphuff ordering; found by the roundtrip fuzz)
+                        while run > 15:
+                            wtr.write(*ac_tbl[ci][0xF0])
+                            for bit in pend:
+                                wtr.write(bit, 1)
+                            pend = []
+                            run -= 16
+                        if t >> 1:           # history nonzero: correction bit
+                            pend.append(t & 1)
+                            continue
+                        wtr.write(*ac_tbl[ci][(run << 4) | 1])
+                        wtr.write(1 if v > 0 else 0, 1)
+                        for bit in pend:
+                            wtr.write(bit, 1)
+                        pend = []
+                        run = 0
+                    if run or pend:
+                        wtr.write(*ac_tbl[ci][0x00])  # EOB0
+                        for bit in pend:
+                            wtr.write(bit, 1)
+            wtr.byte_align()
+            scans.append(sos_header([ci], 1, 63, 1, 0) + bytes(wtr.out))
 
     out = bytearray(_JPEG_SOI)
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00")
@@ -998,7 +1120,7 @@ def encode_jpeg(
     for ci in range(n_comp):
         hc, vc = samp[ci]
         sof += bytes([ci + 1, (hc << 4) | vc, 0 if ci == 0 else 1])
-    out += seg(0xC0, sof)
+    out += seg(0xC2 if progressive else 0xC0, sof)
     dht = b""
     for (tc, th), (bits, values) in _JPEG_HUFF_SPECS.items():
         if n_comp == 1 and th == 1:
@@ -1007,25 +1129,26 @@ def encode_jpeg(
     out += seg(0xC4, dht)
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))
-    sos = bytes([n_comp])
-    for ci in range(n_comp):
-        t = 0 if ci == 0 else 1
-        sos += bytes([ci + 1, (t << 4) | t])
-    sos += bytes([0, 63, 0])
-    out += seg(0xDA, sos)
-    out += wtr.out
+    for s in scans:
+        out += s
     out += bytes([0xFF, 0xD9])
     return bytes(out)
 
 
 def decode_jpeg(b: bytes) -> "np.ndarray":
-    """Decode a sequential-baseline JFIF JPEG to an (H, W, 3) uint8 RGB
-    array — pure numpy IDCT + a stdlib Huffman bit reader, the inverse
-    of :func:`encode_jpeg` and a real decoder for any conforming
-    baseline producer: arbitrary quant/Huffman tables from the stream,
-    1- or 3-component scans, any sampling factors whose ratios divide
-    (4:4:4, 4:2:2, 4:2:0), DRI/RSTm restart intervals, 0xFF stuffing.
-    Progressive (SOF2), arithmetic coding, 12-bit precision, and
+    """Decode a JFIF JPEG — sequential baseline (SOF0/SOF1) or
+    PROGRESSIVE (SOF2, r14 second wave) — to an (H, W, 3) uint8 RGB
+    array: pure numpy IDCT + a stdlib Huffman bit reader, a real
+    decoder for conforming producers of either mode.  Arbitrary
+    quant/Huffman tables from the stream, 1- or 3-component frames,
+    any sampling factors whose ratios divide (4:4:4, 4:2:2, 4:2:0),
+    DRI/RSTm restart intervals, 0xFF stuffing.  Progressive decoding
+    implements the full T.81 G.2 scan algebra: DC first +
+    successive-approximation refinement (interleaved or not), AC
+    spectral-selection first scans with EOB runs, and AC refinement
+    scans (correction bits, newly-significant insertion, EOB-run
+    correction passes) — coefficients accumulate across scans and the
+    IDCT runs once at EOI.  Arithmetic coding, 12-bit precision, and
     hierarchical modes are rejected explicitly rather than mis-parsed
     (the honest boundary, same policy as :func:`decode_png`'s variant
     rejects).
@@ -1043,11 +1166,162 @@ def decode_jpeg(b: bytes) -> "np.ndarray":
     qtables: dict[int, "np.ndarray"] = {}
     htables: dict[tuple[int, int], dict] = {}
     restart = 0
-    frame = None  # (h, w, [(comp_id, hc, vc, tq), ...])
+    frame = None  # (h, w, [(comp_id, hc, vc, tq), ...], progressive)
+    coefs = None  # per component: (blocks_y, blocks_x, 64) zigzag int64
+    geom = None   # (mcus_x, mcus_y, hmax, vmax)
+    n_scans = 0
     pos = 2
+
+    def run_scan(pos: int, scan: list, Ss: int, Se: int, Ah: int, Al: int) -> int:
+        """Decode one entropy-coded scan into ``coefs``; returns the
+        stream position after the scan's entropy data."""
+        fh, fw, comps, _prog = frame
+        mcus_x, mcus_y, hmax, vmax = geom
+        order = {cid: i for i, (cid, _, _, _) in enumerate(comps)}
+        scan_comps = []
+        for cs, td, ta in scan:
+            if cs not in order:
+                raise ValueError("JPEG scan references unknown component")
+            ci = order[cs]
+            need_dc = Ss == 0 and Ah == 0
+            need_ac = Se >= 1
+            if need_dc and (0, td) not in htables:
+                raise ValueError("JPEG scan references missing DC table")
+            if need_ac and (1, ta) not in htables:
+                raise ValueError("JPEG scan references missing AC table")
+            scan_comps.append(
+                (ci, htables.get((0, td)), htables.get((1, ta)))
+            )
+        rdr = _JpegBitReader(b, pos)
+        pred = {ci: 0 for ci, _, _ in scan_comps}
+        state = {"eobrun": 0}
+        p1, m1 = 1 << Al, -(1 << Al)
+
+        def first(cz, dc_tbl, ac_tbl, ci):
+            if Ss == 0:
+                s = _jpeg_decode_symbol(rdr, dc_tbl)
+                diff = _jpeg_extend(rdr.receive(s), s) if s else 0
+                pred[ci] += diff
+                cz[0] = pred[ci] << Al
+            if Se >= 1:
+                if state["eobrun"] > 0:
+                    state["eobrun"] -= 1
+                    return
+                k = max(Ss, 1)
+                while k <= Se:
+                    rs = _jpeg_decode_symbol(rdr, ac_tbl)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        state["eobrun"] = (1 << r) - 1 + (
+                            rdr.receive(r) if r else 0
+                        )
+                        break
+                    k += r
+                    if k > Se:
+                        raise ValueError("JPEG AC run past band end")
+                    cz[k] = _jpeg_extend(rdr.receive(s), s) << Al
+                    k += 1
+
+        def correct(cz, k):
+            """One correction bit for an already-nonzero coefficient
+            (T.81 G.2: append the next magnitude bit)."""
+            if rdr.read_bit():
+                if (cz[k] & p1) == 0:
+                    cz[k] += p1 if cz[k] >= 0 else m1
+
+        def refine(cz, dc_tbl, ac_tbl, ci):
+            if Ss == 0 and Se == 0:
+                if rdr.read_bit():
+                    cz[0] |= p1
+                return
+            k = Ss
+            if state["eobrun"] == 0:
+                while k <= Se:
+                    rs = _jpeg_decode_symbol(rdr, ac_tbl)
+                    r, s = rs >> 4, rs & 0xF
+                    s_val = 0
+                    if s == 0:
+                        if r != 15:
+                            state["eobrun"] = (1 << r) + (
+                                rdr.receive(r) if r else 0
+                            )
+                            break
+                        # ZRL: advance past 16 zero-HISTORY positions
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "invalid newly-significant size in AC "
+                                "refinement scan"
+                            )
+                        s_val = p1 if rdr.read_bit() else m1
+                    while k <= Se:
+                        if cz[k] != 0:
+                            correct(cz, k)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if s_val:
+                        if k > Se:
+                            raise ValueError("AC refinement run past band end")
+                        cz[k] = s_val
+                    k += 1
+            if state["eobrun"] > 0:
+                while k <= Se:
+                    if cz[k] != 0:
+                        correct(cz, k)
+                    k += 1
+                state["eobrun"] -= 1
+
+        do_block = first if Ah == 0 else refine
+
+        if len(scan_comps) > 1:
+            rst_m = 0
+            mcu_i = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if restart and mcu_i and mcu_i % restart == 0:
+                        rdr.sync_restart(rst_m)
+                        rst_m = (rst_m + 1) % 8
+                        for ci in pred:
+                            pred[ci] = 0
+                        state["eobrun"] = 0
+                    for ci, dt, at in scan_comps:
+                        _, hc, vc, _ = comps[ci]
+                        for by in range(vc):
+                            for bx in range(hc):
+                                do_block(
+                                    coefs[ci][my * vc + by, mx * hc + bx],
+                                    dt, at, ci,
+                                )
+                    mcu_i += 1
+        else:
+            ci, dt, at = scan_comps[0]
+            _, hc, vc, _ = comps[ci]
+            cw = -(-fw * hc // hmax)
+            ch = -(-fh * vc // vmax)
+            bw, bh = -(-cw // 8), -(-ch // 8)
+            rst_m = 0
+            bi = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if restart and bi and bi % restart == 0:
+                        rdr.sync_restart(rst_m)
+                        rst_m = (rst_m + 1) % 8
+                        pred[ci] = 0
+                        state["eobrun"] = 0
+                    do_block(coefs[ci][by, bx], dt, at, ci)
+                    bi += 1
+        rdr.n = 0  # discard any partial byte before the next marker
+        return rdr.pos
+
     while True:
         if pos + 2 > len(b):
-            raise ValueError("truncated JPEG (no SOS)")
+            raise ValueError("truncated JPEG stream (no EOI)")
         if b[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
         marker = b[pos + 1]
@@ -1055,7 +1329,9 @@ def decode_jpeg(b: bytes) -> "np.ndarray":
         if marker == 0xD8:
             continue
         if marker == 0xD9:
-            raise ValueError("JPEG ended before scan data")
+            if n_scans == 0:
+                raise ValueError("JPEG ended before scan data")
+            break
         (ln,) = struct.unpack_from(">H", b, pos)
         data = b[pos + 2 : pos + ln]
         if len(data) != ln - 2:
@@ -1086,7 +1362,7 @@ def decode_jpeg(b: bytes) -> "np.ndarray":
                     raise ValueError("truncated DHT")
                 htables[(tc, th)] = _huff_decode_table(bits, values)
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:
+        elif marker in (0xC0, 0xC1, 0xC2):
             prec, fh, fw, nc = struct.unpack_from(">BHHB", data, 0)
             if prec != 8:
                 raise ValueError("only 8-bit JPEG precision supported")
@@ -1098,12 +1374,24 @@ def decode_jpeg(b: bytes) -> "np.ndarray":
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             if fh == 0 or fw == 0:
                 raise ValueError("degenerate JPEG dimensions")
-            frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            for _, hc, vc, _ in comps:
+                if hc < 1 or vc < 1 or hmax % hc or vmax % vc:
+                    raise ValueError("unsupported JPEG sampling factors")
+            mcus_x = -(-fw // (8 * hmax))
+            mcus_y = -(-fh // (8 * vmax))
+            frame = (fh, fw, comps, marker == 0xC2)
+            geom = (mcus_x, mcus_y, hmax, vmax)
+            coefs = [
+                np.zeros((mcus_y * vc, mcus_x * hc, 64), dtype=np.int64)
+                for _, hc, vc, _ in comps
+            ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "unsupported JPEG mode (progressive/arithmetic/hierarchical "
-                f"SOF marker 0x{marker:02X}); baseline (SOF0/SOF1) only"
+                "unsupported JPEG mode (arithmetic/hierarchical/lossless "
+                f"SOF marker 0x{marker:02X}); baseline or progressive only"
             )
         elif marker == 0xDD:
             (restart,) = struct.unpack_from(">H", data, 0)
@@ -1115,83 +1403,42 @@ def decode_jpeg(b: bytes) -> "np.ndarray":
             for si in range(ns):
                 cs, tt = data[1 + 2 * si], data[2 + 2 * si]
                 scan.append((cs, tt >> 4, tt & 0xF))
-            if tuple(data[1 + 2 * ns : 4 + 2 * ns]) != (0, 63, 0):
+            Ss, Se, AhAl = data[1 + 2 * ns : 4 + 2 * ns]
+            Ah, Al = AhAl >> 4, AhAl & 0xF
+            progressive = frame[3]
+            if not progressive and (Ss, Se, Ah, Al) != (0, 63, 0, 0):
                 raise ValueError("non-baseline JPEG scan parameters")
-            break
+            if progressive:
+                if Ss == 0 and Se not in (0, 63) or Ss > Se or Se > 63:
+                    raise ValueError("invalid progressive spectral band")
+                if Ss > 0 and len(scan) != 1:
+                    raise ValueError(
+                        "progressive AC scans must be non-interleaved"
+                    )
+            pos = run_scan(pos, scan, Ss, Se, Ah, Al)
+            n_scans += 1
         else:
             # APPn / COM / anything else with a length: skip
             continue
 
-    fh, fw, comps = frame
-    if len(scan) != len(comps):
-        raise ValueError("JPEG scan/frame component mismatch")
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    for _, hc, vc, _ in comps:
-        if hc < 1 or vc < 1 or hmax % hc or vmax % vc:
-            raise ValueError("unsupported JPEG sampling factors")
-    mcus_x = -(-fw // (8 * hmax))
-    mcus_y = -(-fh // (8 * vmax))
-
-    order = {cid: i for i, (cid, _, _, _) in enumerate(comps)}
-    dec_dc, dec_ac, qsel = [None] * len(comps), [None] * len(comps), []
-    for cs, td, ta in scan:
-        if cs not in order:
-            raise ValueError("JPEG scan references unknown component")
-        i = order[cs]
-        if (0, td) not in htables or (1, ta) not in htables:
-            raise ValueError("JPEG scan references missing Huffman table")
-        dec_dc[i], dec_ac[i] = htables[(0, td)], htables[(1, ta)]
+    fh, fw, comps, _prog = frame
+    mcus_x, mcus_y, hmax, vmax = geom
     for _, _, _, tq in comps:
         if tq not in qtables:
             raise ValueError("JPEG frame references missing quant table")
-        qsel.append(qtables[tq])
-
     C = _jpeg_dct_matrix()
     zz = np.array(_JPEG_ZIGZAG)
-    planes = [
-        np.zeros((mcus_y * vc * 8, mcus_x * hc * 8), dtype=np.float64)
-        for _, hc, vc, _ in comps
-    ]
-    rdr = _JpegBitReader(b, pos)
-    pred = [0] * len(comps)
-    rst_m = 0
-    mcu_i = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart and mcu_i and mcu_i % restart == 0:
-                rdr.sync_restart(rst_m)
-                rst_m = (rst_m + 1) % 8
-                pred = [0] * len(comps)
-            for ci, (_, hc, vc, _) in enumerate(comps):
-                for by in range(vc):
-                    for bx in range(hc):
-                        qz = np.zeros(64, dtype=np.int64)
-                        s = _jpeg_decode_symbol(rdr, dec_dc[ci])
-                        diff = _jpeg_extend(rdr.receive(s), s) if s else 0
-                        pred[ci] += diff
-                        qz[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _jpeg_decode_symbol(rdr, dec_ac[ci])
-                            run, size = rs >> 4, rs & 0xF
-                            if size == 0:
-                                if run == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += run
-                            if k > 63:
-                                raise ValueError("JPEG AC run past block end")
-                            qz[k] = _jpeg_extend(rdr.receive(size), size)
-                            k += 1
-                        coef = np.zeros(64, dtype=np.int64)
-                        coef[zz] = qz
-                        blk = C.T @ (coef.reshape(8, 8) * qsel[ci]) @ C
-                        y0 = (my * vc + by) * 8
-                        x0 = (mx * hc + bx) * 8
-                        planes[ci][y0:y0 + 8, x0:x0 + 8] = blk + 128.0
-            mcu_i += 1
+    planes = []
+    for ci, (_, hc, vc, tq) in enumerate(comps):
+        pl = np.zeros((mcus_y * vc * 8, mcus_x * hc * 8), dtype=np.float64)
+        qt = qtables[tq]
+        for by in range(mcus_y * vc):
+            for bx in range(mcus_x * hc):
+                coef = np.zeros(64, dtype=np.int64)
+                coef[zz] = coefs[ci][by, bx]
+                blk = C.T @ (coef.reshape(8, 8) * qt) @ C
+                pl[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = blk + 128.0
+        planes.append(pl)
 
     # upsample each component to frame size (nearest/box replication)
     full = []

@@ -2388,6 +2388,86 @@ def q_image_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["image_decode_png"] = ORACLES["image_decode"]
 
 
+def _stage_jpeg_prog_shards(spark: SparkSession, sf_dir: str) -> str:
+    """PROGRESSIVE twin of _stage_jpeg_shards (r14 second wave): the
+    identical DC-exact tile pixels encoded as SOF2 — DC
+    successive-approximation scans (first at Al=1, then the
+    refinement) followed by an AC spectral-selection scan and an AC
+    refinement scan (all EOBs here: the tiles have no AC energy).
+    Because progression only reorders transmission, the decode must
+    equal the baseline shards bit-for-bit, so the oracle is
+    image_decode_jpeg's verbatim."""
+    import os as _os
+
+    import numpy as np
+
+    from hdfs_stream_processing_spark.operators.multimodal import encode_jpeg
+
+    key = ("hsp_jpegprog_staged_", sf_dir)
+    if key in _STAGE_CACHE:
+        return _STAGE_CACHE[key]
+    (documents,) = prep(spark, sf_dir, "documents")
+    img_dir = _mkdtemp("hsp_jpegprog_src_", sf_dir)
+    for row in documents.select("source").distinct().collect():
+        n = int(row["source"][3:])
+        wt, ht = 2 + n % 3, 2 + n % 2
+        bx = np.arange(wt, dtype=np.int64)[None, :]
+        by = np.arange(ht, dtype=np.int64)[:, None]
+        v = 2 * (
+            (bx * (37 + 5 * n) + by * (53 + 7 * n)
+             + bx * by * (11 + 3 * n) + n * 29) % 128
+        )
+        tiles = np.repeat(np.repeat(v, 8, axis=0), 8, axis=1).astype(np.uint8)
+        arr = np.stack([tiles, tiles, tiles], axis=-1)
+        with open(_os.path.join(img_dir, f"{row['source']}.jpg"), "wb") as f:
+            f.write(
+                encode_jpeg(arr, quality=50, grayscale=True, progressive=True)
+            )
+    _STAGE_CACHE[key] = img_dir
+    return img_dir
+
+
+@query("image_decode_jpeg_prog", None)  # oracle assigned below
+def q_image_decode_jpeg_prog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE JPEG decode (r14 second wave — SOF2, the mode that
+    dominates web-served JPEGs): the same DC-exact fixture pixels as
+    image_decode_jpeg, but transmitted as a progressive scan sequence
+    — interleaved DC first at successive-approximation Al=1, DC
+    refinement (raw bits), per-component AC spectral-selection and AC
+    refinement scans — decoded by the full T.81 G.2 scan algebra in
+    operators/multimodal.py::decode_jpeg (coefficients accumulate
+    across scans; one IDCT at EOI).  Progression only reorders
+    transmission, so the output must equal the BASELINE decode
+    bit-for-bit and the oracle is image_decode_jpeg's verbatim: a
+    scan-sequencing, successive-approximation shift, or EOB-run bug
+    breaks the value hash.  The general lossy path (noise content,
+    dense newly-significant coefficients, ZRL/correction-bit
+    interleavings) is pinned by the progressive==baseline fuzz in
+    tests/test_percep.py."""
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        decode_image,
+        image_stats,
+    )
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.jpg")
+        .load(_stage_jpeg_prog_shards(spark, sf_dir))
+    )
+    payloads = files.select(
+        F.regexp_extract(F.col("path"), r"([^/]+)\.jpg$", 1).alias("source"),
+        F.col("content").alias("payload"),
+    )
+    return image_stats(
+        decode_image(
+            payloads, id_col="source", payload_col="payload", id_type="string"
+        ),
+        id_col="source",
+        id_type="string",
+    )
+
+
+
 def _stage_gif_shards(spark: SparkSession, sf_dir: str) -> str:
     """GIF twin of _stage_png_shards (r14): the SAME synthetic
     per-source pixels (≤ 187 distinct colors — inside GIF's 256-color
@@ -2525,6 +2605,9 @@ def q_image_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_stats(
         _decoded_shards(spark, sf_dir, fmt="jpg"), id_col="source", id_type="string"
     )
+
+
+ORACLES["image_decode_jpeg_prog"] = ORACLES["image_decode_jpeg"]
 
 
 @query(

@@ -537,11 +537,12 @@ def test_jpeg_rejects_malformed():
         decode_jpeg(good[:40])
     with pytest.raises(ValueError, match="truncated|marker inside"):
         decode_jpeg(good[:-24])
-    # progressive (SOF2) is rejected explicitly, not mis-parsed
+    # arithmetic coding (SOF9) is rejected explicitly, not mis-parsed
+    # (progressive SOF2 DECODES as of the r14 second wave)
     i = good.index(b"\xff\xc0")
-    prog = good[:i] + b"\xff\xc2" + good[i + 2:]
-    with pytest.raises(ValueError, match="progressive|baseline"):
-        decode_jpeg(prog)
+    arith = good[:i] + b"\xff\xc9" + good[i + 2:]
+    with pytest.raises(ValueError, match="arithmetic|progressive"):
+        decode_jpeg(arith)
 
 
 def test_png_rejects_deflate_bomb():
@@ -928,3 +929,64 @@ def test_jpeg_422_roundtrip_bounded():
     out = decode_jpeg(encode_jpeg(arr, quality=90, subsampling="422"))
     assert out.shape == arr.shape
     assert np.abs(out.astype(int) - arr.astype(int)).max() <= 110
+
+
+# ── r14 second wave: PROGRESSIVE JPEG (SOF2) ────────────────────────────
+
+
+def test_jpeg_progressive_equals_baseline_bit_for_bit():
+    """The structural invariant that validates the whole T.81 G.2 scan
+    algebra at once: progression only reorders coefficient
+    TRANSMISSION (DC successive approximation + per-component AC
+    spectral selection + AC refinement), so at equal quality the
+    progressive stream must decode bit-for-bit identical to the
+    baseline stream.  Fuzzed over random noise images (the hardest
+    content: dense newly-significant coefficients exercise the
+    correction-bit / ZRL / EOB-run interleavings)."""
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    for seed in range(8):
+        rng = np.random.default_rng(seed)
+        h, w = int(rng.integers(8, 40)), int(rng.integers(8, 40))
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for sub in ("444", "420"):
+            base = decode_jpeg(encode_jpeg(img, quality=85, subsampling=sub))
+            prog = decode_jpeg(
+                encode_jpeg(img, quality=85, subsampling=sub, progressive=True)
+            )
+            assert (base == prog).all(), (seed, sub)
+
+
+def test_jpeg_progressive_grayscale_dc_exact():
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        decode_jpeg,
+        decode_payload,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(6)
+    g = np.repeat(
+        np.repeat(rng.choice(np.arange(0, 256, 2), size=(3, 4)), 8, 0), 8, 1
+    ).astype(np.uint8)
+    arr = np.stack([g, g, g], axis=2)
+    jb = encode_jpeg(arr, quality=50, grayscale=True, progressive=True)
+    assert (decode_jpeg(jb) == arr).all()
+    assert (decode_payload(jb) == arr).all()
+    assert b"\xff\xc2" in jb  # really is SOF2
+
+
+def test_jpeg_progressive_validates():
+    from hdfs_stream_processing_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    arr = (np.arange(16 * 16 * 3) % 256).reshape(16, 16, 3).astype(np.uint8)
+    with pytest.raises(ValueError, match="baseline-mode"):
+        encode_jpeg(arr, progressive=True, restart_interval=2)
+    good = encode_jpeg(arr, progressive=True)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg(good[:-30])

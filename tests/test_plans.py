@@ -360,6 +360,7 @@ SHUFFLE_BUDGETS = {
     # one mapInPandas stage, zero shuffle
     "scan_gzip": 0,
     "scan_warc": 0,
+    "image_decode_jpeg_prog": 0,
 }
 
 
