@@ -48,6 +48,7 @@ _VERIFY_FIRST = [
     "image_decode_jpeg", "image_dedup_jpeg", "image_dedup_combo",
     "image_decode_gif", "audio_decode_adpcm", "audio_dedup_adpcm",
     "scan_gzip", "scan_warc", "image_decode_jpeg_prog",
+    "scan_compressed",
     # oldest-attestation-first refresh (the 37 r8-era rows):
     "golden_record", "group_agg", "hll_intersect", "incr_checksum",
     "incr_golden", "incr_join", "incr_retract", "join_anti",
@@ -60,7 +61,7 @@ _VERIFY_FIRST = [
     "top_k", "union_rooms", "window_rank", "window_running",
     "winsorize_prices",
     # then the alphabetically-first r9-era rows, to 50:
-    "align_pipeline", "approx_distinct_ok", "asof_join", "bpe_apply",
+    "align_pipeline", "approx_distinct_ok", "asof_join",
 ]
 
 

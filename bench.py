@@ -309,6 +309,7 @@ HEADLINE = [
     "scan_gzip",
     "scan_warc",
     "image_decode_jpeg_prog",
+    "scan_compressed",
 ]
 
 

@@ -2484,3 +2484,77 @@ def q_scan_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("content").alias("payload"),
     )
     return scan_warc(payloads, id_col="source", payload_col="payload")
+
+
+def _stage_mixed_compressed_shards(spark: SparkSession, sf_dir: str) -> str:
+    """Per-source line shards cycling the compression family by source
+    number — gzip (multi-member), bzip2, xz — one directory, three
+    formats, exactly the mess a real landing zone accumulates."""
+    import bz2 as _bz2
+    import lzma as _lzma
+    import os as _os
+
+    from hdfs_stream_processing_spark.sources.archive import gzip_member
+
+    key = ("hsp_mixedcomp_staged_", sf_dir)
+    if key in _STAGE_CACHE:
+        return _STAGE_CACHE[key]
+    (documents,) = prep(spark, sf_dir, "documents")
+    out_dir = _mkdtemp("hsp_mixedcomp_src_", sf_dir)
+    shards = (
+        documents.groupBy("source")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "text"))
+            ).alias("docs")
+        )
+        .collect()
+    )
+    for row in shards:
+        n = int(row["source"][3:])
+        raw = "".join(
+            f"{d['doc_id']}\t{d['text']}\n" for d in row["docs"]
+        ).encode()
+        fam = n % 3
+        if fam == 0:
+            half = len(raw) // 2
+            blob, ext = gzip_member(raw[:half]) + gzip_member(raw[half:]), "gz"
+        elif fam == 1:
+            blob, ext = _bz2.compress(raw), "bz2"
+        else:
+            blob, ext = _lzma.compress(raw), "xz"
+        with open(_os.path.join(out_dir, f"{row['source']}.txt.{ext}"), "wb") as f:
+            f.write(blob)
+    _STAGE_CACHE[key] = out_dir
+    return out_dir
+
+
+@query(
+    "scan_compressed",
+    "SELECT doc_id, text FROM documents",
+)
+def q_scan_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-compression line-shard ingest (r14): one landing dir
+    whose shards are gzip (multi-member), bzip2, or xz BY FILE,
+    resolved per payload by the magic-byte dispatch
+    (sources/archive.py::decompress_payload — the compression mirror
+    of the image codec dispatch, every branch decompression-bomb
+    bounded).  The identity oracle proves every family round-trips
+    losslessly through ONE plan; a dispatch or bound bug loses rows
+    or raises.  At 100 TB nobody gets to assume a single compressor."""
+    from hdfs_stream_processing_spark.sources.archive import (
+        scan_compressed_text,
+    )
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt.{gz,bz2,xz}")
+        .load(_stage_mixed_compressed_shards(spark, sf_dir))
+    )
+    payloads = files.select(
+        F.regexp_extract(
+            F.col("path"), r"([^/]+)\.txt\.(?:gz|bz2|xz)$", 1
+        ).alias("source"),
+        F.col("content").alias("payload"),
+    )
+    return scan_compressed_text(payloads, id_col="source", payload_col="payload")

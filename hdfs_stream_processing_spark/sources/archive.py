@@ -205,3 +205,59 @@ def scan_warc(
             )
 
     return df.mapInPandas(run, schema="url string, warc_date string, text string")
+
+
+def decompress_payload(b: bytes, max_out: int = MAX_MEMBER_BYTES) -> bytes:
+    """Magic-byte dispatch over the three stdlib compression families —
+    gzip (``1f 8b``, RFC 1952, multi-member), bzip2 (``BZh``), and
+    xz (``fd 37 7a 58 5a 00``, LZMA2 container) — the compression
+    mirror of ``decode_payload``'s image dispatch: a landing zone
+    never guarantees one format.  Output bounded by ``max_out``
+    (decompression-bomb guard in every branch; bz2/xz are decompressed
+    incrementally so a bomb is cut off at the bound, not after)."""
+    if b[:2] == b"\x1f\x8b":
+        return b"".join(gunzip_members(b, max_out=max_out))
+    if b[:3] == b"BZh":
+        import bz2 as _bz2
+
+        d = _bz2.BZ2Decompressor()
+        out = d.decompress(b, max_out + 1)
+        if len(out) > max_out:
+            raise ValueError("bzip2 payload exceeds inflate bound")
+        if not d.eof:
+            raise ValueError("truncated bzip2 payload")
+        return out
+    if b[:6] == b"\xfd7zXZ\x00":
+        import lzma as _lzma
+
+        d = _lzma.LZMADecompressor()
+        out = d.decompress(b, max_out + 1)
+        if len(out) > max_out:
+            raise ValueError("xz payload exceeds inflate bound")
+        if not d.eof:
+            raise ValueError("truncated xz payload")
+        return out
+    raise ValueError(f"unrecognized compression magic {b[:4]!r}")
+
+
+def scan_compressed_text(
+    df: DataFrame, id_col: str = "source", payload_col: str = "payload"
+) -> DataFrame:
+    """Mixed-compression line-shard ingest: like :func:`scan_gzip_text`
+    but each file may be gzip, bzip2, OR xz — resolved per file by
+    :func:`decompress_payload`.  One mapInPandas stage, zero shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, texts = [], []
+            for payload in pdf[payload_col]:
+                text = decompress_payload(bytes(payload))
+                for line in text.decode("utf-8").splitlines():
+                    if not line:
+                        continue
+                    doc_id, _, body = line.partition("\t")
+                    ids.append(int(doc_id))
+                    texts.append(body)
+            yield pd.DataFrame({"doc_id": ids, "text": texts})
+
+    return df.mapInPandas(run, schema="doc_id bigint, text string")

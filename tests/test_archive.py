@@ -111,3 +111,54 @@ def test_scan_warc_skips_non_response(spark):
     rows = scan_warc(df).collect()
     assert len(rows) == 1
     assert (rows[0]["url"], rows[0]["text"]) == ("http://a", "tëxt")
+
+
+def test_decompress_payload_dispatch_and_bounds():
+    import bz2 as _bz2
+    import lzma as _lzma
+
+    from hdfs_stream_processing_spark.sources.archive import (
+        decompress_payload,
+    )
+
+    data = b"some corpus bytes " * 50
+    assert decompress_payload(gzip_member(data)) == data
+    assert decompress_payload(_bz2.compress(data)) == data
+    assert decompress_payload(_lzma.compress(data)) == data
+    with pytest.raises(ValueError, match="unrecognized compression"):
+        decompress_payload(b"PK\x03\x04zipfile")
+    big = b"\x00" * (1 << 20)
+    for blob, what in (
+        (_bz2.compress(big), "bzip2"),
+        (_lzma.compress(big), "xz"),
+        (gzip_member(big), "gzip"),
+    ):
+        with pytest.raises(ValueError, match="bound"):
+            decompress_payload(blob, max_out=1000)
+    with pytest.raises(ValueError, match="truncated"):
+        decompress_payload(_bz2.compress(data)[:-4])
+    with pytest.raises(ValueError, match="truncated"):
+        decompress_payload(_lzma.compress(data)[:-4])
+
+
+def test_scan_compressed_text_mixed_families(spark):
+    import bz2 as _bz2
+    import lzma as _lzma
+
+    from hdfs_stream_processing_spark.sources.archive import (
+        scan_compressed_text,
+    )
+
+    lines = lambda lo, hi: "".join(
+        f"{i}\tdoc {i}\n" for i in range(lo, hi)
+    ).encode()
+    df = spark.createDataFrame(
+        [
+            ("s0", bytearray(gzip_member(lines(0, 4)))),
+            ("s1", bytearray(_bz2.compress(lines(4, 8)))),
+            ("s2", bytearray(_lzma.compress(lines(8, 12)))),
+        ],
+        "source string, payload binary",
+    )
+    got = sorted(r["doc_id"] for r in scan_compressed_text(df).collect())
+    assert got == list(range(12))

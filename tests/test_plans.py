@@ -361,6 +361,7 @@ SHUFFLE_BUDGETS = {
     "scan_gzip": 0,
     "scan_warc": 0,
     "image_decode_jpeg_prog": 0,
+    "scan_compressed": 0,
 }
 
 
