@@ -60,26 +60,38 @@ def connected_components(
     data dwarfs compile time, and ``loop_shuffle_partitions`` to
     override the ~2M-edges-per-reducer sizing.
     """
-    # materialize the upstream edge-producing plan exactly ONCE; both
-    # the loop input and the self-loop branch below read the checkpoint
-    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
-    cur = raw.where(F.col("u") != F.col("v")).distinct().localCheckpoint()
-    cur_count = cur.count()
+    # materialize the upstream edge-producing plan exactly ONCE, already
+    # deduplicated (self-loop rows survive the distinct, so both the
+    # loop input and the self-loop branch read this one checkpoint)
+    dist = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
     spark = edges.sparkSession
     # Adaptive small-graph path: a verified-duplicate edge list is
     # usually a tiny fraction of its batch, and each distributed
     # star-contraction round costs whole jobs of scheduling overhead
     # (measured: 3.0 s for a 5.3k-edge graph at sf0.1 — the dominant
-    # cost of dedup_near_incr).  Below ``driver_max_edges`` solve
+    # cost of dedup_near_incr).  Up to ``driver_max_edges`` solve
     # exactly on the driver with numpy union-find (Arrow collect into
     # flat int64 arrays: ≈8 MB of edges + ≈8 B/vertex state ≈ 25–40 MB
     # total at the default cap) — the same unique fixpoint (component =
-    # min reachable id), bit-identical output — and ship the result back.  The
-    # guard mirrors similarity_topk_np's bounded-collect contract:
-    # bigger graphs take the distributed loop automatically, so the
-    # 100 TB path never depends on driver memory.
+    # min reachable id), bit-identical output — and ship the result back.
+    # The guard mirrors similarity_topk_np's bounded-collect contract —
+    # the count routes BEFORE anything is collected — and bigger graphs
+    # take the distributed loop automatically, so the 100 TB path never
+    # depends on driver memory.  (r14 optimization: the old shape spent
+    # 5 jobs per call — raw checkpoint, distinct checkpoint, count,
+    # edge collect, self-loop collect; this one spends 3 — checkpoint,
+    # count over the checkpoint, one collect.  A LIMIT-probe collect
+    # would be 2, but CollectLimit scans partitions in escalating waves
+    # and a table SMALLER than the cap — the common case — exhausts
+    # every wave: measured more jobs than the count, incr_golden +28%.)
+    cur_count = dist.count()
     if cur_count <= driver_max_edges:
-        return _components_driver(spark, raw, cur)
+        return _components_driver(spark, dist, dist.toPandas())
+    cur = dist.where(F.col("u") != F.col("v"))
     if loop_shuffle_partitions is None:
         loop_shuffle_partitions = max(8, cur_count // 2_000_000)
     scoped = {
@@ -104,14 +116,14 @@ def connected_components(
         cur.select(F.col("u").alias("id"), F.col("v").alias("component"))
         .unionByName(cur.select(F.col("v").alias("id"), F.col("v").alias("component")))
         .unionByName(
-            raw.where(F.col("u") == F.col("v"))
+            dist.where(F.col("u") == F.col("v"))
             .select(F.col("u").alias("id"), F.col("u").alias("component"))
         )
     )
     return candidates.groupBy("id").agg(F.min("component").alias("component"))
 
 
-def _components_driver(spark, raw: DataFrame, cur: DataFrame) -> DataFrame:
+def _components_driver(spark, dist: DataFrame, pdf) -> DataFrame:
     """Exact driver-side components for bounded edge lists: union-find
     with path compression over NUMPY INDEX ARRAYS, then per-root
     minimum so ``component`` is the min member id — the same fixpoint
@@ -124,19 +136,24 @@ def _components_driver(spark, raw: DataFrame, cur: DataFrame) -> DataFrame:
     keeps all state in flat int64 arrays (parent ≈ 8 B/vertex) — total
     driver footprint ≈ 25–40 MB at the cap, matching the sizing claim
     at the call site.
+
+    ``pdf`` is the already-collected distinct edge table (self-loop
+    rows included) from the caller's bounded routing probe — one Arrow
+    collect serves both the routing decision and the solve (r14: the
+    old shape re-collected edges and self-loops as two more jobs).
     """
     import numpy as np
 
-    edges_pdf = cur.toPandas()
-    loops_pdf = (
-        raw.where(F.col("u") == F.col("v")).select("u").distinct().toPandas()
-    )
+    loops_mask = pdf["u"].to_numpy() == pdf["v"].to_numpy()
+    edges_pdf = pdf[~loops_mask]
     eu = edges_pdf["u"].to_numpy()
     ev = edges_pdf["v"].to_numpy()
     # vertex universe: both edge endpoints plus self-loop-only vertices.
     # np.unique returns SORTED ids, so dense index order == id order and
     # "min member id" == "min member index" — no second remap needed.
-    ids = np.unique(np.concatenate([eu, ev, loops_pdf["u"].to_numpy()]))
+    ids = np.unique(
+        np.concatenate([eu, ev, pdf["u"].to_numpy()[loops_mask]])
+    )
     iu = np.searchsorted(ids, eu)
     iv = np.searchsorted(ids, ev)
     n = len(ids)
@@ -165,7 +182,7 @@ def _components_driver(spark, raw: DataFrame, cur: DataFrame) -> DataFrame:
     comp_min = np.full(n, n, dtype=np.int64)
     np.minimum.at(comp_min, root, np.arange(n, dtype=np.int64))
     component_ids = ids[comp_min[root]]
-    id_type = raw.schema["u"].dataType
+    id_type = dist.schema["u"].dataType
     out_schema = T.StructType(
         [T.StructField("id", id_type), T.StructField("component", id_type)]
     )

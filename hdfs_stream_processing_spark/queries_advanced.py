@@ -2196,27 +2196,38 @@ def golden_apply_batch(
     from hdfs_stream_processing_spark.sources.io import (
         read_table_version,
         table_latest_version,
+        table_version_meta,
         write_table_version,
     )
 
     spark = batch_df.sparkSession
 
-    def resolve(name: str) -> DataFrame:
-        v = table_latest_version(spark, state[name])
-        while v:
-            df = read_table_version(spark, state[name], v)
-            b = df.select(F.max("_batch")).first()[0]
-            if b is None or b < batch_id:
-                return df.drop("_batch")
-            v -= 1
-        return spark.createDataFrame([], _GOLDEN_STATE_DDL[name])
-
-    if table_latest_version(spark, state["golden"]) is not None:
-        done = (
-            read_table_version(spark, state["golden"])
+    def committed(name: str, v: int) -> int | None:
+        """Batch id snapshot ``v`` carries: the ``_meta.json`` sidecar
+        when present (driver-side file read, r14 — the old shape spent
+        one Spark job per table per micro-batch on this), else the
+        ``max(_batch)`` scan (pre-r14 snapshots)."""
+        m = table_version_meta(spark, state[name], v)
+        if m is not None and "batch" in m:
+            return m["batch"]
+        return (
+            read_table_version(spark, state[name], v)
             .select(F.max("_batch"))
             .first()[0]
         )
+
+    def resolve(name: str) -> DataFrame:
+        v = table_latest_version(spark, state[name])
+        while v:
+            b = committed(name, v)
+            if b is None or b < batch_id:
+                return read_table_version(spark, state[name], v).drop("_batch")
+            v -= 1
+        return spark.createDataFrame([], _GOLDEN_STATE_DDL[name])
+
+    gv = table_latest_version(spark, state["golden"])
+    if gv is not None:
+        done = committed("golden", gv)
         if done is not None and done >= batch_id:
             return False  # golden commits last: this batch fully landed
     g_old = resolve("golden")
@@ -2227,21 +2238,34 @@ def golden_apply_batch(
     new_golden, new_comp, bands_b = _golden_step(
         batch, bands_old, comp_old, attrs_old, g_old
     )
-    # materialize the outputs BEFORE committing any state table: all
-    # of them read the old snapshots, and a half-committed state must
-    # never feed its own successor
-    new_golden = new_golden.localCheckpoint()
-    new_comp = new_comp.localCheckpoint()
-    new_bands = bands_old.unionByName(bands_b).localCheckpoint()
+    # Every output's plan reads the OLD snapshots through explicit
+    # pinned ``v=<n>/data`` paths (resolve() pins the version; snapshot
+    # dirs are immutable and this state is never vacuumed), so a commit
+    # can never redirect a not-yet-executed sibling plan onto its own
+    # successor — the writes below ARE the single materialization of
+    # each output (r14: the four eager pre-write localCheckpoints were
+    # a second full pass per table per micro-batch; the shared
+    # subplans — sig_b, bands_b, mcomp, members — stay reused through
+    # their own lazy checkpoints inside _golden_step).
+    new_bands = bands_old.unionByName(bands_b)
     new_attrs = attrs_old.unionByName(
         batch.select("doc_id", "lang", "source", "n_chars")
-    ).localCheckpoint()
+    )
     stamp = F.lit(batch_id)
-    write_table_version(spark, new_bands.withColumn("_batch", stamp), state["bands"])
-    write_table_version(spark, new_comp.withColumn("_batch", stamp), state["comp"])
-    write_table_version(spark, new_attrs.withColumn("_batch", stamp), state["attrs"])
+    meta = {"batch": batch_id}
+    write_table_version(
+        spark, new_bands.withColumn("_batch", stamp), state["bands"], meta=meta
+    )
+    write_table_version(
+        spark, new_comp.withColumn("_batch", stamp), state["comp"], meta=meta
+    )
+    write_table_version(
+        spark, new_attrs.withColumn("_batch", stamp), state["attrs"], meta=meta
+    )
     # golden commits LAST — its stamp marks the whole batch done
-    write_table_version(spark, new_golden.withColumn("_batch", stamp), state["golden"])
+    write_table_version(
+        spark, new_golden.withColumn("_batch", stamp), state["golden"], meta=meta
+    )
     return True
 
 # Round 8: MinHash-LSH recall contract, winsorization

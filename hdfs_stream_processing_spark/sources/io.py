@@ -341,7 +341,12 @@ def table_latest_version(spark: SparkSession, table_dir: str) -> int | None:
     return int(raw)
 
 
-def write_table_version(spark: SparkSession, df: DataFrame, table_dir: str) -> int:
+def write_table_version(
+    spark: SparkSession,
+    df: DataFrame,
+    table_dir: str,
+    meta: dict | None = None,
+) -> int:
     """Commit ``df`` as the table's next immutable snapshot and publish
     it — the minimal form of the Iceberg/Delta snapshot protocol:
 
@@ -359,11 +364,27 @@ def write_table_version(spark: SparkSession, df: DataFrame, table_dir: str) -> i
     writer (this engine's loaders run one committer per table); a
     multi-writer lake puts the pointer CAS in a metastore/catalog
     instead — the layout here is deliberately that same shape.
+
+    ``meta`` (r14 optimization, guide §5 "the driver should do almost
+    no data work"): small JSON-able commit facts (e.g. the streaming
+    batch id) land in ``v=<n>/_meta.json`` BEFORE the pointer flip, so
+    readers resolve them with one driver-side file read instead of a
+    Spark job over the snapshot — the miniature of Iceberg/Delta
+    keeping snapshot properties in the manifest, not in the data.
     """
     n = (table_latest_version(spark, table_dir) or 0) + 1
     base = table_dir.rstrip("/")
     df.write.mode("error").parquet(f"{base}/v={n}/data")
     jvm, fs = _fs_for(spark, table_dir)
+    if meta is not None:
+        import json as _json
+
+        mpath = jvm.org.apache.hadoop.fs.Path(f"{base}/v={n}/_meta.json")
+        mout = fs.create(mpath, True)
+        try:
+            mout.write(bytearray(_json.dumps(meta).encode("ascii")))
+        finally:
+            mout.close()
     tmp = jvm.org.apache.hadoop.fs.Path(f"{base}/_latest.tmp")
     ptr = jvm.org.apache.hadoop.fs.Path(f"{base}/_latest")
     out = fs.create(tmp, True)
@@ -387,6 +408,32 @@ def read_table_version(
     if v is None:
         raise FileNotFoundError(f"no committed version in {table_dir}")
     return spark.read.parquet(f"{table_dir.rstrip('/')}/v={v}/data")
+
+
+def table_version_meta(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> dict | None:
+    """Commit metadata of a snapshot (``v=<n>/_meta.json``), or None
+    when the snapshot was written without ``meta`` — callers that need
+    a fact recorded there must fall back to deriving it from the data
+    (the pre-r14 snapshots carry no sidecar)."""
+    import json as _json
+
+    v = version if version is not None else table_latest_version(spark, table_dir)
+    if v is None:
+        return None
+    jvm, fs = _fs_for(spark, table_dir)
+    mpath = jvm.org.apache.hadoop.fs.Path(
+        f"{table_dir.rstrip('/')}/v={v}/_meta.json"
+    )
+    if not fs.exists(mpath):
+        return None
+    stream = fs.open(mpath)
+    try:
+        raw = bytes(stream.readAllBytes()).decode("ascii")
+    finally:
+        stream.close()
+    return _json.loads(raw)
 
 
 def vacuum_table_versions(

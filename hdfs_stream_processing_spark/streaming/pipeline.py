@@ -666,6 +666,21 @@ def vacuum_cdc_tombstones(
     return n_dead
 
 
+def _committed_batch(spark, table_dir: str, version: int, existing: DataFrame):
+    """The micro-batch id a committed snapshot carries — from the
+    ``_meta.json`` sidecar when present (one driver-side file read,
+    r14 optimization), else from a ``max(_batch)`` scan of the data
+    (pre-r14 snapshots have no sidecar).  The ``_batch`` column is
+    written as a constant literal per snapshot, so the two reads are
+    definitionally equal whenever both exist."""
+    from hdfs_stream_processing_spark.sources.io import table_version_meta
+
+    m = table_version_meta(spark, table_dir, version)
+    if m is not None and "batch" in m:
+        return m["batch"]
+    return existing.agg(F.max("_batch")).collect()[0][0]  # 1 row
+
+
 def scd2_apply_batch(
     batch_df: DataFrame,
     table_dir: str,
@@ -719,7 +734,7 @@ def scd2_apply_batch(
         merged = scd2_build(batch_df, key_cols, ts_col, attr_col, tiebreak_cols)
     else:
         existing = read_table_version(spark, table_dir, latest)
-        last_batch = existing.agg(F.max("_batch")).collect()[0][0]  # 1 row
+        last_batch = _committed_batch(spark, table_dir, latest, existing)
         if last_batch is not None and batch_id <= last_batch:
             return False  # replayed batch: snapshot already published
         merged = scd2_merge(
@@ -730,6 +745,7 @@ def scd2_apply_batch(
         spark,
         merged.withColumn("_batch", F.lit(batch_id).cast("long")),
         table_dir,
+        meta={"batch": batch_id},
     )
     vacuum_table_versions(spark, table_dir, keep_last=2)
     return True
@@ -802,7 +818,7 @@ def rollup_apply_batch(
         merged = batch_partial.select(*key_cols, *sum_cols)
     else:
         existing = read_table_version(spark, table_dir, latest)
-        last_batch = existing.agg(F.max("_batch")).collect()[0][0]  # 1 row
+        last_batch = _committed_batch(spark, table_dir, latest, existing)
         if last_batch is not None and batch_id <= last_batch:
             return False
         merged = rollup_merge(
@@ -812,6 +828,7 @@ def rollup_apply_batch(
         spark,
         merged.withColumn("_batch", F.lit(batch_id).cast("long")),
         table_dir,
+        meta={"batch": batch_id},
     )
     vacuum_table_versions(spark, table_dir, keep_last=2)
     return True
@@ -852,7 +869,7 @@ def rollup_apply_batch_mixed(
         merged = batch_partial.select(*key_cols, *cols)
     else:
         existing = read_table_version(spark, table_dir, latest)
-        last_batch = existing.agg(F.max("_batch")).collect()[0][0]  # 1 row
+        last_batch = _committed_batch(spark, table_dir, latest, existing)
         if last_batch is not None and batch_id <= last_batch:
             return False
         merged = rollup_merge_mixed(
@@ -862,6 +879,7 @@ def rollup_apply_batch_mixed(
         spark,
         merged.withColumn("_batch", F.lit(batch_id).cast("long")),
         table_dir,
+        meta={"batch": batch_id},
     )
     vacuum_table_versions(spark, table_dir, keep_last=2)
     return True
