@@ -238,6 +238,64 @@ def _dot_sql(a: str, b: str) -> str:
     )
 
 
+def _np_affinities(V, C):
+    """The affinity matrix of the literal SQL path, in numpy, term for
+    term: int64 dot (exact — the same sums the SQL ``aggregate`` folds;
+    < 2^53 by the quantization contract), one cast to float64 per
+    operand, IEEE sqrt/multiply/divide — every operation is the
+    correctly-rounded binary64 op the JVM executes, so the doubles are
+    BIT-IDENTICAL to the expression tree's (asserted over the corpus,
+    exact ties included, in tests/test_np_assign.py).  Raises on a
+    zero-norm row exactly where the ANSI SQL path raises
+    DIVIDE_BY_ZERO."""
+    import numpy as np
+
+    dots = V @ C.T
+    qn = np.sqrt((V * V).sum(axis=1).astype(np.float64))
+    if (qn == 0.0).any():
+        raise ArithmeticError(
+            "assign_cells: zero-norm vector — division by zero (the SQL "
+            "path raises DIVIDE_BY_ZERO here under ANSI mode)"
+        )
+    cn = np.sqrt((C * C).sum(axis=1).astype(np.float64))
+    return dots.astype(np.float64) / (qn[:, None] * cn[None, :])
+
+
+def _assign_cells_arrow(
+    df: DataFrame, centroids: list[list[int]], vec_col: str, out_col: str
+) -> DataFrame:
+    """Arrow-vectorized argmax-cosine assignment (r14, guide §4.2 "hand
+    whole batches to vectorized native libraries"): one int64 GEMM per
+    Arrow batch replaces the per-row n_cells × dims interpreted
+    ``aggregate(zip_with(...))`` lambdas of the literal path — measured
+    ~2.5 s/run of the Lloyd-means jobs in similarity_ivf at sf0.1
+    collapse to milliseconds of numpy.  Tie rule preserved:
+    ``np.argmax`` returns the FIRST maximum = lowest cell id, exactly
+    the literal path's ``array_max`` struct order.  Bit-parity with
+    the SQL expression is pinned by tests/test_np_assign.py."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType
+
+    C = np.array([[int(x) for x in cv] for cv in centroids], dtype=np.int64)
+
+    @F.pandas_udf(IntegerType())
+    def _cell(qv):  # no hints: postponed annotations break inference
+        if not len(qv):
+            return pd.Series([], dtype="int32")
+        V = np.vstack(qv.to_numpy()).astype(np.int64)
+        aff = _np_affinities(V, C)
+        return pd.Series(np.argmax(aff, axis=1).astype(np.int32))
+
+    # asNondeterministic: the optimizer otherwise pushes the join's
+    # isnotnull(cell) filter BELOW the repartition with its own copy of
+    # the UDF — two ArrowEvalPython nodes evaluating the same GEMM per
+    # row (guide §4.4; observed in ann_recall's corpus branch).  The
+    # function is in fact deterministic; the marker only forbids the
+    # duplicating rewrite.
+    return df.withColumn(out_col, _cell.asNondeterministic()(F.col(vec_col)))
+
+
 def assign_cells(
     df: DataFrame,
     centroids: list[list[int]],
@@ -245,23 +303,33 @@ def assign_cells(
     out_col: str = "cell",
     id_col: str | None = None,
     max_literal_cells: int = 256,
+    use_arrow: bool = True,
 ) -> DataFrame:
-    """Argmax-cosine cell assignment.  Two physical strategies, same
-    semantics (max cosine, ties to the lowest cell id):
+    """Argmax-cosine cell assignment.  Three physical strategies, same
+    semantics (max cosine, ties to the lowest cell id), bit-identical
+    outputs (parity pinned in tests/test_llm_ops.py and
+    tests/test_np_assign.py):
 
-    - **literal path** (≤ ``max_literal_cells``): centroids embedded as
+    - **Arrow path** (default, ≤ ``max_literal_cells``): the centroid
+      matrix rides the UDF closure; each Arrow batch pays ONE int64
+      GEMM + argmax in numpy (guide §4.2).  No join, no shuffle.
+    - **literal path** (``use_arrow=False``): centroids embedded as
       array literals — one whole-stage-codegen expression per row, no
-      join, no broadcast variable, NO shuffle.  Affinity is integer-dot
-      / (sqrt·sqrt) of exact integers → bit-identical in any engine
-      (the ivf_assign oracle).
+      Python boundary.  Affinity is integer-dot / (sqrt·sqrt) of exact
+      integers → bit-identical in any engine (the ivf_assign oracle
+      replays it in SQL); kept as the parity witness and for
+      Arrow-less deployments.
     - **broadcast-join path** (larger, needs ``id_col``): at real scale
-      ``n_cells`` ~ sqrt(corpus) is 10^4-10^5 — a literal expression
-      that size breaks codegen limits, so the centroid table (still
-      tiny: cells × dims ints) is broadcast, affinities computed per
-      (row, cell) pair, and the argmax taken by max_by over a groupBy
-      on ``id_col`` — one shuffle keyed on the row id.
+      ``n_cells`` ~ sqrt(corpus) is 10^4-10^5 — a closure/literal that
+      size is executor-memory-hostile and breaks codegen limits, so the
+      centroid table (still tiny: cells × dims ints) is broadcast,
+      affinities computed per (row, cell) pair, and the argmax taken by
+      max_by over a groupBy on ``id_col`` — one shuffle keyed on the
+      row id.
     """
     if len(centroids) <= max_literal_cells or id_col is None:
+        if use_arrow:
+            return _assign_cells_arrow(df, centroids, vec_col, out_col)
         qn = F.sqrt(dot_q(F.col(vec_col), F.col(vec_col)).cast("double"))
         df = df.withColumn("_qn", qn)
         parts = []
@@ -416,6 +484,7 @@ def ivf_topk(
     centroids: list[list[int]] | None = None,
     max_literal_cells: int = 256,
     queries_filter: Column | None = None,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """IVF ANN: k-means coarse cells, search the query's ``nprobe``
     nearest cells, exact cosine re-rank inside.
@@ -445,35 +514,84 @@ def ivf_topk(
     # this the whole assign/probe/re-rank chain runs on ONE task (same
     # rationale and AQE exemption as minhash_signature_wide).
     n_parts = embeddings.sparkSession.sparkContext.defaultParallelism
-    q = embeddings.repartition(n_parts, F.col(id_col)).select(
-        F.col(id_col), quantized(vec_col).alias("qv")
-    )
+    q_raw = embeddings.select(F.col(id_col), quantized(vec_col).alias("qv"))
+    q = q_raw.repartition(n_parts, F.col(id_col))
     corpus = assign_cells(
-        q, centroids, id_col=id_col, max_literal_cells=max_literal_cells
+        q, centroids, id_col=id_col, max_literal_cells=max_literal_cells,
+        use_arrow=use_arrow,
     ).select(F.col(id_col).alias("neighbor_id"), F.col("qv").alias("nv"), "cell")
     qq = q.where(queries_filter) if queries_filter is not None else q
     if len(centroids) <= max_literal_cells:
-        # nprobe nearest cells per query: sort the same per-cell affinity
-        # structs descending, slice, explode — still a narrow map.
-        qn = F.sqrt(dot_q(F.col("qv"), F.col("qv")).cast("double"))
-        probes = qq.withColumn("_qn", qn)
-        parts = []
-        for cell, cv in enumerate(centroids):
-            cc = sum(int(v) * int(v) for v in cv)
-            aff = (
-                f"(CAST({_dot_sql('qv', _arr_lit(cv))} AS DOUBLE)"
-                f" / (_qn * sqrt(CAST({cc} AS DOUBLE))))"
+        if use_arrow:
+            # the Arrow probe branch reads the UNrepartitioned base and
+            # pays its one exchange ABOVE the UDF (see below) — reading
+            # q would stack the by-id exchange under it for two.
+            qq = (
+                q_raw.where(queries_filter)
+                if queries_filter is not None
+                else q_raw
             )
-            parts.append(f"named_struct('aff', {aff}, 'nc', {-cell})")
-        top_cells = (
-            f"transform(slice(reverse(array_sort(array({', '.join(parts)}))), 1, {nprobe}),"
-            " s -> CAST(-s.nc AS INT))"
-        )
-        probes = probes.select(
-            F.col(id_col).alias("query_id"),
-            F.col("qv").alias("pv"),
-            F.explode(F.expr(top_cells)).alias("cell"),
-        )
+            # nprobe nearest cells per query: the same numpy affinity
+            # matrix as _assign_cells_arrow, stable argsort on -aff —
+            # equal affinities keep ascending cell order, exactly the
+            # literal struct sort's (aff DESC, cell ASC) tie rule
+            # (parity pinned in tests/test_np_assign.py).
+            import numpy as np
+            import pandas as pd
+            from pyspark.sql.types import ArrayType, IntegerType
+
+            C = np.array(
+                [[int(x) for x in cv] for cv in centroids], dtype=np.int64
+            )
+
+            @F.pandas_udf(ArrayType(IntegerType()))
+            def _top_cells(qv):  # no hints: postponed annotations break inference
+                if not len(qv):
+                    return pd.Series([], dtype=object)
+                V = np.vstack(qv.to_numpy()).astype(np.int64)
+                aff = _np_affinities(V, C)
+                order = np.argsort(-aff, axis=1, kind="stable")[:, :nprobe]
+                return pd.Series(list(order.astype(np.int32)))
+
+            # asNondeterministic: see _assign_cells_arrow (guide §4.4).
+            # ArrowEvalPython does not propagate its child's output
+            # partitioning, so the pre-UDF repartition-by-id would be
+            # invisible to the final top-k window and Spark would insert
+            # a SECOND exchange of the rescored pairs (observed:
+            # ann_recall 6 → 7 exchanges).  Repartitioning the probe
+            # rows by query id ABOVE the UDF keeps the window's
+            # clustering requirement satisfied from this one exchange —
+            # the same exchange count and keying as the literal path.
+            probes = qq.select(
+                F.col(id_col).alias("query_id"),
+                F.col("qv").alias("pv"),
+                F.explode(
+                    _top_cells.asNondeterministic()(F.col("qv"))
+                ).alias("cell"),
+            ).repartition(n_parts, F.col("query_id"))
+        else:
+            # literal-expression variant (the oracle's formulation and
+            # the Arrow path's parity witness): sort the per-cell
+            # affinity structs descending, slice, explode.
+            qn = F.sqrt(dot_q(F.col("qv"), F.col("qv")).cast("double"))
+            probes = qq.withColumn("_qn", qn)
+            parts = []
+            for cell, cv in enumerate(centroids):
+                cc = sum(int(v) * int(v) for v in cv)
+                aff = (
+                    f"(CAST({_dot_sql('qv', _arr_lit(cv))} AS DOUBLE)"
+                    f" / (_qn * sqrt(CAST({cc} AS DOUBLE))))"
+                )
+                parts.append(f"named_struct('aff', {aff}, 'nc', {-cell})")
+            top_cells = (
+                f"transform(slice(reverse(array_sort(array({', '.join(parts)}))), 1, {nprobe}),"
+                " s -> CAST(-s.nc AS INT))"
+            )
+            probes = probes.select(
+                F.col(id_col).alias("query_id"),
+                F.col("qv").alias("pv"),
+                F.explode(F.expr(top_cells)).alias("cell"),
+            )
     else:
         probes = _probe_cells_join(qq, centroids, id_col, nprobe)
     pairs = probes.join(corpus, "cell").where(F.col("query_id") != F.col("neighbor_id"))

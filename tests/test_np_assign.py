@@ -1,0 +1,89 @@
+"""Bit-parity of the Arrow/numpy IVF paths vs the literal SQL
+expressions (r14 optimization, guide §4.2).
+
+The affinity is integer-dot / (sqrt·sqrt): int64 dots are exact in both
+engines, every float64 op (cast, sqrt, multiply, divide) is the same
+correctly-rounded IEEE binary64 operation in numpy and the JVM, and the
+tie rules coincide (np.argmax first-max == array_max struct order;
+stable argsort on -aff == (aff DESC, cell ASC)).  These tests pin that
+equivalence over the full embeddings corpus INCLUDING forced exact
+ties, so the Arrow path can never drift from the oracle's SQL
+formulation unnoticed.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hdfs_stream_processing_spark import get_spark
+from hdfs_stream_processing_spark.operators.similarity import (
+    assign_cells,
+    ivf_init_centroids,
+    ivf_topk,
+    quantized,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark(app_name="test-np-assign", cpus=8)
+
+
+@pytest.fixture(scope="module")
+def q(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    return emb.select(F.col("vec_id"), quantized("embedding").alias("qv"))
+
+
+@pytest.fixture(scope="module")
+def cents(q):
+    return ivf_init_centroids(
+        q.select(F.col("vec_id"), F.col("qv").alias("embedding")),
+        "vec_id", "embedding", n_cells=16,
+    )
+
+
+def _cells(df):
+    return {r["vec_id"]: r["cell"] for r in df.select("vec_id", "cell").collect()}
+
+
+def test_arrow_assign_matches_literal_expression(q, cents):
+    got_np = _cells(assign_cells(q, cents, vec_col="qv", use_arrow=True))
+    got_sql = _cells(assign_cells(q, cents, vec_col="qv", use_arrow=False))
+    assert got_np == got_sql
+
+
+def test_arrow_assign_tie_rule_matches(q, cents):
+    """Duplicate centroids force EXACT affinity ties on every row —
+    both paths must break toward the lowest cell id."""
+    cents_tie = [list(cents[0])] * 4 + [list(c) for c in cents[4:]]
+    got_np = _cells(assign_cells(q, cents_tie, vec_col="qv", use_arrow=True))
+    got_sql = _cells(assign_cells(q, cents_tie, vec_col="qv", use_arrow=False))
+    assert got_np == got_sql
+    assert 0 in set(got_np.values())  # the tie block resolves to cell 0
+    assert not {1, 2, 3} & set(got_np.values())
+
+
+def test_arrow_ivf_topk_matches_literal(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qf = F.col("vec_id") < 50
+    a = ivf_topk(emb, n_cells=16, nprobe=2, k=10, n_iters=3,
+                 queries_filter=qf, use_arrow=True)
+    b = ivf_topk(emb, n_cells=16, nprobe=2, k=10, n_iters=3,
+                 queries_filter=qf, use_arrow=False)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb  # ranks, ids AND cosine doubles bit-equal
+
+
+def test_arrow_assign_raises_on_zero_vector(spark, cents):
+    """The ANSI SQL path raises DIVIDE_BY_ZERO on a zero-norm vector;
+    the Arrow path must not silently return instead."""
+    deg = spark.createDataFrame(
+        [(1, [0] * len(cents[0]))], "vec_id bigint, qv array<bigint>"
+    )
+    with pytest.raises(Exception, match="zero-norm|DIVIDE_BY_ZERO"):
+        assign_cells(deg, cents, vec_col="qv", use_arrow=True).collect()
