@@ -783,6 +783,77 @@ def pq_init_codebooks(
     return out
 
 
+def _pq_codes_arrow(
+    q: DataFrame,
+    codebook_rows: list[tuple[int, int, list[int]]],
+    m_subs: int,
+    d_sub: int,
+    id_col: str,
+) -> DataFrame:
+    """Arrow-vectorized PQ encoding (r14, guide §4.2 + §2.4): ONE int64
+    GEMM per (Arrow batch, subspace) replaces the explode → broadcast
+    join → (id, sub) hash-aggregate argmin — removing the encoder's
+    corpus-sized EXCHANGE outright.  d2 is exact integer algebra
+    (‖v‖² + ‖cw‖² − 2·v·cw == Σ(v−cw)², exact in int64, so the value is
+    IDENTICAL to the SQL fold no matter the formulation); ties break to
+    the lowest code via argmin-first exactly like min(struct(d2,
+    code)).  Parity pinned in tests/test_np_assign.py."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    CW = [
+        np.array(
+            [cw for s, c, cw in codebook_rows if s == m], dtype=np.int64
+        )
+        for m in range(m_subs)
+    ]
+
+    @F.pandas_udf(
+        StructType(
+            [
+                StructField("codes", ArrayType(IntegerType())),
+                StructField("d2s", ArrayType(LongType())),
+            ]
+        )
+    )
+    def _enc(qv):  # no hints: postponed annotations break inference
+        if not len(qv):
+            return pd.DataFrame({"codes": [], "d2s": []})
+        V = np.vstack(qv.to_numpy()).astype(np.int64)
+        codes = np.empty((len(V), m_subs), dtype=np.int32)
+        d2s = np.empty((len(V), m_subs), dtype=np.int64)
+        for m in range(m_subs):
+            Vm = V[:, m * d_sub : (m + 1) * d_sub]
+            D = (
+                (Vm * Vm).sum(axis=1)[:, None]
+                + (CW[m] * CW[m]).sum(axis=1)[None, :]
+                - 2 * (Vm @ CW[m].T)
+            )
+            codes[:, m] = np.argmin(D, axis=1)
+            d2s[:, m] = D[np.arange(len(V)), codes[:, m]]
+        return pd.DataFrame({"codes": list(codes), "d2s": list(d2s)})
+
+    enc = q.withColumn("_e", _enc.asNondeterministic()(F.col("qv")))
+    return enc.select(
+        id_col,
+        F.posexplode(F.arrays_zip(F.col("_e.codes"), F.col("_e.d2s"))).alias(
+            "sub", "_z"
+        ),
+    ).select(
+        id_col,
+        "sub",
+        F.col("_z.codes").alias("code"),
+        F.col("_z.d2s").alias("d2"),
+    )
+
+
 def pq_assign_codes(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -790,6 +861,7 @@ def pq_assign_codes(
     m_subs: int = 4,
     k_codes: int = 8,
     codebook_rows: list[tuple[int, int, list[int]]] | None = None,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Product-quantization encoding — the memory side of the IVF-PQ
     ANN stack (IVF prunes the search space; PQ compresses residuals/
@@ -805,22 +877,26 @@ def pq_assign_codes(
     maintainer) derive the codebook ONCE instead of paying a second
     sorted-sample collect per call (ADVICE r9).
 
-    Scale: one bounded explode (×``m_subs``), a broadcast join against
-    the KB-sized codebook, one (id, sub) hash agg for the argmin —
-    map-side partial, no corpus shuffle beyond the agg.  64 dims × 4
+    Default path (r14): Arrow/numpy per-row encoding — zero shuffle
+    (see :func:`_pq_codes_arrow`).  ``use_arrow=False`` keeps the pure
+    SQL shape — one bounded explode (×``m_subs``), a broadcast join
+    against the KB-sized codebook, one (id, sub) hash agg for the
+    argmin — as the oracle-formulation parity witness.  64 dims × 4
     subs × 8 codes keeps distances < 2^40 — far inside bigint."""
     spark = embeddings.sparkSession
     if codebook_rows is None:
         codebook_rows = pq_init_codebooks(embeddings, id_col, vec_col, m_subs, k_codes)
+    q = embeddings.select(F.col(id_col), quantized(vec_col).alias("qv"))
+    # slice bounds are per-subspace literals: derive the (validated)
+    # static dims from the codebook rows rather than re-scanning
+    dims = len(codebook_rows[0][2]) * m_subs
+    d_sub = dims // m_subs
+    if use_arrow:
+        return _pq_codes_arrow(q, codebook_rows, m_subs, d_sub, id_col)
     cb = spark.createDataFrame(
         codebook_rows,
         "sub int, code int, cw array<bigint>",
     )
-    q = embeddings.select(F.col(id_col), quantized(vec_col).alias("qv"))
-    # slice bounds are per-subspace literals: derive the (validated)
-    # static dims from the codebook rather than re-scanning the corpus
-    dims = len(cb.first()["cw"]) * m_subs
-    d_sub = dims // m_subs
     subvecs = F.array(
         *[
             F.struct(
@@ -1000,6 +1076,7 @@ def ivfpq_assign_codes(
     k_codes: int = 8,
     centroids: list[list[int]] | None = None,
     codebook_rows: list[tuple[int, int, list[int]]] | None = None,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """IVF-PQ encoding: (id, cell, sub, code) — each vector's min-L2
     coarse cell plus the PQ codes of its RESIDUAL (vector − centroid).
@@ -1008,11 +1085,17 @@ def ivfpq_assign_codes(
     tighter than raw vectors — and the cell column is exactly what lets
     the ADC scan prune to probed cells.
 
-    Plan: one broadcast join against the ``n_cells``-row centroid table
-    + a map-side min(struct) argmin (carrying the winning centroid for
-    the residual), then the pq_assign shape — bounded ×``m_subs``
-    explode, broadcast codebook join, one (id, sub) hash agg.  No
-    corpus shuffle beyond the two hash aggs at any scale."""
+    Default path (r14, guide §4.2 + §2.4): one Arrow batch pays an
+    int64 GEMM for the cell argmin, the integer residual, and the
+    per-subspace code argmins — ZERO corpus shuffle (the SQL shape's
+    two hash-aggregate exchanges are gone).  Exact-integer L2 means
+    any algebraic formulation yields the identical d2, and
+    argmin-first-min matches both min(struct(d2, cell, …)) and
+    min(struct(d2, code)) tie rules; parity pinned in
+    tests/test_np_assign.py.  ``use_arrow=False`` keeps the SQL shape:
+    one broadcast join against the ``n_cells``-row centroid table + a
+    min(struct) argmin, then the pq_assign shape — bounded ×``m_subs``
+    explode, broadcast codebook join, one (id, sub) hash agg."""
     spark = embeddings.sparkSession
     if centroids is None or codebook_rows is None:
         centroids, codebook_rows = ivfpq_init(
@@ -1020,12 +1103,70 @@ def ivfpq_assign_codes(
         )
     dims = len(centroids[0])
     d_sub = dims // m_subs
+
+    q = embeddings.select(F.col(id_col), quantized(vec_col).alias("qv"))
+    if use_arrow:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.types import (
+            ArrayType,
+            IntegerType,
+            StructField,
+            StructType,
+        )
+
+        CENT = np.array(centroids, dtype=np.int64)
+        CW = [
+            np.array(
+                [cw for s, c, cw in codebook_rows if s == m], dtype=np.int64
+            )
+            for m in range(m_subs)
+        ]
+
+        @F.pandas_udf(
+            StructType(
+                [
+                    StructField("cell", IntegerType()),
+                    StructField("codes", ArrayType(IntegerType())),
+                ]
+            )
+        )
+        def _enc(qv):  # no hints: postponed annotations break inference
+            if not len(qv):
+                return pd.DataFrame({"cell": [], "codes": []})
+            V = np.vstack(qv.to_numpy()).astype(np.int64)
+            D = (
+                (V * V).sum(axis=1)[:, None]
+                + (CENT * CENT).sum(axis=1)[None, :]
+                - 2 * (V @ CENT.T)
+            )
+            cell = np.argmin(D, axis=1)
+            R = V - CENT[cell]
+            codes = np.empty((len(V), m_subs), dtype=np.int32)
+            for m in range(m_subs):
+                Rm = R[:, m * d_sub : (m + 1) * d_sub]
+                Dm = (
+                    (Rm * Rm).sum(axis=1)[:, None]
+                    + (CW[m] * CW[m]).sum(axis=1)[None, :]
+                    - 2 * (Rm @ CW[m].T)
+                )
+                codes[:, m] = np.argmin(Dm, axis=1)
+            return pd.DataFrame(
+                {"cell": cell.astype(np.int32), "codes": list(codes)}
+            )
+
+        enc = q.withColumn("_e", _enc.asNondeterministic()(F.col("qv")))
+        return enc.select(
+            id_col,
+            F.col("_e.cell").alias("cell"),
+            F.posexplode(F.col("_e.codes")).alias("sub", "code"),
+        )
+
     cent = spark.createDataFrame(
         [(i, cv) for i, cv in enumerate(centroids)], "cell int, cv array<bigint>"
     )
     cb = spark.createDataFrame(codebook_rows, "sub int, code int, cw array<bigint>")
 
-    q = embeddings.select(F.col(id_col), quantized(vec_col).alias("qv"))
     scored = q.crossJoin(F.broadcast(cent)).withColumn(
         "_d2", _l2_q(F.col("qv"), F.col("cv"))
     )

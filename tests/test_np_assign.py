@@ -87,3 +87,28 @@ def test_arrow_assign_raises_on_zero_vector(spark, cents):
     )
     with pytest.raises(Exception, match="zero-norm|DIVIDE_BY_ZERO"):
         assign_cells(deg, cents, vec_col="qv", use_arrow=True).collect()
+
+
+def test_arrow_pq_codes_match_sql(spark):
+    """PQ encoding: the Arrow GEMM path must equal the SQL explode +
+    broadcast-join + argmin shape — codes, d2, everything."""
+    from hdfs_stream_processing_spark.operators.similarity import pq_assign_codes
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    a = sorted(map(tuple, pq_assign_codes(emb, use_arrow=True).collect()))
+    b = sorted(map(tuple, pq_assign_codes(emb, use_arrow=False).collect()))
+    assert a == b
+
+
+def test_arrow_ivfpq_codes_match_sql(spark):
+    """IVF-PQ encoding: cell argmin + integer residual + per-subspace
+    code argmins in one Arrow pass must equal the two-hash-agg SQL
+    shape."""
+    from hdfs_stream_processing_spark.operators.similarity import (
+        ivfpq_assign_codes,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    a = sorted(map(tuple, ivfpq_assign_codes(emb, use_arrow=True).collect()))
+    b = sorted(map(tuple, ivfpq_assign_codes(emb, use_arrow=False).collect()))
+    assert a == b

@@ -273,7 +273,14 @@ SHUFFLE_BUDGETS = {
     # 160-row fixture rank window and the final recall joins.  The
     # duplication IS the contract; each arm alone matches pq_topk's
     # budget, and the fixture is in-plan constant-size.
-    "pq_rotate": 14,
+    # r14: +4 (14→18) — the fixture's no-partition window used to
+    # collapse each arm to ONE partition, so the scored agg and top-k
+    # window were distribution-trivial (and the whole encode ran on a
+    # single task); the Arrow encoder spreads the work, and the two
+    # tiny ENSURE_REQUIREMENTS exchanges per arm it pays are
+    # fixture-row-bounded — at corpus scale the SQL shape paid them
+    # too (measured: pq_rotate job-seconds 12.5 → 9.2 at sf0.1).
+    "pq_rotate": 18,
     # substring_dup: window-content doc-frequency agg + the instance
     # join + per-doc island window + span agg — every exchange keyed
     # on content or doc, the bucketed-not-all-pairs shape.
