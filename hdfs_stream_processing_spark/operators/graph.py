@@ -287,6 +287,10 @@ def pagerank_exact(
     connected-components loop; dangling nodes (no out-edges) cannot
     occur in an edge-derived node set, and nodes with no IN-edges
     settle at the teleport floor via the left join's coalesce.
+    (r14: a broadcast-ranks variant — rank/deg/inflow broadcast per
+    iteration, one shuffle per round — was measured NO FASTER at sf0.1:
+    three node-sized broadcast builds per round cost what the saved
+    exchanges paid; reverted, the 2-shuffle step stays.)
     """
     # Loop-invariant tables materialize ONCE: without the checkpoint,
     # every iteration re-derives the caller's edge lineage (often a
@@ -529,6 +533,7 @@ def kcore_peel(
     dst: str = "dst",
     k: int = 3,
     n_iters: int = 4,
+    broadcast_keep: bool = True,
 ) -> DataFrame:
     """Fixed-iteration k-core peel over an undirected edge list (round
     11): iteratively drop every node whose degree falls below ``k``,
@@ -554,20 +559,28 @@ def kcore_peel(
     rounds — callers needing the fixpoint iterate until the count is
     stable, same driver-loop contract as connected_components).
 
-    Scale: each round is one degree aggregate (hash-partitioned on
-    node, map-side combine) plus two semi-joins keyed on the SAME node
-    ids — the shuffle partitioning is reusable across the round, and
-    the edge list only ever SHRINKS, so later rounds are cheaper.
-    Lineage is truncated per round (localCheckpoint) like the
-    components / pagerank loops.
+    Scale (r14 shape, guide §2.4 "remove shuffles outright"): the edge
+    list is hash-partitioned by ``_s`` ONCE before the loop; each
+    round's degree aggregate then needs NO exchange (hashpartitioning
+    on _s satisfies the grouping distribution), and with
+    ``broadcast_keep`` the two semi-joins are BroadcastHashJoins that
+    preserve that partitioning into the next round — the loop body is
+    exchange-free.  ``keep`` is node-cardinality-sized (16 B/row ≈
+    160 MB at 10M nodes — inside normal broadcast budgets); for
+    billion-node graphs pass ``broadcast_keep=False`` to get the
+    previous shuffled semi-join rounds (the keyed exchanges are then
+    the contract).  The edge list only ever SHRINKS, so later rounds
+    are cheaper; lineage is truncated per round (localCheckpoint) like
+    the components / pagerank loops.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
     if n_iters < 1:
         raise ValueError("n_iters must be >= 1")
-    e = edges.select(
-        F.col(src).alias("_s"), F.col(dst).alias("_d")
-    ).localCheckpoint(eager=False)
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    if broadcast_keep:
+        e = e.repartition(F.col("_s"))
+    e = e.localCheckpoint(eager=False)
     for _ in range(n_iters):
         keep = (
             e.groupBy("_s")
@@ -575,9 +588,10 @@ def kcore_peel(
             .where(F.col("_deg") >= F.lit(k))
             .select(F.col("_s").alias("_keep"))
         ).localCheckpoint(eager=False)
+        kb = F.broadcast(keep) if broadcast_keep else keep
         e = (
-            e.join(keep, e["_s"] == keep["_keep"], "left_semi")
-            .join(keep, e["_d"] == keep["_keep"], "left_semi")
+            e.join(kb, e["_s"] == keep["_keep"], "left_semi")
+            .join(kb, e["_d"] == keep["_keep"], "left_semi")
             .localCheckpoint(eager=False)
         )
     return (
@@ -592,6 +606,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     n_iters: int = 3,
+    broadcast_labels: bool = True,
 ) -> DataFrame:
     """Bounded-round synchronous label propagation (round 12 — the
     community finder that completes the graph hygiene kit: components
@@ -608,18 +623,25 @@ def label_propagation(
     design (multigraph semantics — ``distinct()`` first for a simple
     graph).  Returns (node, community).
 
-    Scale: each round is one edge↔label join (shuffle on node id), one
-    (node, label) count aggregate with map-side partials, and one
-    per-node ranking window whose partitions are bounded by a node's
-    distinct neighbor-label count — never data-sized.  Lineage is cut
-    per round (localCheckpoint) like the components / kcore loops; the
-    label table is node-cardinality-sized throughout.
+    Scale (r14 shape, guide §2.4): the edge list is hash-partitioned by
+    ``_s`` ONCE before the loop; with ``broadcast_labels`` each round's
+    edge↔label join is a BroadcastHashJoin (labels are node-cardinality
+    — 16 B/row ≈ 160 MB at 10M nodes, inside normal broadcast budgets)
+    that PRESERVES the ``_s`` partitioning, so the (node, label) vote
+    aggregate and the per-node ranking window both run exchange-free —
+    the loop body shuffles nothing.  For billion-node graphs pass
+    ``broadcast_labels=False``: rounds then pay the previous keyed
+    exchanges (join on node id + vote agg + window).  The window's
+    partitions stay bounded by a node's distinct neighbor-label count —
+    never data-sized.  Lineage is cut per round (localCheckpoint) like
+    the components / kcore loops.
     """
     if n_iters < 1:
         raise ValueError("n_iters must be >= 1")
-    e = edges.select(
-        F.col(src).alias("_s"), F.col(dst).alias("_d")
-    ).localCheckpoint(eager=False)
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    if broadcast_labels:
+        e = e.repartition(F.col("_s"))
+    e = e.localCheckpoint(eager=False)
     labels = e.select(F.col("_s").alias("_node")).distinct().select(
         "_node", F.col("_node").alias("_lbl")
     )
@@ -627,8 +649,9 @@ def label_propagation(
         F.col("_cnt").desc(), F.col("_lbl").asc()
     )
     for _ in range(n_iters):
+        lab = F.broadcast(labels) if broadcast_labels else labels
         votes = (
-            e.join(labels, e["_d"] == labels["_node"])
+            e.join(lab, e["_d"] == labels["_node"])
             .groupBy(F.col("_s").alias("_n"), "_lbl")
             .agg(F.count(F.lit(1)).alias("_cnt"))
         )
