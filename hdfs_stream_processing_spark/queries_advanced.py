@@ -368,15 +368,29 @@ def q_purge_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     (its sink is append-only; spark_streaming/convert-to-minio.py:125
     can only ever add rows)."""
     import os
+    import shutil
 
     from hdfs_stream_processing_spark.operators.incremental import run_purge
 
     customer, orders, lineitem = prep(spark, sf_dir, "customer", "orders", "lineitem")
+    # Pristine staged copies are written through Spark ONCE per source
+    # dir (memoized — the same staging contract as _stage_documents);
+    # each run then restores the live dirs with a driver-side file copy
+    # (r14, guide §1.2 "don't compute things you throw away": the three
+    # Spark re-writes of unchanged inputs were half this query's cost —
+    # the purge itself still plans, rewrites, swaps, and re-audits the
+    # live tables from scratch every run).
+    pristine = _mkdtemp("hsp_purge_pristine_", sf_dir)
+    names = ("customer", "orders", "lineitem")
+    for name, df in zip(names, (customer, orders, lineitem)):
+        d = os.path.join(pristine, name)
+        if not os.path.isdir(d):
+            df.write.mode("overwrite").parquet(d)
     base = _mkdtemp("hsp_purge_live_")  # fresh dirs per run: re-purgeable
     dirs = {}
-    for name, df in (("customer", customer), ("orders", orders), ("lineitem", lineitem)):
+    for name in names:
         d = os.path.join(base, name)
-        df.write.mode("overwrite").parquet(d)
+        shutil.copytree(os.path.join(pristine, name), d)
         dirs[name] = d
     requests = customer.where(F.col("c_custkey") % 97 == 0).select("c_custkey")
     return run_purge(

@@ -2254,15 +2254,27 @@ def q_bpe_train_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = _bpe_words(spark, sf_dir).select(
         bpe_init("word").alias("rep"), "freq"
     )
-    for i in range(1, _BPE_DEEP_K + 1):
-        best = bpe_best_pair(bpe_pair_counts(cur))
-        cur = cur.crossJoin(F.broadcast(best)).select(
-            bpe_apply_merge("rep", "l_sym", "r_sym").alias("rep"), "freq"
-        )
-        if i % _BPE_DEEP_STAGE_EVERY == 0 and i < _BPE_DEEP_K:
-            stage = _mkdtemp("hsp_bpedeep_")
-            cur.write.mode("overwrite").parquet(stage)
-            cur = spark.read.parquet(stage)
+    # r14 (guide §1.2 step 3 after steps 1-2): the staged chains are
+    # vocabulary-sized (KBs) but AQE materializes every one of their 8
+    # exchanges as its own stage-job — 43 jobs/run whose SCHEDULING gap
+    # was 64% of the query's wall.  AQE buys nothing on constant-size
+    # frames (nothing to coalesce, no joins to re-plan), so the staging
+    # writes run with it off and with shuffle partitions sized to the
+    # vocabulary (same scoped-override pattern as the
+    # connected_components loop).  The RETURNED plan still executes
+    # under the caller's session conf — only the in-function staging
+    # executions are scoped.
+    with _conf_override(spark, "spark.sql.adaptive.enabled", "false"), \
+            _conf_override(spark, "spark.sql.shuffle.partitions", "4"):
+        for i in range(1, _BPE_DEEP_K + 1):
+            best = bpe_best_pair(bpe_pair_counts(cur))
+            cur = cur.crossJoin(F.broadcast(best)).select(
+                bpe_apply_merge("rep", "l_sym", "r_sym").alias("rep"), "freq"
+            )
+            if i % _BPE_DEEP_STAGE_EVERY == 0 and i < _BPE_DEEP_K:
+                stage = _mkdtemp("hsp_bpedeep_")
+                cur.write.mode("overwrite").parquet(stage)
+                cur = spark.read.parquet(stage)
     return bpe_symbol_counts(cur).select(
         "symbol", F.col("count").alias("sym_count")
     )
