@@ -527,13 +527,25 @@ def cluster_representatives_by(
     return untouched.unionByName(survivors)
 
 
+#: Auto-route bound for the per-round node-table broadcasts in
+#: :func:`kcore_peel` / :func:`label_propagation`: broadcast only when
+#: the checkpointed edge count (an upper bound on the node count — every
+#: node of a symmetric edge list appears as ``_s``) is within this.  At
+#: the bound a string-keyed node table builds to roughly 60 B/row ≈
+#: 300 MB — inside the guide §3.1 "a few hundred MB is usually fine"
+#: budget with margin under the 8 GB hard cap; billion-node graphs fall
+#: through to the shuffled rounds automatically (same bounded-probe
+#: contract as connected_components.driver_max_edges).
+BROADCAST_MAX_NODES = 5_000_000
+
+
 def kcore_peel(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     k: int = 3,
     n_iters: int = 4,
-    broadcast_keep: bool = True,
+    broadcast_keep: bool | None = None,
 ) -> DataFrame:
     """Fixed-iteration k-core peel over an undirected edge list (round
     11): iteratively drop every node whose degree falls below ``k``,
@@ -559,28 +571,31 @@ def kcore_peel(
     rounds — callers needing the fixpoint iterate until the count is
     stable, same driver-loop contract as connected_components).
 
-    Scale (r14 shape, guide §2.4 "remove shuffles outright"): the edge
-    list is hash-partitioned by ``_s`` ONCE before the loop; each
-    round's degree aggregate then needs NO exchange (hashpartitioning
-    on _s satisfies the grouping distribution), and with
-    ``broadcast_keep`` the two semi-joins are BroadcastHashJoins that
-    preserve that partitioning into the next round — the loop body is
-    exchange-free.  ``keep`` is node-cardinality-sized (16 B/row ≈
-    160 MB at 10M nodes — inside normal broadcast budgets); for
-    billion-node graphs pass ``broadcast_keep=False`` to get the
-    previous shuffled semi-join rounds (the keyed exchanges are then
-    the contract).  The edge list only ever SHRINKS, so later rounds
-    are cheaper; lineage is truncated per round (localCheckpoint) like
-    the components / pagerank loops.
+    Scale (r15 shape, guide §3.1): with ``broadcast_keep`` each round's
+    two semi-joins are BroadcastHashJoins — only the node-sized keep set
+    moves, the (larger) edge list is never shuffled by the joins.
+    ``broadcast_keep=None`` (default) auto-routes on one count over the
+    checkpointed edge table: broadcast while the edge count (an upper
+    bound on nodes) is ≤ :data:`BROADCAST_MAX_NODES`, shuffled semi-join
+    rounds beyond it — so billion-node graphs never depend on broadcast
+    budgets (VERDICT r14 #8; the bounded-probe contract of
+    connected_components).  r15 fix (VERDICT r14 #2): the r14 shape also
+    hash-partitioned the edges by ``_s`` before the loop, but
+    ``localCheckpoint`` discards partitioning (``UnknownPartitioning``
+    at the checkpoint leaf — plans/r15/kcore_round_before.txt), so that
+    repartition was a pure extra shuffle per call; removed.  The edge
+    list only ever SHRINKS, so later rounds are cheaper; lineage is
+    truncated per round (localCheckpoint) like the components /
+    pagerank loops.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
     if n_iters < 1:
         raise ValueError("n_iters must be >= 1")
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
-    if broadcast_keep:
-        e = e.repartition(F.col("_s"))
     e = e.localCheckpoint(eager=False)
+    if broadcast_keep is None:
+        broadcast_keep = e.count() <= BROADCAST_MAX_NODES
     for _ in range(n_iters):
         keep = (
             e.groupBy("_s")
@@ -606,7 +621,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     n_iters: int = 3,
-    broadcast_labels: bool = True,
+    broadcast_labels: bool | None = None,
 ) -> DataFrame:
     """Bounded-round synchronous label propagation (round 12 — the
     community finder that completes the graph hygiene kit: components
@@ -623,25 +638,27 @@ def label_propagation(
     design (multigraph semantics — ``distinct()`` first for a simple
     graph).  Returns (node, community).
 
-    Scale (r14 shape, guide §2.4): the edge list is hash-partitioned by
-    ``_s`` ONCE before the loop; with ``broadcast_labels`` each round's
-    edge↔label join is a BroadcastHashJoin (labels are node-cardinality
-    — 16 B/row ≈ 160 MB at 10M nodes, inside normal broadcast budgets)
-    that PRESERVES the ``_s`` partitioning, so the (node, label) vote
-    aggregate and the per-node ranking window both run exchange-free —
-    the loop body shuffles nothing.  For billion-node graphs pass
-    ``broadcast_labels=False``: rounds then pay the previous keyed
-    exchanges (join on node id + vote agg + window).  The window's
-    partitions stay bounded by a node's distinct neighbor-label count —
-    never data-sized.  Lineage is cut per round (localCheckpoint) like
-    the components / kcore loops.
+    Scale (r15 shape, guide §3.1): with ``broadcast_labels`` each
+    round's edge↔label join is a BroadcastHashJoin — only the
+    node-cardinality label table moves, the edge list is never shuffled
+    by the join.  ``broadcast_labels=None`` (default) auto-routes on one
+    count over the checkpointed edge table: broadcast while the edge
+    count (an upper bound on nodes) is ≤ :data:`BROADCAST_MAX_NODES`,
+    the shuffled keyed rounds (join on node id + vote agg + window)
+    beyond it — billion-node graphs never depend on broadcast budgets
+    (VERDICT r14 #8).  r15 fix (VERDICT r14 #2): the r14 pre-loop
+    ``repartition(_s)`` was discarded by ``localCheckpoint``
+    (UnknownPartitioning at the leaf) — a pure extra shuffle per call;
+    removed.  The window's partitions stay bounded by a node's distinct
+    neighbor-label count — never data-sized.  Lineage is cut per round
+    (localCheckpoint) like the components / kcore loops.
     """
     if n_iters < 1:
         raise ValueError("n_iters must be >= 1")
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
-    if broadcast_labels:
-        e = e.repartition(F.col("_s"))
     e = e.localCheckpoint(eager=False)
+    if broadcast_labels is None:
+        broadcast_labels = e.count() <= BROADCAST_MAX_NODES
     labels = e.select(F.col("_s").alias("_node")).distinct().select(
         "_node", F.col("_node").alias("_lbl")
     )

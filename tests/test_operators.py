@@ -1364,3 +1364,33 @@ def test_kcore_peel_cascades(spark):
     import pytest
     with pytest.raises(ValueError):
         kcore_peel(edges, k=0)
+
+
+def test_kcore_lpa_broadcast_routes_agree(spark, monkeypatch):
+    """r15 auto-route (VERDICT r14 #8): kcore_peel / label_propagation
+    pick broadcast vs shuffled rounds from a bounded edge-count probe.
+    Both routes must return identical results, and forcing the
+    threshold to 0 must take the shuffled path without changing them."""
+    from hdfs_stream_processing_spark.operators import graph
+    from hdfs_stream_processing_spark.operators.graph import (
+        kcore_peel,
+        label_propagation,
+    )
+
+    und = [("a", "b"), ("b", "c"), ("a", "c"), ("a", "d"), ("d", "e")]
+    sym = und + [(d, s) for (s, d) in und]
+    edges = spark.createDataFrame(sym, "src string, dst string")
+
+    k_bcast = sorted(kcore_peel(edges, k=2, n_iters=2, broadcast_keep=True).collect())
+    k_shuf = sorted(kcore_peel(edges, k=2, n_iters=2, broadcast_keep=False).collect())
+    assert k_bcast == k_shuf
+
+    l_bcast = sorted(label_propagation(edges, n_iters=2, broadcast_labels=True).collect())
+    l_shuf = sorted(label_propagation(edges, n_iters=2, broadcast_labels=False).collect())
+    assert l_bcast == l_shuf
+
+    # default auto-route: tiny graph -> broadcast; threshold 0 -> shuffled
+    assert sorted(kcore_peel(edges, k=2, n_iters=2).collect()) == k_bcast
+    monkeypatch.setattr(graph, "BROADCAST_MAX_NODES", 0)
+    assert sorted(kcore_peel(edges, k=2, n_iters=2).collect()) == k_bcast
+    assert sorted(label_propagation(edges, n_iters=2).collect()) == l_bcast

@@ -1,8 +1,9 @@
-"""Dump ``.explain("formatted")`` for named queries to plans/r14/.
+"""Dump ``.explain("formatted")`` for named queries to plans/<round>/.
 
 Usage: python tools/dump_plans.py <suffix> <query> [query ...]
 
-Writes ``plans/r14/<query>_<suffix>.txt`` (suffix = before|after) with
+The round directory defaults to r15 (override with $SPARK_GRAFT_PLANS_ROUND).
+Writes ``plans/<round>/<query>_<suffix>.txt`` (suffix = before|after) with
 the formatted physical plan of the DataFrame the query returns, at
 sf0.01 (plan SHAPE is scale-invariant; sf0.01 keeps streaming-state
 queries quick).  For queries that execute a streaming job to build
@@ -33,7 +34,8 @@ def main() -> int:
     if unknown:
         raise SystemExit(f"unknown queries: {unknown}")
 
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14")
+    rnd = os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", rnd)
     os.makedirs(out_dir, exist_ok=True)
 
     spark = get_spark(cpus=8)
