@@ -717,6 +717,17 @@ def main() -> None:
     if out["last_written"]:
         with open(LAST_PATH, "w") as f:
             json.dump(out, f)
+    # Full-fidelity sidecar (VERDICT r14 #2, additions only): EVERY full
+    # sweep — gate-passing or contended — persists its complete
+    # per-query record to BENCH_FULL_LAST.json, so round-over-round
+    # comparison always has a ~full-registry dict to diff (r14's PERF
+    # could compare only the 5 queries that survive the printed top-5
+    # line, because the gated BENCH_LAST.json is correctly not written
+    # on contended runs).  The gate flags ride inside the record; the
+    # floor-writer gate on BENCH_LAST.json is unchanged.
+    if subset is None:
+        with open(LAST_PATH.replace("BENCH_LAST", "BENCH_FULL_LAST"), "w") as f:
+            json.dump(out, f)
     print(json.dumps(out))
     # The full line above can exceed the driver's tail-capture buffer as
     # the suite grows (r4 lost its headline total to truncation).  Emit a

@@ -89,6 +89,37 @@ def test_arrow_assign_raises_on_zero_vector(spark, cents):
         assign_cells(deg, cents, vec_col="qv", use_arrow=True).collect()
 
 
+def test_arrow_assign_raises_on_zero_centroid(spark, cents, q):
+    """ADVICE r14: a zero-norm CENTROID must raise in the Arrow path
+    exactly like the literal SQL path (ANSI DIVIDE_BY_ZERO), not
+    silently produce inf/nan affinities."""
+    cents_zero = [list(c) for c in cents]
+    cents_zero[2] = [0] * len(cents[0])
+    with pytest.raises(Exception, match="zero-norm|DIVIDE_BY_ZERO"):
+        assign_cells(q, cents_zero, vec_col="qv", use_arrow=True).collect()
+
+
+def test_pq_codebook_order_independent(spark):
+    """ADVICE r14: the Arrow PQ encoder maps the positional argmin index
+    to the code id — codebook rows arriving in ANY order must yield the
+    same codes (explicit sort), and a gapped code set must raise."""
+    from hdfs_stream_processing_spark.operators.similarity import (
+        _codebook_matrices,
+        pq_assign_codes,
+        pq_init_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cb = pq_init_codebooks(emb, "vec_id", "embedding", 4, 8)
+    shuffled = list(reversed(cb))
+    a = sorted(map(tuple, pq_assign_codes(emb, codebook_rows=cb, use_arrow=True).collect()))
+    b = sorted(map(tuple, pq_assign_codes(emb, codebook_rows=shuffled, use_arrow=True).collect()))
+    assert a == b
+    gapped = [(s, c, cw) for s, c, cw in cb if not (s == 1 and c == 3)]
+    with pytest.raises(ValueError, match="not contiguous"):
+        _codebook_matrices(gapped, 4)
+
+
 def test_arrow_pq_codes_match_sql(spark):
     """PQ encoding: the Arrow GEMM path must equal the SQL explode +
     broadcast-join + argmin shape — codes, d2, everything."""
