@@ -2180,17 +2180,22 @@ def q_stream_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src_dir, schema = _stage_documents(spark, sf_dir)
     stream = stream_parquet_source(spark, src_dir, schema, max_files_per_trigger=2)
-    state = {
-        name: _mkdtemp(f"hsp_sgold_{name}_")
-        for name in ("bands", "comp", "attrs", "golden")
-    }
+    state = _mkdtemp("hsp_sgold_state_")
     ckpt = _mkdtemp("hsp_sgold_ckpt_")
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         golden_apply_batch(batch_df, state, batch_id)
 
-    run_foreach_batch(stream, step, ckpt)
-    return read_table_version(spark, state["golden"]).drop("_batch")
+    # state-maintenance plans are micro-batch-sized (KBs–MBs here): 8
+    # shuffle partitions instead of the session's core count cuts pure
+    # task-scheduling overhead per batch — the same right-sizing every
+    # other maintained-state stream query applies (_conf_override is
+    # restored after; the CC calls inside scope their own loop conf).
+    with _conf_override(spark, "spark.sql.shuffle.partitions", "8"):
+        run_foreach_batch(stream, step, ckpt)
+    return _golden_slice(
+        read_table_version(spark, state).drop("_batch"), "golden"
+    )
 
 
 _GOLDEN_STATE_DDL = {
@@ -2203,22 +2208,63 @@ _GOLDEN_STATE_DDL = {
     "attrs": "doc_id bigint, lang string, source string, n_chars bigint",
 }
 
+#: Column layout of the ONE combined state snapshot (r15, VERDICT r14
+#: #6): the four logical tables ride one schema behind a ``_t``
+#: discriminator; absent columns are typed nulls.  Shared names keep
+#: shared types (lang/source/n_chars: golden+attrs; doc_id:
+#: bands+attrs), so the union is loss-free.
+_GOLDEN_COMBINED_COLS: dict[str, str] = {
+    "cluster_id": "bigint",
+    "survivor_id": "bigint",
+    "lang": "string",
+    "source": "string",
+    "n_chars": "bigint",
+    "doc_id": "bigint",
+    "band": "int",
+    "band_hash": "string",
+    "id": "bigint",
+    "component": "bigint",
+}
+
+
+def _golden_pack(name: str, df: DataFrame) -> DataFrame:
+    """Tag one logical state table into the combined snapshot layout."""
+    have = set(df.columns)
+    return df.select(
+        F.lit(name).alias("_t"),
+        *[
+            (F.col(c).cast(t) if c in have else F.lit(None).cast(t)).alias(c)
+            for c, t in _GOLDEN_COMBINED_COLS.items()
+        ],
+    )
+
+
+def _golden_slice(snap: DataFrame, name: str) -> DataFrame:
+    """One logical state table back out of a combined snapshot (the
+    ``_t`` predicate reaches the parquet scan — row-group pruning)."""
+    cols = [f.split()[0] for f in _GOLDEN_STATE_DDL[name].split(", ")]
+    return snap.where(F.col("_t") == name).select(*cols)
+
 
 def golden_apply_batch(
-    batch_df: DataFrame, state: dict, batch_id: int
+    batch_df: DataFrame, state: str, batch_id: int
 ) -> bool:
     """One streaming golden-maintenance step: fold a document
-    micro-batch into the four maintained state tables (bands, component
-    labels, attributes, golden) via :func:`_golden_step` and commit
-    each as a new immutable snapshot stamped with the batch id.
+    micro-batch into the maintained state (bands, component labels,
+    attributes, golden) via :func:`_golden_step` and commit ALL FOUR
+    logical tables as ONE immutable combined snapshot stamped with the
+    batch id (r15, VERDICT r14 #6 — the r14 shape committed four
+    separate versioned tables per micro-batch: 4 write jobs, 4 sidecars,
+    4 pointer flips, and a resolve() that had to walk past partially
+    stamped tables after a crash; one multi-schema commit per batch
+    makes the batch atomic BY CONSTRUCTION — the pointer flip is the
+    last step of the single commit, so replay sees either the whole
+    previous state or the whole new one).
 
-    Replay contract: golden commits LAST, so its stamp marks the whole
-    batch done (early-return, False).  Commits happen one table at a
-    time, and a crashed batch may have stamped SOME tables — on replay,
-    each table independently resolves to its newest snapshot committed
-    BEFORE this batch (walking past any partial stamp), so the step
-    recomputes from exactly the pre-batch state: the four-table commit
-    is effectively atomic under replay."""
+    Replay contract: a batch whose id ≤ the committed snapshot's stamp
+    already landed → early-return False.  The stamp comes from the
+    ``_meta.json`` sidecar (driver-side file read); sidecar-less
+    snapshots (pre-r14 layout) fall back to a ``max(_batch)`` scan."""
     from hdfs_stream_processing_spark.sources.io import (
         read_table_version,
         table_latest_version,
@@ -2227,70 +2273,64 @@ def golden_apply_batch(
     )
 
     spark = batch_df.sparkSession
-
-    def committed(name: str, v: int) -> int | None:
-        """Batch id snapshot ``v`` carries: the ``_meta.json`` sidecar
-        when present (driver-side file read, r14 — the old shape spent
-        one Spark job per table per micro-batch on this), else the
-        ``max(_batch)`` scan (pre-r14 snapshots)."""
-        m = table_version_meta(spark, state[name], v)
+    latest = table_latest_version(spark, state)
+    if latest is not None:
+        m = table_version_meta(spark, state, latest)
         if m is not None and "batch" in m:
-            return m["batch"]
-        return (
-            read_table_version(spark, state[name], v)
-            .select(F.max("_batch"))
-            .first()[0]
-        )
-
-    def resolve(name: str) -> DataFrame:
-        v = table_latest_version(spark, state[name])
-        while v:
-            b = committed(name, v)
-            if b is None or b < batch_id:
-                return read_table_version(spark, state[name], v).drop("_batch")
-            v -= 1
-        return spark.createDataFrame([], _GOLDEN_STATE_DDL[name])
-
-    gv = table_latest_version(spark, state["golden"])
-    if gv is not None:
-        done = committed("golden", gv)
+            done = m["batch"]
+        else:  # sidecar-less snapshot: derive the stamp from the data
+            done = (
+                read_table_version(spark, state, latest)
+                .select(F.max("_batch"))
+                .first()[0]
+            )
         if done is not None and done >= batch_id:
-            return False  # golden commits last: this batch fully landed
-    g_old = resolve("golden")
-    bands_old = resolve("bands")
-    comp_old = resolve("comp")
-    attrs_old = resolve("attrs")
+            return False  # this batch's snapshot already published
+        snap = read_table_version(spark, state, latest).drop("_batch")
+        g_old = _golden_slice(snap, "golden")
+        bands_old = _golden_slice(snap, "bands")
+        comp_old = _golden_slice(snap, "comp")
+        attrs_old = _golden_slice(snap, "attrs")
+    else:
+        g_old = spark.createDataFrame([], _GOLDEN_STATE_DDL["golden"])
+        bands_old = spark.createDataFrame([], _GOLDEN_STATE_DDL["bands"])
+        comp_old = spark.createDataFrame([], _GOLDEN_STATE_DDL["comp"])
+        attrs_old = spark.createDataFrame([], _GOLDEN_STATE_DDL["attrs"])
     batch = batch_df.select("doc_id", "text", "lang", "source", "n_chars")
     new_golden, new_comp, bands_b = _golden_step(
         batch, bands_old, comp_old, attrs_old, g_old
     )
-    # Every output's plan reads the OLD snapshots through explicit
-    # pinned ``v=<n>/data`` paths (resolve() pins the version; snapshot
-    # dirs are immutable and this state is never vacuumed), so a commit
-    # can never redirect a not-yet-executed sibling plan onto its own
-    # successor — the writes below ARE the single materialization of
-    # each output (r14: the four eager pre-write localCheckpoints were
-    # a second full pass per table per micro-batch; the shared
-    # subplans — sig_b, bands_b, mcomp, members — stay reused through
-    # their own lazy checkpoints inside _golden_step).
+    # The single write below IS the materialization of every output
+    # (all reads pin the immutable ``v=<latest>/data`` path resolved
+    # above; shared subplans — sig_b, bands_b, mcomp, members — are
+    # reused through their lazy checkpoints inside _golden_step).
     new_bands = bands_old.unionByName(bands_b)
     new_attrs = attrs_old.unionByName(
         batch.select("doc_id", "lang", "source", "n_chars")
     )
-    stamp = F.lit(batch_id)
-    meta = {"batch": batch_id}
-    write_table_version(
-        spark, new_bands.withColumn("_batch", stamp), state["bands"], meta=meta
+    packed = (
+        _golden_pack("bands", new_bands)
+        .unionByName(_golden_pack("comp", new_comp))
+        .unionByName(_golden_pack("attrs", new_attrs))
+        .unionByName(_golden_pack("golden", new_golden))
+        .withColumn("_batch", F.lit(batch_id))
     )
+    # Bound the snapshot's file count: the naive union write emits one
+    # file per upstream partition (measured 34–64 KB-sized files per
+    # snapshot at sf0.1 — the small-files trap of guide §6, paid again
+    # by every later batch's re-read).  repartition — NOT coalesce —
+    # because coalesce would fold the whole narrow upstream (the batch
+    # minhash included) into the few write tasks (measured +2 s/run);
+    # the extra exchange moves only KB–MB of state rows here.  The
+    # count is env-tunable because the right number tracks STATE BYTES
+    # (a production deployment would REBALANCE to the advisory
+    # partition size instead — state there is corpus-sized, here it is
+    # fixture-sized).
+    import os as _os
+
+    n_files = max(1, int(_os.environ.get("HSP_GOLDEN_STATE_FILES", "8")))
     write_table_version(
-        spark, new_comp.withColumn("_batch", stamp), state["comp"], meta=meta
-    )
-    write_table_version(
-        spark, new_attrs.withColumn("_batch", stamp), state["attrs"], meta=meta
-    )
-    # golden commits LAST — its stamp marks the whole batch done
-    write_table_version(
-        spark, new_golden.withColumn("_batch", stamp), state["golden"], meta=meta
+        spark, packed.repartition(n_files), state, meta={"batch": batch_id}
     )
     return True
 

@@ -749,10 +749,12 @@ def test_stream_rollup_split_invariance_and_replay(spark, tmp_path):
 def test_stream_golden_split_invariance_and_crash_replay(spark, tmp_path):
     """Streaming golden-record maintenance: folding a document corpus
     through golden_apply_batch in ANY batch split equals the one-shot
-    full build; a replayed absorbed batch commits nothing; and a batch
-    that CRASHED mid-commit (some state tables stamped, golden not)
-    replays to the identical result — the per-table resolve walks past
-    partial stamps."""
+    full build; a replayed absorbed batch commits nothing; exactly ONE
+    combined snapshot commits per batch (r15 single-commit contract —
+    a crash can no longer stamp some tables and not others, because the
+    pointer flip is the last step of the one commit); and a
+    sidecar-less snapshot's replay guard falls back to the max(_batch)
+    scan."""
     from hdfs_stream_processing_spark.operators.dedup import (
         lsh_candidate_pairs,
         minhash_signature_wide,
@@ -800,10 +802,17 @@ def test_stream_golden_split_invariance_and_crash_replay(spark, tmp_path):
         .collect()
     )
 
+    from hdfs_stream_processing_spark.queries_advanced import _golden_slice
+
+    def golden_of(state):
+        return sorted(
+            _golden_slice(
+                read_table_version(spark, state).drop("_batch"), "golden"
+            ).collect()
+        )
+
     def run_split(split, tag):
-        state = {
-            n: str(tmp_path / f"{tag}_{n}") for n in ("bands", "comp", "attrs", "golden")
-        }
+        state = str(tmp_path / f"{tag}_state")
         lo = 0
         for bid, hi in enumerate(split):
             batch = spark.createDataFrame(rows[lo:hi], ddl)
@@ -813,26 +822,26 @@ def test_stream_golden_split_invariance_and_crash_replay(spark, tmp_path):
 
     for split in ([6], [3, 6], [2, 4, 6], [1, 2, 3, 4, 5, 6]):
         state = run_split(split, f"s{len(split)}_{split[0]}")
-        got = sorted(read_table_version(spark, state["golden"]).drop("_batch").collect())
-        assert got == want, f"split {split}"
+        assert golden_of(state) == want, f"split {split}"
+        # single-commit contract: exactly one snapshot per micro-batch
+        assert table_latest_version(spark, state) == len(split)
 
     # replay guard: re-applying an absorbed batch commits nothing
     state = run_split([3, 6], "replay")
-    v = table_latest_version(spark, state["golden"])
+    v = table_latest_version(spark, state)
     assert not golden_apply_batch(spark.createDataFrame(rows[3:6], ddl), state, 1)
-    assert table_latest_version(spark, state["golden"]) == v
+    assert table_latest_version(spark, state) == v
 
-    # crash simulation: batch 1 stamped bands/comp/attrs but NOT golden
-    state = run_split([3], "crash")
-    batch1 = spark.createDataFrame(rows[3:6], ddl)
-    for n in ("bands", "comp", "attrs"):
-        junk = read_table_version(spark, state[n]).drop("_batch")
-        write_table_version(
-            spark, junk.withColumn("_batch", F.lit(1)), state[n]
-        )  # wrong content, stamped as batch 1 — must be walked past
-    assert golden_apply_batch(batch1, state, 1)
-    got = sorted(read_table_version(spark, state["golden"]).drop("_batch").collect())
-    assert got == want
+    # sidecar-less snapshot (pre-r14 layout): replay guard must fall
+    # back to the max(_batch) scan — re-commit the same content via a
+    # BARE write_table_version (no meta), then replay batch 1
+    state = run_split([3, 6], "fallback")
+    snap = read_table_version(spark, state)
+    write_table_version(spark, snap, state)  # no meta sidecar
+    v = table_latest_version(spark, state)
+    assert not golden_apply_batch(spark.createDataFrame(rows[3:6], ddl), state, 1)
+    assert table_latest_version(spark, state) == v
+    assert golden_of(state) == want
 
 
 def test_stream_ivf_equals_one_shot_assignment(spark):
