@@ -601,3 +601,63 @@ def bpe_symbol_counts(
         .groupBy("symbol")
         .agg(F.sum("_f").alias("count"))
     )
+
+
+def bpe_train_driver(
+    rows: list[tuple[str, int]], k: int
+) -> list[tuple[str, int]]:
+    """``k`` BPE merge levels over a COLLECTED word-frequency table,
+    entirely on the driver (r15, VERDICT r14 #7 — the adjudicated
+    bounded-collect pattern of ``connected_components``): BPE training
+    state is vocabulary-sized by construction (distinct words, not
+    corpus tokens), so once the vocabulary fits the driver bound the
+    16-level merge chain is a few million list operations — versus ~29
+    Spark jobs of vocabulary-sized aggregates whose cost is pure
+    scheduling.  Callers guard with a count and fall back to the
+    distributed chain (the 100 TB path and the parity witness).
+
+    Bit-exact replication of the declarative chain's semantics:
+
+    - pair counts weight adjacent symbol pairs by word ``freq``
+      (``bpe_pair_counts``);
+    - the winner is max count, ties to (l_sym, r_sym) ASC — Python and
+      Spark order ASCII strings identically (``bpe_best_pair``);
+    - a merge applies left-to-right non-overlapping (the symbol-list
+      scan equals ``F.replace`` on the bracketed string: the
+      ``<...>`` delimiters align every match to symbol boundaries);
+    - an empty pair table empties the state (the declarative chain's
+      crossJoin against an empty winner drops every row).
+
+    Returns the final (symbol, count) inventory, ``bpe_symbol_counts``
+    semantics."""
+    words: list[tuple[list[str], int]] = [(list(w), f) for w, f in rows]
+    for _ in range(k):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            words = []  # crossJoin with an empty winner drops all rows
+            break
+        maxc = max(counts.values())
+        l_sym, r_sym = min(p for p, c in counts.items() if c == maxc)
+        merged = l_sym + r_sym
+        nxt: list[tuple[list[str], int]] = []
+        for syms, f in words:
+            out: list[str] = []
+            i, n = 0, len(syms)
+            while i < n:
+                if i < n - 1 and syms[i] == l_sym and syms[i + 1] == r_sym:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt.append((out, f))
+        words = nxt
+    agg: dict[str, int] = {}
+    for syms, f in words:
+        for s in syms:
+            agg[s] = agg.get(s, 0) + f
+    return sorted(agg.items())

@@ -1580,3 +1580,19 @@ def test_split_assign_is_md5_deterministic(spark):
         split_assign(df, "doc_id", [("train", 80), ("val", 10)])
     with pytest.raises(ValueError):
         split_assign(df, "doc_id", [])
+
+
+def test_bpe_train_deep_driver_matches_distributed(spark, monkeypatch):
+    """r15 (VERDICT r14 #7): the driver-side 16-level BPE trainer must
+    equal the staged distributed chain symbol-for-symbol, count-for-
+    count — including every merge pick's (count DESC, l_sym, r_sym)
+    tie rule, which both paths replay transitively."""
+    import hdfs_stream_processing_spark.queries  # noqa: F401 — load order
+    from hdfs_stream_processing_spark import queries_llmdata as QL
+
+    fn = QL.q_bpe_train_deep
+    got_driver = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    monkeypatch.setattr(QL, "_BPE_DRIVER_MAX_WORDS", 0)  # force distributed
+    got_dist = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    assert got_driver == got_dist
+    assert len(got_driver) > 0
