@@ -760,21 +760,43 @@ _KNN_EDGE_SQL = """sp AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
 
 def _cosupply_knn_edges(lineitem: DataFrame, k: int = 5) -> DataFrame:
     """Top-``k`` strongest co-supply partner edges per supplier (the
-    Spark side of ``_KNN_EDGE_SQL``): pair weights from one
-    partial-aggregated count shuffle over the per-part supplier join,
-    per-node top-k on exact keys (weight DESC, partner ASC), then
-    canonical dedup.  Degree ≤ 2k by construction — the density cap
-    that keeps wedge enumeration linear regardless of how dense the
-    underlying co-occurrence gets."""
+    Spark side of ``_KNN_EDGE_SQL``): pair weights from per-part
+    supplier SETS, per-node top-k on exact keys (weight DESC, partner
+    ASC), then canonical dedup.  Degree ≤ 2k by construction — the
+    density cap that keeps wedge enumeration linear regardless of how
+    dense the underlying co-occurrence gets.
+
+    r15 shape (VERDICT r14 #5, guide §2.4): one groupBy(part)
+    ``collect_set`` + an in-partition i<j double explode replaces the
+    old distinct → self-join-on-part → pair-agg chain — the sorted set
+    IS the dedup and the pair generator, so the (p,s)-distinct
+    exchange and the two sort-merge join sorts disappear (5 exchanges
+    → 3 on the edge derivation; the pair blowup is identical — both
+    formulations are quadratic in suppliers-per-part, bounded by the
+    co-supply fan-out, 4 in TPC-H-shaped data)."""
     from pyspark.sql import Window
 
-    sp = lineitem.select(
-        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct()
+    # repartition BEFORE the set-aggregate: the projected lineitem scan
+    # is 1-2 parquet splits, so a map-side ObjectHashAggregate there
+    # would run at scan parallelism (measured: a 2-task 2.7 s stage on
+    # 32 cores); keying the exchange on ``p`` spreads the aggregate
+    # cluster-wide and the groupBy reuses the partitioning — still ONE
+    # shuffle of the narrow (p, s) projection (guide §2.4).
+    per_part = (
+        lineitem.select(
+            F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+        )
+        .repartition(F.col("p"))
+        .groupBy("p")
+        .agg(F.sort_array(F.collect_set("s")).alias("_ss"))
+    )
     pair = (
-        sp.alias("a")
-        .join(sp.alias("b"), (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
-        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        per_part.select(F.posexplode("_ss").alias("_i", "u"), "_ss")
+        .select(
+            "u",
+            F.explode(F.expr("slice(_ss, _i + 2, size(_ss))")).alias("v"),
+        )
+        .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("w"))
     )
     sym = pair.unionByName(
