@@ -427,9 +427,14 @@ def train_ivf_centroids(
     # Lloyd iteration evaluates the n_cells × dims affinity per row, and
     # a single-split parquet table would pin all of it to one task.
     n_parts = embeddings.sparkSession.sparkContext.defaultParallelism
+    # checkpoint the quantized, spread corpus ONCE: each iteration ends
+    # in its own collect() action, and exchange reuse does not span
+    # actions — without the lineage cut every Lloyd step re-ran the
+    # parquet scan + quantize + repartition (r15; the standard
+    # cache-the-training-input shape of MLlib's KMeans).
     q = embeddings.repartition(n_parts, F.col(id_col)).select(
         F.col(id_col).alias("_id"), quantized(vec_col).alias("qv")
-    )
+    ).localCheckpoint(eager=False)
     for _ in range(n_iters):
         assigned = assign_cells(q, cents, id_col="_id")
         means = (
