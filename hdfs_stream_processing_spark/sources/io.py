@@ -11,6 +11,8 @@ py4j, no inference passes.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -19,9 +21,25 @@ from hdfs_stream_processing_spark.schemas import DRIVER_TABLES, schema_for
 
 TABLE_NAMES = list(DRIVER_TABLES)
 
+#: Per-session memo of ANALYZED base-table DataFrames (r15, guide §7.3
+#: "driver-side single-process work"): ``spark.read.parquet`` costs
+#: ~85 ms per call (footer/schema resolution + py4j) and every query
+#: invocation re-paid it per table — ~100-200 ms of pure driver latency
+#: per query, the single largest component of the sub-second tail.  A
+#: DataFrame is an immutable LOGICAL PLAN, so reusing the object is
+#: plan-level only: nothing is persisted or .cache()d, every action
+#: still scans the parquet from disk.  Keyed weakly by session (a
+#: closed session's entries vanish with it); the driver tables are
+#: immutable test fixtures, so the pinned file listing cannot go stale
+#: — the same assumption the session's FileStatusCache already makes.
+_TABLE_PLANS: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
 
 def load_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    """Parquet scan of one driver table (SURVEY S2).
+    """Parquet scan of one driver table (SURVEY S2), memoized per
+    (session, dir, table) — see :data:`_TABLE_PLANS`.
 
     Parquet is self-describing, so no schema argument: Catalyst still gets
     column pruning + predicate pushdown from the footer metadata.
@@ -41,6 +59,10 @@ def load_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
       funnel lags) sees the exact integer microsecond it would read
       straight from the file.
     """
+    per = _TABLE_PLANS.setdefault(spark, {})
+    cached = per.get((sf_dir, table))
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     expected = DRIVER_TABLES.get(table)
     if expected is not None:
@@ -54,6 +76,7 @@ def load_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
                 )
             elif isinstance(actual, T.TimestampNTZType):
                 df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    per[(sf_dir, table)] = df
     return df
 
 
