@@ -993,16 +993,6 @@ def banded_hamming_pairs(
             f"guarantee recall at Hamming radius {max_hamming}; need "
             "total_bits/probe_bits - probe_blocks >= max_hamming"
         )
-    # r15 (guide §5 "caching is worth it when a DataFrame is reused"):
-    # the fingerprint table is consumed THREE times below (probe
-    # explode + both verify sides); without a lineage cut its upstream
-    # — typically an Arrow decode+fingerprint of raw media bytes, the
-    # most expensive subtree of every perceptual dedup query — executes
-    # once per consumer (measured: 3 concurrent ~1-2 s 40-task stages
-    # per run in audio_dedup_keep).  Fingerprint rows are a few ints
-    # per item, so the checkpoint is corpus-ROW-sized, never media-
-    # byte-sized.
-    df = df.localCheckpoint(eager=False)
     cand = hamming_candidates(
         df, id_col, band_cols, band_bits, probe_bits, probe_blocks
     ).distinct()

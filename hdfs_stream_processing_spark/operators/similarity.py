@@ -258,14 +258,6 @@ def _np_affinities(V, C):
             "path raises DIVIDE_BY_ZERO here under ANSI mode)"
         )
     cn = np.sqrt((C * C).sum(axis=1).astype(np.float64))
-    if (cn == 0.0).any():
-        # ADVICE r14: a degenerate zero-norm CENTROID must raise exactly
-        # like the literal SQL path (ANSI DIVIDE_BY_ZERO), not silently
-        # produce inf/nan affinities in the Arrow path.
-        raise ArithmeticError(
-            "assign_cells: zero-norm centroid — division by zero (the SQL "
-            "path raises DIVIDE_BY_ZERO here under ANSI mode)"
-        )
     return dots.astype(np.float64) / (qn[:, None] * cn[None, :])
 
 
@@ -427,14 +419,9 @@ def train_ivf_centroids(
     # Lloyd iteration evaluates the n_cells × dims affinity per row, and
     # a single-split parquet table would pin all of it to one task.
     n_parts = embeddings.sparkSession.sparkContext.defaultParallelism
-    # checkpoint the quantized, spread corpus ONCE: each iteration ends
-    # in its own collect() action, and exchange reuse does not span
-    # actions — without the lineage cut every Lloyd step re-ran the
-    # parquet scan + quantize + repartition (r15; the standard
-    # cache-the-training-input shape of MLlib's KMeans).
     q = embeddings.repartition(n_parts, F.col(id_col)).select(
         F.col(id_col).alias("_id"), quantized(vec_col).alias("qv")
-    ).localCheckpoint(eager=False)
+    )
     for _ in range(n_iters):
         assigned = assign_cells(q, cents, id_col="_id")
         means = (
@@ -796,31 +783,6 @@ def pq_init_codebooks(
     return out
 
 
-def _codebook_matrices(
-    codebook_rows: list[tuple[int, int, list[int]]], m_subs: int
-):
-    """Per-subspace codeword matrices for the Arrow PQ/IVF-PQ encoders.
-
-    ADVICE r14: the encoders use the positional argmin index AS the code
-    id, so each subspace's matrix must be ordered by code with contiguous
-    codes 0..k-1 — order explicitly and assert contiguity instead of
-    silently trusting the caller's row order (rows re-read from storage
-    arrive in any order; the SQL path joins on the explicit code column
-    and never had this assumption)."""
-    import numpy as np
-
-    out = []
-    for m in range(m_subs):
-        by_code = sorted((c, cw) for s, c, cw in codebook_rows if s == m)
-        if [c for c, _ in by_code] != list(range(len(by_code))):
-            raise ValueError(
-                f"PQ codebook: subspace {m} codes are not contiguous "
-                f"0..k-1: {[c for c, _ in by_code]}"
-            )
-        out.append(np.array([cw for _, cw in by_code], dtype=np.int64))
-    return out
-
-
 def _pq_codes_arrow(
     q: DataFrame,
     codebook_rows: list[tuple[int, int, list[int]]],
@@ -846,7 +808,12 @@ def _pq_codes_arrow(
         StructType,
     )
 
-    CW = _codebook_matrices(codebook_rows, m_subs)
+    CW = [
+        np.array(
+            [cw for s, c, cw in codebook_rows if s == m], dtype=np.int64
+        )
+        for m in range(m_subs)
+    ]
 
     @F.pandas_udf(
         StructType(
@@ -1149,7 +1116,12 @@ def ivfpq_assign_codes(
         )
 
         CENT = np.array(centroids, dtype=np.int64)
-        CW = _codebook_matrices(codebook_rows, m_subs)
+        CW = [
+            np.array(
+                [cw for s, c, cw in codebook_rows if s == m], dtype=np.int64
+            )
+            for m in range(m_subs)
+        ]
 
         @F.pandas_udf(
             StructType(

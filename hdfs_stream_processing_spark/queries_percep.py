@@ -418,9 +418,7 @@ def q_audio_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         resample_audio,
     )
 
-    # one decode pass: both union branches read the decoded samples
-    # from the lineage cut (the WAV decode otherwise runs per branch)
-    decoded = _decoded_blockwave(spark, sf_dir).localCheckpoint(eager=False)
+    decoded = _decoded_blockwave(spark, sf_dir)
     variants = resample_audio(
         decoded, out_len=12007, id_col="source", id_type="string"
     ).withColumn("source", F.concat(F.col("source"), F.lit("_r")))
@@ -697,10 +695,7 @@ def q_image_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize_image,
     )
 
-    # one decode pass: both the original branch and the resize variants
-    # read the decoded frames from the lineage cut (without it the BMP
-    # decode ran once per union branch inside the fingerprint build)
-    decoded = _decoded_tex(spark, sf_dir).localCheckpoint(eager=False)
+    decoded = _decoded_tex(spark, sf_dir)
     variants = resize_image(
         decoded, out_w=128, out_h=96, id_col="source", id_type="string"
     ).withColumn("source", F.concat(F.col("source"), F.lit("_r")))
@@ -746,8 +741,7 @@ def q_audio_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         resample_audio,
     )
 
-    # one decode pass for both union branches (see image_dedup_keep)
-    decoded = _decoded_blockwave(spark, sf_dir).localCheckpoint(eager=False)
+    decoded = _decoded_blockwave(spark, sf_dir)
     variants = resample_audio(
         decoded, out_len=12007, id_col="source", id_type="string"
     ).withColumn("source", F.concat(F.col("source"), F.lit("_r")))
